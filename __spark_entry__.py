@@ -1,38 +1,121 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship reference-parity ETL chain;
+``queries()`` exposes one entry per implemented operator from
+SURVEY.md §2; ``oracle_sql()`` gives each SQL-expressible query's
+DuckDB twin (same column names/aliases both sides).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pulsar_elasticsearch_sync_rs_spark.plans import analytics as A
+from pulsar_elasticsearch_sync_rs_spark.plans import etl_queries as E
+from pulsar_elasticsearch_sync_rs_spark.plans import llm_queries as L
+from pulsar_elasticsearch_sync_rs_spark.plans.pipeline import flagship_summary
+
+
+def _configure(spark: SparkSession) -> SparkSession:
+    """Session settings the engine needs regardless of who built the
+    session (driver-owned or ours): UTC rendering + nanos-as-long for
+    the events fixture (see session.py)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # static conf on some builds; sources.batch handles both shapes
+    return spark
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    _configure(spark)
+    return flagship_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return fn(_configure(spark), sf_dir)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+        return run
+
+    return {
+        # --- reference-parity ETL operators (SURVEY.md §2.2-§2.5) ---
+        "q_filter_regex": wrap(E.q_filter_regex),
+        "q_json_extract": wrap(E.q_json_extract),
+        "q_key_sanitize": wrap(E.q_key_sanitize),
+        "q_timestamp_rule": wrap(E.q_timestamp_rule),
+        "q_topic_strip": wrap(E.q_topic_strip),
+        "q_index_rewrite": wrap(E.q_index_rewrite),
+        "q_debug_classify": wrap(E.q_debug_classify),
+        "q_field_count": wrap(E.q_field_count),
+        "q_group_counts": wrap(E.q_group_counts),
+        "q_rate_limit": wrap(E.q_rate_limit),
+        "q_uuid_inject": wrap(E.q_uuid_inject),  # rows-only (nondeterministic)
+        # --- relational/analytic pack (SURVEY.md §2.9) ---
+        "q_tpch_pricing": wrap(A.q_tpch_pricing),
+        "q_tpch_join_topk": wrap(A.q_tpch_join_topk),
+        "q_region_revenue": wrap(A.q_region_revenue),
+        "q_rollup_acctbal": wrap(A.q_rollup_acctbal),
+        "q_setops": wrap(A.q_setops),
+        "q_window_running": wrap(A.q_window_running),
+        "q_topk_per_group": wrap(A.q_topk_per_group),
+        "q_semi_anti": wrap(A.q_semi_anti),
+        "q_sessionize": wrap(A.q_sessionize),
+        # --- LLM-data pipeline pack (SURVEY.md §2.9) ---
+        "q_dedup_exact": wrap(L.q_dedup_exact),
+        "q_dedup_normalized": wrap(L.q_dedup_normalized),
+        "q_ngram_jaccard": wrap(L.q_ngram_jaccard),
+        "q_dedup_minhash": wrap(L.q_dedup_minhash),  # rows-only (LSH recall)
+        "q_text_stats": wrap(L.q_text_stats),
+        "q_token_count": wrap(L.q_token_count),
+        "q_lang_id": wrap(L.q_lang_id),
+        "q_fingerprint": wrap(L.q_fingerprint),
+        "q_knn_cosine": wrap(L.q_knn_cosine),
+        "q_embed_neardup": wrap(L.q_embed_neardup),
+        "q_knn_lsh": wrap(L.q_knn_lsh),  # rows-only (approximate)
+        "q_media_meta": wrap(L.q_media_meta),
+        "q_media_features": wrap(L.q_media_features),  # rows-only (stubbed codec)
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q_filter_regex": E.ORACLE_FILTER_REGEX,
+        "q_json_extract": E.ORACLE_JSON_EXTRACT,
+        "q_key_sanitize": E.ORACLE_KEY_SANITIZE,
+        "q_timestamp_rule": E.ORACLE_TIMESTAMP_RULE,
+        "q_topic_strip": E.ORACLE_TOPIC_STRIP,
+        "q_index_rewrite": E.ORACLE_INDEX_REWRITE,
+        "q_debug_classify": E.ORACLE_DEBUG_CLASSIFY,
+        "q_field_count": E.ORACLE_FIELD_COUNT,
+        "q_group_counts": E.ORACLE_GROUP_COUNTS,
+        "q_rate_limit": E.ORACLE_RATE_LIMIT,
+        "q_tpch_pricing": A.ORACLE_TPCH_PRICING,
+        "q_tpch_join_topk": A.ORACLE_TPCH_JOIN_TOPK,
+        "q_region_revenue": A.ORACLE_REGION_REVENUE,
+        "q_rollup_acctbal": A.ORACLE_ROLLUP_ACCTBAL,
+        "q_setops": A.ORACLE_SETOPS,
+        "q_window_running": A.ORACLE_WINDOW_RUNNING,
+        "q_topk_per_group": A.ORACLE_TOPK_PER_GROUP,
+        "q_semi_anti": A.ORACLE_SEMI_ANTI,
+        "q_sessionize": A.ORACLE_SESSIONIZE,
+        "q_dedup_exact": L.ORACLE_DEDUP_EXACT,
+        "q_dedup_normalized": L.ORACLE_DEDUP_NORMALIZED,
+        "q_ngram_jaccard": L.ORACLE_NGRAM_JACCARD,
+        "q_text_stats": L.ORACLE_TEXT_STATS,
+        "q_token_count": L.ORACLE_TOKEN_COUNT,
+        "q_lang_id": L.ORACLE_LANG_ID,
+        "q_fingerprint": L.ORACLE_FINGERPRINT,
+        "q_knn_cosine": L.ORACLE_KNN_COSINE,
+        "q_embed_neardup": L.ORACLE_EMBED_NEARDUP,
+        "q_media_meta": L.ORACLE_MEDIA_META,
+    }

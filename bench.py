@@ -1,0 +1,76 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed as a count()/collect-free action (count of the
+result) after a warm-up of the session. Wall time per query includes
+planning + execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from pulsar_elasticsearch_sync_rs_spark.session import get_spark
+
+# headline set: the reference-parity flagship + representative heavy
+# queries from each pack (join, window, dedup, similarity, text)
+HEADLINE = [
+    "q_filter_regex",
+    "q_group_counts",
+    "q_rate_limit",
+    "q_tpch_pricing",
+    "q_tpch_join_topk",
+    "q_region_revenue",
+    "q_window_running",
+    "q_sessionize",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_text_stats",
+    "q_token_count",
+    "q_knn_cosine",
+    "q_embed_neardup",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(app_name="bench", cpus=cpus)
+    qs = entrymod.queries()
+
+    # warm up the JVM / parquet footer cache with a trivial action
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

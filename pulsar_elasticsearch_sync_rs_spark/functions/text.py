@@ -1,0 +1,135 @@
+"""Text-analysis expressions for the LLM-pipeline surface
+(SURVEY.md §2.9): tokenization, token counting, quality scoring,
+language-ID heuristic, shingling, fingerprinting.
+
+All built-in-function expressions (JVM-side). The shingle/minhash
+helpers are shared by the dedup operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# BPE-ish pre-tokenizer: word pieces, numbers, or single non-space symbols
+# (the common GPT-2-style regex family, simplified to Java-regex-safe form).
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# tiny stopword lists for the language-ID heuristic (public knowledge)
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it"),
+    "es": ("el", "la", "de", "que", "y", "en", "los", "es"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "zu"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "est"),
+}
+
+
+def ws_tokens(text: Column | str) -> Column:
+    """Whitespace tokenization; empty string -> empty array (split of ''
+    yields [''], filtered out so counts match intuition and the oracle)."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+
+
+def token_count_ws(text: Column | str) -> Column:
+    return F.size(ws_tokens(text))
+
+
+def token_count_bpe_ish(text: Column | str) -> Column:
+    """Count of BPE-ish pre-tokens via regexp_extract_all."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_RE), F.lit(0)))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    text = F.col(text) if isinstance(text, str) else text
+    n = F.length(text)
+    n_punct = F.length(F.regexp_replace(text, r"[^\p{Punct}]", ""))
+    return F.when(n > 0, n_punct.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    toks = ws_tokens(F.lower(text if not isinstance(text, str) else F.col(text)))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    n = F.size(toks)
+    return F.when(n > 0, n_sw.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite heuristic quality score in [0,1]: rewards moderate
+    length, low punctuation density, presence of stopwords, and a sane
+    mean word length — the standard cheap pre-filter for LLM training
+    corpora (C4-style heuristics)."""
+    text = F.col(text) if isinstance(text, str) else text
+    toks = ws_tokens(text)
+    n_tok = F.size(toks).cast("double")
+    mean_wlen = F.when(
+        n_tok > 0,
+        F.aggregate(toks, F.lit(0).cast("double"), lambda acc, t: acc + F.length(t)) / n_tok,
+    ).otherwise(F.lit(0.0))
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    wlen_score = F.when((mean_wlen >= 3) & (mean_wlen <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+    punct_score = F.lit(1.0) - F.least(punct_ratio(text) * 5, F.lit(1.0))
+    sw_score = F.least(stopword_ratio(text) * 4, F.lit(1.0))
+    return F.round(
+        len_score * 0.3 + wlen_score * 0.2 + punct_score * 0.25 + sw_score * 0.25, 6
+    )
+
+
+def lang_guess(text: Column | str) -> Column:
+    """N-gram/stopword language-ID heuristic: score each candidate
+    language by stopword hits, pick the argmax (ties -> lexicographic
+    order of iteration below, pinned for oracle parity)."""
+    text = F.col(text) if isinstance(text, str) else text
+    toks = ws_tokens(F.lower(text))
+    scores = []
+    for lg in sorted(STOPWORDS):
+        sw = F.array(*[F.lit(w) for w in STOPWORDS[lg]])
+        scores.append((lg, F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))))
+    best = F.lit("unknown")
+    best_score = F.lit(0)
+    # iterate in reverse so earlier languages win ties (strict >)
+    for lg, sc in reversed(scores):
+        cond = sc > best_score
+        best = F.when(cond, F.lit(lg)).otherwise(best)
+        best_score = F.when(cond, sc).otherwise(best_score)
+    # two passes because best/best_score interleave; simpler: recompute
+    best = F.lit("unknown")
+    acc_score = F.lit(0)
+    for lg, sc in scores:
+        cond = sc > acc_score
+        new_best = F.when(cond, F.lit(lg)).otherwise(best)
+        new_score = F.when(cond, sc).otherwise(acc_score)
+        best, acc_score = new_best, new_score
+    return best
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """Distinct k-word shingles (arrays of strings joined by a space) —
+    the unit for n-gram Jaccard / MinHash."""
+    toks = ws_tokens(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1)))
+    shingle = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]),
+    )
+    return F.array_distinct(F.when(n >= k, shingle).otherwise(F.array().cast("array<string>")))
+
+
+def rolling_fingerprint(text: Column | str) -> Column:
+    """Deterministic document fingerprint: polynomial rolling hash over
+    whitespace tokens, computed with pure integer arithmetic so a SQL
+    oracle can reproduce it exactly. fp = sum_i( crc32(tok_i) * (i+1) )
+    mod 2^31-1 — order-sensitive, content-sensitive."""
+    toks = ws_tokens(text)
+    pairs = F.zip_with(
+        toks,
+        F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1))),
+        lambda t, i: F.crc32(t.cast("binary")) * i.cast("bigint"),
+    )
+    return F.when(
+        F.size(toks) > 0,
+        F.aggregate(pairs, F.lit(0).cast("bigint"), lambda a, x: a + x) % F.lit(2147483647),
+    ).otherwise(F.lit(0).cast("bigint"))

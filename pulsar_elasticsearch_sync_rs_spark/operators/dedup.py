@@ -1,0 +1,268 @@
+"""Deduplication operators for LLM training-data pipelines
+(SURVEY.md §2.9): exact, normalized, MinHash+LSH, SimHash, n-gram
+Jaccard. Designed for 100 TB:
+
+- exact/normalized dedup: hash-groupBy — ONE shuffle on a 256-bit hash
+  (uniformly distributed, no skew), map-side combine; never shuffles
+  the document text itself when only ids are needed.
+- MinHash+LSH: shingle -> K minhashes (pure int arithmetic on crc32/xxhash,
+  no UDF) -> band signatures -> explode bands -> self-join on
+  (band_id, band_hash). The candidate join is on short uniform hash
+  keys; true Jaccard verification runs only on candidates. This is the
+  standard near-linear near-dup pipeline (vs the quadratic all-pairs
+  join).
+- SimHash: 64-bit signed projection of token hashes; near-dups = equal
+  simhash buckets (or small Hamming distance via band rotation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pulsar_elasticsearch_sync_rs_spark.functions.text import word_shingles, ws_tokens
+
+MERSENNE = 2147483647  # 2^31 - 1, modulus for minhash permutations
+
+
+def dedup_exact(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: keep the lowest-id row per identical text.
+
+    Implemented as sha2-256 hash groupBy (the text column itself never
+    shuffles — only the 32-byte hash + id), then a semi-join back.
+    At 100 TB this is the cheapest correct strategy: uniform keys, full
+    map-side partial aggregation.
+    """
+    h = F.sha2(F.col(text), 256)
+    keep = (
+        df.select(F.col(id_col), h.alias("__h"))
+        .groupBy("__h")
+        .agg(F.min(id_col).alias(id_col))
+        .drop("__h")
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Normalization used for near-exact dedup: lowercase, strip
+    punctuation, collapse whitespace."""
+    text = F.col(text) if isinstance(text, str) else text
+    t = F.lower(text)
+    t = F.regexp_replace(t, r"[\p{Punct}]", " ")
+    t = F.regexp_replace(F.trim(t), r"\s+", " ")
+    return t
+
+
+def dedup_normalized(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-exact dedup on normalized text (same scale posture as
+    :func:`dedup_exact`)."""
+    norm = normalize_text(text)
+    w = Window.partitionBy(F.sha2(norm, 256)).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def minhash_signature(hashes: Column, num_hashes: int = 32) -> Column:
+    """K minhash values via the standard (a*h + b) mod p permutation
+    family over precomputed shingle hashes — pure integer expressions,
+    no UDF. Odd multipliers a_i, deterministic b_i (public MinHash
+    construction, Broder 1997).
+
+    Built as ONE ``zip_with`` over literal coefficient arrays (not K
+    separate columns): Catalyst's projection collapse would otherwise
+    inline the shingle subtree K times and re-tokenize the document per
+    hash — the difference between seconds and hours on real text.
+    ``hashes`` should be a *materialized* column (see
+    :func:`minhash_candidates`'s repartition barrier).
+    """
+    a_arr = F.array(*[F.lit(2 * i + 1).cast("bigint") for i in range(num_hashes)])
+    b_arr = F.array(
+        *[F.lit(40503 * (i + 1) % MERSENNE).cast("bigint") for i in range(num_hashes)]
+    )
+    return F.zip_with(
+        a_arr,
+        b_arr,
+        lambda a, b: F.array_min(F.transform(hashes, lambda h: (h * a + b) % MERSENNE)),
+    )
+
+
+def minhash_candidates(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing ≥1 band of their minhash
+    signature. Returns (id_a, id_b) with id_a < id_b, distinct.
+
+    Scale path: explode to (band_id, band_hash, id) — short uniform
+    keys — then self-join per bucket. Only ids + band hashes shuffle.
+    """
+    rows_per_band = num_hashes // bands
+    # Materialization barriers: the repartition shuffles force each
+    # intermediate (shingle hashes, then signatures) to be computed
+    # exactly once instead of being inlined into every downstream
+    # reference by projection collapse. Only (id, hashes)/(id, sig)
+    # shuffle — short uniform rows. The shuffles also restore
+    # parallelism after the narrow per-document map.
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(word_shingles(text, shingle_k), lambda s: F.crc32(s.cast("binary"))).alias(
+            "__sh_hashes"
+        ),
+    ).repartition(F.col(id_col))
+    sig = hashed.select(
+        F.col(id_col), minhash_signature(F.col("__sh_hashes"), num_hashes).alias("sig")
+    ).repartition(F.col(id_col))
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band_id"),
+            F.sha2(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ),
+                ),
+                256,
+            ).alias("band_hash"),
+        ),
+    )
+    banded = sig.select(id_col, F.explode(band_arr).alias("band")).select(
+        id_col, "band.band_id", "band.band_hash"
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs ≥ threshold.
+
+    All-pairs within a block (``block_col``); quadratic per block —
+    the correctness oracle / small-block path. The 100 TB path is
+    :func:`minhash_candidates` + verify (see ``dedup_minhash_verified``).
+    """
+    sh = df.select(
+        F.col(id_col), word_shingles(text, shingle_k).alias("sh"),
+        *([F.col(block_col)] if block_col else []),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def dedup_minhash_verified(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Near-dup pairs at scale: LSH candidates pruned, then verified
+    with exact Jaccard on the candidate set only. Output subset of the
+    all-pairs result (LSH recall < 1 by construction; bands/hashes set
+    the recall curve)."""
+    cand = minhash_candidates(df, text, id_col, num_hashes, bands, shingle_k)
+    sh = df.select(F.col(id_col), word_shingles(text, shingle_k).alias("sh"))
+    j = (
+        cand.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
+    return (
+        j.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash64(text: Column | str, token_col: Column | None = None) -> Column:
+    """64-bit SimHash over whitespace tokens (Charikar 2002): per bit,
+    sum +1/-1 according to whether xxhash64(token) has that bit set; the
+    result bit is set iff the sum is positive.
+
+    Single pass over the token array: the fold accumulator is an
+    array<long> of 64 per-bit counters updated via ``zip_with`` — pure
+    higher-order expressions, one traversal, no UDF.
+    """
+    toks = token_col if token_col is not None else ws_tokens(text)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    zero = F.array_repeat(F.lit(0).cast("long"), 64)
+    bit_idx = F.sequence(F.lit(0), F.lit(63))
+
+    def step(acc, h):
+        signs = F.transform(
+            bit_idx,
+            lambda i: F.when(
+                F.shiftright(h, i.cast("int")).bitwiseAND(F.lit(1)) != 0, F.lit(1)
+            ).otherwise(F.lit(-1)).cast("long"),
+        )
+        return F.zip_with(acc, signs, lambda a, s: a + s)
+
+    counters = F.aggregate(hashes, zero, step)
+    bit_values = F.zip_with(
+        counters,
+        bit_idx,
+        lambda c, i: F.when(c > 0, F.shiftleft(F.lit(1).cast("long"), i.cast("int"))).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+    return F.aggregate(bit_values, F.lit(0).cast("long"), lambda a, v: a.bitwiseOR(v))
+
+
+def dedup_simhash(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """SimHash-bucket dedup: keep the lowest id per identical 64-bit
+    simhash (hamming-0 buckets; near-dup via banded rotations is a
+    natural extension). One shuffle on the 64-bit signature."""
+    w = Window.partitionBy(simhash64(F.col(text))).orderBy(F.col(id_col).asc())
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")

@@ -1,0 +1,355 @@
+"""Relational/analytic query pack over the TPC-H-ish fixtures
+(SURVEY.md §2.9 extended surface): aggregation, joins (broadcast +
+shuffle), windows, rollup, set ops, top-k, sessionization.
+
+Determinism conventions (FIXTURES.md):
+- sums of double columns go through DECIMAL(18,4) so the aggregation is
+  exact and engine/order independent, then cast back to double;
+- top-k always carries a unique tiebreaker;
+- dates render as strings.
+
+Scale notes per query are in the docstrings — each plan was
+``.explain``-checked: small dims broadcast, filters push to parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pulsar_elasticsearch_sync_rs_spark.sources.batch import read_table
+
+
+def _dec2(col):
+    """Fixture money/rate doubles are exact 2-dp values; casting the
+    *inputs* to decimal (not the products) makes all downstream
+    arithmetic exact and engine-order-independent."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(12,2)")
+
+
+def _dsum(col, scale: int = 4):
+    """Exact, order-independent sum of a double column: decimal-cast
+    per row, decimal sum, double render."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
+
+
+def _dsum_expr(expr):
+    """Exact sum of an already-decimal expression, rendered as double."""
+    return F.sum(expr).cast("double")
+
+
+def q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary. Single scan + single shuffle on
+    (returnflag, linestatus); partial aggregation map-side. Filter and
+    the 7-column projection push down to parquet."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            _dsum_expr(_dec2("l_extendedprice") * (1 - _dec2("l_discount"))).alias(
+                "sum_disc_price"
+            ),
+            _dsum_expr(
+                _dec2("l_extendedprice") * (1 - _dec2("l_discount")) * (1 + _dec2("l_tax"))
+            ).alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_TPCH_PRICING = """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style shipping priority: 3-way join + top-10 by
+    revenue. customer (tiny) broadcasts into orders, the orders side
+    broadcasts into lineitem at this SF; at 100 TB Catalyst/AQE picks
+    SMJ on l_orderkey with the same declarative plan. Revenue is an
+    exact decimal sum, so the top-k cut is engine-independent."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dsum_expr(_dec2("l_extendedprice") * (1 - _dec2("l_discount"))).alias("revenue"))
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+ORACLE_TPCH_JOIN_TOPK = """
+SELECT o_orderkey,
+  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+  o_orderpriority,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-flavor: revenue per region via a 5-way star join.
+    region/nation/supplier/customer all broadcast (bounded dims);
+    lineitem⋈orders is the only shuffle join at scale. One aggregate."""
+    region = read_table(spark, sf_dir, "region")
+    nation = read_table(spark, sf_dir, "nation")
+    supplier = read_table(spark, sf_dir, "supplier")
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(_dsum_expr(_dec2("l_extendedprice") * (1 - _dec2("l_discount"))).alias("revenue"))
+        .orderBy("r_name")
+    )
+
+
+ORACLE_REGION_REVENUE = """
+SELECT r_name,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+"""
+
+
+def q_rollup_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (region, nation) over customer account balances (exact
+    decimal sums). Spark evaluates rollup as a single Expand+aggregate —
+    one shuffle."""
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    cust = read_table(spark, sf_dir, "customer")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(_dsum("c_acctbal").alias("sum_acctbal"), F.count("*").alias("n_customers"))
+        .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
+    )
+
+
+ORACLE_ROLLUP_ACCTBAL = """
+SELECT r_name, n_name,
+  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal,
+  count(*) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST
+"""
+
+
+def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: customers that placed an URGENT-priority order
+    but never a LOW-priority one (INTERSECT/EXCEPT composition ≡
+    semi/anti joins physically)."""
+    orders = read_table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    low = orders.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    both = urgent.intersect(low).select(F.lit("both").alias("tag"), F.col("o_custkey"))
+    urgent_only = urgent.distinct().exceptAll(low.distinct()).select(
+        F.lit("urgent_only").alias("tag"), F.col("o_custkey")
+    )
+    return both.union(urgent_only).select(
+        "tag", F.col("o_custkey").alias("custkey")
+    ).orderBy("tag", "custkey")
+
+
+ORACLE_SETOPS = """
+SELECT tag, o_custkey AS custkey FROM (
+  SELECT 'both' AS tag, o_custkey FROM (
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+  )
+  UNION ALL
+  SELECT 'urgent_only' AS tag, o_custkey FROM (
+    SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    EXCEPT
+    SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+  )
+)
+ORDER BY tag, custkey
+"""
+
+
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running order total + order sequence number.
+    Single shuffle on o_custkey; running decimal sum is exact."""
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w).alias("order_seq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+ORACLE_WINDOW_RUNNING = """
+SELECT o_orderkey, o_custkey,
+  CAST(row_number() OVER w AS INTEGER) AS order_seq,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS running_total
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by totalprice per customer (classic windowed
+    top-k; raw double comparison — no arithmetic, so bit-identical
+    across engines; o_orderkey tiebreak)."""
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk", "o_totalprice")
+    )
+
+
+ORACLE_TOPK_PER_GROUP = """
+SELECT o_custkey, o_orderkey, CAST(rnk AS INTEGER) AS rnk, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+  FROM orders
+) WHERE rnk <= 3
+"""
+
+
+def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti join coverage: per-segment counts of customers with
+    and without orders (left_semi / left_anti — no row multiplication,
+    orders side reduced to keys before the join)."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").select("o_custkey")
+    with_orders = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+    without = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    return (
+        with_orders.groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_with_orders"))
+        .join(
+            without.groupBy("c_mktsegment").agg(F.count("*").alias("n_without_orders")),
+            "c_mktsegment",
+            "full_outer",
+        )
+        .select(
+            "c_mktsegment",
+            F.coalesce("n_with_orders", F.lit(0)).alias("n_with_orders"),
+            F.coalesce("n_without_orders", F.lit(0)).alias("n_without_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE_SEMI_ANTI = """
+SELECT c_mktsegment,
+  coalesce(sum(CASE WHEN has_o THEN 1 ELSE 0 END), 0) AS n_with_orders,
+  coalesce(sum(CASE WHEN has_o THEN 0 ELSE 1 END), 0) AS n_without_orders
+FROM (
+  SELECT c_mktsegment, EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_o
+  FROM customer
+)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events stream (30-minute
+    inactivity gap) — the classic lag/cumulative-sum formulation. One
+    shuffle on user_id; at scale this is the batch shape of
+    session_window streaming aggregation."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap_ms = 30 * 60 * 1000
+    prev_ts = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev_ts.isNull() | ((F.unix_millis(F.col("ts")) - F.unix_millis(prev_ts)) > gap_ms),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        ev.withColumn("new_sess", new_sess)
+        .withColumn(
+            "session_seq",
+            F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("first_event_id"),
+            F.max("event_id").alias("last_event_id"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), sess AS (
+  SELECT user_id, event_id,
+    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+  count(*) AS n_events,
+  min(event_id) AS first_event_id,
+  max(event_id) AS last_event_id
+FROM sess
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+"""

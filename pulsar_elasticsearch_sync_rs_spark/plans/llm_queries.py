@@ -1,0 +1,359 @@
+"""LLM training-data pipeline queries over ``documents`` /
+``embeddings`` (SURVEY.md §2.9) with DuckDB oracles where
+SQL-expressible.
+
+Scale posture: dedup shuffles hashes not texts; similarity joins
+broadcast the small side (queries) or prune via LSH buckets; everything
+stays in built-in expressions except the explicitly-marked multimodal
+Pandas-UDF plumbing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pulsar_elasticsearch_sync_rs_spark.functions.text import (
+    BPE_ISH_RE,
+    STOPWORDS,
+    lang_guess,
+    punct_ratio,
+    token_count_bpe_ish,
+    token_count_ws,
+    word_shingles,
+    ws_tokens,
+)
+from pulsar_elasticsearch_sync_rs_spark.operators.dedup import (
+    minhash_candidates,
+    ngram_jaccard_pairs,
+    normalize_text,
+)
+from pulsar_elasticsearch_sync_rs_spark.operators.multimodal import fake_feature_extract
+from pulsar_elasticsearch_sync_rs_spark.operators.similarity import (
+    cosine,
+    knn_cosine_bruteforce,
+    knn_cosine_lsh,
+)
+from pulsar_elasticsearch_sync_rs_spark.sources.batch import read_table
+
+
+# --- dedup ---------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: survivor id + multiplicity per distinct
+    text. Only (sha256, id) shuffles — never the text bytes."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.sha2("text", 256).alias("__h"), F.col("doc_id"))
+        .groupBy("__h")
+        .agg(F.min("doc_id").alias("survivor_id"), F.count("*").alias("n_copies"))
+        .drop("__h")
+        .orderBy("survivor_id")
+    )
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT min(doc_id) AS survivor_id, count(*) AS n_copies
+FROM documents GROUP BY text ORDER BY survivor_id
+"""
+
+
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-exact dedup on normalized text (lower, punct->space,
+    collapse whitespace)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select(normalize_text("text").alias("norm"), F.col("doc_id"))
+        .groupBy("norm")
+        .agg(F.min("doc_id").alias("survivor_id"), F.count("*").alias("n_copies"))
+        .select("survivor_id", "n_copies")
+        .orderBy("survivor_id")
+    )
+
+
+ORACLE_DEDUP_NORMALIZED = r"""
+SELECT min(doc_id) AS survivor_id, count(*) AS n_copies
+FROM documents
+GROUP BY regexp_replace(trim(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g')), '\s+', ' ', 'g')
+ORDER BY survivor_id
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (≥0.35) within
+    (lang, source) blocks — the verification-grade dedup; the 100 TB
+    candidate-generation path is q_dedup_minhash."""
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "blk", F.concat_ws("|", "lang", "source")
+    )
+    pairs = ngram_jaccard_pairs(
+        docs, text="text", id_col="doc_id", threshold=0.35, shingle_k=3, block_col="blk"
+    )
+    return pairs.orderBy("id_a", "id_b")
+
+
+ORACLE_NGRAM_JACCARD = r"""
+WITH sh AS (
+  SELECT doc_id, lang, source,
+    list_distinct(CASE WHEN len(toks) >= 3
+      THEN list_transform(generate_series(1, len(toks) - 2),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      ELSE [] END) AS shingles
+  FROM (
+    SELECT doc_id, lang, source,
+      list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS toks
+    FROM documents
+  )
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+FROM sh a JOIN sh b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE len(list_distinct(list_concat(a.shingles, b.shingles))) > 0
+  AND round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) >= 0.35
+ORDER BY id_a, id_b
+"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs (32 hashes, 8 bands) — the
+    near-linear scale path. Probabilistic recall → rows-only driver
+    check; pytest pins recall against the exact Jaccard pairs."""
+    docs = read_table(spark, sf_dir, "documents")
+    return minhash_candidates(docs, num_hashes=32, bands=8, shingle_k=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex), punctuation ratio,
+    char length — narrow per-row expressions, no shuffle."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_ws("text").alias("n_ws_tokens"),
+        token_count_bpe_ish("text").alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars_computed"),
+        F.round(punct_ratio("text"), 6).alias("punct_ratio"),
+    )
+
+
+ORACLE_TEXT_STATS = r"""
+SELECT doc_id,
+  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS INTEGER) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpe_tokens,
+  CAST(length(text) AS INTEGER) AS n_chars_computed,
+  round(CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+        / length(text), 6) AS punct_ratio
+FROM documents
+"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per source — the budget query every
+    training-data pipeline runs. Map-side partial agg; single shuffle
+    on source."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.sum(token_count_ws("text").cast("bigint")).alias("total_ws_tokens"),
+            F.sum(token_count_bpe_ish("text").cast("bigint")).alias("total_bpe_tokens"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_TOKEN_COUNT = r"""
+SELECT source,
+  CAST(sum(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> ''))) AS BIGINT) AS total_ws_tokens,
+  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_bpe_tokens,
+  count(*) AS n_docs
+FROM documents
+GROUP BY source ORDER BY source
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language-ID heuristic (first-max over sorted
+    candidate languages; 'unknown' when no stopword hits)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.col("lang").alias("labeled_lang"), lang_guess("text").alias("lang_guess"))
+
+
+def _oracle_lang_id() -> str:
+    score_exprs = []
+    for lg in sorted(STOPWORDS):
+        words = ", ".join(f"'{w}'" for w in STOPWORDS[lg])
+        score_exprs.append(
+            f"len(list_filter(toks, t -> list_contains([{words}], t))) AS s_{lg}"
+        )
+    langs = sorted(STOPWORDS)
+    greatest = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    case_arms = "\n       ".join(
+        f"WHEN s_{lg} = {greatest} THEN '{lg}'" for lg in langs
+    )
+    return rf"""
+WITH scored AS (
+  SELECT doc_id, lang AS labeled_lang,
+    {', '.join(score_exprs)}
+  FROM (
+    SELECT doc_id, lang,
+      list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS toks
+    FROM documents
+  )
+)
+SELECT doc_id, labeled_lang,
+  CASE WHEN {greatest} = 0 THEN 'unknown'
+       {case_arms}
+       ELSE 'unknown' END AS lang_guess
+FROM scored
+"""
+
+
+ORACLE_LANG_ID = _oracle_lang_id()
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 over the normalized token stream
+    (content-addressable id for dedup bookkeeping). The rolling-hash
+    integer variant lives in functions.text.rolling_fingerprint
+    (pytest-verified; crc32 has no DuckDB twin)."""
+    docs = read_table(spark, sf_dir, "documents")
+    norm = F.array_join(ws_tokens(normalize_text("text")), " ")
+    return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+ORACLE_FINGERPRINT = r"""
+SELECT doc_id,
+  md5(array_to_string(
+    list_filter(string_split_regex(trim(
+      regexp_replace(trim(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g')), '\s+', ' ', 'g')
+    ), '\s+'), t -> t <> ''), ' ')) AS fingerprint
+FROM documents
+"""
+
+
+# --- similarity ----------------------------------------------------------
+
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors vec_id<5 — broadcast
+    the queries, one corpus scan, per-query window rank."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return knn_cosine_bruteforce(emb, queries, k=5).orderBy("query_id", "rank")
+
+
+ORACLE_KNN_COSINE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+), sims AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+    list_sum(list_transform(generate_series(1, len(e.embedding)),
+      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+         i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+       * sqrt(list_sum(list_transform(generate_series(1, len(q.qv)),
+         i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))) AS sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id,
+    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank,
+    sim
+  FROM sims
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, round(sim, 6) AS cosine_sim
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (≥0.3) within label blocks —
+    exact within-block pairs; label blocking bounds the join (the
+    LSH-bucketed variant is q_knn_lsh, rows-only)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    a, b = emb.alias("a"), emb.alias("b")
+    pairs = a.join(
+        b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id"))
+    )
+    sim = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        pairs.select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(sim, 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= 0.3)
+        .orderBy("id_a", "id_b")
+    )
+
+
+ORACLE_EMBED_NEARDUP = """
+WITH sims AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    round(
+      list_sum(list_transform(generate_series(1, len(a.embedding)),
+        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
+           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+         * sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
+           i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 6) AS cosine_sim
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine_sim FROM sims
+WHERE cosine_sim >= 0.3 ORDER BY id_a, id_b
+"""
+
+
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH approximate top-5 (4 tables × 8 hyperplanes) — the
+    100 TB pruning path. Approximate → rows-only driver check; pytest
+    pins recall ≥ 0.6 against brute force."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return knn_cosine_lsh(emb, queries, k=5, dim=64).orderBy("query_id", "rank")
+
+
+# --- multimodal ----------------------------------------------------------
+
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: text bytes as an opaque binary payload →
+    typed metadata (byte length, sha256) via built-ins only; blobs
+    never shuffle."""
+    docs = read_table(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.length(payload).cast("bigint").alias("byte_len"),
+        F.sha2(payload, 256).alias("sha"),
+    )
+
+
+ORACLE_MEDIA_META = """
+SELECT doc_id AS media_id,
+  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+  sha256(text) AS sha
+FROM documents
+"""
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction over binary payloads through the
+    real ``mapInPandas`` Arrow plumbing (deterministic fake extractor —
+    codec libs absent; see operators.multimodal). Rows-only check +
+    pytest golden values."""
+    docs = read_table(spark, sf_dir, "documents")
+    binary = docs.select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("payload")
+    )
+    feats = fake_feature_extract(binary, payload="payload", media_id="media_id", dim=8)
+    return feats.select("media_id", "byte_len", F.round(F.element_at("feature", 1), 6).alias("f0"))

@@ -1,0 +1,119 @@
+"""The reference-parity ETL chain as ONE declarative DataFrame
+transform (SURVEY.md §3.2 hot path, rebuilt Spark-first).
+
+reference per-record path            this plan
+-----------------------------------  ----------------------------------
+empty filter          (F1)           filter(length(value) > 0)
+global regex excl.    (F2)           ~rlike(alternation)
+topic extraction      (P5)           element_at(split(topic,'/'),-1)
+namespace regex excl. (F3)           CASE-chained topic-conditional rlike
+UUID injection        (P7)           uuid() column (opt-in)
+JSON parse + validity (P1,F4)        from_json -> isNotNull
+key sanitation        (P2)           transform_keys(map, '.'->'_')
+@timestamp rule       (P3)           coalesce(time_key ms, publish_time)
+date string           (P4)           date_format(ts,'yyyy.MM.dd')
+index rewrite + name  (P8,P6,P9)     when(rlike)-chain + concat_ws
+app extraction        (P10)          get_json_object($.app) else default
+debug classification  (P11)          level=='debug' OR rlike(patterns)
+field count           (P12)          size(map_keys(parsed))
+rate limit            (R1)           windowed row_number cap
+group (app,index)     (G1)           sink partitioning / groupBy
+
+Everything up to R1 is narrow (shuffle-free) and whole-stage-codegen'd;
+the only shuffle in the reference-parity path is the rate limiter's
+window (and only for configured apps). At 100 TB this chain is
+embarrassingly parallel over source partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pulsar_elasticsearch_sync_rs_spark.config import PipelineConfig
+from pulsar_elasticsearch_sync_rs_spark.functions.debug import is_debug_log
+from pulsar_elasticsearch_sync_rs_spark.functions.json_fns import (
+    app_from_json,
+    field_count,
+    sanitize_keys,
+)
+from pulsar_elasticsearch_sync_rs_spark.functions.rewrite import index_name, rewrite_index
+from pulsar_elasticsearch_sync_rs_spark.functions.timestamps import (
+    at_timestamp,
+    date_str,
+    rfc3339,
+)
+from pulsar_elasticsearch_sync_rs_spark.functions.topics import topic_last_segment
+from pulsar_elasticsearch_sync_rs_spark.operators.filters import (
+    filter_global_regex,
+    filter_namespace_regex,
+    filter_non_empty,
+)
+from pulsar_elasticsearch_sync_rs_spark.operators.rate_limit import rate_limit_per_second
+from pulsar_elasticsearch_sync_rs_spark.sources.batch import events_as_stream_records
+
+
+def etl_transform(df: DataFrame, cfg: PipelineConfig, tiebreaker: str | None = "event_id") -> DataFrame:
+    """Apply the full reference-parity chain to a record DataFrame with
+    columns (value, topic, publish_time[, tiebreaker]). Pure function —
+    identical for batch tests and the streaming runner (§7.1 stance).
+    """
+    df = filter_non_empty(df, "value")
+    df = filter_global_regex(df, cfg.global_filter_pattern, "value")
+    df = df.withColumn("topic_short", topic_last_segment("topic"))
+    df = filter_namespace_regex(df, cfg.namespace_filter_patterns, "value", "topic_short")
+    if cfg.inject_key:
+        df = df.withColumn(cfg.injected_field, F.expr("uuid()"))
+    df = df.withColumn(
+        "parsed", F.from_json("value", "map<string,string>")
+    ).filter(F.col("parsed").isNotNull())
+    df = df.withColumn("doc", sanitize_keys(F.col("parsed")))
+    ts = at_timestamp("value", "publish_time", cfg.time_key)
+    df = (
+        df.withColumn("at_ts", ts)
+        .withColumn("at_timestamp", rfc3339(F.col("at_ts")))
+        .withColumn("date_str", date_str("publish_time"))
+    )
+    df = df.withColumn(
+        "index",
+        index_name(rewrite_index("topic_short", cfg.rewrite_rules), F.col("date_str")),
+    )
+    df = df.withColumn("app", app_from_json("value", cfg.default_app))
+    df = df.withColumn("is_debug", is_debug_log("value", cfg.debug_log_pattern))
+    df = df.withColumn("n_fields", field_count(F.col("parsed")))
+    if cfg.rate_limits:
+        df = rate_limit_per_second(
+            df, cfg.rate_limits, app="app", ts="publish_time", tiebreaker=tiebreaker
+        )
+    return df
+
+
+def flagship_summary(spark: SparkSession, sf_dir: str, cfg: PipelineConfig | None = None) -> DataFrame:
+    """The flagship query (M0): full ETL chain over the events fixture,
+    summarized per (app, index) — the shape of the reference's
+    BufferMap just before bulk flush (``src/es.rs:319-378``)."""
+    from pulsar_elasticsearch_sync_rs_spark.config import RewriteRule
+
+    cfg = cfg or PipelineConfig(
+        global_filters=(r'"k":\s*13\b',),  # F2 exercised: drop k==13 payloads
+        rewrite_rules=(
+            RewriteRule("click", "web"),
+            RewriteRule("view", "web"),
+            RewriteRule("purchase", "commerce"),
+        ),
+        debug_log_patterns=(r'"k":\s*9\d\b',),
+        rate_limits={"__DEFAULT_APP__": 50},
+    )
+    records = events_as_stream_records(spark, sf_dir)
+    out = etl_transform(records, cfg)
+    return (
+        out.groupBy("app", "index")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("is_debug"), 1).otherwise(0)).alias("n_debug"),
+            F.avg("n_fields").alias("avg_fields"),
+            F.min("at_timestamp").alias("first_ts"),
+            F.max("at_timestamp").alias("last_ts"),
+        )
+        .orderBy("app", "index")
+    )

@@ -1,0 +1,45 @@
+"""Batch readers over the fixture tables, plus the mapping from the
+``events`` fixture to the reference's stream-record shape.
+
+The reference's source row is (payload, topic, publish_time)
+(reference ``src/pulsar.rs:32-44,60-69``; ``src/util.rs:26-57``). The
+``events`` fixture stands in for the Pulsar stream (FIXTURES.md):
+``props`` ≈ raw JSON payload, ``event_type`` ≈ topic routing key,
+``ts`` ≈ publish_time, ``user_id`` ≈ rate-limit key.
+
+Column pruning + predicate pushdown reach the parquet scan because
+these are plain ``spark.read.parquet`` relations — check with
+``.explain("formatted")`` → ``PushedFilters`` / ``ReadSchema``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TENANT_NS = "persistent://public/default"
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) read as long (nanosAsLong) — convert to a
+        # real timestamp with µs truncation, matching DuckDB's ns->µs cast.
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def events_as_stream_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events fixture -> the reference's record shape:
+    ``value`` (raw payload), ``topic`` (full Pulsar URI), ``publish_time``
+    plus passthrough keys used by downstream operators."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id"),
+        F.col("props").alias("value"),
+        F.concat(F.lit(TENANT_NS + "/"), F.col("event_type")).alias("topic"),
+        F.col("ts").alias("publish_time"),
+        F.col("user_id"),
+        F.col("value").alias("metric_value"),
+    )

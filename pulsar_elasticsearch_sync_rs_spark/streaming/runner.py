@@ -1,0 +1,124 @@
+"""Structured Streaming runner — wraps the batch-tested ETL chain in
+``readStream → writeStream`` (SURVEY.md §7.1: streaming is a harness
+around pure DataFrame transforms).
+
+Source abstraction (SURVEY.md §7.4): the correctness harness streams
+the ``events`` parquet as a file source with ``Trigger.AvailableNow``
+(deterministic, replayable); a real deployment swaps in the
+StreamNative pulsar connector (``format("pulsar")`` with
+``topicsPattern`` — S1) without touching the transform chain.
+
+Reference mappings:
+- G2 hybrid flush (count OR time, ``src/es.rs:285-315``) →
+  ``trigger(processingTime=flush_interval)`` for the time arm,
+  ``maxFilesPerTrigger``/``maxOffsetsPerTrigger`` admission for the
+  count arm;
+- X1 bounded channel backpressure (``src/main.rs:61``) → source
+  admission limits + Spark's internal backpressure;
+- S3 watchdog/consumer-recreate (``src/pulsar.rs:193-221``) → the
+  streaming query restart policy + checkpoint recovery (stronger:
+  offsets survive restarts, unlike the reference's non-durable
+  Latest-position subscription, ``src/pulsar.rs:114-119``);
+- delivery semantics: reference is at-most-once (ack-before-process);
+  checkpointed foreachBatch is at-least-once — documented divergence
+  (SURVEY.md §1.4), strictly stronger.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pulsar_elasticsearch_sync_rs_spark.config import PipelineConfig
+from pulsar_elasticsearch_sync_rs_spark.plans.pipeline import etl_transform
+from pulsar_elasticsearch_sync_rs_spark.streaming.sink import bulk_sink_foreach_batch
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # ns in the fixture parquet
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, dir_path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stand-in for the Pulsar consumer (S1/S2): streams
+    parquet files of the events shape into the reference's record
+    schema (value, topic, publish_time)."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    ev = reader.parquet(dir_path)
+    return ev.select(
+        "event_id",
+        F.col("props").alias("value"),
+        F.concat(F.lit("persistent://public/default/"), F.col("event_type")).alias("topic"),
+        F.timestamp_micros((F.col("ts") / 1000).cast("long")).alias("publish_time"),
+        "user_id",
+    )
+
+
+def read_pulsar_stream(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
+    """Real-source lane (S1): StreamNative pulsar-spark connector.
+    Requires the connector jar on the classpath (absent here; the
+    file-source lane above is behaviorally equivalent for the chain)."""
+    return (
+        spark.readStream.format("pulsar")
+        .option("service.url", cfg.pulsar_addr)
+        .option(
+            "topicsPattern",
+            f"persistent://{cfg.pulsar_namespace}/{cfg.topic_regex}",
+        )
+        .option("subscriptionName", cfg.subscription)
+        .load()
+        .select(
+            F.col("value").cast("string").alias("value"),  # S2 bytes→utf8
+            F.col("__topic").alias("topic"),
+            F.col("__publishTime").alias("publish_time"),
+        )
+    )
+
+
+def run_pipeline_stream(
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    source_df: DataFrame,
+    transport,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    observe_metrics: bool = True,
+):
+    """Build and start the streaming query: chain → foreachBatch bulk
+    sink. Returns the StreamingQuery (caller awaits termination)."""
+    out = etl_transform(source_df, cfg, tiebreaker="event_id")
+    out = out.select(
+        "event_id", "value", "topic_short", "publish_time", "doc",
+        "at_timestamp", "date_str", "index", "app", "is_debug", "n_fields",
+        *([cfg.injected_field] if cfg.inject_key else []),
+    )
+    if observe_metrics:
+        # G3 counters ride the stream via observe() — surfaced per
+        # micro-batch through QueryProgressEvent (metrics.py listener).
+        out = out.observe(
+            "etl_metrics",
+            F.count(F.lit(1)).alias("consumed"),
+            F.sum(F.when(F.col("is_debug"), 1).otherwise(0)).alias("consumed_debug"),
+            F.avg("n_fields").alias("avg_fields"),
+        )
+    writer = (
+        out.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(bulk_sink_foreach_batch(transport))
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{cfg.flush_interval_ms} milliseconds")
+    return writer.start()

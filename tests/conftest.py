@@ -1,0 +1,18 @@
+from __future__ import annotations
+
+import pytest
+
+from pulsar_elasticsearch_sync_rs_spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    spark = get_spark(app_name="pytest", cpus=8)
+    yield spark
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_DIR

@@ -1,0 +1,127 @@
+"""Unit tests for the ETL operator set (filters, rate limit, sanitize,
+uuid injection, grouping) on small inline frames."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from pulsar_elasticsearch_sync_rs_spark.config import PipelineConfig
+from pulsar_elasticsearch_sync_rs_spark.functions.json_fns import (
+    field_count,
+    parse_json_map,
+    sanitize_keys,
+)
+from pulsar_elasticsearch_sync_rs_spark.functions.topics import (
+    strip_partition_suffix,
+    topic_last_segment,
+)
+from pulsar_elasticsearch_sync_rs_spark.operators.filters import (
+    dead_letter_split,
+    filter_global_regex,
+    filter_namespace_regex,
+    filter_non_empty,
+)
+from pulsar_elasticsearch_sync_rs_spark.operators.rate_limit import rate_limit_per_second
+from pulsar_elasticsearch_sync_rs_spark.plans.pipeline import etl_transform
+
+
+def test_filters(spark):
+    rows = [
+        Row(value="", topic="a"),
+        Row(value="drop me", topic="a"),
+        Row(value="keep", topic="a"),
+        Row(value="topicdrop", topic="b"),
+        Row(value="topicdrop", topic="a"),  # pattern only applies to topic b
+    ]
+    df = spark.createDataFrame(rows)
+    out = filter_non_empty(df, "value")
+    out = filter_global_regex(out, "drop me", "value")
+    out = filter_namespace_regex(out, {"b": "topicdrop"}, "value", "topic")
+    got = sorted((r["value"], r["topic"]) for r in out.collect())
+    assert got == [("keep", "a"), ("topicdrop", "a")]
+
+
+def test_dead_letter_split(spark):
+    df = spark.createDataFrame(
+        [Row(value='{"a": 1}'), Row(value="not json"), Row(value='{"b": 2}')]
+    )
+    good, dead = dead_letter_split(df, "value")
+    assert good.count() == 2
+    assert [r["value"] for r in dead.collect()] == ["not json"]
+
+
+def test_key_sanitize_nested(spark):
+    df = spark.createDataFrame([Row(value='{"a.b": "1", "plain": "2"}')])
+    out = df.select(
+        F.map_keys(sanitize_keys(parse_json_map("value"))).alias("ks")
+    ).first()["ks"]
+    assert sorted(out) == ["a_b", "plain"]
+
+
+def test_field_count(spark):
+    df = spark.createDataFrame([Row(value='{"a":1,"b":2,"c":{"x":1}}')])
+    assert df.select(field_count(parse_json_map("value")).alias("n")).first()["n"] == 3
+
+
+def test_topic_helpers(spark):
+    df = spark.createDataFrame(
+        [Row(t="persistent://public/default/mytopic-partition-7")]
+    )
+    row = df.select(
+        topic_last_segment("t").alias("short"),
+        strip_partition_suffix(topic_last_segment("t")).alias("base"),
+    ).first()
+    assert row["short"] == "mytopic-partition-7"
+    assert row["base"] == "mytopic"
+
+
+def test_rate_limit_cap(spark):
+    # 5 records in the same second for app a (limit 2), 3 for app b (no limit)
+    rows = []
+    for i in range(5):
+        rows.append(Row(event_id=i, app="a", ts="2024-01-01 00:00:00"))
+    for i in range(5, 8):
+        rows.append(Row(event_id=i, app="b", ts="2024-01-01 00:00:00"))
+    rows.append(Row(event_id=8, app="a", ts="2024-01-01 00:00:01"))  # next second
+    df = spark.createDataFrame(rows).withColumn("ts", F.to_timestamp("ts"))
+    kept = rate_limit_per_second(df, {"a": 2}, app="app", ts="ts", tiebreaker="event_id")
+    got = sorted(r["event_id"] for r in kept.collect())
+    # app a: first 2 of second 0 (ids 0,1) + id 8 in next second; app b: all
+    assert got == [0, 1, 5, 6, 7, 8]
+
+
+def test_uuid_injection_unique(spark):
+    df = spark.createDataFrame([Row(value='{"a": 1}', topic="t")] * 50)
+    cfg = PipelineConfig(inject_key=True)
+    out = (
+        df.withColumn("publish_time", F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+        .withColumn("event_id", F.monotonically_increasing_id())
+    )
+    result = etl_transform(out, cfg)
+    vals = [r[cfg.injected_field] for r in result.collect()]
+    assert len(vals) == 50
+    assert all(v is not None for v in vals)
+    assert len(set(vals)) == 50  # v4 uuids, all distinct
+
+
+def test_etl_transform_shape(spark):
+    df = spark.createDataFrame(
+        [
+            Row(
+                event_id=1,
+                value='{"app": "billing", "level": "debug", "k.x": "1"}',
+                topic="persistent://public/default/app-biz-partition-3",
+            )
+        ]
+    ).withColumn("publish_time", F.to_timestamp(F.lit("2024-03-12 10:00:00")))
+    from pulsar_elasticsearch_sync_rs_spark.config import RewriteRule
+
+    cfg = PipelineConfig(rewrite_rules=(RewriteRule("app-biz", "app"),))
+    row = etl_transform(df, cfg).first()
+    assert row["app"] == "billing"
+    assert row["index"] == "app-2024.03.12"
+    assert row["is_debug"] is True
+    assert row["date_str"] == "2024.03.12"
+    assert row["doc"]["k_x"] == "1"
+    assert row["at_timestamp"].startswith("2024-03-12T10:00:00")
