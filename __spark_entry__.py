@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_group_counts": wrap(E.q_group_counts),
         "q_rate_limit": wrap(E.q_rate_limit),
         "q_uuid_inject": wrap(E.q_uuid_inject),  # rows-only (nondeterministic)
+        "q_etl_chain": wrap(E.q_etl_chain),  # full-chain flagship, oracle-checked
         # --- relational/analytic pack (SURVEY.md §2.9) ---
         "q_tpch_pricing": wrap(A.q_tpch_pricing),
         "q_tpch_join_topk": wrap(A.q_tpch_join_topk),
@@ -70,6 +71,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_topk_per_group": wrap(A.q_topk_per_group),
         "q_semi_anti": wrap(A.q_semi_anti),
         "q_sessionize": wrap(A.q_sessionize),
+        "q_distinct_users": wrap(A.q_distinct_users),
+        "q_pivot_events": wrap(A.q_pivot_events),
         # --- LLM-data pipeline pack (SURVEY.md §2.9) ---
         "q_dedup_exact": wrap(L.q_dedup_exact),
         "q_dedup_normalized": wrap(L.q_dedup_normalized),
@@ -79,6 +82,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_count": wrap(L.q_token_count),
         "q_lang_id": wrap(L.q_lang_id),
         "q_fingerprint": wrap(L.q_fingerprint),
+        "q_quality_score": wrap(L.q_quality_score),
         "q_knn_cosine": wrap(L.q_knn_cosine),
         "q_embed_neardup": wrap(L.q_embed_neardup),
         "q_knn_lsh": wrap(L.q_knn_lsh),  # rows-only (approximate)
@@ -99,6 +103,7 @@ def oracle_sql() -> dict[str, str]:
         "q_field_count": E.ORACLE_FIELD_COUNT,
         "q_group_counts": E.ORACLE_GROUP_COUNTS,
         "q_rate_limit": E.ORACLE_RATE_LIMIT,
+        "q_etl_chain": E.ORACLE_ETL_CHAIN,
         "q_tpch_pricing": A.ORACLE_TPCH_PRICING,
         "q_tpch_join_topk": A.ORACLE_TPCH_JOIN_TOPK,
         "q_region_revenue": A.ORACLE_REGION_REVENUE,
@@ -108,6 +113,8 @@ def oracle_sql() -> dict[str, str]:
         "q_topk_per_group": A.ORACLE_TOPK_PER_GROUP,
         "q_semi_anti": A.ORACLE_SEMI_ANTI,
         "q_sessionize": A.ORACLE_SESSIONIZE,
+        "q_distinct_users": A.ORACLE_DISTINCT_USERS,
+        "q_pivot_events": A.ORACLE_PIVOT_EVENTS,
         "q_dedup_exact": L.ORACLE_DEDUP_EXACT,
         "q_dedup_normalized": L.ORACLE_DEDUP_NORMALIZED,
         "q_ngram_jaccard": L.ORACLE_NGRAM_JACCARD,
@@ -115,6 +122,7 @@ def oracle_sql() -> dict[str, str]:
         "q_token_count": L.ORACLE_TOKEN_COUNT,
         "q_lang_id": L.ORACLE_LANG_ID,
         "q_fingerprint": L.ORACLE_FINGERPRINT,
+        "q_quality_score": L.ORACLE_QUALITY_SCORE,
         "q_knn_cosine": L.ORACLE_KNN_COSINE,
         "q_embed_neardup": L.ORACLE_EMBED_NEARDUP,
         "q_media_meta": L.ORACLE_MEDIA_META,

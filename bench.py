@@ -46,8 +46,19 @@ def main() -> None:
     spark = get_spark(app_name="bench", cpus=cpus)
     qs = entrymod.queries()
 
-    # warm up the JVM / parquet footer cache with a trivial action
+    # warm up the JVM, parquet footer cache, and the Python/Arrow UDF
+    # workers (first pandas-UDF call pays worker spawn + numpy import —
+    # steady-state throughput is what we measure)
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    from pulsar_elasticsearch_sync_rs_spark.operators.similarity import cosine_udf
+    from pyspark.sql import functions as F
+
+    (
+        spark.range(256)
+        .select(F.array(F.rand(1), F.rand(2)).alias("a"))
+        .select(cosine_udf("a", "a").alias("c"))
+        .count()
+    )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

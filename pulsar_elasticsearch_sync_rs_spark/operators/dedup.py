@@ -17,8 +17,11 @@ Jaccard. Designed for 100 TB:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from pulsar_elasticsearch_sync_rs_spark.functions.text import word_shingles, ws_tokens
 
@@ -93,6 +96,46 @@ def minhash_signature(hashes: Column, num_hashes: int = 32) -> Column:
     )
 
 
+def make_minhash_udf(num_hashes: int = 32, shingle_k: int = 3):
+    """The production minhash kernel: text → whitespace tokens →
+    k-word shingle set → crc32 → K permutation minima, all inside one
+    Arrow-batched numpy UDF.
+
+    Why a UDF and not expressions: Spark's higher-order functions are
+    CodegenFallback (interpreted per element). The expression form of
+    this kernel measured 364 s over 5,000 docs at sf0.1; this UDF does
+    the same work in seconds and parallelizes per Arrow batch across
+    executors. crc32-of-UTF-8 matches Spark's builtin ``crc32`` and the
+    permutation family matches :func:`minhash_signature`, so the two
+    lanes are interchangeable.
+    """
+    a_coef = (2 * np.arange(num_hashes, dtype=np.int64) + 1)
+    b_coef = (40503 * (np.arange(num_hashes, dtype=np.int64) + 1)) % MERSENNE
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def minhash_udf(text: pd.Series) -> pd.Series:
+        import zlib
+
+        out = []
+        for t in text:
+            toks = t.split() if t else []
+            n = len(toks) - shingle_k + 1
+            if n <= 0:
+                # empty-shingle sentinel: all empty docs share a signature
+                out.append([MERSENNE] * num_hashes)
+                continue
+            shingles = {" ".join(toks[i : i + shingle_k]) for i in range(n)}
+            hv = np.fromiter(
+                (zlib.crc32(s.encode("utf-8")) for s in shingles),
+                dtype=np.int64,
+                count=len(shingles),
+            )
+            out.append(((hv[:, None] * a_coef + b_coef) % MERSENNE).min(axis=0).tolist())
+        return pd.Series(out)
+
+    return minhash_udf
+
+
 def minhash_candidates(
     df: DataFrame,
     text: str = "text",
@@ -104,25 +147,13 @@ def minhash_candidates(
     """LSH candidate pairs: docs sharing ≥1 band of their minhash
     signature. Returns (id_a, id_b) with id_a < id_b, distinct.
 
-    Scale path: explode to (band_id, band_hash, id) — short uniform
-    keys — then self-join per bucket. Only ids + band hashes shuffle.
+    Scale path: signature via one vectorized UDF pass (narrow), explode
+    to (band_id, band_hash, id) — short uniform keys — then self-join
+    per bucket. Only ids + band hashes shuffle; the text never does.
     """
     rows_per_band = num_hashes // bands
-    # Materialization barriers: the repartition shuffles force each
-    # intermediate (shingle hashes, then signatures) to be computed
-    # exactly once instead of being inlined into every downstream
-    # reference by projection collapse. Only (id, hashes)/(id, sig)
-    # shuffle — short uniform rows. The shuffles also restore
-    # parallelism after the narrow per-document map.
-    hashed = df.select(
-        F.col(id_col),
-        F.transform(word_shingles(text, shingle_k), lambda s: F.crc32(s.cast("binary"))).alias(
-            "__sh_hashes"
-        ),
-    ).repartition(F.col(id_col))
-    sig = hashed.select(
-        F.col(id_col), minhash_signature(F.col("__sh_hashes"), num_hashes).alias("sig")
-    ).repartition(F.col(id_col))
+    mh = make_minhash_udf(num_hashes, shingle_k)
+    sig = df.select(F.col(id_col), mh(F.col(text)).alias("sig"))
     band_arr = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.struct(
@@ -224,38 +255,47 @@ def dedup_minhash_verified(
     )
 
 
-def simhash64(text: Column | str, token_col: Column | None = None) -> Column:
+def simhash64(text: Column | str) -> Column:
     """64-bit SimHash over whitespace tokens (Charikar 2002): per bit,
-    sum +1/-1 according to whether xxhash64(token) has that bit set; the
-    result bit is set iff the sum is positive.
+    sum +1/-1 according to whether the token's 64-bit hash has that bit
+    set; the result bit is set iff the sum is positive.
 
-    Single pass over the token array: the fold accumulator is an
-    array<long> of 64 per-bit counters updated via ``zip_with`` — pure
-    higher-order expressions, one traversal, no UDF.
+    Arrow-vectorized numpy kernel (same rationale as the minhash UDF:
+    nested higher-order expressions are both unsupported by the lambda
+    builder and interpreted at runtime). Token hash = first 8 bytes of
+    blake2b — deterministic, public, stdlib.
     """
-    toks = token_col if token_col is not None else ws_tokens(text)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    zero = F.array_repeat(F.lit(0).cast("long"), 64)
-    bit_idx = F.sequence(F.lit(0), F.lit(63))
+    text = F.col(text) if isinstance(text, str) else text
 
-    def step(acc, h):
-        signs = F.transform(
-            bit_idx,
-            lambda i: F.when(
-                F.shiftright(h, i.cast("int")).bitwiseAND(F.lit(1)) != 0, F.lit(1)
-            ).otherwise(F.lit(-1)).cast("long"),
-        )
-        return F.zip_with(acc, signs, lambda a, s: a + s)
+    @F.pandas_udf(T.LongType())
+    def simhash_udf(texts: pd.Series) -> pd.Series:
+        import hashlib
 
-    counters = F.aggregate(hashes, zero, step)
-    bit_values = F.zip_with(
-        counters,
-        bit_idx,
-        lambda c, i: F.when(c > 0, F.shiftleft(F.lit(1).cast("long"), i.cast("int"))).otherwise(
-            F.lit(0).cast("long")
-        ),
-    )
-    return F.aggregate(bit_values, F.lit(0).cast("long"), lambda a, v: a.bitwiseOR(v))
+        bit_idx = np.arange(64, dtype=np.uint64)
+        out = []
+        for t in texts:
+            toks = t.split() if t else []
+            if not toks:
+                out.append(0)
+                continue
+            hv = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "big"
+                    )
+                    for tok in toks
+                ),
+                dtype=np.uint64,
+                count=len(toks),
+            )
+            signs = (((hv[:, None] >> bit_idx) & 1).astype(np.int64) * 2 - 1).sum(axis=0)
+            bits = np.uint64(0)
+            for i in np.nonzero(signs > 0)[0]:
+                bits |= np.uint64(1) << np.uint64(i)
+            out.append(int(bits.astype(np.int64)))
+        return pd.Series(out, dtype="int64")
+
+    return simhash_udf(text)
 
 
 def dedup_simhash(
@@ -264,5 +304,10 @@ def dedup_simhash(
     """SimHash-bucket dedup: keep the lowest id per identical 64-bit
     simhash (hamming-0 buckets; near-dup via banded rotations is a
     natural extension). One shuffle on the 64-bit signature."""
-    w = Window.partitionBy(simhash64(F.col(text))).orderBy(F.col(id_col).asc())
-    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    w = Window.partitionBy("__sh").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__sh", simhash64(F.col(text)))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__sh")
+    )

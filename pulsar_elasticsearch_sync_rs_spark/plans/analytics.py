@@ -353,3 +353,54 @@ FROM sess
 GROUP BY user_id, session_seq
 ORDER BY user_id, session_seq
 """
+
+
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation shape: exact user cardinality + event count
+    per event type. (The approximate twin — HLL approx_count_distinct —
+    is the scale path but sketches differ across engines, so the exact
+    form is the oracle-checked one.)"""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_DISTINCT_USERS = """
+SELECT event_type,
+  count(DISTINCT user_id) AS n_users,
+  count(*) AS n_events
+FROM events
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event counts spread across event-type columns
+    (fixed pivot values -> single Expand+aggregate, one shuffle)."""
+    ev = read_table(spark, sf_dir, "events")
+    types = ["click", "purchase", "error", "signup", "view"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+        .orderBy("user_id")
+    )
+
+
+ORACLE_PIVOT_EVENTS = """
+SELECT user_id,
+  CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS click,
+  CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS purchase,
+  CAST(coalesce(sum(CASE WHEN event_type = 'error' THEN 1 END), 0) AS BIGINT) AS error,
+  CAST(coalesce(sum(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS BIGINT) AS signup,
+  CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN 1 END), 0) AS BIGINT) AS view
+FROM events
+GROUP BY user_id ORDER BY user_id
+"""

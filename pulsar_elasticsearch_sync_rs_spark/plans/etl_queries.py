@@ -283,3 +283,77 @@ def q_uuid_inject(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     cfg = PipelineConfig(inject_key=True)
     return ev.select("event_id").withColumn(cfg.injected_field, F.expr("uuid()"))
+
+
+def q_etl_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL reference-parity chain end-to-end as one declared,
+    oracle-checked query: F1+F2+F3 filters → P1 parse → P3/P4
+    timestamps → P8/P9 index rewrite+naming → P10 app → P11 debug →
+    P12 field count → R1 rate cap → G1 (app,index) grouping. This is
+    the flagship (entry()) with a deterministic oracle twin."""
+    from pulsar_elasticsearch_sync_rs_spark.plans.pipeline import etl_transform
+    from pulsar_elasticsearch_sync_rs_spark.sources.batch import events_as_stream_records
+
+    cfg = PipelineConfig(
+        global_filters=(GLOBAL_EXCLUDE,),
+        namespace_filters={NS_EXCLUDE_TOPIC: (NS_EXCLUDE_PAT,)},
+        rewrite_rules=REWRITE_RULES,
+        debug_log_patterns=(DEBUG_PAT,),
+        rate_limits={"__DEFAULT_APP__": 2},
+    )
+    records = events_as_stream_records(spark, sf_dir)
+    out = etl_transform(records, cfg, tiebreaker="event_id")
+    return (
+        out.groupBy("app", "index")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("is_debug"), 1).otherwise(0)).alias("n_debug"),
+            F.sum("n_fields").alias("total_fields"),
+            F.min("at_timestamp").alias("first_ts"),
+            F.max("at_timestamp").alias("last_ts"),
+        )
+        .withColumnRenamed("index", "index_name")
+        .orderBy("app", "index_name")
+    )
+
+
+ORACLE_ETL_CHAIN = r"""
+WITH filtered AS (
+  SELECT event_id, user_id, ts, event_type, props
+  FROM events
+  WHERE length(props) > 0
+    AND NOT regexp_matches(props, '"k":\s*13\b')
+    AND NOT (event_type = 'click' AND regexp_matches(props, '"k":\s*[0-4]\d\b'))
+), enriched AS (
+  SELECT *,
+    coalesce(json_extract_string(props, '$.app'), '__DEFAULT_APP__') AS app,
+    CASE WHEN regexp_matches(event_type, '^sign') THEN 'auth'
+         WHEN regexp_matches(event_type, '^signup') THEN 'never'
+         WHEN regexp_matches(event_type, '^click') THEN 'web'
+         WHEN regexp_matches(event_type, '^view') THEN 'web'
+         WHEN regexp_matches(event_type, '^purchase') THEN 'commerce'
+         ELSE event_type END
+      || '-' || strftime(ts, '%Y.%m.%d') AS index_name,
+    (coalesce(json_extract_string(props, '$.level') = 'debug', false)
+      OR regexp_matches(props, '"k":\s*9\d\b')) AS is_debug,
+    len(json_keys(props)) AS n_fields,
+    strftime(ts, '%Y-%m-%dT%H:%M:%S') || 'Z' AS at_ts_str
+  FROM filtered
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY app, date_trunc('second', ts)
+    ORDER BY ts ASC, event_id ASC) AS rn
+  FROM enriched
+), kept AS (
+  SELECT * FROM ranked WHERE rn <= 2
+)
+SELECT app, index_name,
+  count(*) AS n_docs,
+  CAST(sum(CASE WHEN is_debug THEN 1 ELSE 0 END) AS BIGINT) AS n_debug,
+  CAST(sum(n_fields) AS BIGINT) AS total_fields,
+  min(at_ts_str) AS first_ts,
+  max(at_ts_str) AS last_ts
+FROM kept
+GROUP BY app, index_name
+ORDER BY app, index_name
+"""

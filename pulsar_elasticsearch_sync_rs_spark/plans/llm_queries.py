@@ -357,3 +357,43 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feats = fake_feature_extract(binary, payload="payload", media_id="media_id", dim=8)
     return feats.select("media_id", "byte_len", F.round(F.element_at("feature", 1), 6).alias("f0"))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style heuristic quality score per document (length, word
+    length, punctuation density, stopword presence). Narrow per-row
+    expressions, no shuffle."""
+    from pulsar_elasticsearch_sync_rs_spark.functions.text import quality_score
+
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score("text").alias("quality"))
+
+
+ORACLE_QUALITY_SCORE = r"""
+WITH toks AS (
+  SELECT doc_id, text,
+    list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS t,
+    list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS tl
+  FROM documents
+), feat AS (
+  SELECT doc_id,
+    CAST(len(t) AS DOUBLE) AS n_tok,
+    CASE WHEN len(t) > 0
+         THEN CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t)
+         ELSE 0.0 END AS mean_wlen,
+    CASE WHEN length(text) > 0
+         THEN CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / length(text)
+         ELSE 0.0 END AS punct_ratio,
+    CASE WHEN len(tl) > 0
+         THEN CAST(len(list_filter(tl, x -> list_contains(['the','and','of','to','a','in','is','it'], x))) AS DOUBLE) / len(tl)
+         ELSE 0.0 END AS sw_ratio
+  FROM toks
+)
+SELECT doc_id,
+  round(
+    least(n_tok / 50.0, 1.0) * 0.3
+    + (CASE WHEN mean_wlen >= 3 AND mean_wlen <= 10 THEN 1.0 ELSE 0.5 END) * 0.2
+    + (1.0 - least(punct_ratio * 5, 1.0)) * 0.25
+    + least(sw_ratio * 4, 1.0) * 0.25, 6) AS quality
+FROM feat
+"""

@@ -1,0 +1,90 @@
+"""R1 streaming variant — stateful per-app rate limiting that carries
+the per-(app, second) admission count ACROSS micro-batches via
+``applyInPandasWithState`` (SURVEY.md §7.2 M3).
+
+The batch operator (operators/rate_limit.py) caps within one
+DataFrame; in a stream, a second can span micro-batches, so the count
+for the current second must persist. State per app key:
+``(current_second_epoch, admitted_in_second)`` — O(1) per key, the
+Spark-native equivalent of the reference's GCRA-keyed limiter map
+(reference ``src/ratelimiter.rs:23-94``; drop-on-exceed check
+``ratelimiter.rs:123-128``).
+
+Scale: state is partitioned by app across executors; per-key state is
+two longs, so a million apps is ~tens of MB of state store.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("current_second", T.LongType()),
+        T.StructField("admitted", T.LongType()),
+    ]
+)
+
+
+def make_output_schema(id_field: str = "event_id") -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(id_field, T.LongType()),
+            T.StructField("app", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+
+
+def stateful_rate_limiter(limits: dict[str, int], id_field: str = "event_id"):
+    """Build the (key, pdfs, state) -> admitted-rows function for
+    ``applyInPandasWithState``. Records for apps without a configured
+    limit pass through unchanged (reference semantics)."""
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        app = key[0]
+        limit = limits.get(app)
+        if state.exists:
+            current_second, admitted = state.get
+        else:
+            current_second, admitted = -1, 0
+        for pdf in pdfs:
+            if limit is None:
+                yield pdf[[id_field, "app", "ts"]]
+                continue
+            pdf = pdf.sort_values(["ts", id_field])
+            keep_mask = []
+            for ts in pdf["ts"]:
+                sec = int(ts.timestamp())
+                if sec != current_second:
+                    current_second, admitted = sec, 0
+                if admitted < limit:
+                    admitted += 1
+                    keep_mask.append(True)
+                else:
+                    keep_mask.append(False)
+            yield pdf.loc[keep_mask, [id_field, "app", "ts"]]
+        state.update((current_second, admitted))
+
+    return fn
+
+
+def rate_limit_stream(
+    df: DataFrame, limits: dict[str, int], id_field: str = "event_id"
+) -> DataFrame:
+    """Apply the stateful limiter to a streaming DataFrame with columns
+    (id_field, app, ts). Output: admitted rows only."""
+    return df.groupBy("app").applyInPandasWithState(
+        stateful_rate_limiter(limits, id_field),
+        outputStructType=make_output_schema(id_field),
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

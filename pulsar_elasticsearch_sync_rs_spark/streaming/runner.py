@@ -94,10 +94,22 @@ def run_pipeline_stream(
     checkpoint_dir: str,
     available_now: bool = True,
     observe_metrics: bool = True,
+    debug_files_dir: str | None = None,
 ):
     """Build and start the streaming query: chain → foreachBatch bulk
-    sink. Returns the StreamingQuery (caller awaits termination)."""
-    out = etl_transform(source_df, cfg, tiebreaker="event_id")
+    sink. Returns the StreamingQuery (caller awaits termination).
+
+    R1 note: the windowed row_number cap is a batch operator (Spark
+    disallows non-time windows on streaming plans), so the limiter is
+    applied INSIDE foreachBatch to each micro-batch — a per-flush-window
+    cap, which is the reference's observable granularity (its buffers
+    flush every ``flush_interval``). The exact cross-batch variant is
+    ``streaming/rate_limit_state.rate_limit_stream``.
+    """
+    import dataclasses
+
+    stream_cfg = dataclasses.replace(cfg, rate_limits={})
+    out = etl_transform(source_df, stream_cfg, tiebreaker="event_id")
     out = out.select(
         "event_id", "value", "topic_short", "publish_time", "doc",
         "at_timestamp", "date_str", "index", "app", "is_debug", "n_fields",
@@ -112,10 +124,42 @@ def run_pipeline_stream(
             F.sum(F.when(F.col("is_debug"), 1).otherwise(0)).alias("consumed_debug"),
             F.avg("n_fields").alias("avg_fields"),
         )
+    base_sink = bulk_sink_foreach_batch(transport)
+    if cfg.debug_topics or (cfg.inject_key and debug_files_dir):
+        from pulsar_elasticsearch_sync_rs_spark.streaming.side_outputs import (
+            echo_debug_topics,
+            write_debug_files,
+        )
+
+        inner_sink = base_sink
+
+        def base_sink(batch_df, batch_id):  # noqa: F811 - deliberate wrap
+            echo_debug_topics(batch_df, cfg.debug_topics)  # K2
+            if cfg.inject_key and debug_files_dir:
+                write_debug_files(batch_df, debug_files_dir)  # K3
+            inner_sink(batch_df, batch_id)
+
+    if cfg.rate_limits:
+        from pulsar_elasticsearch_sync_rs_spark.operators.rate_limit import (
+            rate_limit_per_second,
+        )
+
+        def sink_fn(batch_df, batch_id):
+            limited = rate_limit_per_second(
+                batch_df,
+                cfg.rate_limits,
+                app="app",
+                ts="publish_time",
+                tiebreaker="event_id",
+            )
+            base_sink(limited, batch_id)
+
+    else:
+        sink_fn = base_sink
     writer = (
         out.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(bulk_sink_foreach_batch(transport))
+        .foreachBatch(sink_fn)
     )
     if available_now:
         writer = writer.trigger(availableNow=True)

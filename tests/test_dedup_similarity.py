@@ -1,0 +1,162 @@
+"""Dedup + similarity operator tests: planted duplicates, LSH recall
+against exact baselines, fingerprint sensitivity, multimodal plumbing
+goldens."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from pulsar_elasticsearch_sync_rs_spark.functions.text import rolling_fingerprint
+from pulsar_elasticsearch_sync_rs_spark.operators.dedup import (
+    dedup_exact,
+    dedup_minhash_verified,
+    dedup_normalized,
+    dedup_simhash,
+    minhash_candidates,
+    ngram_jaccard_pairs,
+)
+from pulsar_elasticsearch_sync_rs_spark.operators.multimodal import (
+    attach_media_metadata,
+    fake_feature_extract,
+    frame_sample_plan,
+)
+from pulsar_elasticsearch_sync_rs_spark.operators.similarity import (
+    knn_cosine_bruteforce,
+    knn_cosine_lsh,
+)
+from pulsar_elasticsearch_sync_rs_spark.sources.batch import read_table
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+NEAR = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+OTHER = "completely different content about spark query engines and shuffles here"
+
+
+def _docs(spark):
+    rows = [
+        Row(doc_id=0, text=BASE),
+        Row(doc_id=1, text=BASE),  # exact dup of 0
+        Row(doc_id=2, text=NEAR),  # near dup of 0
+        Row(doc_id=3, text=OTHER),
+        Row(doc_id=4, text=BASE.upper() + "!!"),  # normalized dup of 0
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_dedup_exact_planted(spark):
+    out = dedup_exact(_docs(spark))
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [0, 2, 3, 4]  # doc 1 removed, survivor is min id
+
+
+def test_dedup_normalized_planted(spark):
+    out = dedup_normalized(_docs(spark))
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [0, 2, 3]  # doc 4 also collapses after normalization
+
+
+def test_minhash_finds_near_dup(spark):
+    cand = minhash_candidates(_docs(spark), num_hashes=32, bands=16, shingle_k=3)
+    pairs = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    assert (0, 1) in pairs  # exact dup always collides
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup found w.h.p.
+    verified = dedup_minhash_verified(
+        _docs(spark), threshold=0.5, num_hashes=32, bands=16
+    )
+    vp = {(r["id_a"], r["id_b"]): r["jaccard"] for r in verified.collect()}
+    assert vp[(0, 1)] == 1.0
+    assert (0, 3) not in vp  # unrelated text filtered by exact verify
+
+
+def test_minhash_recall_on_fixture(spark, sf_dir):
+    """LSH candidates must recover most exact-Jaccard pairs ≥0.5 on the
+    documents fixture (recall pinned ≥0.8 at 32 hashes / 8 bands)."""
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "blk", F.concat_ws("|", "lang", "source")
+    )
+    # blocked exact pairs (unblocked all-pairs is a nested-loop join —
+    # the quadratic shape the LSH path exists to avoid)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.5, block_col="blk").collect()
+    }
+    if not exact:
+        pytest.skip("no pairs >= 0.5 in fixture at this SF")
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_candidates(docs, num_hashes=32, bands=8).collect()
+    }
+    recall = len(exact & cand) / len(exact)
+    assert recall >= 0.8, f"LSH recall {recall:.2f} over {len(exact)} true pairs"
+
+
+def test_simhash_dedup(spark):
+    out = dedup_simhash(_docs(spark))
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert 0 in ids and 1 not in ids  # identical token stream → same simhash
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [Row(t="a b c"), Row(t="c b a"), Row(t="a b c"), Row(t="")]
+    )
+    fps = [r["fp"] for r in df.select(rolling_fingerprint("t").alias("fp")).collect()]
+    assert fps[0] == fps[2]  # deterministic
+    assert fps[0] != fps[1]  # order-sensitive (rolling, not bag-of-words)
+    assert fps[3] == 0  # empty → 0
+
+
+def test_knn_lsh_recall_planted(spark):
+    """Sign-LSH is a *near-duplicate* pruner: its collision probability
+    (1-θ/π)^bits only survives for genuinely close vectors. Planted
+    setup: 40 base vectors + a tiny perturbation of each; the LSH
+    top-1 of each perturbed query must be its base twin for most
+    queries. (On uniformly random embeddings — max cosine ≈0.45 in the
+    fixture — LSH recall is structurally near zero; that is expected
+    behavior, not a bug, and the brute-force lane is the right tool.)"""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    dim = 64
+    base = rng.normal(size=(40, dim))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append(Row(vec_id=i, embedding=[float(x) for x in v]))
+        pert = v + rng.normal(scale=0.05, size=dim)
+        rows.append(Row(vec_id=1000 + i, embedding=[float(x) for x in pert]))
+    corpus = spark.createDataFrame(rows)
+    queries = corpus.filter(F.col("vec_id") >= 1000).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    top1 = (
+        knn_cosine_lsh(corpus, queries, k=1, dim=dim)
+        .filter(F.col("rank") == 1)
+        .collect()
+    )
+    hits = sum(1 for r in top1 if r["neighbor_id"] == r["query_id"] - 1000)
+    assert hits >= 28, f"LSH top-1 found base twin for only {hits}/40 queries"
+
+
+def test_media_metadata_and_features(spark):
+    df = spark.createDataFrame([Row(media_id=0, payload=b"abcd"), Row(media_id=1, payload=b"")])
+    meta = attach_media_metadata(df).collect()
+    by_id = {r["media_id"]: r for r in meta}
+    assert by_id[0]["byte_len"] == 4
+    assert by_id[0]["sha"] == (
+        "88d4266fd4e6338d13b845fcf289579d209c897823b9217da3e161936f031589"
+    )  # sha256("abcd")
+    feats = fake_feature_extract(df, dim=4).collect()
+    f0 = {r["media_id"]: r for r in feats}
+    # bytes a,b,c,d → stripes [97,98,99,100] normalized
+    total = 97 + 98 + 99 + 100
+    assert f0[0]["byte_len"] == 4
+    assert abs(f0[0]["feature"][0] - 97 / total) < 1e-6
+    assert f0[1]["feature"] == [0.0, 0.0, 0.0, 0.0]
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame([Row(media_id=0, duration_ms=3500)])
+    frames = frame_sample_plan(df, every_ms=1000).collect()
+    assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000]
+    assert all(r["frame_payload"] is None for r in frames)  # stubbed decode
