@@ -59,7 +59,6 @@ def q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_charge"),
             F.count("*").alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
     )
 
 
@@ -136,7 +135,6 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name")
         .agg(_dsum_expr(_dec2("l_extendedprice") * (1 - _dec2("l_discount"))).alias("revenue"))
-        .orderBy("r_name")
     )
 
 
@@ -166,7 +164,6 @@ def q_rollup_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .rollup("r_name", "n_name")
         .agg(_dsum("c_acctbal").alias("sum_acctbal"), F.count("*").alias("n_customers"))
-        .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
     )
 
 
@@ -195,7 +192,7 @@ def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return both.union(urgent_only).select(
         "tag", F.col("o_custkey").alias("custkey")
-    ).orderBy("tag", "custkey")
+    )
 
 
 ORACLE_SETOPS = """
@@ -285,7 +282,6 @@ def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_with_orders", F.lit(0)).alias("n_with_orders"),
             F.coalesce("n_without_orders", F.lit(0)).alias("n_without_orders"),
         )
-        .orderBy("c_mktsegment")
     )
 
 
@@ -327,7 +323,6 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("event_id").alias("first_event_id"),
             F.max("event_id").alias("last_event_id"),
         )
-        .orderBy("user_id", "session_seq")
     )
 
 
@@ -367,7 +362,6 @@ def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
             F.count("*").alias("n_events"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -390,7 +384,6 @@ def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("event_type", types)
         .agg(F.count(F.lit(1)))
         .na.fill(0, types)
-        .orderBy("user_id")
     )
 
 

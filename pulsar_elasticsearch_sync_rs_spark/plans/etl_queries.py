@@ -191,7 +191,6 @@ def q_debug_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_total"),
             F.sum(F.when(dbg, 1).otherwise(0)).alias("n_debug"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -236,7 +235,6 @@ def q_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("app", "index_name")
         .agg(F.count("*").alias("n_records"))
-        .orderBy("app", "index_name")
     )
 
 
@@ -313,7 +311,6 @@ def q_etl_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("at_timestamp").alias("last_ts"),
         )
         .withColumnRenamed("index", "index_name")
-        .orderBy("app", "index_name")
     )
 
 

@@ -48,7 +48,6 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("__h")
         .agg(F.min("doc_id").alias("survivor_id"), F.count("*").alias("n_copies"))
         .drop("__h")
-        .orderBy("survivor_id")
     )
 
 
@@ -67,7 +66,6 @@ def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("norm")
         .agg(F.min("doc_id").alias("survivor_id"), F.count("*").alias("n_copies"))
         .select("survivor_id", "n_copies")
-        .orderBy("survivor_id")
     )
 
 
@@ -89,7 +87,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(
         docs, text="text", id_col="doc_id", threshold=0.35, shingle_k=3, block_col="blk"
     )
-    return pairs.orderBy("id_a", "id_b")
+    return pairs
 
 
 ORACLE_NGRAM_JACCARD = r"""
@@ -122,9 +120,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-linear scale path. Probabilistic recall → rows-only driver
     check; pytest pins recall against the exact Jaccard pairs."""
     docs = read_table(spark, sf_dir, "documents")
-    return minhash_candidates(docs, num_hashes=32, bands=8, shingle_k=3).orderBy(
-        "id_a", "id_b"
-    )
+    return minhash_candidates(docs, num_hashes=32, bands=8, shingle_k=3)
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -163,7 +159,6 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(token_count_bpe_ish("text").cast("bigint")).alias("total_bpe_tokens"),
             F.count("*").alias("n_docs"),
         )
-        .orderBy("source")
     )
 
 
@@ -246,7 +241,7 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return knn_cosine_bruteforce(emb, queries, k=5).orderBy("query_id", "rank")
+    return knn_cosine_bruteforce(emb, queries, k=5)
 
 
 ORACLE_KNN_COSINE = """
@@ -290,7 +285,6 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(sim, 6).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= 0.3)
-        .orderBy("id_a", "id_b")
     )
 
 
@@ -320,7 +314,7 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return knn_cosine_lsh(emb, queries, k=5, dim=64).orderBy("query_id", "rank")
+    return knn_cosine_lsh(emb, queries, k=5, dim=64)
 
 
 # --- multimodal ----------------------------------------------------------

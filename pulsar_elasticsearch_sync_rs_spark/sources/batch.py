@@ -26,7 +26,9 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # ts is TIMESTAMP(NANOS) read as long (nanosAsLong) — convert to a
         # real timestamp with µs truncation, matching DuckDB's ns->µs cast.
         if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+            # integral `div`, NOT `/`: ns values (~1.7e18) exceed double's
+            # 53-bit mantissa, so float division rounds at the µs level
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

@@ -60,7 +60,7 @@ def read_events_stream(
         "event_id",
         F.col("props").alias("value"),
         F.concat(F.lit("persistent://public/default/"), F.col("event_type")).alias("topic"),
-        F.timestamp_micros((F.col("ts") / 1000).cast("long")).alias("publish_time"),
+        F.timestamp_micros(F.expr("ts div 1000")).alias("publish_time"),  # integral div: see sources/batch.py
         "user_id",
     )
 
