@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_cosine": wrap(L.q_knn_cosine),
         "q_embed_neardup": wrap(L.q_embed_neardup),
         "q_knn_lsh": wrap(L.q_knn_lsh),  # rows-only (approximate)
+        "q_knn_ivf": wrap(L.q_knn_ivf),  # rows-only (approximate, iterative kmeans)
         "q_media_meta": wrap(L.q_media_meta),
         "q_media_features": wrap(L.q_media_features),  # rows-only (stubbed codec)
     }

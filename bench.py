@@ -49,7 +49,13 @@ def main() -> None:
     # warm up the JVM, parquet footer cache, and the Python/Arrow UDF
     # workers (first pandas-UDF call pays worker spawn + numpy import —
     # steady-state throughput is what we measure)
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # touch every input table once: the fixtures are single-row-group
+    # parquet files, so the first scan is single-task cold IO — warm the
+    # page cache and measure steady-state compute
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
     from pulsar_elasticsearch_sync_rs_spark.operators.similarity import cosine_udf
     from pyspark.sql import functions as F
 

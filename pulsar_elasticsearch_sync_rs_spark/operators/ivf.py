@@ -1,0 +1,112 @@
+"""IVF (inverted-file) approximate nearest neighbor — the coarse-
+quantizer scale path complementing sign-LSH (SURVEY.md §2.9).
+
+Classic IVF (Jégou et al., IEEE TPAMI 2011 product-quantization line
+of work, public knowledge): k-means the corpus into nlist coarse cells
+once (offline), assign each vector to its nearest centroid, and at
+query time scan only the nprobe closest cells instead of the corpus.
+
+Spark-first shape:
+- training + assignment: ``pyspark.ml.clustering.KMeans`` (built-in,
+  distributed) over the embedding column;
+- the centroid table is tiny (nlist × dim) → broadcast to assign
+  queries;
+- the probe search is an equi-join on ``cell_id`` (shuffle on a small
+  uniform key) followed by exact cosine re-ranking — no corpus-wide
+  scan per query.
+
+At 100 TB the cell assignment is a one-off narrow pass persisted next
+to the embeddings (partitioned/bucketed by cell_id so probe joins are
+co-located); only the probed cells' rows are ever read per query.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pulsar_elasticsearch_sync_rs_spark.operators.similarity import cosine
+
+
+def _to_ml_vector(df: DataFrame, vec_col: str, out_col: str) -> DataFrame:
+    from pyspark.ml.functions import array_to_vector
+
+    return df.withColumn(out_col, array_to_vector(F.col(vec_col).cast("array<double>")))
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    seed: int = 42,
+    max_iter: int = 20,
+):
+    """Train the coarse quantizer and assign every corpus vector to a
+    cell. Returns (assigned_corpus_df_with_cell_id, centers ndarray)."""
+    from pyspark.ml.clustering import KMeans
+
+    ml_df = _to_ml_vector(corpus, vec_col, "__fv")
+    km = KMeans(k=nlist, seed=seed, maxIter=max_iter, featuresCol="__fv", predictionCol="cell_id")
+    model = km.fit(ml_df)
+    assigned = model.transform(ml_df).drop("__fv")
+    centers = np.array([np.asarray(c) for c in model.clusterCenters()])
+    return assigned, centers
+
+
+def make_cell_probe_udf(centers: np.ndarray, nprobe: int):
+    """Vectorized query→[cell ids] assignment: argsort of distances to
+    the broadcast centroid matrix, top nprobe."""
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_cells(vec: pd.Series) -> pd.Series:
+        vm = np.array(vec.tolist(), dtype=np.float64)
+        # squared L2 distance to each center: ||v||² - 2 v·c + ||c||²
+        d = (
+            (vm * vm).sum(axis=1, keepdims=True)
+            - 2.0 * (vm @ centers.T)
+            + (centers * centers).sum(axis=1)
+        )
+        idx = np.argsort(d, axis=1)[:, :nprobe]
+        return pd.Series([row.astype("int32").tolist() for row in idx])
+
+    return probe_cells
+
+
+def knn_cosine_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    nlist: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: probe the nprobe nearest cells per query,
+    exact cosine re-rank inside the probed cells only."""
+    from pyspark.sql import Window
+
+    assigned, centers = build_ivf_index(corpus, vec_col, nlist=nlist, seed=seed)
+    probe = make_cell_probe_udf(centers, nprobe)
+    q = queries.select(F.col(query_id), F.col("query_vec")).withColumn(
+        "cell_id", F.explode(probe(F.col("query_vec")))
+    )
+    cand = assigned.join(F.broadcast(q), "cell_id")
+    sim = cand.withColumn("sim", cosine(F.col("query_vec"), F.col(vec_col))).filter(
+        F.col(id_col) != F.col(query_id)
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("sim").desc(), F.col(id_col).asc())
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col(query_id),
+            F.col(id_col).alias("neighbor_id"),
+            F.col("rank"),
+            F.round("sim", 6).alias("cosine_sim"),
+        )
+    )

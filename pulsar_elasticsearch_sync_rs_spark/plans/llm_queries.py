@@ -391,3 +391,16 @@ SELECT doc_id,
     + least(sw_ratio * 4, 1.0) * 0.25, 6) AS quality
 FROM feat
 """
+
+
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means coarse quantizer, nprobe cell scan) approximate
+    top-5 — the inverted-file ANN scale path. Approximate + iterative
+    training → rows-only driver check; recall pinned in pytest."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.ivf import knn_cosine_ivf
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return knn_cosine_ivf(emb, queries, k=5, nlist=8, nprobe=4)

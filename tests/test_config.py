@@ -1,0 +1,39 @@
+"""Config surface tests: env overrides + JSON-valued flags mirror the
+reference's flag parsing (reference ``src/args.rs:6-55``,
+``src/util.rs:132-138``)."""
+
+from __future__ import annotations
+
+from pulsar_elasticsearch_sync_rs_spark.config import PipelineConfig, RewriteRule, from_env
+
+
+def test_env_overrides(monkeypatch):
+    monkeypatch.setenv("PULSAR_ADDRESS", "pulsar://broker:6650")
+    monkeypatch.setenv("ELASTICSEARCH_ADDRESS", "http://es:9200")
+    monkeypatch.setenv("PULSAR_NAMESPACE", "tenant/ns")
+    cfg = from_env()
+    assert cfg.pulsar_addr == "pulsar://broker:6650"
+    assert cfg.es_addr == "http://es:9200"
+    assert cfg.pulsar_namespace == "tenant/ns"
+
+
+def test_json_valued_flags():
+    cfg = from_env(
+        namespace_filters='{"topicA": ["p1", "p2"], "topicB": ["p3"]}',
+        rate_limits='{"app1": 5, "app2": 10}',
+        rewrite_rules='[{"pattern": "app-biz", "target": "app"}]',
+    )
+    assert cfg.namespace_filters == {"topicA": ("p1", "p2"), "topicB": ("p3",)}
+    assert cfg.rate_limits == {"app1": 5, "app2": 10}
+    assert cfg.rewrite_rules == (RewriteRule("app-biz", "app"),)
+    assert cfg.namespace_filter_patterns == {"topicA": "(p1)|(p2)", "topicB": "(p3)"}
+
+
+def test_pattern_compilation():
+    cfg = PipelineConfig(
+        global_filters=("a", "b"),
+        debug_log_patterns=(r"\[DEBU\]",),
+    )
+    assert cfg.global_filter_pattern == "(a)|(b)"
+    assert cfg.debug_log_pattern == r"(\[DEBU\])"
+    assert PipelineConfig().global_filter_pattern is None

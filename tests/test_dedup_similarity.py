@@ -160,3 +160,26 @@ def test_frame_sample_plan(spark):
     frames = frame_sample_plan(df, every_ms=1000).collect()
     assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000]
     assert all(r["frame_payload"] is None for r in frames)  # stubbed decode
+
+
+def test_knn_ivf_recall(spark, sf_dir):
+    """IVF probe search recovers most of the exact top-5 on the fixture:
+    with nprobe/nlist = 1/4 of the cells probed, recall is bounded by
+    how often true neighbors share a probed cell — ≥0.5 expected on
+    64-dim random data, and planted twins must hit ~always."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.ivf import knn_cosine_ivf
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_cosine_bruteforce(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_cosine_ivf(emb, queries, k=5, nlist=8, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall:.2f}"

@@ -115,3 +115,61 @@ def test_stateful_rate_limit_across_batches(spark, tmpdir):
     a_ids = sorted(r["event_id"] for r in got.filter(F.col("app") == "a").collect())
     assert len(a_ids) == 4, f"expected 4 admitted for app a, got {a_ids}"
     assert got.filter(F.col("app") == "b").count() == 1
+
+
+def test_windowed_counters_stream(spark, sf_dir, tmpdir):
+    """G3 event-time windowed counters with watermark, run as a real
+    streaming aggregation (availableNow) and cross-checked against the
+    identical batch plan."""
+    import os
+    import shutil
+
+    from pulsar_elasticsearch_sync_rs_spark.functions.debug import is_debug_log
+    from pulsar_elasticsearch_sync_rs_spark.streaming.counters import windowed_counters
+    from pulsar_elasticsearch_sync_rs_spark.streaming.runner import read_events_stream
+
+    src_dir = os.path.join(tmpdir, "src")
+    os.makedirs(src_dir)
+    shutil.copy(f"{sf_dir}/events.parquet", src_dir)
+
+    def enrich(df):
+        return df.withColumn("topic_short", F.element_at(F.split("topic", "/"), -1)).withColumn(
+            "is_debug", is_debug_log("value", r'"k":\s*9\d\b')
+        )
+
+    stream = enrich(read_events_stream(spark, src_dir))
+    out_dir = os.path.join(tmpdir, "counters")
+    q = (
+        windowed_counters(stream, window_duration="6 hours", watermark_delay="1 hour")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", os.path.join(tmpdir, "ckpt2"))
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out_dir)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir)
+    batch = windowed_counters(enrich(
+        spark.read.parquet(src_dir).selectExpr(
+            "event_id", "props as value",
+            "concat('persistent://public/default/', event_type) as topic",
+            "timestamp_micros(ts div 1000) as publish_time",
+        )
+    ), window_duration="6 hours")
+    # append mode emits only watermark-closed windows; every emitted
+    # window must match the batch plan exactly, and most windows close
+    assert got.count() > 0
+    joined = got.join(
+        batch.withColumnRenamed("consumed", "b_consumed").withColumnRenamed(
+            "consumed_debug", "b_debug"
+        ),
+        ["topic", "window_start", "window_end"],
+    )
+    assert joined.count() == got.count()
+    mism = joined.filter(
+        (F.col("consumed") != F.col("b_consumed"))
+        | (F.col("consumed_debug") != F.col("b_debug"))
+    ).count()
+    assert mism == 0
