@@ -73,6 +73,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize": wrap(A.q_sessionize),
         "q_distinct_users": wrap(A.q_distinct_users),
         "q_pivot_events": wrap(A.q_pivot_events),
+        "q_asof_join": wrap(A.q_asof_join),
+        "q_salted_agg": wrap(A.q_salted_agg),
         # --- LLM-data pipeline pack (SURVEY.md §2.9) ---
         "q_dedup_exact": wrap(L.q_dedup_exact),
         "q_dedup_normalized": wrap(L.q_dedup_normalized),
@@ -116,6 +118,8 @@ def oracle_sql() -> dict[str, str]:
         "q_sessionize": A.ORACLE_SESSIONIZE,
         "q_distinct_users": A.ORACLE_DISTINCT_USERS,
         "q_pivot_events": A.ORACLE_PIVOT_EVENTS,
+        "q_asof_join": A.ORACLE_ASOF_JOIN,
+        "q_salted_agg": A.ORACLE_SALTED_AGG,
         "q_dedup_exact": L.ORACLE_DEDUP_EXACT,
         "q_dedup_normalized": L.ORACLE_DEDUP_NORMALIZED,
         "q_ngram_jaccard": L.ORACLE_NGRAM_JACCARD,

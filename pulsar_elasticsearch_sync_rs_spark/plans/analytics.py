@@ -397,3 +397,54 @@ SELECT user_id,
 FROM events
 GROUP BY user_id ORDER BY user_id
 """
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks the user's most recent order at or
+    before the event time (latest o_orderkey wins ties). Implemented as
+    the single-shuffle log-merge composition (operators/asof.py), NOT
+    the row-multiplying inequality join the oracle uses."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.asof import asof_join
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"
+    )
+    out = asof_join(
+        ev,
+        orders.withColumnRenamed("o_custkey", "user_id"),
+        key="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload_cols=["o_orderkey", "o_totalprice"],
+        right_tiebreaker="o_orderkey",
+    )
+    return out.select("event_id", "asof_o_orderkey", "asof_o_totalprice")
+
+
+ORACLE_ASOF_JOIN = """
+WITH ranked AS (
+  SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+    row_number() OVER (PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+)
+SELECT e.event_id, r.o_orderkey AS asof_o_orderkey, r.o_totalprice AS asof_o_totalprice
+FROM events e LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r USING (event_id)
+"""
+
+
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase (salted) aggregation; result must equal the
+    direct groupBy (which the oracle computes)."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.skew import salted_count
+
+    ev = read_table(spark, sf_dir, "events")
+    return salted_count(ev, key="event_type", salt_from="event_id", n_salts=16)
+
+
+ORACLE_SALTED_AGG = """
+SELECT event_type, count(*) AS n_records
+FROM events GROUP BY event_type
+"""

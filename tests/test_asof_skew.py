@@ -1,0 +1,61 @@
+"""As-of join and salted aggregation unit tests (planted cases)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from pulsar_elasticsearch_sync_rs_spark.operators.asof import asof_join
+from pulsar_elasticsearch_sync_rs_spark.operators.skew import salted_count, salted_sum
+
+
+def test_asof_join_planted(spark):
+    left = spark.createDataFrame(
+        [
+            Row(ev=1, k="a", ts=10),
+            Row(ev=2, k="a", ts=25),
+            Row(ev=3, k="a", ts=5),  # before any right row -> NULL
+            Row(ev=4, k="b", ts=100),  # key with no right rows -> NULL
+        ]
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+    right = spark.createDataFrame(
+        [
+            Row(k="a", rts=10, rid=1, val=1.0),  # ties at rts=10: rid 2 wins
+            Row(k="a", rts=10, rid=2, val=2.0),
+            Row(k="a", rts=20, rid=3, val=3.0),
+        ]
+    ).withColumn("rts", F.timestamp_seconds("rts"))
+
+    out = asof_join(
+        left, right, key="k", left_ts="ts", right_ts="rts",
+        payload_cols=["rid", "val"], right_tiebreaker="rid",
+    )
+    got = {r["ev"]: (r["asof_rid"], r["asof_val"]) for r in out.collect()}
+    assert got[1] == (2, 2.0)  # inclusive <= and latest-tiebreaker wins
+    assert got[2] == (3, 3.0)
+    assert got[3] == (None, None)
+    assert got[4] == (None, None)
+
+
+def test_salted_agg_equals_direct(spark, sf_dir):
+    from pulsar_elasticsearch_sync_rs_spark.sources.batch import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    direct = {
+        (r["event_type"], r["n"])
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    salted = {
+        (r["event_type"], r["n_records"])
+        for r in salted_count(ev, "event_type", "event_id", n_salts=8).collect()
+    }
+    assert direct == salted
+
+    s = salted_sum(ev, "event_type", F.col("value").cast("decimal(18,2)"), "event_id")
+    direct_sum = {
+        (r["event_type"], r["t"])
+        for r in ev.groupBy("event_type")
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("t"))
+        .collect()
+    }
+    assert {(r["event_type"], r["total"]) for r in s.collect()} == direct_sum
