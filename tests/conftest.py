@@ -16,3 +16,10 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def spark_global(spark):
+    """Alias used by hypothesis tests (function-scoped @given cannot
+    take function-scoped fixtures; session scope is fine)."""
+    return spark
