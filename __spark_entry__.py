@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rate_limit": wrap(E.q_rate_limit),
         "q_uuid_inject": wrap(E.q_uuid_inject),  # rows-only (nondeterministic)
         "q_etl_chain": wrap(E.q_etl_chain),  # full-chain flagship, oracle-checked
+        "q_dead_letter": wrap(E.q_dead_letter),
         # --- relational/analytic pack (SURVEY.md §2.9) ---
         "q_tpch_pricing": wrap(A.q_tpch_pricing),
         "q_tpch_join_topk": wrap(A.q_tpch_join_topk),
@@ -75,6 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pivot_events": wrap(A.q_pivot_events),
         "q_asof_join": wrap(A.q_asof_join),
         "q_salted_agg": wrap(A.q_salted_agg),
+        "q_cube_volume": wrap(A.q_cube_volume),
         # --- LLM-data pipeline pack (SURVEY.md §2.9) ---
         "q_dedup_exact": wrap(L.q_dedup_exact),
         "q_dedup_normalized": wrap(L.q_dedup_normalized),
@@ -107,6 +109,7 @@ def oracle_sql() -> dict[str, str]:
         "q_group_counts": E.ORACLE_GROUP_COUNTS,
         "q_rate_limit": E.ORACLE_RATE_LIMIT,
         "q_etl_chain": E.ORACLE_ETL_CHAIN,
+        "q_dead_letter": E.ORACLE_DEAD_LETTER,
         "q_tpch_pricing": A.ORACLE_TPCH_PRICING,
         "q_tpch_join_topk": A.ORACLE_TPCH_JOIN_TOPK,
         "q_region_revenue": A.ORACLE_REGION_REVENUE,
@@ -120,6 +123,7 @@ def oracle_sql() -> dict[str, str]:
         "q_pivot_events": A.ORACLE_PIVOT_EVENTS,
         "q_asof_join": A.ORACLE_ASOF_JOIN,
         "q_salted_agg": A.ORACLE_SALTED_AGG,
+        "q_cube_volume": A.ORACLE_CUBE_VOLUME,
         "q_dedup_exact": L.ORACLE_DEDUP_EXACT,
         "q_dedup_normalized": L.ORACLE_DEDUP_NORMALIZED,
         "q_ngram_jaccard": L.ORACLE_NGRAM_JACCARD,

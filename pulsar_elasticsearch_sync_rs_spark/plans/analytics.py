@@ -448,3 +448,22 @@ ORACLE_SALTED_AGG = """
 SELECT event_type, count(*) AS n_records
 FROM events GROUP BY event_type
 """
+
+
+def q_cube_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 4 grouping combinations
+    in one Expand+aggregate pass (single shuffle)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(_dsum("l_quantity").alias("sum_qty"), F.count("*").alias("n_rows"))
+    )
+
+
+ORACLE_CUBE_VOLUME = """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+  count(*) AS n_rows
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""

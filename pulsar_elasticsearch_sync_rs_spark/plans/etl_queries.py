@@ -354,3 +354,46 @@ FROM kept
 GROUP BY app, index_name
 ORDER BY app, index_name
 """
+
+
+def q_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 improvement path — parse-validity split with a dead-letter
+    lane instead of the reference's silent drop (``src/es.rs:374-377``).
+    Every 7th payload is deterministically corrupted on BOTH sides;
+    output: good/dead counts per topic."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.filters import dead_letter_split
+
+    ev = read_table(spark, sf_dir, "events")
+    doctored = ev.withColumn(
+        "value",
+        F.when(F.col("event_id") % 7 == 0, F.substring("props", 1, 3)).otherwise(
+            F.col("props")
+        ),
+    )
+    good, dead = dead_letter_split(doctored, "value")
+    return (
+        good.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_good"))
+        .join(
+            dead.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_dead")),
+            "event_type",
+            "full_outer",
+        )
+        .select(
+            "event_type",
+            F.coalesce("n_good", F.lit(0)).alias("n_good"),
+            F.coalesce("n_dead", F.lit(0)).alias("n_dead"),
+        )
+    )
+
+
+ORACLE_DEAD_LETTER = """
+SELECT event_type,
+  CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+  CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_dead
+FROM (
+  SELECT event_type,
+    json_valid(CASE WHEN event_id % 7 = 0 THEN substr(props, 1, 3) ELSE props END) AS ok
+  FROM events
+)
+GROUP BY event_type
+"""
