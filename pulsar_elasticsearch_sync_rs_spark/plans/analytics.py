@@ -287,8 +287,8 @@ def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_SEMI_ANTI = """
 SELECT c_mktsegment,
-  coalesce(sum(CASE WHEN has_o THEN 1 ELSE 0 END), 0) AS n_with_orders,
-  coalesce(sum(CASE WHEN has_o THEN 0 ELSE 1 END), 0) AS n_without_orders
+  CAST(coalesce(sum(CASE WHEN has_o THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_with_orders,
+  CAST(coalesce(sum(CASE WHEN has_o THEN 0 ELSE 1 END), 0) AS BIGINT) AS n_without_orders
 FROM (
   SELECT c_mktsegment, EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_o
   FROM customer

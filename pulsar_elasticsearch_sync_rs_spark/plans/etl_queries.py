@@ -342,7 +342,9 @@ WITH filtered AS (
     ORDER BY ts ASC, event_id ASC) AS rn
   FROM enriched
 ), kept AS (
-  SELECT * FROM ranked WHERE rn <= 2
+  -- the engine's limiter is keyed: only apps present in rate_limits
+  -- ({'__DEFAULT_APP__': 2}) are capped; others pass through
+  SELECT * FROM ranked WHERE app <> '__DEFAULT_APP__' OR rn <= 2
 )
 SELECT app, index_name,
   count(*) AS n_docs,
