@@ -95,6 +95,7 @@ def run_pipeline_stream(
     available_now: bool = True,
     observe_metrics: bool = True,
     debug_files_dir: str | None = None,
+    registry=None,
 ):
     """Build and start the streaming query: chain → foreachBatch bulk
     sink. Returns the StreamingQuery (caller awaits termination).
@@ -124,38 +125,54 @@ def run_pipeline_stream(
             F.sum(F.when(F.col("is_debug"), 1).otherwise(0)).alias("consumed_debug"),
             F.avg("n_fields").alias("avg_fields"),
         )
-    base_sink = bulk_sink_foreach_batch(transport)
-    if cfg.debug_topics or (cfg.inject_key and debug_files_dir):
-        from pulsar_elasticsearch_sync_rs_spark.streaming.side_outputs import (
-            echo_debug_topics,
-            write_debug_files,
-        )
+    inner_sink = bulk_sink_foreach_batch(transport)
+    needs_echo = bool(cfg.debug_topics)
+    needs_files = bool(cfg.inject_key and debug_files_dir)
+    # more than one consumer of the micro-batch → persist once instead
+    # of recomputing the chain per pass
+    multi_pass = needs_echo or needs_files or registry is not None
 
-        inner_sink = base_sink
+    def sink_fn(batch_df, batch_id):
+        raw = batch_df  # persist handle (batch_df is rebound below)
+        if multi_pass:
+            raw.persist()
+        try:
+            if registry is not None:
+                # G3 parity: per-(topic)/(topic, date) counters + the
+                # (index, app) field gauge, recorded PRE-rate-limit —
+                # the reference increments consumed counters at consume
+                # time, before the sink-side limiter (src/pulsar.rs).
+                from pulsar_elasticsearch_sync_rs_spark.streaming.metrics import (
+                    record_batch_labeled_counters,
+                )
 
-        def base_sink(batch_df, batch_id):  # noqa: F811 - deliberate wrap
-            echo_debug_topics(batch_df, cfg.debug_topics)  # K2
-            if cfg.inject_key and debug_files_dir:
-                write_debug_files(batch_df, debug_files_dir)  # K3
+                record_batch_labeled_counters(registry, batch_df)
+            if cfg.rate_limits:
+                from pulsar_elasticsearch_sync_rs_spark.operators.rate_limit import (
+                    rate_limit_per_second,
+                )
+
+                batch_df = rate_limit_per_second(
+                    batch_df,
+                    cfg.rate_limits,
+                    app="app",
+                    ts="publish_time",
+                    tiebreaker="event_id",
+                )
+            if needs_echo or needs_files:
+                from pulsar_elasticsearch_sync_rs_spark.streaming.side_outputs import (
+                    echo_debug_topics,
+                    write_debug_files,
+                )
+
+                if needs_echo:
+                    echo_debug_topics(batch_df, cfg.debug_topics)  # K2
+                if needs_files:
+                    write_debug_files(batch_df, debug_files_dir)  # K3
             inner_sink(batch_df, batch_id)
-
-    if cfg.rate_limits:
-        from pulsar_elasticsearch_sync_rs_spark.operators.rate_limit import (
-            rate_limit_per_second,
-        )
-
-        def sink_fn(batch_df, batch_id):
-            limited = rate_limit_per_second(
-                batch_df,
-                cfg.rate_limits,
-                app="app",
-                ts="publish_time",
-                tiebreaker="event_id",
-            )
-            base_sink(limited, batch_id)
-
-    else:
-        sink_fn = base_sink
+        finally:
+            if multi_pass:
+                raw.unpersist()
     writer = (
         out.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)

@@ -27,7 +27,7 @@ but parallel per executor.
 from __future__ import annotations
 
 import json
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 
@@ -54,12 +54,27 @@ class EsBulkTransport:
     """Real ES bulk transport: each executor partition POSTs its rows
     as ``{"index": {"_index": idx}}\\n{doc}`` NDJSON chunks of
     ``buffer_size`` (reference default 1000, ``src/args.rs:105-107``).
-    Import-gated: requires ``urllib3``/network, absent here."""
+
+    K1 parity — per-item error accounting: Elasticsearch returns HTTP
+    200 with ``"errors": true`` when individual items were rejected;
+    the reference walks the response items and splits success/failure
+    counts per index (reference ``src/es.rs:155-188``, counters
+    ``src/prometheus.rs:35-126``). Here each executor partition parses
+    its bulk responses and ships back ONE tiny (index, ok, failed)
+    summary per index — aggregated driver-side into ``registry`` as
+    ``es_write_success`` / ``es_write_failure`` labeled by index.
+
+    ``strict=True`` raises on any item failure so the checkpointed
+    foreachBatch retries the micro-batch (at-least-once); the default
+    mirrors the reference (count and continue)."""
 
     es_url: str
     index_col: str = "index"
     doc_col: str = "doc"
     buffer_size: int = 1000
+    registry: object | None = None  # MetricsRegistry, driver-side only
+    strict: bool = False
+    last_stats: dict = field(default_factory=dict, compare=False)
 
     def write(self, batch_df: DataFrame, batch_id: int) -> None:
         es_url, index_col, doc_col, buffer_size = (
@@ -71,10 +86,14 @@ class EsBulkTransport:
 
         def send_partition(rows):
             import urllib.request
+            from collections import Counter
 
+            ok: Counter = Counter()
+            failed: Counter = Counter()
             buf: list[str] = []
+            idxs: list[str] = []  # target index of each buffered action
 
-            def flush(buf: list[str]):
+            def flush():
                 if not buf:
                     return
                 body = "\n".join(buf) + "\n"
@@ -83,18 +102,59 @@ class EsBulkTransport:
                     data=body.encode(),
                     headers={"Content-Type": "application/x-ndjson"},
                 )
-                urllib.request.urlopen(req, timeout=30).read()
+                raw = urllib.request.urlopen(req, timeout=30).read()
+                try:
+                    resp = json.loads(raw) if raw else {}
+                except ValueError:
+                    resp = {"errors": True, "items": []}
+                if not resp.get("errors"):
+                    for idx in idxs:
+                        ok[idx] += 1
+                else:
+                    # items are positionally parallel to the actions sent
+                    items = resp.get("items") or []
+                    for pos, idx in enumerate(idxs):
+                        op = items[pos].get("index", {}) if pos < len(items) else {}
+                        status = op.get("status", 599)
+                        if op.get("error") is not None or int(status) >= 300:
+                            failed[idx] += 1
+                        else:
+                            ok[idx] += 1
                 buf.clear()
+                idxs.clear()
 
             for row in rows:
                 action = json.dumps({"index": {"_index": row[index_col]}})
                 doc = json.dumps(dict(row[doc_col]) if row[doc_col] else {})
                 buf.extend([action, doc])
+                idxs.append(row[index_col])
                 if len(buf) >= 2 * buffer_size:
-                    flush(buf)
-            flush(buf)
+                    flush()
+            flush()
+            for idx in set(ok) | set(failed):
+                yield (idx, ok[idx], failed[idx])
 
-        batch_df.foreachPartition(send_partition)
+        # mapPartitions (not foreachPartition) so each partition returns
+        # its tiny per-index tally; the collect is O(partitions × indexes)
+        # rows of three scalars — not a data-path collect.
+        tallies = batch_df.rdd.mapPartitions(send_partition).collect()
+        stats: dict[str, list[int]] = {}
+        for idx, n_ok, n_failed in tallies:
+            s = stats.setdefault(idx, [0, 0])
+            s[0] += n_ok
+            s[1] += n_failed
+        self.last_stats = stats
+        if self.registry is not None:
+            for idx, (n_ok, n_failed) in stats.items():
+                if n_ok:
+                    self.registry.inc("es_write_success", n_ok, index=idx)
+                if n_failed:
+                    self.registry.inc("es_write_failure", n_failed, index=idx)
+        n_failed_total = sum(f for _, f in stats.values())
+        if self.strict and n_failed_total:
+            raise RuntimeError(
+                f"bulk batch {batch_id}: {n_failed_total} item(s) rejected by ES"
+            )
 
 
 def bulk_sink_foreach_batch(transport):

@@ -31,6 +31,43 @@ class _BulkCapture(BaseHTTPRequestHandler):
         pass
 
 
+class _BulkReject(BaseHTTPRequestHandler):
+    """Accepts every doc except ones whose target index contains
+    'reject' — those come back as per-item mapper failures inside an
+    HTTP 200 (the partial-failure shape the reference accounts for,
+    reference src/es.rs:155-188)."""
+
+    def do_POST(self):  # noqa: N802
+        n = int(self.headers.get("Content-Length", 0))
+        payload = self.rfile.read(n)
+        captured.append(payload)
+        actions = [
+            json.loads(line)
+            for line in payload.decode().strip().split("\n")[::2]  # action lines
+        ]
+        items = []
+        any_err = False
+        for a in actions:
+            idx = a["index"]["_index"]
+            if "reject" in idx:
+                any_err = True
+                items.append(
+                    {"index": {"_index": idx, "status": 400,
+                               "error": {"type": "mapper_parsing_exception"}}}
+                )
+            else:
+                items.append({"index": {"_index": idx, "status": 201}})
+        body = json.dumps({"took": 1, "errors": any_err, "items": items}).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, *args):
+        pass
+
+
 def test_es_bulk_transport(spark):
     captured.clear()
     server = ThreadingHTTPServer(("127.0.0.1", 0), _BulkCapture)
@@ -61,6 +98,45 @@ def test_es_bulk_transport(spark):
         assert all("_id" not in a["index"] for a in actions)  # auto-id parity
         # buffer_size=2 → first request carries 2 docs, second carries 1
         assert len(captured) == 2
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_es_bulk_error_accounting(spark):
+    """K1 parity: a partially-failed _bulk (HTTP 200 + errors:true)
+    must split es_write_success / es_write_failure per index in the
+    registry, and strict mode must raise (foreachBatch retry path)."""
+    import pytest
+
+    from pulsar_elasticsearch_sync_rs_spark.streaming.metrics import MetricsRegistry
+
+    captured.clear()
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _BulkReject)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{server.server_address[1]}"
+        rows = [
+            Row(index="app-2024.01.01", doc={"msg": "a"}),
+            Row(index="reject-2024.01.01", doc={"msg": "bad1"}),
+            Row(index="app-2024.01.01", doc={"msg": "b"}),
+            Row(index="reject-2024.01.01", doc={"msg": "bad2"}),
+            Row(index="web-2024.01.02", doc={"msg": "c"}),
+        ]
+        df = spark.createDataFrame(rows).coalesce(2)
+        registry = MetricsRegistry()
+        transport = EsBulkTransport(es_url=url, buffer_size=2, registry=registry)
+        transport.write(df, batch_id=7)
+
+        assert registry.get("es_write_success", index="app-2024.01.01") == 2
+        assert registry.get("es_write_success", index="web-2024.01.02") == 1
+        assert registry.get("es_write_failure", index="reject-2024.01.01") == 2
+        assert registry.get("es_write_failure", index="app-2024.01.01") == 0
+        assert transport.last_stats["reject-2024.01.01"] == [0, 2]
+
+        strict = EsBulkTransport(es_url=url, buffer_size=2, strict=True)
+        with pytest.raises(RuntimeError, match="rejected"):
+            strict.write(df, batch_id=8)
     finally:
         server.shutdown()
         server.server_close()

@@ -50,7 +50,8 @@ def test_stream_end_to_end(spark, sf_dir, tmpdir):
         ckpt = os.path.join(tmpdir, "ckpt")
         source = read_events_stream(spark, src_dir)
         q = run_pipeline_stream(
-            spark, cfg, source, ParquetBulkTransport(out_dir), ckpt, available_now=True
+            spark, cfg, source, ParquetBulkTransport(out_dir), ckpt,
+            available_now=True, registry=registry,
         )
         q.awaitTermination(120)
 
@@ -72,6 +73,33 @@ def test_stream_end_to_end(spark, sf_dir, tmpdir):
 
         spark.streams.resetTerminated()
         assert registry.get("pulsar_received_messages") >= 1000
+
+        # G3 parity: per-topic and per-(topic, date) labeled counters
+        # (reference src/prometheus.rs:7-126). Topics sum to the total;
+        # every topic counter has date-labeled shards summing to it.
+        written_counts = {
+            r["topic_short"]: r["n"]
+            for r in written.groupBy("topic_short").agg(F.count("*").alias("n")).collect()
+        }
+        assert written_counts, "no topics written"
+        for topic, n in written_counts.items():
+            assert registry.get("pulsar_received_messages", topic=topic) == n
+        dates = [r["date_str"] for r in written.select("date_str").distinct().collect()]
+        topic0 = next(iter(written_counts))
+        by_date = sum(
+            registry.get("pulsar_received_messages_by_date", topic=topic0, date=d)
+            for d in dates
+        )
+        assert by_date == written_counts[topic0]
+        # field-count gauge labeled per (index, app) (src/es.rs:353-355)
+        one = written.select("index", "app").first()
+        assert registry.get(
+            "es_index_doc_fields", index=one["index"], app=one["app"]
+        ) > 0
+        # /metrics exposition carries labels + default process metrics
+        text = registry.render_prometheus()
+        assert f'pulsar_received_messages{{topic="{topic0}"}}' in text
+        assert "process_cpu_seconds_total" in text
     finally:
         spark.streams.removeListener(listener)
 
