@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_normalized": wrap(L.q_dedup_normalized),
         "q_ngram_jaccard": wrap(L.q_ngram_jaccard),
         "q_dedup_minhash": wrap(L.q_dedup_minhash),  # rows-only (LSH recall)
+        "q_dedup_minhash_verified": wrap(L.q_dedup_minhash_verified),  # rows-only (LSH recall; subset+recall pytest)
         "q_text_stats": wrap(L.q_text_stats),
         "q_token_count": wrap(L.q_token_count),
         "q_lang_id": wrap(L.q_lang_id),
@@ -89,6 +90,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_score": wrap(L.q_quality_score),
         "q_knn_cosine": wrap(L.q_knn_cosine),
         "q_embed_neardup": wrap(L.q_embed_neardup),
+        "q_embed_neardup_lsh": wrap(L.q_embed_neardup_lsh),  # rows-only (sign-LSH lane)
+        "q_embed_neardup_ivf": wrap(L.q_embed_neardup_ivf),  # rows-only (IVF lane; production path)
         "q_knn_lsh": wrap(L.q_knn_lsh),  # rows-only (approximate)
         "q_knn_ivf": wrap(L.q_knn_ivf),  # rows-only (approximate, iterative kmeans)
         "q_media_meta": wrap(L.q_media_meta),

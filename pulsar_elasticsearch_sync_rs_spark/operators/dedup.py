@@ -92,7 +92,13 @@ def minhash_signature(hashes: Column, num_hashes: int = 32) -> Column:
     return F.zip_with(
         a_arr,
         b_arr,
-        lambda a, b: F.array_min(F.transform(hashes, lambda h: (h * a + b) % MERSENNE)),
+        # empty-shingle sentinel: array_min of an empty array is null;
+        # coalesce to MERSENNE so this lane matches the UDF lane's
+        # [MERSENNE]*K signature for empty/too-short docs
+        lambda a, b: F.coalesce(
+            F.array_min(F.transform(hashes, lambda h: (h * a + b) % MERSENNE)),
+            F.lit(MERSENNE).cast("bigint"),
+        ),
     )
 
 
@@ -209,6 +215,12 @@ def ngram_jaccard_pairs(
         F.col(id_col), word_shingles(text, shingle_k).alias("sh"),
         *([F.col(block_col)] if block_col else []),
     )
+    # Exchange barrier: (1) materializes the shingle arrays so the
+    # interpreted-HOF shingle expression isn't re-inlined downstream,
+    # (2) spreads the nested-loop join's streamed side across cores —
+    # a single-file input otherwise runs the whole O(n²) pair scan in
+    # ONE task regardless of cluster size.
+    sh = sh.repartition(sh.sparkSession.sparkContext.defaultParallelism, id_col)
     a, b = sh.alias("a"), sh.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     if block_col:

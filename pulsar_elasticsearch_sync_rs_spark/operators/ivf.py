@@ -75,6 +75,54 @@ def make_cell_probe_udf(centers: np.ndarray, nprobe: int):
     return probe_cells
 
 
+def embedding_near_dup_ivf(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    nlist: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs via IVF cell blocking — the bucketed
+    path for MODERATE cosine thresholds where sign-LSH collision
+    probability collapses (see similarity.embedding_near_dup's regime
+    note).
+
+    Shape: k-means the corpus once (offline at scale), assign each
+    vector to its ``nprobe`` nearest cells (narrow explode), self-join
+    on ``cell_id``, exact cosine verify on the distinct candidate set.
+    Quadratic only WITHIN a cell, and cell size is tunable: at 100 TB
+    you grow ``nlist`` with the corpus so cells stay bounded — the
+    data-driven generalization of label blocking, with recall set by
+    ``nprobe`` (fixture-measured 0.95 at nlist=16/nprobe=4)."""
+    from pyspark.sql import Window  # noqa: F401  (parity with knn helper imports)
+
+    _, centers = build_ivf_index(df, vec_col, nlist=nlist, seed=seed)
+    probe = make_cell_probe_udf(centers, nprobe)
+    cells = df.select(F.col(id_col), F.col(vec_col)).withColumn(
+        "cell_id", F.explode(probe(F.col(vec_col)))
+    )
+    x, y = cells.select(id_col, "cell_id").alias("x"), cells.select(id_col, "cell_id").alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.cell_id") == F.col("y.cell_id"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def knn_cosine_ivf(
     corpus: DataFrame,
     queries: DataFrame,

@@ -175,6 +175,26 @@ def knn_cosine_lsh(
     )
 
 
+def make_multi_table_bucket_udf(dim: int, n_planes: int, n_tables: int, seed: int = 7):
+    """One vectorized UDF emitting the bucket id of EVERY LSH table as
+    an array — a single Arrow pass instead of n_tables UDF calls."""
+    stacked = np.array(
+        [random_hyperplanes(dim, n_planes, seed=seed + 1000 * t) for t in range(n_tables)],
+        dtype=np.float64,
+    )  # T × p × d
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def buckets_udf(vec: pd.Series) -> pd.Series:
+        vm = np.array(vec.tolist(), dtype=np.float64)  # n × d
+        # n × T × p sign bits → n × T packed bucket ids
+        signs = np.einsum("nd,tpd->ntp", vm, stacked) > 0
+        ids = (signs * weights).sum(axis=2).astype(np.int64)
+        return pd.Series([row.tolist() for row in ids])
+
+    return buckets_udf
+
+
 def embedding_near_dup(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -182,20 +202,38 @@ def embedding_near_dup(
     threshold: float = 0.95,
     n_planes: int = 12,
     dim: int = 64,
+    n_tables: int = 4,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs at scale: sign-LSH bucket
-    self-join, then exact cosine ≥ threshold on candidates only."""
-    udf = make_lsh_bucket_udf(random_hyperplanes(dim, n_planes, seed=7))
-    b = df.select(F.col(id_col), F.col(vec_col)).withColumn("bucket", udf(F.col(vec_col)))
-    x, y = b.alias("x"), b.alias("y")
-    pairs = x.join(
-        y,
-        (F.col("x.bucket") == F.col("y.bucket"))
-        & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+    """Embedding-cosine near-duplicate pairs at scale: multi-table
+    sign-LSH bucket self-join (same explode/equi-join shape as the
+    minhash band join — candidates = pairs colliding in ≥1 table),
+    then exact cosine ≥ threshold on candidates only.
+
+    Regime note (physics, not a bug): sign-LSH collision probability
+    per plane is 1-θ/π, so recall 1-(1-(1-θ/π)^p)^T is high only for
+    genuinely close vectors (cosine ≳0.9). For moderate thresholds
+    (0.3-0.8) on near-uniform embeddings, use the IVF cell-blocked
+    variant (operators.ivf.embedding_near_dup_ivf)."""
+    udf = make_multi_table_bucket_udf(dim, n_planes, n_tables, seed=7)
+    b = df.select(F.col(id_col), F.col(vec_col)).withColumn("buckets", udf(F.col(vec_col)))
+    banded = b.select(id_col, F.posexplode("buckets").alias("tbl", "bucket"))
+    x, y = banded.alias("x"), banded.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.tbl") == F.col("y.tbl"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b"))
+        .distinct()
     )
-    sim = cosine(F.col(f"x.{vec_col}"), F.col(f"y.{vec_col}"))
-    return pairs.select(
-        F.col(f"x.{id_col}").alias("id_a"),
-        F.col(f"y.{id_col}").alias("id_b"),
-        F.round(sim, 6).alias("cosine_sim"),
-    ).filter(F.col("cosine_sim") >= threshold)
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    sim = cosine(F.col("__va"), F.col("__vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", F.round(sim, 6).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )

@@ -24,6 +24,7 @@ from pulsar_elasticsearch_sync_rs_spark.functions.text import (
     ws_tokens,
 )
 from pulsar_elasticsearch_sync_rs_spark.operators.dedup import (
+    dedup_minhash_verified,
     minhash_candidates,
     ngram_jaccard_pairs,
     normalize_text,
@@ -31,6 +32,7 @@ from pulsar_elasticsearch_sync_rs_spark.operators.dedup import (
 from pulsar_elasticsearch_sync_rs_spark.operators.multimodal import fake_feature_extract
 from pulsar_elasticsearch_sync_rs_spark.operators.similarity import (
     cosine,
+    embedding_near_dup,
     knn_cosine_bruteforce,
     knn_cosine_lsh,
 )
@@ -121,6 +123,18 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     check; pytest pins recall against the exact Jaccard pairs."""
     docs = read_table(spark, sf_dir, "documents")
     return minhash_candidates(docs, num_hashes=32, bands=8, shingle_k=3)
+
+
+def q_dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end 100 TB near-dup product: MinHash+LSH candidate
+    generation, then exact Jaccard verification ON THE CANDIDATE SET
+    ONLY (never all pairs). Output ⊆ the exact all-pairs result;
+    LSH recall < 1 by construction → rows-only driver check; pytest
+    pins the subset property and recall against the exact twin."""
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup_minhash_verified(
+        docs, threshold=0.35, num_hashes=32, bands=8, shingle_k=3
+    )
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -304,6 +318,31 @@ WITH sims AS (
 SELECT id_a, id_b, cosine_sim FROM sims
 WHERE cosine_sim >= 0.3 ORDER BY id_a, id_b
 """
+
+
+def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed embedding near-dup, sign-LSH lane: multi-table
+    hyperplane buckets → band-style self-join → exact cosine verify on
+    candidates only. Never quadratic within a block — the shape that
+    survives a label holding millions of vectors (q_embed_neardup's
+    exact label-blocked twin stays as the oracle). Sign-LSH recall is
+    high only in its true regime (cosine ≳0.9, pytest-pinned on planted
+    twins); for this fixture's moderate 0.3 threshold the IVF lane
+    (q_embed_neardup_ivf) is the production path."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup(emb, threshold=0.3, n_planes=12, dim=64, n_tables=4)
+
+
+def q_embed_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed embedding near-dup, IVF lane — the production path for
+    moderate cosine thresholds: k-means cells, nprobe-cell assignment,
+    cell-blocked self-join, exact verify. Recall pinned ≥0.85 in pytest
+    against the exact pair set; rows-only driver check (k-means is
+    iterative + approximate)."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.ivf import embedding_near_dup_ivf
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_ivf(emb, threshold=0.3, nlist=16, nprobe=4)
 
 
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -91,6 +91,49 @@ def test_minhash_recall_on_fixture(spark, sf_dir):
     assert recall >= 0.8, f"LSH recall {recall:.2f} over {len(exact)} true pairs"
 
 
+def test_minhash_verified_subset_and_recall(spark, sf_dir):
+    """The end-to-end verified pipeline (q_dedup_minhash_verified):
+    output must be a SUBSET of the exact all-pairs result with
+    identical jaccard values, and recall ≥0.8 on the fixture."""
+    docs = read_table(spark, sf_dir, "documents")
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.35).collect()
+    }
+    assert exact, "fixture has no pairs >= 0.35"
+    verified = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup_minhash_verified(
+            docs, threshold=0.35, num_hashes=32, bands=8
+        ).collect()
+    }
+    assert set(verified) <= set(exact), "verified emitted a non-true pair"
+    for pair, jac in verified.items():
+        assert jac == exact[pair]
+    recall = len(verified) / len(exact)
+    assert recall >= 0.8, f"verified recall {recall:.2f} over {len(exact)} pairs"
+
+
+def test_minhash_lanes_agree_on_degenerate_docs(spark):
+    """Expression lane (minhash_signature) and the Arrow UDF lane must
+    emit the SAME signature for empty / too-short docs (the
+    [MERSENNE]*K sentinel) so band hashes are interchangeable."""
+    from pulsar_elasticsearch_sync_rs_spark.functions.text import word_shingles
+    from pulsar_elasticsearch_sync_rs_spark.operators.dedup import (
+        make_minhash_udf,
+        minhash_signature,
+    )
+
+    rows = [Row(doc_id=0, text=""), Row(doc_id=1, text="one two"), Row(doc_id=2, text=BASE)]
+    df = spark.createDataFrame(rows)
+    hashes = F.transform(word_shingles("text", 3), lambda s: F.crc32(s.cast("binary")))
+    expr = df.select("doc_id", minhash_signature(hashes, 8).alias("sig"))
+    udf = df.select("doc_id", make_minhash_udf(8, 3)("text").alias("sig"))
+    e = {r["doc_id"]: r["sig"] for r in expr.collect()}
+    u = {r["doc_id"]: r["sig"] for r in udf.collect()}
+    assert e == u
+
+
 def test_simhash_dedup(spark):
     out = dedup_simhash(_docs(spark))
     ids = sorted(r["doc_id"] for r in out.collect())
@@ -136,6 +179,71 @@ def test_knn_lsh_recall_planted(spark):
     )
     hits = sum(1 for r in top1 if r["neighbor_id"] == r["query_id"] - 1000)
     assert hits >= 28, f"LSH top-1 found base twin for only {hits}/40 queries"
+
+
+def _exact_pairs_at(spark, sf_dir, threshold):
+    from pulsar_elasticsearch_sync_rs_spark.operators.similarity import cosine
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    a, b = emb.alias("a"), emb.alias("b")
+    return {
+        (r["id_a"], r["id_b"])
+        for r in (
+            a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(
+                F.col("a.vec_id").alias("id_a"),
+                F.col("b.vec_id").alias("id_b"),
+                cosine(F.col("a.embedding"), F.col("b.embedding")).alias("sim"),
+            )
+            .filter(F.col("sim") >= threshold)
+            .collect()
+        )
+    }
+
+
+def test_embed_neardup_ivf_recall(spark, sf_dir):
+    """IVF cell-blocked near-dup join (the moderate-threshold
+    production path): recall ≥0.85 vs exact global pairs at 0.3, and
+    every emitted pair must be a true pair (verify stage is exact)."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.ivf import embedding_near_dup_ivf
+
+    exact = _exact_pairs_at(spark, sf_dir, 0.3)
+    assert exact
+    emb = read_table(spark, sf_dir, "embeddings")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_ivf(emb, threshold=0.3, nlist=16, nprobe=4).collect()
+    }
+    assert got <= exact, "IVF emitted a pair below threshold"
+    recall = len(got) / len(exact)
+    assert recall >= 0.85, f"IVF near-dup recall {recall:.2f} over {len(exact)} pairs"
+
+
+def test_embed_neardup_lsh_planted(spark):
+    """Sign-LSH near-dup in its true regime: planted near-identical
+    twins (cosine ≈0.999) must be recovered by the multi-table bucket
+    join with recall ≥0.9."""
+    import numpy as np
+
+    from pulsar_elasticsearch_sync_rs_spark.operators.similarity import embedding_near_dup
+
+    rng = np.random.default_rng(7)
+    dim = 64
+    base = rng.normal(size=(50, dim))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append(Row(vec_id=i, embedding=[float(x) for x in v]))
+        pert = v + rng.normal(scale=0.02, size=dim)
+        rows.append(Row(vec_id=1000 + i, embedding=[float(x) for x in pert]))
+    df = spark.createDataFrame(rows)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup(
+            df, threshold=0.95, n_planes=12, dim=dim, n_tables=4
+        ).collect()
+    }
+    hits = sum(1 for i in range(50) if (i, 1000 + i) in got)
+    assert hits >= 45, f"LSH recovered only {hits}/50 planted twins"
 
 
 def test_media_metadata_and_features(spark):
