@@ -36,6 +36,10 @@ class PipelineConfig:
     subscription: str = "pulsar-es-sync"
     consumer_name: str = "pulsar-es-sync"
     batch_size: int = 1000  # consumer permits -> maxFilesPerTrigger analog
+    # JWT token auth, honored from the PULSAR_TOKEN env var like the
+    # reference (src/pulsar.rs:77-84: with_auth(Authentication{name:
+    # "token", data: token})); None -> no auth.
+    pulsar_token: str | None = None
 
     # --- filters (src/args.rs:125-131) ---
     global_filters: tuple[str, ...] = ()  # OR-of-patterns exclusion (F2)
@@ -99,6 +103,8 @@ def from_env(**overrides) -> PipelineConfig:
         kwargs["es_addr"] = env["ELASTICSEARCH_ADDRESS"]
     if "PULSAR_NAMESPACE" in env:
         kwargs["pulsar_namespace"] = env["PULSAR_NAMESPACE"]
+    if "PULSAR_TOKEN" in env:
+        kwargs["pulsar_token"] = env["PULSAR_TOKEN"]
     for json_flag in ("namespace_filters", "rate_limits"):
         if isinstance(overrides.get(json_flag), str):
             overrides[json_flag] = json.loads(overrides[json_flag])

@@ -87,14 +87,7 @@ def lang_guess(text: Column | str) -> Column:
     for lg in sorted(STOPWORDS):
         sw = F.array(*[F.lit(w) for w in STOPWORDS[lg]])
         scores.append((lg, F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))))
-    best = F.lit("unknown")
-    best_score = F.lit(0)
-    # iterate in reverse so earlier languages win ties (strict >)
-    for lg, sc in reversed(scores):
-        cond = sc > best_score
-        best = F.when(cond, F.lit(lg)).otherwise(best)
-        best_score = F.when(cond, sc).otherwise(best_score)
-    # two passes because best/best_score interleave; simpler: recompute
+    # strict > means the FIRST language (sorted order) wins ties
     best = F.lit("unknown")
     acc_score = F.lit(0)
     for lg, sc in scores:

@@ -23,6 +23,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# Above this many configured apps, the literal CASE chain becomes a
+# pathological expression tree (codegen blowup, deep when/otherwise
+# nesting); switch to a broadcast hash join against a tiny limits table
+# — same semantics, O(1) expression depth, and the broadcast is a few
+# KB even at 100k apps.
+BROADCAST_LIMITS_THRESHOLD = 50
+
 
 def rate_limit_per_second(
     df: DataFrame,
@@ -30,6 +37,7 @@ def rate_limit_per_second(
     app: str = "app",
     ts: str = "ts",
     tiebreaker: str | None = None,
+    broadcast_threshold: int = BROADCAST_LIMITS_THRESHOLD,
 ) -> DataFrame:
     """Keep ≤ limits[app] records per (app, second); apps without a
     configured limit pass through untouched.
@@ -45,13 +53,25 @@ def rate_limit_per_second(
         order.append(F.col(tiebreaker).asc())
     w = Window.partitionBy(F.col(app), second).orderBy(*order)
 
-    # limit lookup as a literal CASE chain — bounded config, no join
-    limit_expr = F.lit(None).cast("int")
-    for a, n in limits.items():
-        limit_expr = F.when(F.col(app) == a, F.lit(n)).otherwise(limit_expr)
+    if len(limits) <= broadcast_threshold:
+        # small config: literal CASE chain — no join, constant-folded
+        limit_expr = F.lit(None).cast("int")
+        for a, n in limits.items():
+            limit_expr = F.when(F.col(app) == a, F.lit(n)).otherwise(limit_expr)
+        limited = df.withColumn("__rl_limit", limit_expr)
+    else:
+        # large config: broadcast-join a (app, limit) lookup table;
+        # left join keeps unconfigured apps (null limit → unlimited)
+        limits_df = df.sparkSession.createDataFrame(
+            [(a, int(n)) for a, n in limits.items()],
+            "__rl_app: string, __rl_limit: int",
+        )
+        limited = df.join(
+            F.broadcast(limits_df), F.col(app) == F.col("__rl_app"), "left"
+        ).drop("__rl_app")
 
     return (
-        df.withColumn("__rl_limit", limit_expr)
+        limited
         .withColumn(
             "__rl_rn",
             F.when(F.col("__rl_limit").isNotNull(), F.row_number().over(w)),

@@ -63,7 +63,12 @@ def stateful_rate_limiter(limits: dict[str, int], id_field: str = "event_id"):
             keep_mask = []
             for ts in pdf["ts"]:
                 sec = int(ts.timestamp())
-                if sec != current_second:
+                # Only a FORWARD second-change resets the bucket; a
+                # late (out-of-order) event with sec < current_second
+                # counts against the stored second's budget, so
+                # alternating seconds across micro-batches cannot
+                # over-admit past the per-second cap.
+                if sec > current_second:
                     current_second, admitted = sec, 0
                 if admitted < limit:
                     admitted += 1

@@ -65,18 +65,35 @@ def read_events_stream(
     )
 
 
+def pulsar_reader_options(cfg: PipelineConfig) -> dict[str, str]:
+    """Connector options for the StreamNative pulsar-spark source,
+    derived purely from config (unit-testable without the jar).
+
+    Auth parity: the reference reads a JWT from the ``PULSAR_TOKEN``
+    env var and attaches token auth to the client (reference
+    ``src/pulsar.rs:77-84``); the connector's equivalent is the
+    ``pulsar.client.auth*`` pass-through options below.
+    """
+    opts = {
+        "service.url": cfg.pulsar_addr,
+        "topicsPattern": f"persistent://{cfg.pulsar_namespace}/{cfg.topic_regex}",
+        "subscriptionName": cfg.subscription,
+    }
+    if cfg.pulsar_token:
+        opts["pulsar.client.authPluginClassName"] = (
+            "org.apache.pulsar.client.impl.auth.AuthenticationToken"
+        )
+        opts["pulsar.client.authParams"] = f"token:{cfg.pulsar_token}"
+    return opts
+
+
 def read_pulsar_stream(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
     """Real-source lane (S1): StreamNative pulsar-spark connector.
     Requires the connector jar on the classpath (absent here; the
     file-source lane above is behaviorally equivalent for the chain)."""
     return (
         spark.readStream.format("pulsar")
-        .option("service.url", cfg.pulsar_addr)
-        .option(
-            "topicsPattern",
-            f"persistent://{cfg.pulsar_namespace}/{cfg.topic_regex}",
-        )
-        .option("subscriptionName", cfg.subscription)
+        .options(**pulsar_reader_options(cfg))
         .load()
         .select(
             F.col("value").cast("string").alias("value"),  # S2 bytes→utf8

@@ -29,6 +29,23 @@ def test_json_valued_flags():
     assert cfg.namespace_filter_patterns == {"topicA": "(p1)|(p2)", "topicB": "(p3)"}
 
 
+def test_pulsar_token_auth(monkeypatch):
+    # reference src/pulsar.rs:77-84: PULSAR_TOKEN env -> token auth
+    from pulsar_elasticsearch_sync_rs_spark.streaming.runner import pulsar_reader_options
+
+    monkeypatch.setenv("PULSAR_TOKEN", "jwt-abc123")
+    cfg = from_env()
+    assert cfg.pulsar_token == "jwt-abc123"
+    opts = pulsar_reader_options(cfg)
+    assert opts["pulsar.client.authParams"] == "token:jwt-abc123"
+    assert opts["pulsar.client.authPluginClassName"].endswith("AuthenticationToken")
+
+    monkeypatch.delenv("PULSAR_TOKEN")
+    opts_noauth = pulsar_reader_options(from_env())
+    assert "pulsar.client.authParams" not in opts_noauth
+    assert opts_noauth["topicsPattern"] == "persistent://public/default/.*"
+
+
 def test_pattern_compilation():
     cfg = PipelineConfig(
         global_filters=("a", "b"),

@@ -145,6 +145,55 @@ def test_stateful_rate_limit_across_batches(spark, tmpdir):
     assert got.filter(F.col("app") == "b").count() == 1
 
 
+def test_stateful_rate_limit_out_of_order_seconds(spark):
+    """A LATE event (sec < stored second) must not reset the bucket:
+    alternating seconds across batches cannot over-admit. Direct unit
+    drive of the state function with a stub GroupState."""
+    import pandas as pd
+
+    from pulsar_elasticsearch_sync_rs_spark.streaming.rate_limit_state import (
+        stateful_rate_limiter,
+    )
+
+    class StubState:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    fn = stateful_rate_limiter({"a": 2})
+    state = StubState()
+
+    def batch(ids_secs):
+        pdf = pd.DataFrame(
+            {
+                "event_id": [i for i, _ in ids_secs],
+                "app": ["a"] * len(ids_secs),
+                "ts": [pd.Timestamp(s, unit="s", tz="UTC") for _, s in ids_secs],
+            }
+        )
+        return pd.concat(list(fn(("a",), [pdf], state)))
+
+    # batch 1: fill second 100 to its cap of 2
+    out1 = batch([(1, 100), (2, 100), (3, 100)])
+    assert sorted(out1["event_id"]) == [1, 2]
+    # batch 2 replays second 100 (late events) then moves to 101. Before
+    # the fix, sec != current_second reset the bucket and re-admitted 2
+    # more records into the already-full second 100; now the stored
+    # bucket stays exhausted, so only the second-101 event is admitted.
+    out2 = batch([(5, 100), (6, 100), (4, 101)])
+    assert sorted(out2["event_id"]) == [4]
+
+
 def test_windowed_counters_stream(spark, sf_dir, tmpdir):
     """G3 event-time windowed counters with watermark, run as a real
     streaming aggregation (availableNow) and cross-checked against the
