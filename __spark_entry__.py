@@ -95,7 +95,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_lsh": wrap(L.q_knn_lsh),  # rows-only (approximate)
         "q_knn_ivf": wrap(L.q_knn_ivf),  # rows-only (approximate, iterative kmeans)
         "q_media_meta": wrap(L.q_media_meta),
-        "q_media_features": wrap(L.q_media_features),  # rows-only (stubbed codec)
+        "q_media_features": wrap(L.q_media_features),  # real WAV decode, closed-form oracle
     }
 
 
@@ -138,4 +138,5 @@ def oracle_sql() -> dict[str, str]:
         "q_knn_cosine": L.ORACLE_KNN_COSINE,
         "q_embed_neardup": L.ORACLE_EMBED_NEARDUP,
         "q_media_meta": L.ORACLE_MEDIA_META,
+        "q_media_features": L.ORACLE_MEDIA_FEATURES,
     }

@@ -29,7 +29,10 @@ from pulsar_elasticsearch_sync_rs_spark.operators.dedup import (
     ngram_jaccard_pairs,
     normalize_text,
 )
-from pulsar_elasticsearch_sync_rs_spark.operators.multimodal import fake_feature_extract
+from pulsar_elasticsearch_sync_rs_spark.operators.multimodal import (
+    decode_wav_features,
+    synthesize_wav_corpus,
+)
 from pulsar_elasticsearch_sync_rs_spark.operators.similarity import (
     cosine,
     embedding_near_dup,
@@ -380,16 +383,42 @@ FROM documents
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal feature extraction over binary payloads through the
-    real ``mapInPandas`` Arrow plumbing (deterministic fake extractor —
-    codec libs absent; see operators.multimodal). Rows-only check +
-    pytest golden values."""
-    docs = read_table(spark, sf_dir, "documents")
-    binary = docs.select(
-        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("payload")
+    """REAL audio decode end-to-end: synthesize a deterministic WAV
+    blob per document (RIFF header + PCM16 square wave, parameterized
+    by doc_id), then parse it back with the pure-stdlib RIFF chunk
+    walker (operators.multimodal.parse_wav) via Arrow-batched
+    ``mapInPandas``. Because synthesis is closed-form in doc_id, the
+    oracle predicts every decoded field independently — so a header or
+    PCM parsing bug breaks the hash match. Image/video decode remains
+    honestly stubbed (codec libs absent); this is the audio lane."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    wavs = synthesize_wav_corpus(docs, id_col="doc_id")
+    return decode_wav_features(wavs).select(
+        "media_id",
+        "byte_len",
+        "n_channels",
+        "sample_rate",
+        "n_samples",
+        "duration_ms",
+        "peak_amp",
+        F.round("mean_abs", 6).alias("mean_abs"),
     )
-    feats = fake_feature_extract(binary, payload="payload", media_id="media_id", dim=8)
-    return feats.select("media_id", "byte_len", F.round(F.element_at("feature", 1), 6).alias("f0"))
+
+
+# closed-form twin of synthesize_wav_corpus + parse_wav: n_samples =
+# 160 + (id%64)*8 (even → square wave mean|x| = amp exactly), amp =
+# 500 + (id%100)*250, 8 kHz mono PCM16 → 44-byte header + 2 B/sample.
+ORACLE_MEDIA_FEATURES = """
+SELECT doc_id AS media_id,
+  CAST(44 + 2 * (160 + (doc_id % 64) * 8) AS BIGINT) AS byte_len,
+  CAST(1 AS INT) AS n_channels,
+  CAST(8000 AS INT) AS sample_rate,
+  CAST(160 + (doc_id % 64) * 8 AS BIGINT) AS n_samples,
+  CAST((160 + (doc_id % 64) * 8) // 8 AS BIGINT) AS duration_ms,
+  CAST(500 + (doc_id % 100) * 250 AS INT) AS peak_amp,
+  CAST(500 + (doc_id % 100) * 250 AS DOUBLE) AS mean_abs
+FROM documents
+"""
 
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -263,6 +263,47 @@ def test_media_metadata_and_features(spark):
     assert f0[1]["feature"] == [0.0, 0.0, 0.0, 0.0]
 
 
+def test_wav_codec_roundtrip(spark):
+    """Real codec: synth → parse round-trip, chunk-walker robustness
+    (extra chunk before fmt), malformed rejection, and the Spark
+    mapInPandas decode lane."""
+    import struct
+
+    import pytest as _pytest
+
+    from pulsar_elasticsearch_sync_rs_spark.operators.multimodal import (
+        decode_wav_features,
+        parse_wav,
+        synth_wav,
+    )
+
+    blob = synth_wav(n_samples=320, amp=1000, sample_rate=16000)
+    meta = parse_wav(blob)
+    assert meta == {
+        "n_channels": 1,
+        "sample_rate": 16000,
+        "n_samples": 320,
+        "duration_ms": 20,
+        "peak_amp": 1000,
+        "mean_abs": 1000.0,
+    }
+
+    # chunk walker: a LIST chunk of odd size (word-aligned skip) before fmt
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    reordered = blob[:12] + extra + blob[12:]
+    assert parse_wav(reordered)["n_samples"] == 320
+
+    with _pytest.raises(ValueError):
+        parse_wav(b"RIFFxxxxJUNK")
+    with _pytest.raises(ValueError):
+        parse_wav(b"")
+
+    df = spark.createDataFrame([Row(media_id=7, payload=bytearray(blob))])
+    row = decode_wav_features(df).collect()[0]
+    assert row["duration_ms"] == 20 and row["peak_amp"] == 1000
+    assert row["byte_len"] == len(blob)
+
+
 def test_frame_sample_plan(spark):
     df = spark.createDataFrame([Row(media_id=0, duration_ms=3500)])
     frames = frame_sample_plan(df, every_ms=1000).collect()

@@ -17,9 +17,11 @@ def test_oracle_keys_subset_of_queries():
     allowed = {
         "q_uuid_inject",  # nondeterministic values
         "q_dedup_minhash",  # probabilistic LSH recall
+        "q_dedup_minhash_verified",  # LSH candidates -> verify (subset/recall pytest)
+        "q_embed_neardup_lsh",  # sign-LSH lane (recall pytest vs exact)
+        "q_embed_neardup_ivf",  # IVF lane (recall pytest vs exact)
         "q_knn_lsh",  # approximate
         "q_knn_ivf",  # approximate + iterative training
-        "q_media_features",  # stubbed codec
     }
     assert rows_only == allowed, f"unexpected rows-only queries: {rows_only ^ allowed}"
 
