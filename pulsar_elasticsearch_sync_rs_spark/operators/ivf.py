@@ -123,6 +123,58 @@ def embedding_near_dup_ivf(
     )
 
 
+def persist_ivf_index(
+    corpus: DataFrame,
+    table_name: str,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    n_buckets: int = 16,
+    seed: int = 42,
+):
+    """Materialize the cell-assigned corpus as a Spark-native BUCKETED
+    table (``bucketBy(cell_id)`` + ``sortBy(cell_id)``): the one-off
+    offline pass of IVF at scale. Any subsequent equi-join on
+    ``cell_id`` between two reads of this table — the near-dup
+    self-join, or a probe set written with the same bucketing — is
+    shuffle-free: the bucket layout satisfies the join's distribution
+    requirement, so Catalyst plans a SortMergeJoin with NO Exchange on
+    the corpus side (asserted in tests). At 100 TB this is the
+    difference between re-shuffling the corpus per probe batch and
+    reading only co-located buckets. Returns the centroid matrix."""
+    assigned, centers = build_ivf_index(corpus, vec_col, nlist=nlist, seed=seed)
+    (
+        assigned.write.mode("overwrite")
+        .bucketBy(n_buckets, "cell_id")
+        .sortBy("cell_id")
+        .option("path", path)
+        .saveAsTable(table_name)
+    )
+    return centers
+
+
+def ivf_candidates_bucketed(
+    spark,
+    table_name: str,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Candidate-pair generation against the persisted bucketed index:
+    self-join on ``cell_id``. Both sides scan the same bucketed table,
+    so the join needs no shuffle (see persist_ivf_index)."""
+    t = spark.table(table_name).select(id_col, "cell_id")
+    x, y = t.alias("x"), t.alias("y")
+    return x.join(
+        y,
+        (F.col("x.cell_id") == F.col("y.cell_id"))
+        & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+    ).select(
+        F.col(f"x.{id_col}").alias("id_a"),
+        F.col(f"y.{id_col}").alias("id_b"),
+        F.col("x.cell_id").alias("cell_id"),
+    )
+
+
 def knn_cosine_ivf(
     corpus: DataFrame,
     queries: DataFrame,

@@ -311,6 +311,41 @@ def test_frame_sample_plan(spark):
     assert all(r["frame_payload"] is None for r in frames)  # stubbed decode
 
 
+def test_ivf_bucketed_join_is_shuffle_free(spark, sf_dir, tmpdir):
+    """Co-location demo: after persist_ivf_index writes the
+    cell-assigned corpus bucketBy(cell_id), the candidate self-join on
+    cell_id plans WITHOUT any Exchange — the bucket layout satisfies the
+    join's distribution requirement."""
+    import os
+
+    from pulsar_elasticsearch_sync_rs_spark.operators.ivf import (
+        ivf_candidates_bucketed,
+        persist_ivf_index,
+    )
+    from pulsar_elasticsearch_sync_rs_spark.sources.batch import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    table = "ivf_bucketed_test"
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        persist_ivf_index(
+            emb, table, os.path.join(tmpdir, "ivf_tbl"), nlist=8, n_buckets=8
+        )
+        # forbid broadcast so the shuffle-free claim is about bucketing,
+        # not about the small fixture fitting in a broadcast
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        cand = ivf_candidates_bucketed(spark, table)
+        plan = cand._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"probe join shuffled:\n{plan}"
+        assert "SortMergeJoin" in plan
+        # and it actually runs: every pair shares a cell, ids ordered
+        rows = cand.limit(50).collect()
+        assert rows and all(r["id_a"] < r["id_b"] for r in rows)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_knn_ivf_recall(spark, sf_dir):
     """IVF probe search recovers most of the exact top-5 on the fixture:
     with nprobe/nlist = 1/4 of the cells probed, recall is bounded by
