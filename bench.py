@@ -26,11 +26,13 @@ HEADLINE = [
     "q_filter_regex",
     "q_group_counts",
     "q_rate_limit",
+    "q_etl_chain",
     "q_tpch_pricing",
     "q_tpch_join_topk",
     "q_region_revenue",
     "q_window_running",
     "q_sessionize",
+    "q_asof_join",
     "q_dedup_exact",
     "q_dedup_minhash",
     "q_text_stats",
@@ -38,6 +40,11 @@ HEADLINE = [
     "q_knn_cosine",
     "q_embed_neardup",
 ]
+
+# per-query protocol: ONE untimed warm-up execution (pays plan codegen,
+# first-shuffle setup, Python-worker spawn for that stage shape), then
+# best-of-N timed reps — the steady-state figure, stable round-over-round
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
 
 def main() -> None:
@@ -69,11 +76,18 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        fn(spark, sf_dir).count()  # untimed warm-up rep
+        reps = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            reps.append(time.perf_counter() - t0)
+        timings[name] = round(min(reps), 3)
+        print(
+            f"# {name}: best {timings[name]:.3f}s of {[round(r, 3) for r in reps]} ({n} rows)",
+            file=sys.stderr,
+        )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
