@@ -207,22 +207,52 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs ≥ threshold.
 
-    All-pairs within a block (``block_col``); quadratic per block —
-    the correctness oracle / small-block path. The 100 TB path is
-    :func:`minhash_candidates` + verify (see ``dedup_minhash_verified``).
+    LOSSLESS size filtering (the AllPairs/PPJoin size filter — Bayardo
+    et al. WWW'07, Xiao et al. — public literature): ``J(A,B) ≥ t``
+    implies ``t ≤ |A|/|B| ≤ 1/t``, so docs are banded by
+    ``floor(log_{1/t} |shingles|)`` and a qualifying pair can only sit
+    in the same or an adjacent band. Joining on the band key turns the
+    all-pairs nested loop into an equi-(hash)-join whose per-key block
+    is bounded by the size distribution — candidate enumeration is no
+    longer quadratic in the block, and the pruning is implied by the
+    threshold, so results (and the SQL oracle) are unchanged. The
+    probabilistic 100 TB path is still :func:`minhash_candidates` +
+    verify (see ``dedup_minhash_verified``).
     """
+    import math
+
     sh = df.select(
         F.col(id_col), word_shingles(text, shingle_k).alias("sh"),
         *([F.col(block_col)] if block_col else []),
     )
-    # Exchange barrier: (1) materializes the shingle arrays so the
+    # Exchange barrier: materializes the shingle arrays so the
     # interpreted-HOF shingle expression isn't re-inlined downstream,
-    # (2) spreads the nested-loop join's streamed side across cores —
-    # a single-file input otherwise runs the whole O(n²) pair scan in
-    # ONE task regardless of cluster size.
+    # and spreads a single-file input across cores.
     sh = sh.repartition(sh.sparkSession.sparkContext.defaultParallelism, id_col)
-    a, b = sh.alias("a"), sh.alias("b")
-    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    sh = sh.withColumn("n_sh", F.size("sh"))
+    if 0.0 < threshold < 1.0:
+        band = F.floor(
+            F.log(F.greatest(F.col("n_sh"), F.lit(1)).cast("double"))
+            / math.log(1.0 / threshold)
+        ).cast("int")
+    else:
+        # t=1 → equal sets → equal sizes; t=0 → no pruning possible
+        band = (F.col("n_sh") if threshold >= 1.0 else F.lit(0)).cast("int")
+    sh = sh.withColumn("band", band)
+    # explode one side to {band-1, band, band+1}: a qualifying pair's
+    # bands differ by ≤1, so exactly one key matches — no distinct needed
+    a = sh.withColumn(
+        "band_key", F.explode(F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1))
+    ).alias("a")
+    b = sh.alias("b")
+    cond = (
+        (F.col("a.band_key") == F.col("b.band"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        # exact size-ratio filter: cheap scalar pre-check before the
+        # array intersection
+        & (F.col("a.n_sh").cast("double") >= threshold * F.col("b.n_sh"))
+        & (F.col("b.n_sh").cast("double") >= threshold * F.col("a.n_sh"))
+    )
     if block_col:
         cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))

@@ -91,6 +91,36 @@ def test_minhash_recall_on_fixture(spark, sf_dir):
     assert recall >= 0.8, f"LSH recall {recall:.2f} over {len(exact)} true pairs"
 
 
+def test_ngram_jaccard_size_banding(spark, sf_dir):
+    """The size-band key turns the all-pairs scan into an equi-join
+    (no BroadcastNestedLoopJoin in the plan), and the pruning is
+    lossless: a pair of very different sizes that would violate the
+    t ≤ |A|/|B| ≤ 1/t bound can never reach threshold anyway."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.35)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # losslessness on a constructed corpus: one duplicate pair (J=1),
+    # one ~0.5 pair, one long doc that shares a prefix with a short doc
+    # (high containment, low Jaccard — must NOT appear at t=0.5)
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        Row(doc_id=0, text=base),
+        Row(doc_id=1, text=base),
+        Row(doc_id=2, text=base + " iota kappa"),
+        Row(doc_id=3, text=base + " " + " ".join(f"w{i}" for i in range(200))),
+    ]
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            spark.createDataFrame(rows), threshold=0.5
+        ).collect()
+    }
+    assert got[(0, 1)] == 1.0
+    assert (0, 2) in got  # adjacent size band, J ≈ 0.75
+    assert (0, 3) not in got and (1, 3) not in got  # size filter + true J both exclude
+
+
 def test_minhash_verified_subset_and_recall(spark, sf_dir):
     """The end-to-end verified pipeline (q_dedup_minhash_verified):
     output must be a SUBSET of the exact all-pairs result with
