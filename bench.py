@@ -35,6 +35,7 @@ HEADLINE = [
     "q_asof_join",
     "q_dedup_exact",
     "q_dedup_minhash",
+    "q_corpus_curation",
     "q_text_stats",
     "q_token_count",
     "q_knn_cosine",

@@ -461,6 +461,97 @@ FROM feat
 """
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-corpus curation — the composite pipeline a
+    100 TB pretraining-data run actually executes: per-doc language ID
+    + C4-style quality score (narrow, no shuffle) → quality gate →
+    normalized-text dedup (first-writer-wins by doc_id; one shuffle on
+    the normalized hash) → per-language corpus accounting. Every stage
+    is a verified building block (q_lang_id / q_quality_score /
+    q_dedup_normalized / q_token_count); composing them stays fully
+    SQL-expressible, so the whole pipeline is oracle hash-checked."""
+    from pulsar_elasticsearch_sync_rs_spark.functions.text import quality_score
+
+    docs = read_table(spark, sf_dir, "documents")
+    enr = docs.select(
+        "doc_id",
+        lang_guess("text").alias("lang_guess"),
+        quality_score("text").alias("quality"),
+        token_count_ws("text").cast("bigint").alias("n_toks"),
+        normalize_text("text").alias("norm"),
+    )
+    kept = enr.filter(F.col("quality") >= 0.5)
+    w = Window.partitionBy("norm").orderBy("doc_id")
+    surv = kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return surv.groupBy("lang_guess").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").alias("total_tokens"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+    )
+
+
+def _oracle_corpus_curation() -> str:
+    langs = sorted(STOPWORDS)
+    score_exprs = ",\n    ".join(
+        "len(list_filter(tl, t -> list_contains(["
+        + ", ".join(f"'{w}'" for w in STOPWORDS[lg])
+        + f"], t))) AS s_{lg}"
+        for lg in langs
+    )
+    greatest = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    case_arms = "\n         ".join(
+        f"WHEN s_{lg} = {greatest} THEN '{lg}'" for lg in langs
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, text,
+    list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS t,
+    list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS tl
+  FROM documents
+), feat AS (
+  SELECT doc_id, text, t, tl,
+    CAST(len(t) AS DOUBLE) AS n_tok,
+    CASE WHEN len(t) > 0
+         THEN CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t)
+         ELSE 0.0 END AS mean_wlen,
+    CASE WHEN length(text) > 0
+         THEN CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / length(text)
+         ELSE 0.0 END AS punct_ratio,
+    CASE WHEN len(tl) > 0
+         THEN CAST(len(list_filter(tl, x -> list_contains(['the','and','of','to','a','in','is','it'], x))) AS DOUBLE) / len(tl)
+         ELSE 0.0 END AS sw_ratio,
+    {score_exprs}
+  FROM toks
+), enr AS (
+  SELECT doc_id,
+    CASE WHEN {greatest} = 0 THEN 'unknown'
+         {case_arms}
+         ELSE 'unknown' END AS lang_guess,
+    round(
+      least(n_tok / 50.0, 1.0) * 0.3
+      + (CASE WHEN mean_wlen >= 3 AND mean_wlen <= 10 THEN 1.0 ELSE 0.5 END) * 0.2
+      + (1.0 - least(punct_ratio * 5, 1.0)) * 0.25
+      + least(sw_ratio * 4, 1.0) * 0.25, 6) AS quality,
+    CAST(len(t) AS BIGINT) AS n_toks,
+    regexp_replace(trim(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g')), '\s+', ' ', 'g') AS norm
+  FROM feat
+), kept AS (
+  SELECT * FROM enr WHERE quality >= 0.5
+), surv AS (
+  SELECT * FROM (
+    SELECT kept.*, row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn FROM kept
+  ) WHERE rn = 1
+)
+SELECT lang_guess, count(*) AS n_docs,
+  CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+  round(avg(quality), 4) AS avg_quality
+FROM surv GROUP BY lang_guess ORDER BY lang_guess
+"""
+
+
+ORACLE_CORPUS_CURATION = _oracle_corpus_curation()
+
+
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (k-means coarse quantizer, nprobe cell scan) approximate
     top-5 — the inverted-file ANN scale path. Approximate + iterative
