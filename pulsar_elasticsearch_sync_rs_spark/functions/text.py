@@ -24,6 +24,35 @@ STOPWORDS = {
 }
 
 
+# PII scrub patterns (ordered: applied first to last; chosen to parse
+# identically under Java regex (Spark) and RE2 (DuckDB oracle) — ASCII
+# \d, \b, simple classes only)
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Sequential regex redaction of common PII shapes — the standard
+    pre-training scrub pass. Order matters (a phone must be redacted
+    before the IPv4 rule could half-match digits); the oracle applies
+    the same patterns in the same order."""
+    out = F.col(text) if isinstance(text, str) else text
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_count(text: Column | str, kind: str) -> Column:
+    """Match count for one PII category on the UNredacted text."""
+    text = F.col(text) if isinstance(text, str) else text
+    pat = next(p for k, p, _ in PII_PATTERNS if k == kind)
+    return F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+
+
 def ws_tokens(text: Column | str) -> Column:
     """Whitespace tokenization; empty string -> empty array (split of ''
     yields [''], filtered out so counts match intuition and the oracle)."""

@@ -490,6 +490,62 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (emails / SSNs / phones / IPv4 → typed
+    tokens) — the scrub every pretraining corpus runs. The fixture text
+    carries no PII, so a deterministic PII-bearing footer is
+    synthesized from doc_id IN-QUERY (both engines build the identical
+    string), making the redaction genuinely observable: per-doc match
+    counts + md5 of the redacted text are hash-checked. Narrow per-row
+    regexes, no shuffle, no UDF."""
+    from pulsar_elasticsearch_sync_rs_spark.functions.text import pii_count, redact_pii
+
+    docs = read_table(spark, sf_dir, "documents")
+    footer = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-0199 from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+    )
+    aug = docs.select("doc_id", footer.alias("aug"))
+    return aug.select(
+        "doc_id",
+        pii_count("aug", "email").alias("n_email"),
+        pii_count("aug", "phone").alias("n_phone"),
+        pii_count("aug", "ipv4").alias("n_ipv4"),
+        F.md5(redact_pii("aug")).alias("redacted_md5"),
+    )
+
+
+ORACLE_PII_SCRUB = r"""
+WITH aug AS (
+  SELECT doc_id,
+    text || ' contact user' || CAST(doc_id AS VARCHAR)
+      || '@example.com or 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+      || '-0199 from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS aug
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+  CAST(len(regexp_extract_all(aug, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS INTEGER) AS n_phone,
+  CAST(len(regexp_extract_all(aug, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ipv4,
+  md5(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+        '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
+  ) AS redacted_md5
+FROM aug
+"""
+
+
 def _oracle_corpus_curation() -> str:
     langs = sorted(STOPWORDS)
     score_exprs = ",\n    ".join(

@@ -169,3 +169,25 @@ def test_etl_transform_shape(spark):
     assert row["date_str"] == "2024.03.12"
     assert row["doc"]["k_x"] == "1"
     assert row["at_timestamp"].startswith("2024-03-12T10:00:00")
+
+
+def test_pii_redaction_golden(spark):
+    from pulsar_elasticsearch_sync_rs_spark.functions.text import pii_count, redact_pii
+
+    text = (
+        "mail a.b+c@ex-ample.org, ssn 123-45-6789, call 555-867-5309 "
+        "or 555.867.5310, host 192.168.0.1, version 1.2 stays, id 12-34 stays"
+    )
+    df = spark.createDataFrame([Row(t=text)])
+    row = df.select(
+        redact_pii("t").alias("red"),
+        pii_count("t", "email").alias("ne"),
+        pii_count("t", "ssn").alias("ns"),
+        pii_count("t", "phone").alias("np"),
+        pii_count("t", "ipv4").alias("ni"),
+    ).first()
+    assert row["red"] == (
+        "mail <EMAIL>, ssn <SSN>, call <PHONE> "
+        "or <PHONE>, host <IP>, version 1.2 stays, id 12-34 stays"
+    )
+    assert (row["ne"], row["ns"], row["np"], row["ni"]) == (1, 1, 2, 1)

@@ -194,6 +194,53 @@ def test_stateful_rate_limit_out_of_order_seconds(spark):
     assert sorted(out2["event_id"]) == [4]
 
 
+def test_stream_dedup_within_watermark(spark, tmpdir):
+    """Content-hash streaming dedup: duplicates within one batch AND
+    across micro-batches (within the watermark horizon) collapse to
+    the first arrival."""
+    from pulsar_elasticsearch_sync_rs_spark.streaming.stream_dedup import (
+        dedup_stream_by_content,
+    )
+
+    src_dir = os.path.join(tmpdir, "src")
+    os.makedirs(src_dir)
+    # batch 1: A, A (intra-batch dup), B; batch 2: A (cross-batch dup), C
+    rows1 = [(1, "payload-A", "2024-01-01 00:00:00"),
+             (2, "payload-A", "2024-01-01 00:00:01"),
+             (3, "payload-B", "2024-01-01 00:00:02")]
+    rows2 = [(4, "payload-A", "2024-01-01 00:00:03"),
+             (5, "payload-C", "2024-01-01 00:00:04")]
+    for i, rows in enumerate([rows1, rows2]):
+        (
+            spark.createDataFrame(rows, "event_id long, value string, ts_s string")
+            .withColumn("publish_time", F.to_timestamp("ts_s"))
+            .drop("ts_s")
+            .coalesce(1)
+            .write.mode("append" if i else "overwrite")
+            .parquet(src_dir)
+        )
+    stream = (
+        spark.readStream.schema("event_id long, value string, publish_time timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    out = dedup_stream_by_content(stream, text_col="value")
+    out_dir = os.path.join(tmpdir, "out")
+    q = (
+        out.writeStream.outputMode("append")
+        .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out_dir)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["value"] for r in spark.read.parquet(out_dir).collect()}
+    assert got == {"payload-A", "payload-B", "payload-C"}
+    n = spark.read.parquet(out_dir).count()
+    assert n == 3, f"expected 3 survivors, got {n}"
+
+
 def test_windowed_counters_stream(spark, sf_dir, tmpdir):
     """G3 event-time windowed counters with watermark, run as a real
     streaming aggregation (availableNow) and cross-checked against the
