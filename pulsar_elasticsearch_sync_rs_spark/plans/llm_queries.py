@@ -490,6 +490,34 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-20 lowercase whitespace tokens by
+    frequency (deterministic tiebreak on the token). explode → two-level
+    agg (map-side partial combine) → single small top-k; the explode is
+    the only wide-ish step and it shuffles (token, count) pairs, never
+    documents."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(ws_tokens(F.lower(F.col("text")))).alias("token"))
+    counts = toks.groupBy("token").agg(F.count("*").alias("n"))
+    return (
+        counts.orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(20)
+        .select("token", "n")
+    )
+
+
+ORACLE_VOCAB_TOPK = r"""
+SELECT token, count(*) AS n
+FROM (
+  SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '')) AS token
+  FROM documents
+)
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 20
+"""
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction pass (emails / SSNs / phones / IPv4 → typed
     tokens) — the scrub every pretraining corpus runs. The fixture text
