@@ -90,6 +90,8 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    stream = stream_throughput(spark, sf_dir)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -98,10 +100,55 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "stream": stream,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
     )
+
+
+def stream_throughput(spark, sf_dir: str) -> dict:
+    """End-to-end STREAMING throughput: events fixture → full ETL chain
+    (filters, JSON parse, sanitize, timestamps, index rewrite, app
+    extraction, debug classify) → partitioned bulk sink, availableNow.
+    The reference's own e2e is 1000 msgs → 1000 docs with no latency
+    figure (README.md:105-206); msgs/sec through the whole chain is the
+    comparable single-node number."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from pulsar_elasticsearch_sync_rs_spark.config import PipelineConfig
+    from pulsar_elasticsearch_sync_rs_spark.streaming.runner import (
+        read_events_stream,
+        run_pipeline_stream,
+    )
+    from pulsar_elasticsearch_sync_rs_spark.streaming.sink import ParquetBulkTransport
+
+    tmp = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        src_dir = os.path.join(tmp, "src")
+        os.makedirs(src_dir)
+        shutil.copy(f"{sf_dir}/events.parquet", src_dir)
+        cfg = PipelineConfig()
+        out_dir = os.path.join(tmp, "out")
+        t0 = _time.perf_counter()
+        q = run_pipeline_stream(
+            spark,
+            cfg,
+            read_events_stream(spark, src_dir),
+            ParquetBulkTransport(out_dir),
+            os.path.join(tmp, "ckpt"),
+            available_now=True,
+            observe_metrics=False,
+        )
+        q.awaitTermination(300)
+        wall = _time.perf_counter() - t0
+        n = spark.read.parquet(out_dir).count()
+        print(f"# stream: {n} msgs in {wall:.3f}s = {n / wall:.0f} msgs/s", file=sys.stderr)
+        return {"msgs": n, "wall_sec": round(wall, 3), "msgs_per_sec": round(n / wall)}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":
