@@ -478,7 +478,9 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         lang_guess("text").alias("lang_guess"),
         quality_score("text").alias("quality"),
         token_count_ws("text").cast("bigint").alias("n_toks"),
-        normalize_text("text").alias("norm"),
+        # dedup key = sha2 of the normalized text: the dedup shuffle
+        # moves 64-hex-char keys, not documents, at any corpus size
+        F.sha2(normalize_text("text"), 256).alias("norm"),
     )
     kept = enr.filter(F.col("quality") >= 0.5)
     w = Window.partitionBy("norm").orderBy("doc_id")
@@ -617,7 +619,7 @@ WITH toks AS (
       + (1.0 - least(punct_ratio * 5, 1.0)) * 0.25
       + least(sw_ratio * 4, 1.0) * 0.25, 6) AS quality,
     CAST(len(t) AS BIGINT) AS n_toks,
-    regexp_replace(trim(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g')), '\s+', ' ', 'g') AS norm
+    sha256(regexp_replace(trim(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g')), '\s+', ' ', 'g')) AS norm
   FROM feat
 ), kept AS (
   SELECT * FROM enr WHERE quality >= 0.5
