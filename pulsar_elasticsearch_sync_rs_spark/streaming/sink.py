@@ -66,7 +66,15 @@ class EsBulkTransport:
 
     ``strict=True`` raises on any item failure so the checkpointed
     foreachBatch retries the micro-batch (at-least-once); the default
-    mirrors the reference (count and continue)."""
+    mirrors the reference (count and continue).
+
+    ``id_col`` (opt-in): use a row column as the document ``_id``. The
+    reference sends id-less actions so ES auto-generates ids and any
+    retry duplicates (``src/es.rs:364,372``; SURVEY.md §1.4). With a
+    deterministic id (e.g. the injected UUID or a content sha), replays
+    of a retried micro-batch overwrite instead of duplicating —
+    at-least-once delivery becomes effectively-once in the index. Kept
+    off by default for reference parity."""
 
     es_url: str
     index_col: str = "index"
@@ -74,14 +82,16 @@ class EsBulkTransport:
     buffer_size: int = 1000
     registry: object | None = None  # MetricsRegistry, driver-side only
     strict: bool = False
+    id_col: str | None = None
     last_stats: dict = field(default_factory=dict, compare=False)
 
     def write(self, batch_df: DataFrame, batch_id: int) -> None:
-        es_url, index_col, doc_col, buffer_size = (
+        es_url, index_col, doc_col, buffer_size, id_col = (
             self.es_url,
             self.index_col,
             self.doc_col,
             self.buffer_size,
+            self.id_col,
         )
 
         def send_partition(rows):
@@ -124,7 +134,10 @@ class EsBulkTransport:
                 idxs.clear()
 
             for row in rows:
-                action = json.dumps({"index": {"_index": row[index_col]}})
+                meta = {"_index": row[index_col]}
+                if id_col is not None:
+                    meta["_id"] = str(row[id_col])
+                action = json.dumps({"index": meta})
                 doc = json.dumps(dict(row[doc_col]) if row[doc_col] else {})
                 buf.extend([action, doc])
                 idxs.append(row[index_col])

@@ -103,6 +103,32 @@ def test_es_bulk_transport(spark):
         server.server_close()
 
 
+def test_es_bulk_deterministic_id(spark):
+    """Opt-in deterministic _id: actions carry _id so a retried
+    micro-batch overwrites instead of duplicating (effectively-once);
+    default stays id-less (reference auto-id parity, src/es.rs:364)."""
+    captured.clear()
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _BulkCapture)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{server.server_address[1]}"
+        rows = [
+            Row(index="app-2024.01.01", rid="r1", doc={"msg": "a"}),
+            Row(index="app-2024.01.01", rid="r2", doc={"msg": "b"}),
+        ]
+        df = spark.createDataFrame(rows).coalesce(1)
+        EsBulkTransport(es_url=url, buffer_size=10, id_col="rid").write(df, batch_id=0)
+        actions = [
+            json.loads(line)
+            for payload in captured
+            for line in payload.decode().strip().split("\n")[::2]
+        ]
+        assert {a["index"]["_id"] for a in actions} == {"r1", "r2"}
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
 def test_es_bulk_error_accounting(spark):
     """K1 parity: a partially-failed _bulk (HTTP 200 + errors:true)
     must split es_write_success / es_write_failure per index in the

@@ -98,3 +98,85 @@ def test_rate_limit_cap_invariant(spark_global, events, limit):
             counts[(app, sec)] += 1
             expect_kept.add(i)
     assert {r["event_id"] for r in kept} == expect_kept
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.text(
+            alphabet="abc 0123456789.-@", min_size=0, max_size=60
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_pii_redaction_idempotent_and_clean(spark_global, texts):
+    """redact(redact(x)) == redact(x), and no email/SSN/phone/IPv4
+    pattern survives one redaction pass (replacement tokens contain no
+    digits or '@', so they cannot re-form a match)."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from pulsar_elasticsearch_sync_rs_spark.functions.text import (
+        PII_PATTERNS,
+        redact_pii,
+    )
+
+    spark = spark_global
+    df = spark.createDataFrame([Row(t=t) for t in texts])
+    out = df.select(
+        "t",
+        redact_pii("t").alias("once"),
+        redact_pii(redact_pii("t")).alias("twice"),
+    ).collect()
+    for r in out:
+        assert r["once"] == r["twice"], r["t"]
+        for _, pat, _repl in PII_PATTERNS:
+            assert not _re.search(pat, r["once"]), (r["t"], r["once"], pat)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from("abcdefgh"), min_size=0, max_size=12
+        ).map(lambda ws: " ".join(ws)),
+        min_size=2,
+        max_size=10,
+    ),
+    st.sampled_from([0.3, 0.5, 0.8]),
+)
+def test_ngram_size_band_lossless(spark_global, docs, threshold):
+    """The size-banded equi-join returns EXACTLY the pairs a
+    brute-force all-pairs Jaccard (Python model) finds ≥ threshold —
+    the size filter is pruning, never semantics."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    spark = spark_global
+    k = 2
+
+    def shingles(text):
+        toks = text.split()
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    expected = set()
+    for i, a in enumerate(docs):
+        for j in range(i + 1, len(docs)):
+            sa, sb = shingles(a), shingles(docs[j])
+            union = sa | sb
+            jac = len(sa & sb) / len(union) if union else 0.0
+            if jac >= threshold:
+                expected.add((i, j))
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(docs)]
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(
+            df, threshold=threshold, shingle_k=k
+        ).collect()
+    }
+    assert got == expected, (docs, threshold)
