@@ -307,8 +307,13 @@ def q_etl_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.sum(F.when(F.col("is_debug"), 1).otherwise(0)).alias("n_debug"),
             F.sum("n_fields").alias("total_fields"),
-            F.min("at_timestamp").alias("first_ts"),
-            F.max("at_timestamp").alias("last_ts"),
+            # min/max over the TIMESTAMP, rendered after the agg: string
+            # agg buffers force SortAggregate (two extra sorts); long
+            # buffers keep it a HashAggregate. Identical values — the
+            # fixed-width rendering is order-preserving, and time_key is
+            # unset in this cfg so at_timestamp == rendered publish_time.
+            F.date_format(F.min("publish_time"), "yyyy-MM-dd'T'HH:mm:ssXXX").alias("first_ts"),
+            F.date_format(F.max("publish_time"), "yyyy-MM-dd'T'HH:mm:ssXXX").alias("last_ts"),
         )
         .withColumnRenamed("index", "index_name")
     )

@@ -112,8 +112,11 @@ def flagship_summary(spark: SparkSession, sf_dir: str, cfg: PipelineConfig | Non
             F.count("*").alias("n_docs"),
             F.sum(F.when(F.col("is_debug"), 1).otherwise(0)).alias("n_debug"),
             F.avg("n_fields").alias("avg_fields"),
-            F.min("at_timestamp").alias("first_ts"),
-            F.max("at_timestamp").alias("last_ts"),
+            # timestamp-typed agg buffers (HashAggregate), rendered after;
+            # valid because time_key is unset here so at_timestamp is the
+            # rendered publish_time and the rendering is order-preserving
+            F.date_format(F.min("publish_time"), "yyyy-MM-dd'T'HH:mm:ssXXX").alias("first_ts"),
+            F.date_format(F.max("publish_time"), "yyyy-MM-dd'T'HH:mm:ssXXX").alias("last_ts"),
         )
         .orderBy("app", "index")
     )
