@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_corpus_curation": wrap(L.q_corpus_curation),  # end-to-end curation pipeline
         "q_pii_scrub": wrap(L.q_pii_scrub),
         "q_vocab_topk": wrap(L.q_vocab_topk),
+        "q_stratified_sample": wrap(L.q_stratified_sample),
         "q_knn_cosine": wrap(L.q_knn_cosine),
         "q_embed_neardup": wrap(L.q_embed_neardup),
         "q_embed_neardup_lsh": wrap(L.q_embed_neardup_lsh),  # rows-only (sign-LSH lane)
@@ -141,6 +142,7 @@ def oracle_sql() -> dict[str, str]:
         "q_corpus_curation": L.ORACLE_CORPUS_CURATION,
         "q_pii_scrub": L.ORACLE_PII_SCRUB,
         "q_vocab_topk": L.ORACLE_VOCAB_TOPK,
+        "q_stratified_sample": L.ORACLE_STRATIFIED_SAMPLE,
         "q_knn_cosine": L.ORACLE_KNN_COSINE,
         "q_embed_neardup": L.ORACLE_EMBED_NEARDUP,
         "q_media_meta": L.ORACLE_MEDIA_META,

@@ -492,6 +492,55 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SAMPLE_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source training-data sampling recipe: content-deterministic
+    md5-gate stratified sample (reproducible across engines — no RNG),
+    summarized per source. Narrow, shuffle-free gate; the tiny per-
+    source agg is the only exchange."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.sampling import (
+        deterministic_stratified_sample,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    kept = deterministic_stratified_sample(
+        docs, "source", "doc_id", SAMPLE_FRACTIONS, default_fraction=0.1
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum(token_count_ws("text").cast("bigint")).alias("kept_tokens"),
+    )
+
+
+def _oracle_stratified_sample() -> str:
+    from pulsar_elasticsearch_sync_rs_spark.operators.sampling import _frac_to_hex
+
+    def gate(p: float) -> str:
+        if p >= 1.0:
+            return "TRUE"
+        if p <= 0.0:
+            return "FALSE"
+        return f"substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) < '{_frac_to_hex(p)}'"
+
+    arms = "\n         ".join(
+        f"WHEN source = '{s}' THEN {gate(p)}" for s, p in SAMPLE_FRACTIONS.items()
+    )
+    default_hex = _frac_to_hex(0.1)
+    return rf"""
+SELECT source, count(*) AS n_kept,
+  CAST(sum(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> ''))) AS BIGINT) AS kept_tokens
+FROM documents
+WHERE CASE {arms}
+      ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) < '{default_hex}' END
+GROUP BY source ORDER BY source
+"""
+
+
+ORACLE_STRATIFIED_SAMPLE = _oracle_stratified_sample()
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: top-20 lowercase whitespace tokens by
     frequency (deterministic tiebreak on the token). explode → two-level

@@ -397,3 +397,50 @@ def test_knn_ivf_recall(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"IVF recall {recall:.2f}"
+
+
+def test_sampling_operators(spark, sf_dir):
+    """md5-gate sampling: rates land near their fractions, the gate is
+    consistent (same ids kept on re-run — no RNG), sampleBy lane
+    respects strata, and weighted_mix tags provenance."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.sampling import (
+        deterministic_stratified_sample,
+        stratified_sample,
+        weighted_mix,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    fr = {"src0": 1.0, "src1": 0.5, "src2": 0.0}
+    kept = deterministic_stratified_sample(docs, "source", "doc_id", fr)
+    by_src = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    totals = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_src["src0"] == totals["src0"]  # p=1 keeps all
+    assert "src2" not in by_src  # p=0 drops all
+    assert set(by_src) == {"src0", "src1"}  # default 0 drops the rest
+    assert 0.2 <= by_src["src1"] / totals["src1"] <= 0.8  # ~0.5 at n=25
+    # deterministic: identical id set on re-run
+    ids1 = sorted(r["doc_id"] for r in kept.collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in deterministic_stratified_sample(docs, "source", "doc_id", fr).collect()
+    )
+    assert ids1 == ids2
+
+    sb = stratified_sample(docs, "source", {"src0": 1.0}, seed=7)
+    assert {r["source"] for r in sb.collect()} == {"src0"}
+
+    a = docs.filter(F.col("source") == "src0")
+    b = docs.filter(F.col("source") == "src1")
+    mixed = weighted_mix([(a, 1.0), (b, 0.5)], id_col="doc_id")
+    tags = {
+        r["mix_source"]: r["n"]
+        for r in mixed.groupBy("mix_source").agg(F.count("*").alias("n")).collect()
+    }
+    assert tags["src0"] == totals["src0"]
+    assert 0 < tags["src1"] < totals["src1"]
