@@ -83,6 +83,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_jaccard": wrap(L.q_ngram_jaccard),
         "q_dedup_minhash": wrap(L.q_dedup_minhash),  # rows-only (LSH recall)
         "q_dedup_minhash_verified": wrap(L.q_dedup_minhash_verified),  # rows-only (LSH recall; subset+recall pytest)
+        "q_dedup_simhash": wrap(L.q_dedup_simhash),  # rows-only (UDF signature; planted-dup pytest)
+        "q_media_frames": wrap(L.q_media_frames),
         "q_text_stats": wrap(L.q_text_stats),
         "q_token_count": wrap(L.q_token_count),
         "q_lang_id": wrap(L.q_lang_id),
@@ -147,4 +149,5 @@ def oracle_sql() -> dict[str, str]:
         "q_embed_neardup": L.ORACLE_EMBED_NEARDUP,
         "q_media_meta": L.ORACLE_MEDIA_META,
         "q_media_features": L.ORACLE_MEDIA_FEATURES,
+        "q_media_frames": L.ORACLE_MEDIA_FRAMES,
     }

@@ -140,6 +140,45 @@ def q_dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash dedup survivors: 64-bit signature (numpy Arrow UDF —
+    token-hash sign aggregation isn't SQL-expressible), one shuffle on
+    the signature. Deterministic but oracle-less → rows-only driver
+    check; planted-dup semantics pinned in pytest."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.dedup import dedup_simhash
+
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup_simhash(docs, text="text", id_col="doc_id")
+
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling PLAN over synthesized durations (same
+    closed-form as the WAV corpus): one row per sampled frame timestamp
+    every 10 ms. The explode is `sequence()` (codegen built-in); the
+    decode that would fill frame payloads stays stubbed. Fully
+    SQL-expressible → hash-checked via generate_series."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.multimodal import (
+        frame_sample_plan,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        (((F.lit(160) + (F.col("doc_id") % 64) * 8)) / F.lit(8)).cast("long").alias("duration_ms"),
+    )
+    frames = frame_sample_plan(docs, every_ms=10)
+    return frames.select("media_id", "frame_ts_ms")
+
+
+ORACLE_MEDIA_FRAMES = """
+SELECT media_id, unnest(generate_series(0, greatest(duration_ms - 1, 0), 10)) AS frame_ts_ms
+FROM (
+  SELECT doc_id AS media_id,
+    CAST((160 + (doc_id % 64) * 8) // 8 AS BIGINT) AS duration_ms
+  FROM documents
+)
+"""
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (whitespace + BPE-ish regex), punctuation ratio,
     char length — narrow per-row expressions, no shuffle."""

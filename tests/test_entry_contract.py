@@ -18,6 +18,7 @@ def test_oracle_keys_subset_of_queries():
         "q_uuid_inject",  # nondeterministic values
         "q_dedup_minhash",  # probabilistic LSH recall
         "q_dedup_minhash_verified",  # LSH candidates -> verify (subset/recall pytest)
+        "q_dedup_simhash",  # numpy UDF signature, not SQL-expressible (planted pytest)
         "q_embed_neardup_lsh",  # sign-LSH lane (recall pytest vs exact)
         "q_embed_neardup_ivf",  # IVF lane (recall pytest vs exact)
         "q_knn_lsh",  # approximate
