@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_minhash_verified": wrap(L.q_dedup_minhash_verified),  # rows-only (LSH recall; subset+recall pytest)
         "q_dedup_simhash": wrap(L.q_dedup_simhash),  # rows-only (UDF signature; planted-dup pytest)
         "q_media_frames": wrap(L.q_media_frames),
+        "q_media_image": wrap(L.q_media_image),  # real BMP decode, closed-form oracle
         "q_text_stats": wrap(L.q_text_stats),
         "q_token_count": wrap(L.q_token_count),
         "q_lang_id": wrap(L.q_lang_id),
@@ -150,4 +151,5 @@ def oracle_sql() -> dict[str, str]:
         "q_media_meta": L.ORACLE_MEDIA_META,
         "q_media_features": L.ORACLE_MEDIA_FEATURES,
         "q_media_frames": L.ORACLE_MEDIA_FRAMES,
+        "q_media_image": L.ORACLE_MEDIA_IMAGE,
     }

@@ -117,6 +117,121 @@ def parse_wav(blob: bytes) -> dict:
     }
 
 
+# --- real image codec: pure-stdlib BMP (BITMAPINFOHEADER, 24 bpp) -------
+
+def synth_bmp(width: int, height: int, bgr: tuple[int, int, int]) -> bytes:
+    """Serialize a solid-color 24-bpp bottom-up BMP: 14-byte file
+    header + 40-byte BITMAPINFOHEADER + 4-byte-aligned pixel rows.
+    Deterministic — every decoded field has a closed form."""
+    import struct
+
+    stride = ((width * 3 + 3) // 4) * 4
+    img_size = stride * height
+    header = b"BM" + struct.pack("<IHHI", 14 + 40 + img_size, 0, 0, 14 + 40)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    row = (bytes(bgr) * width) + b"\x00" * (stride - width * 3)
+    return header + info + row * height
+
+
+def parse_bmp(blob: bytes) -> dict:
+    """Real decode: file header → pixel offset, BITMAPINFOHEADER →
+    dimensions/bpp, then walk the (padded, bottom-up) pixel array for
+    per-channel means. Pure stdlib ``struct``."""
+    import struct
+
+    if len(blob) < 54 or blob[:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    data_offset = struct.unpack("<I", blob[10:14])[0]
+    hdr_size, width, height, _planes, bpp, compression = struct.unpack(
+        "<IiiHHI", blob[14:34]
+    )
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP: hdr={hdr_size} bpp={bpp} comp={compression}")
+    abs_h = abs(height)
+    stride = ((width * 3 + 3) // 4) * 4
+    tot_b = tot_g = tot_r = 0
+    for r in range(abs_h):
+        base = data_offset + r * stride
+        row = blob[base : base + width * 3]
+        tot_b += sum(row[0::3])
+        tot_g += sum(row[1::3])
+        tot_r += sum(row[2::3])
+    n = width * abs_h or 1
+    return {
+        "width": width,
+        "height": abs_h,
+        "bpp": bpp,
+        "n_pixels": width * abs_h,
+        "mean_b": tot_b / n,
+        "mean_g": tot_g / n,
+        "mean_r": tot_r / n,
+    }
+
+
+BMP_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("byte_len", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("bpp", T.IntegerType(), False),
+        T.StructField("n_pixels", T.LongType(), False),
+        T.StructField("mean_b", T.DoubleType(), False),
+        T.StructField("mean_g", T.DoubleType(), False),
+        T.StructField("mean_r", T.DoubleType(), False),
+    ]
+)
+
+
+def synthesize_bmp_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic BMP corpus from an id column: width = 4 + id%8,
+    height = 2 + id%5, solid BGR = (id%256, (3·id)%256, (7·id)%256) —
+    every decoded field is a closed-form function of the id."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [
+                        synth_bmp(
+                            4 + (i % 8),
+                            2 + (i % 5),
+                            (int(i % 256), int((3 * i) % 256), int((7 * i) % 256)),
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+    return df.mapInPandas(synth, schema)
+
+
+def decode_bmp_features(
+    df: DataFrame, payload: str = "payload", media_id: str = "media_id"
+) -> DataFrame:
+    """Arrow-batched ``mapInPandas`` over binary BMP payloads → header
+    fields + per-channel pixel means (the shape a PIL/torchvision
+    extractor would use). Blobs never shuffle."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[media_id], pdf[payload]):
+                b = bytes(blob)
+                rows.append({"media_id": mid, "byte_len": len(b), **parse_bmp(b)})
+            yield pd.DataFrame(rows, columns=[f.name for f in BMP_FEATURE_SCHEMA.fields])
+
+    return df.mapInPandas(decode, BMP_FEATURE_SCHEMA)
+
+
 def synthesize_wav_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic WAV corpus from an id column (test/bench fixture
     generator): ``n_samples = 160 + (id % 64) * 8``, square-wave

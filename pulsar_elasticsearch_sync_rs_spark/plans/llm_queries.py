@@ -460,6 +460,49 @@ FROM documents
 """
 
 
+def q_media_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end (the BMP twin of q_media_features'
+    WAV lane): synthesize a deterministic 24-bpp BMP per document,
+    parse it back with the pure-stdlib header+pixel walker
+    (operators.multimodal.parse_bmp) via Arrow-batched ``mapInPandas``,
+    and hash-check every decoded field against the closed-form oracle.
+    Only video decode remains stubbed."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.multimodal import (
+        decode_bmp_features,
+        synthesize_bmp_corpus,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    bmps = synthesize_bmp_corpus(docs, id_col="doc_id")
+    return decode_bmp_features(bmps).select(
+        "media_id",
+        "byte_len",
+        "width",
+        "height",
+        "bpp",
+        "n_pixels",
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_r", 6).alias("mean_r"),
+    )
+
+
+# closed-form twin of synthesize_bmp_corpus + parse_bmp: w = 4+id%8,
+# h = 2+id%5, stride = 4-byte-aligned 3w, solid BGR channels.
+ORACLE_MEDIA_IMAGE = """
+SELECT doc_id AS media_id,
+  CAST(54 + (((4 + doc_id % 8) * 3 + 3) // 4) * 4 * (2 + doc_id % 5) AS BIGINT) AS byte_len,
+  CAST(4 + doc_id % 8 AS INT) AS width,
+  CAST(2 + doc_id % 5 AS INT) AS height,
+  CAST(24 AS INT) AS bpp,
+  CAST((4 + doc_id % 8) * (2 + doc_id % 5) AS BIGINT) AS n_pixels,
+  CAST(doc_id % 256 AS DOUBLE) AS mean_b,
+  CAST((3 * doc_id) % 256 AS DOUBLE) AS mean_g,
+  CAST((7 * doc_id) % 256 AS DOUBLE) AS mean_r
+FROM documents
+"""
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style heuristic quality score per document (length, word
     length, punctuation density, stopword presence). Narrow per-row

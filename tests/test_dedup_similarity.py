@@ -444,3 +444,31 @@ def test_sampling_operators(spark, sf_dir):
     }
     assert tags["src0"] == totals["src0"]
     assert 0 < tags["src1"] < totals["src1"]
+
+
+def test_bmp_codec_roundtrip(spark):
+    """Real image codec: synth → parse round-trip, malformed rejection,
+    and the Spark mapInPandas decode lane."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.multimodal import (
+        decode_bmp_features,
+        parse_bmp,
+        synth_bmp,
+    )
+
+    blob = synth_bmp(5, 3, (10, 20, 30))  # stride pads 15 -> 16 bytes
+    meta = parse_bmp(blob)
+    assert meta == {
+        "width": 5, "height": 3, "bpp": 24, "n_pixels": 15,
+        "mean_b": 10.0, "mean_g": 20.0, "mean_r": 30.0,
+    }
+    assert len(blob) == 54 + 16 * 3
+
+    with pytest.raises(ValueError):
+        parse_bmp(b"PNGnope" + b"\x00" * 60)
+    with pytest.raises(ValueError):
+        parse_bmp(b"BM")  # truncated
+
+    df = spark.createDataFrame([Row(media_id=3, payload=bytearray(blob))])
+    row = decode_bmp_features(df).collect()[0]
+    assert (row["width"], row["height"], row["mean_r"]) == (5, 3, 30.0)
+    assert row["byte_len"] == len(blob)
