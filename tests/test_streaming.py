@@ -297,3 +297,51 @@ def test_windowed_counters_stream(spark, sf_dir, tmpdir):
         | (F.col("consumed_debug") != F.col("b_debug"))
     ).count()
     assert mism == 0
+
+
+def test_session_window_stream_matches_batch(spark, sf_dir, tmpdir):
+    """Native session_window streaming aggregation produces the SAME
+    per-user session multiset (n_events per session) as the batch
+    lag-gap model at a 30-minute gap."""
+    from pulsar_elasticsearch_sync_rs_spark.streaming.sessions import sessionize_stream
+
+    src_dir = os.path.join(tmpdir, "src")
+    os.makedirs(src_dir)
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "user_id", F.timestamp_micros(F.expr("ts div 1000")).alias("ts"))
+    )
+    ev.coalesce(1).write.mode("overwrite").parquet(src_dir)
+
+    # batch model: lag-gap sessionization (the q_sessionize shape)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    batch = (
+        ev.withColumn("prev", F.lag("ts").over(w))
+        .withColumn(
+            "new_sess",
+            (F.col("prev").isNull())
+            | ((F.unix_timestamp("ts") - F.unix_timestamp("prev")) > 1800),
+        )
+        .withColumn("sess_id", F.sum(F.col("new_sess").cast("int")).over(w))
+        .groupBy("user_id", "sess_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    batch_multiset = sorted(
+        (r["user_id"], r["n_events"]) for r in batch.collect()
+    )
+
+    stream = spark.readStream.schema("event_id long, user_id long, ts timestamp").parquet(src_dir)
+    out = sessionize_stream(stream, gap="30 minutes")
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT user_id, n_events FROM sess_stream").collect()
+    got_multiset = sorted((r["user_id"], r["n_events"]) for r in got)
+    assert got_multiset == batch_multiset
