@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- relational/analytic pack (SURVEY.md §2.9) ---
         "q_tpch_pricing": wrap(A.q_tpch_pricing),
         "q_tpch_join_topk": wrap(A.q_tpch_join_topk),
+        "q_tpch_custrev": wrap(A.q_tpch_custrev),
         "q_region_revenue": wrap(A.q_region_revenue),
         "q_rollup_acctbal": wrap(A.q_rollup_acctbal),
         "q_setops": wrap(A.q_setops),
@@ -122,6 +123,7 @@ def oracle_sql() -> dict[str, str]:
         "q_dead_letter": E.ORACLE_DEAD_LETTER,
         "q_tpch_pricing": A.ORACLE_TPCH_PRICING,
         "q_tpch_join_topk": A.ORACLE_TPCH_JOIN_TOPK,
+        "q_tpch_custrev": A.ORACLE_TPCH_CUSTREV,
         "q_region_revenue": A.ORACLE_REGION_REVENUE,
         "q_rollup_acctbal": A.ORACLE_ROLLUP_ACCTBAL,
         "q_setops": A.ORACLE_SETOPS,

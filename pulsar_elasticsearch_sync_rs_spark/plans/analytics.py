@@ -117,6 +117,42 @@ LIMIT 10
 """
 
 
+def q_tpch_custrev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style returned-item customer revenue: 4-way join
+    (nation broadcast into customer, customer broadcast into orders ⋈
+    lineitem), filter returned lines, top-20 customers by exact decimal
+    revenue. At 100 TB the only data-sized shuffle is lineitem⋈orders
+    on the order key; everything else rides broadcasts."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    nation = read_table(spark, sf_dir, "nation")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(_dsum_expr(_dec2("l_extendedprice") * (1 - _dec2("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+ORACLE_TPCH_CUSTREV = """
+SELECT c_custkey, c_name, n_name,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
 def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-flavor: revenue per region via a 5-way star join.
     region/nation/supplier/customer all broadcast (bounded dims);
