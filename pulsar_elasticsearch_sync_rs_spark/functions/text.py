@@ -108,22 +108,42 @@ def quality_score(text: Column | str) -> Column:
 
 def lang_guess(text: Column | str) -> Column:
     """N-gram/stopword language-ID heuristic: score each candidate
-    language by stopword hits, pick the argmax (ties -> lexicographic
-    order of iteration below, pinned for oracle parity)."""
+    language by stopword hits, pick the argmax (ties -> first language
+    in sorted order, pinned for oracle parity).
+
+    Single-pass shape: ONE `aggregate` traversal accumulates all
+    per-language counters in a struct. The naive form (one
+    `filter`+`size` per language) inlines the tokenize subtree N_langs
+    times and walks the token array N_langs times — these higher-order
+    functions are interpreted (CodegenFallback), so the redundancy is
+    paid at full per-element-boxing price."""
     text = F.col(text) if isinstance(text, str) else text
     toks = ws_tokens(F.lower(text))
-    scores = []
-    for lg in sorted(STOPWORDS):
-        sw = F.array(*[F.lit(w) for w in STOPWORDS[lg]])
-        scores.append((lg, F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))))
+    langs = sorted(STOPWORDS)
+    zero = F.struct(*[F.lit(0).alias(f"s_{lg}") for lg in langs])
+
+    def step(acc, t):
+        return F.struct(
+            *[
+                (
+                    acc[f"s_{lg}"]
+                    + F.array_contains(
+                        F.array(*[F.lit(w) for w in STOPWORDS[lg]]), t
+                    ).cast("int")
+                ).alias(f"s_{lg}")
+                for lg in langs
+            ]
+        )
+
+    scores_struct = F.aggregate(toks, zero, step)
     # strict > means the FIRST language (sorted order) wins ties
     best = F.lit("unknown")
     acc_score = F.lit(0)
-    for lg, sc in scores:
+    for lg in langs:
+        sc = scores_struct[f"s_{lg}"]
         cond = sc > acc_score
-        new_best = F.when(cond, F.lit(lg)).otherwise(best)
-        new_score = F.when(cond, sc).otherwise(acc_score)
-        best, acc_score = new_best, new_score
+        best = F.when(cond, F.lit(lg)).otherwise(best)
+        acc_score = F.when(cond, sc).otherwise(acc_score)
     return best
 
 
