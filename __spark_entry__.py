@@ -70,6 +70,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rollup_acctbal": wrap(A.q_rollup_acctbal),
         "q_setops": wrap(A.q_setops),
         "q_window_running": wrap(A.q_window_running),
+        "q_window_range": wrap(A.q_window_range),
+        "q_argmin_join": wrap(A.q_argmin_join),
         "q_topk_per_group": wrap(A.q_topk_per_group),
         "q_semi_anti": wrap(A.q_semi_anti),
         "q_sessionize": wrap(A.q_sessionize),
@@ -128,6 +130,8 @@ def oracle_sql() -> dict[str, str]:
         "q_rollup_acctbal": A.ORACLE_ROLLUP_ACCTBAL,
         "q_setops": A.ORACLE_SETOPS,
         "q_window_running": A.ORACLE_WINDOW_RUNNING,
+        "q_window_range": A.ORACLE_WINDOW_RANGE,
+        "q_argmin_join": A.ORACLE_ARGMIN_JOIN,
         "q_topk_per_group": A.ORACLE_TOPK_PER_GROUP,
         "q_semi_anti": A.ORACLE_SEMI_ANTI,
         "q_sessionize": A.ORACLE_SESSIONIZE,

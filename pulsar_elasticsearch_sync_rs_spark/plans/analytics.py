@@ -275,6 +275,77 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
 """
 
 
+def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame sliding window: per-user event count and value sum
+    over the trailing 1 hour of EVENT TIME (rangeBetween on epoch
+    seconds — a value frame, not a row frame; peers at equal
+    timestamps all see the same frame, so the result is deterministic
+    without a unique tiebreak). Single shuffle on user_id."""
+    ev = read_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("sum_last_hour"),
+    )
+
+
+ORACLE_WINDOW_RANGE = """
+SELECT event_id, user_id,
+  CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_last_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_argmin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-style correlated-min pattern: for each part, the
+    lineitem row(s) achieving the minimum extended price — expressed as
+    aggregate + join back on (key, min) instead of a correlated
+    subquery per row. Both sides shuffle once on l_partkey; at scale
+    AQE picks SMJ and the min side is a fraction of the fact table."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice"
+    )
+    mins = (
+        li.groupBy("l_partkey")
+        .agg(F.min("l_extendedprice").alias("min_price"))
+        .withColumnRenamed("l_partkey", "m_partkey")
+    )
+    return (
+        li.join(
+            mins,
+            (F.col("l_partkey") == F.col("m_partkey"))
+            & (F.col("l_extendedprice") == F.col("min_price")),
+        )
+        .select(
+            F.col("l_partkey").alias("p_key"),
+            "l_suppkey",
+            "l_orderkey",
+            F.col("l_extendedprice").alias("min_price"),
+        )
+    )
+
+
+ORACLE_ARGMIN_JOIN = """
+SELECT l.l_partkey AS p_key, l.l_suppkey, l.l_orderkey,
+  l.l_extendedprice AS min_price
+FROM lineitem l
+JOIN (
+  SELECT l_partkey, min(l_extendedprice) AS m
+  FROM lineitem GROUP BY l_partkey
+) mm ON l.l_partkey = mm.l_partkey AND l.l_extendedprice = mm.m
+"""
+
+
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders by totalprice per customer (classic windowed
     top-k; raw double comparison — no arithmetic, so bit-identical
