@@ -23,12 +23,20 @@ TENANT_NS = "persistent://public/default"
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ts is TIMESTAMP(NANOS) read as long (nanosAsLong) — convert to a
-        # real timestamp with µs truncation, matching DuckDB's ns->µs cast.
-        if dict(df.dtypes).get("ts") == "bigint":
+        # The fixture's ts encoding has varied across driver testdata
+        # generations: TIMESTAMP(NANOS) read as long (nanosAsLong), or
+        # timestamp[us] with isAdjustedToUTC=false read as TIMESTAMP_NTZ.
+        # Normalize every shape to a session-TZ (UTC) TIMESTAMP so strict
+        # consumers (unix_millis, window ranges) see one type and values
+        # render identically to DuckDB's naive-timestamp reading.
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             # integral `div`, NOT `/`: ns values (~1.7e18) exceed double's
             # 53-bit mantissa, so float division rounds at the µs level
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # session TZ is pinned UTC, so this preserves the wall clock
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
