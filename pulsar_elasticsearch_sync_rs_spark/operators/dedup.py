@@ -205,68 +205,172 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     block_col: str | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similar pairs ≥ threshold.
+    """Exact n-gram Jaccard similar pairs ≥ threshold via the
+    AllPairs/PPJoin **prefix filter** (Bayardo et al. WWW'07, Xiao et
+    al. — public literature).
 
-    LOSSLESS size filtering (the AllPairs/PPJoin size filter — Bayardo
-    et al. WWW'07, Xiao et al. — public literature): ``J(A,B) ≥ t``
-    implies ``t ≤ |A|/|B| ≤ 1/t``, so docs are banded by
-    ``floor(log_{1/t} |shingles|)`` and a qualifying pair can only sit
-    in the same or an adjacent band. Joining on the band key turns the
-    all-pairs nested loop into an equi-(hash)-join whose per-key block
-    is bounded by the size distribution — candidate enumeration is no
-    longer quadratic in the block, and the pruning is implied by the
-    threshold, so results (and the SQL oracle) are unchanged. The
-    probabilistic 100 TB path is still :func:`minhash_candidates` +
-    verify (see ``dedup_minhash_verified``).
+    Shingles get a global canonical order: ascending document frequency
+    (rarest first), ties broken by token. ``J(A,B) ≥ t`` implies
+    ``|A∩B| ≥ ⌈t·max(|A|,|B|)⌉``, and the prefix lemma then says the
+    first ``p(n) = n − ⌈t·n⌉ + 1`` shingles of each doc (in canonical
+    order) must share at least one shingle. Candidate generation is an
+    equi-join on *prefix shingles only* — a pair must share a rare
+    shingle to be enumerated, so the per-key blow-up is bounded by the
+    df of the rarest prefix token, not by the size of a (block,
+    size-band) bucket (the previous band join was quadratic within a
+    popular bucket). The exact size-ratio bound ``t ≤ |A|/|B| ≤ 1/t``
+    stays as a scalar pre-filter and exact Jaccard verifies every
+    candidate, so results (and the SQL oracle) are unchanged.
+
+    Every stage is linear in corpus size: token-df aggregation
+    (map-side combine on short string keys), df annotation (shuffle on
+    token), per-doc re-sort (shuffle on id), prefix join (shuffle on
+    token), verify join-back (shuffle on id). No stage enumerates a
+    cross product.
     """
-    import math
-
-    sh = df.select(
+    blk = [block_col] if block_col else []
+    base = df.select(
         F.col(id_col), word_shingles(text, shingle_k).alias("sh"),
-        *([F.col(block_col)] if block_col else []),
+        *[F.col(c) for c in blk],
     )
     # Exchange barrier: materializes the shingle arrays so the
     # interpreted-HOF shingle expression isn't re-inlined downstream,
     # and spreads a single-file input across cores.
-    sh = sh.repartition(sh.sparkSession.sparkContext.defaultParallelism, id_col)
-    sh = sh.withColumn("n_sh", F.size("sh"))
-    if 0.0 < threshold < 1.0:
-        band = F.floor(
-            F.log(F.greatest(F.col("n_sh"), F.lit(1)).cast("double"))
-            / math.log(1.0 / threshold)
-        ).cast("int")
-    else:
-        # t=1 → equal sets → equal sizes; t=0 → no pruning possible
-        band = (F.col("n_sh") if threshold >= 1.0 else F.lit(0)).cast("int")
-    sh = sh.withColumn("band", band)
-    # explode one side to {band-1, band, band+1}: a qualifying pair's
-    # bands differ by ≤1, so exactly one key matches — no distinct needed
-    a = sh.withColumn(
-        "band_key", F.explode(F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1))
-    ).alias("a")
-    b = sh.alias("b")
+    base = base.repartition(base.sparkSession.sparkContext.defaultParallelism, id_col)
+
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
+
+    if threshold <= 0.0:
+        # Degenerate: J ≥ 0 admits disjoint pairs, so no shared-token
+        # filter is sound — preserve all-pairs semantics via a
+        # constant-key equi-join (block-scoped when given).
+        a = base.withColumn("__k", F.lit(0)).alias("a")
+        b = base.withColumn("__k", F.lit(0)).alias("b")
+        cond = (F.col("a.__k") == F.col("b.__k")) & (
+            F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+        )
+        if block_col:
+            cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+        return (
+            a.join(b, cond)
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.round(jac, 6).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
+
+    docs_sorted, cand = _ppjoin_docs_and_candidates(
+        base, id_col, threshold, block_col
+    )
+    # verify join-back: only candidate ids shuffle, then two id-keyed
+    # equi-joins pull the shingle arrays for the exact check
+    arrs = docs_sorted.select(F.col(id_col), F.col("sh"))
+    return (
+        cand.join(
+            arrs.select(F.col(id_col).alias("id_a"), F.col("sh").alias("__sh_a")),
+            "id_a",
+        )
+        .join(
+            arrs.select(F.col(id_col).alias("id_b"), F.col("sh").alias("__sh_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.when(
+                    F.size(F.array_union("__sh_a", "__sh_b")) > 0,
+                    F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
+                    / F.size(F.array_union("__sh_a", "__sh_b")).cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ppjoin_candidates(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Prefix-filtered candidate pairs only (no verify) — the stage the
+    scale argument rests on; exposed so tests can pin that the
+    candidate count stays far below the size-band pair count."""
+    blk = [block_col] if block_col else []
+    base = df.select(
+        F.col(id_col), word_shingles(text, shingle_k).alias("sh"),
+        *[F.col(c) for c in blk],
+    )
+    base = base.repartition(base.sparkSession.sparkContext.defaultParallelism, id_col)
+    return _ppjoin_docs_and_candidates(base, id_col, threshold, block_col)[1]
+
+
+def _ppjoin_docs_and_candidates(
+    base: DataFrame,
+    id_col: str,
+    threshold: float,
+    block_col: str | None,
+) -> tuple[DataFrame, DataFrame]:
+    """(frequency-sorted doc shingle arrays, distinct candidate pairs)."""
+    blk = [block_col] if block_col else []
+    # --- canonical order: ascending global df, tie-break on the token ---
+    tok = base.select(F.col(id_col), *blk, F.explode("sh").alias("__tk"))
+    dfreq = tok.groupBy("__tk").agg(F.count(F.lit(1)).alias("__df"))
+    docs_sorted = (
+        tok.join(dfreq, "__tk")
+        .groupBy(id_col, *blk)
+        .agg(F.array_sort(F.collect_list(F.struct("__df", "__tk"))).alias("__st"))
+        .select(
+            F.col(id_col),
+            *blk,
+            F.transform("__st", lambda s: s["__tk"]).alias("sh"),
+            F.size("__st").alias("n_sh"),
+        )
+    )
+    # prefix length p = n − ⌈t·n⌉ + 1; the 1e-9 guard keeps float noise
+    # in t·n from rounding the ceil UP (which would shorten the prefix
+    # and silently drop boundary pairs) — noise can only lengthen it,
+    # which stays lossless.
+    prefixed = docs_sorted.withColumn(
+        "__p",
+        (
+            F.col("n_sh")
+            - F.ceil(F.col("n_sh").cast("double") * F.lit(threshold) - F.lit(1e-9))
+            + 1
+        ).cast("int"),
+    )
+    ex = prefixed.select(
+        F.col(id_col), *blk, F.col("n_sh"),
+        F.explode(F.slice("sh", 1, F.col("__p"))).alias("__tk"),
+    )
+    a, b = ex.alias("a"), ex.alias("b")
     cond = (
-        (F.col("a.band_key") == F.col("b.band"))
+        (F.col("a.__tk") == F.col("b.__tk"))
         & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        # exact size-ratio filter: cheap scalar pre-check before the
-        # array intersection
+        # exact size-ratio filter: J ≥ t ⇒ t ≤ |A|/|B| ≤ 1/t
         & (F.col("a.n_sh").cast("double") >= threshold * F.col("b.n_sh"))
         & (F.col("b.n_sh").cast("double") >= threshold * F.col("a.n_sh"))
     )
     if block_col:
         cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
-    jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
-    return (
+    cand = (
         a.join(b, cond)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round(jac, 6).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= threshold)
+        .distinct()
     )
+    return docs_sorted, cand
 
 
 def dedup_minhash_verified(

@@ -121,6 +121,34 @@ def test_ngram_jaccard_size_banding(spark, sf_dir):
     assert (0, 3) not in got and (1, 3) not in got  # size filter + true J both exclude
 
 
+def test_ppjoin_prefix_prunes_candidates(spark, sf_dir):
+    """The prefix filter's reason to exist: the candidate pair count
+    must sit FAR below what the size-ratio (band) filter alone would
+    enumerate. Computed on the documents fixture at threshold 0.35."""
+    from pulsar_elasticsearch_sync_rs_spark.functions.text import word_shingles
+    from pulsar_elasticsearch_sync_rs_spark.operators.dedup import ppjoin_candidates
+
+    t = 0.35
+    docs = read_table(spark, sf_dir, "documents")
+    sizes = [
+        r["n"]
+        for r in docs.select(F.size(word_shingles("text", 3)).alias("n")).collect()
+        if r["n"] > 0
+    ]
+    ratio_pairs = sum(
+        1
+        for i, na in enumerate(sizes)
+        for nb in sizes[i + 1 :]
+        if na >= t * nb and nb >= t * na
+    )
+    cand = ppjoin_candidates(docs, threshold=t).count()
+    true_pairs = ngram_jaccard_pairs(docs, threshold=t).count()
+    # candidates must cover every true pair (losslessness) yet stay an
+    # order of magnitude below the size-filter-only enumeration
+    assert cand >= true_pairs
+    assert cand < 0.1 * ratio_pairs, (cand, ratio_pairs)
+
+
 def test_minhash_verified_subset_and_recall(spark, sf_dir):
     """The end-to-end verified pipeline (q_dedup_minhash_verified):
     output must be a SUBSET of the exact all-pairs result with
