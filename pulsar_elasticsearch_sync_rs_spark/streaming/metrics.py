@@ -112,6 +112,7 @@ def record_batch_labeled_counters(
     index: str = "index",
     app: str = "app",
     n_fields: str = "n_fields",
+    max_label_values: int = 100,
 ) -> None:
     """G3 parity — per-(topic) and per-(topic, date) consumed/debug
     counters plus the per-(index, app) field-count gauge, computed in
@@ -119,9 +120,16 @@ def record_batch_labeled_counters(
     these per record, ``src/prometheus.rs:7-126``, gauge
     ``src/es.rs:353-355``).
 
-    The collect is O(topics × dates) rows of scalars — label
-    cardinality, not data volume. Call on a persisted batch_df inside
-    foreachBatch (the runner handles persist/unpersist)."""
+    The collect is O(topics × dates × indexes × apps) rows of scalars —
+    label cardinality, not data volume. ``app`` and ``index`` are
+    user-data-derived and therefore UNBOUNDED; only the
+    ``max_label_values`` highest-volume values of each keep their own
+    gauge label, the tail is folded into ``__OTHER__`` so the registry
+    (and the driver heap) stays bounded no matter what the stream
+    carries. The gauge itself is the batch-volume-weighted mean of
+    ``n_fields`` per (index, app) — deterministic regardless of
+    collect row order. Call on a persisted batch_df inside foreachBatch
+    (the runner handles persist/unpersist)."""
     from pyspark.sql import functions as F
 
     rows = (
@@ -135,6 +143,8 @@ def record_batch_labeled_counters(
     )
     per_topic: dict[str, list[float]] = {}
     per_topic_date: dict[tuple, list[float]] = {}
+    app_volume: dict[str, int] = {}
+    index_volume: dict[str, int] = {}
     for r in rows:
         t = per_topic.setdefault(r[topic], [0, 0])
         t[0] += r["n"]
@@ -142,8 +152,28 @@ def record_batch_labeled_counters(
         td = per_topic_date.setdefault((r[topic], r[date]), [0, 0])
         td[0] += r["n"]
         td[1] += r["n_debug"] or 0
+        app_volume[r[app]] = app_volume.get(r[app], 0) + r["n"]
+        index_volume[r[index]] = index_volume.get(r[index], 0) + r["n"]
+    # top-N by batch volume keep their label value (ties broken by name
+    # for determinism); everything else folds into __OTHER__
+    keep_apps = set(
+        sorted(app_volume, key=lambda a: (-app_volume[a], a))[:max_label_values]
+    )
+    keep_indexes = set(
+        sorted(index_volume, key=lambda i: (-index_volume[i], i))[:max_label_values]
+    )
+    per_index_app: dict[tuple, list[float]] = {}
+    for r in rows:
+        key = (
+            r[index] if r[index] in keep_indexes else "__OTHER__",
+            r[app] if r[app] in keep_apps else "__OTHER__",
+        )
+        ia = per_index_app.setdefault(key, [0.0, 0])
+        ia[0] += (r["avg_fields"] or 0.0) * r["n"]
+        ia[1] += r["n"]
+    for (i, a), (weighted, n) in per_index_app.items():
         registry.set_gauge(
-            "es_index_doc_fields", r["avg_fields"] or 0.0, index=r[index], app=r[app]
+            "es_index_doc_fields", weighted / n if n else 0.0, index=i, app=a
         )
     for t, (n, nd) in per_topic.items():
         registry.inc("pulsar_received_messages", n, topic=t)

@@ -51,16 +51,34 @@ def read_events_stream(
 ) -> DataFrame:
     """File-source stand-in for the Pulsar consumer (S1/S2): streams
     parquet files of the events shape into the reference's record
-    schema (value, topic, publish_time)."""
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    schema (value, topic, publish_time).
+
+    The stream schema is taken from a static footer read of the same
+    directory (driver-side, one file listing) because the fixture's ts
+    encoding varies across driver testdata generations — see
+    ``sources/batch.read_table`` for the shapes; falls back to the
+    nanos-as-long schema when the directory can't be read statically."""
+    try:
+        static_schema = spark.read.parquet(dir_path).schema
+    except Exception:
+        static_schema = EVENTS_SCHEMA
+    reader = spark.readStream.schema(static_schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     ev = reader.parquet(dir_path)
+    ts_type = dict(ev.dtypes).get("ts")
+    if ts_type == "bigint":
+        # integral div: see sources/batch.py
+        publish = F.timestamp_micros(F.expr("ts div 1000"))
+    elif ts_type == "timestamp_ntz":
+        publish = F.col("ts").cast("timestamp")  # session TZ pinned UTC
+    else:
+        publish = F.col("ts")
     return ev.select(
         "event_id",
         F.col("props").alias("value"),
         F.concat(F.lit("persistent://public/default/"), F.col("event_type")).alias("topic"),
-        F.timestamp_micros(F.expr("ts div 1000")).alias("publish_time"),  # integral div: see sources/batch.py
+        publish.alias("publish_time"),
         "user_id",
     )
 

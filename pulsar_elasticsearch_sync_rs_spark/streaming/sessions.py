@@ -10,6 +10,13 @@ the same 30-minute-gap semantics.
 Scale: state is (key → open sessions); closed sessions are evicted at
 the watermark, so state is bounded by concurrently-open sessions, not
 stream history. One shuffle on the session key.
+
+Boundary semantics: a session window is [start, start+gap), so an
+event arriving at EXACTLY ``gap`` after the previous one starts a NEW
+session, while the batch lag-gap model (strict ``diff > gap``) keeps
+it in the same session. The two models agree on every other spacing;
+the equality pytest guards that its fixture contains no exact-gap
+spacing before asserting multiset equality.
 """
 
 from __future__ import annotations

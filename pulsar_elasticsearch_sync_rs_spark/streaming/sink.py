@@ -86,12 +86,23 @@ class EsBulkTransport:
     last_stats: dict = field(default_factory=dict, compare=False)
 
     def write(self, batch_df: DataFrame, batch_id: int) -> None:
-        es_url, index_col, doc_col, buffer_size, id_col = (
-            self.es_url,
-            self.index_col,
-            self.doc_col,
-            self.buffer_size,
-            self.id_col,
+        from pyspark.sql import functions as F
+
+        es_url, buffer_size = self.es_url, self.buffer_size
+
+        # NDJSON action+doc lines are built JVM-side (to_json/concat run
+        # in whole-stage codegen): the reference serializes in-process
+        # (src/es.rs:129-191) and the previous json.dumps-per-row here
+        # crossed JVM->Python row-at-a-time — the measured throughput
+        # ceiling of the sink. Python below only joins lines and POSTs.
+        meta = [F.col(self.index_col).alias("_index")]
+        if self.id_col is not None:
+            meta.append(F.col(self.id_col).cast("string").alias("_id"))
+        action = F.to_json(F.struct(F.struct(*meta).alias("index")))
+        doc = F.coalesce(F.to_json(F.col(self.doc_col)), F.lit("{}"))
+        payload = batch_df.select(
+            F.col(self.index_col).alias("__idx"),
+            F.concat(action, F.lit("\n"), doc).alias("__line"),
         )
 
         def send_partition(rows):
@@ -134,14 +145,9 @@ class EsBulkTransport:
                 idxs.clear()
 
             for row in rows:
-                meta = {"_index": row[index_col]}
-                if id_col is not None:
-                    meta["_id"] = str(row[id_col])
-                action = json.dumps({"index": meta})
-                doc = json.dumps(dict(row[doc_col]) if row[doc_col] else {})
-                buf.extend([action, doc])
-                idxs.append(row[index_col])
-                if len(buf) >= 2 * buffer_size:
+                buf.append(row[1])  # pre-serialized "action\ndoc" pair
+                idxs.append(row[0])
+                if len(idxs) >= buffer_size:
                     flush()
             flush()
             for idx in set(ok) | set(failed):
@@ -150,24 +156,28 @@ class EsBulkTransport:
         # mapPartitions (not foreachPartition) so each partition returns
         # its tiny per-index tally; the collect is O(partitions × indexes)
         # rows of three scalars — not a data-path collect.
-        tallies = batch_df.rdd.mapPartitions(send_partition).collect()
+        tallies = payload.rdd.mapPartitions(send_partition).collect()
         stats: dict[str, list[int]] = {}
         for idx, n_ok, n_failed in tallies:
             s = stats.setdefault(idx, [0, 0])
             s[0] += n_ok
             s[1] += n_failed
         self.last_stats = stats
+        n_failed_total = sum(f for _, f in stats.values())
+        if self.strict and n_failed_total:
+            # raise BEFORE touching the registry: foreachBatch will retry
+            # this micro-batch, and counters already folded in would be
+            # incremented again on the replay, inflating es_write_success
+            # for the items that were accepted the first time
+            raise RuntimeError(
+                f"bulk batch {batch_id}: {n_failed_total} item(s) rejected by ES"
+            )
         if self.registry is not None:
             for idx, (n_ok, n_failed) in stats.items():
                 if n_ok:
                     self.registry.inc("es_write_success", n_ok, index=idx)
                 if n_failed:
                     self.registry.inc("es_write_failure", n_failed, index=idx)
-        n_failed_total = sum(f for _, f in stats.values())
-        if self.strict and n_failed_total:
-            raise RuntimeError(
-                f"bulk batch {batch_id}: {n_failed_total} item(s) rejected by ES"
-            )
 
 
 def bulk_sink_foreach_batch(transport):

@@ -305,12 +305,11 @@ def test_session_window_stream_matches_batch(spark, sf_dir, tmpdir):
     lag-gap model at a 30-minute gap."""
     from pulsar_elasticsearch_sync_rs_spark.streaming.sessions import sessionize_stream
 
+    from pulsar_elasticsearch_sync_rs_spark.sources.batch import read_table
+
     src_dir = os.path.join(tmpdir, "src")
     os.makedirs(src_dir)
-    ev = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .select("event_id", "user_id", F.timestamp_micros(F.expr("ts div 1000")).alias("ts"))
-    )
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     ev.coalesce(1).write.mode("overwrite").parquet(src_dir)
 
     # batch model: lag-gap sessionization (the q_sessionize shape)
@@ -331,6 +330,18 @@ def test_session_window_stream_matches_batch(spark, sf_dir, tmpdir):
     batch_multiset = sorted(
         (r["user_id"], r["n_events"]) for r in batch.collect()
     )
+
+    # Boundary guard: the two models differ ONLY for events spaced at
+    # exactly the gap (session_window's [start, end) closes the session;
+    # the lag model's strict `> 1800` keeps it open — see
+    # sessions.py docstring). The multiset-equality assertion below is
+    # meaningful only while the fixture contains no exact-gap spacing.
+    exact_gap = (
+        ev.withColumn("prev", F.lag("ts").over(w))
+        .filter((F.unix_timestamp("ts") - F.unix_timestamp("prev")) == 1800)
+        .count()
+    )
+    assert exact_gap == 0, "fixture grew an exact-gap spacing; models legitimately diverge"
 
     stream = spark.readStream.schema("event_id long, user_id long, ts timestamp").parquet(src_dir)
     out = sessionize_stream(stream, gap="30 minutes")
