@@ -405,6 +405,128 @@ ORDER BY c_mktsegment
 """
 
 
+def q_tpch_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style order-priority check, widened to cover BOTH
+    correlated-quantifier shapes: per priority, the count of orders with
+    at least one late lineitem (EXISTS → ``left_semi``) and with none
+    (NOT EXISTS → ``left_anti``).
+
+    Scale: the lineitem side is reduced to DISTINCT l_orderkey AFTER the
+    late-line filter (both push to the parquet scan), so the semi/anti
+    joins shuffle keys only — no row multiplication, no payload movement.
+    At 100 TB AQE picks SMJ on the order key; the aggregate after is a
+    5-row reduction. Subsumes the former q_semi_anti declared slot."""
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    late = (
+        li.filter(F.col("l_commitdate") < F.col("l_receiptdate"))
+        .select("l_orderkey")
+        .distinct()
+    )
+    with_late = orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+    without_late = orders.join(late, orders.o_orderkey == late.l_orderkey, "left_anti")
+    return (
+        with_late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_with_late"))
+        .join(
+            without_late.groupBy("o_orderpriority").agg(
+                F.count("*").alias("n_without_late")
+            ),
+            "o_orderpriority",
+            "full_outer",
+        )
+        .select(
+            "o_orderpriority",
+            F.coalesce("n_with_late", F.lit(0)).alias("n_with_late"),
+            F.coalesce("n_without_late", F.lit(0)).alias("n_without_late"),
+        )
+    )
+
+
+ORACLE_TPCH_EXISTS = """
+SELECT o_orderpriority,
+  CAST(coalesce(sum(CASE WHEN has_late THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_with_late,
+  CAST(coalesce(sum(CASE WHEN has_late THEN 0 ELSE 1 END), 0) AS BIGINT) AS n_without_late
+FROM (
+  SELECT o_orderpriority,
+    EXISTS (SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_commitdate < l_receiptdate) AS has_late
+  FROM orders
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_tpch_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style conditional aggregation: per ship mode, how many
+    late-shipped lines belong to high- vs low-priority orders (CASE
+    inside SUM — one pass, no per-branch scans).
+
+    Scale: the receipt/commit/ship-date filters push to the lineitem
+    scan; the only data-sized shuffle is lineitem⋈orders on the order
+    key, then a tiny (|modes|-row) aggregate."""
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = read_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (F.col("l_commitdate") < F.col("l_receiptdate"))
+            & (F.col("l_shipdate") < F.col("l_commitdate"))
+        )
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_shipmode")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+ORACLE_TPCH_SHIPMODE = """
+SELECT l_shipmode,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_commitdate < l_receiptdate AND l_shipdate < l_commitdate
+GROUP BY l_shipmode
+ORDER BY l_shipmode
+"""
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-distinct lane (the scale path promised by the
+    q_distinct_users docstring): HyperLogLog++ user cardinality per
+    event type next to the exact count, with the relative error
+    rendered so the bound is visible in the result itself.
+
+    Rows-only by nature: HLL sketches are engine-specific, so no DuckDB
+    hash-match is possible — the |approx-exact|/exact <= 5% contract is
+    pinned by pytest instead (tests/test_analytics_extra.py).
+
+    Scale: approx_count_distinct is a fixed-size sketch per group —
+    map-side partials merge without holding the distinct set, so at
+    100 TB this replaces the exact countDistinct's full key shuffle."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            "approx_users",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                / F.col("exact_users")
+            ).alias("rel_err"),
+        )
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization of the events stream (30-minute
     inactivity gap) — the classic lag/cumulative-sum formulation. One

@@ -20,23 +20,33 @@ from pyspark.sql import functions as F
 TENANT_NS = "persistent://public/default"
 
 
+def normalize_events_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the events fixture's ``ts`` column to a session-TZ (UTC)
+    TIMESTAMP regardless of how the driver testdata generation encoded it.
+
+    Shapes seen so far: TIMESTAMP(NANOS) read as long (nanosAsLong),
+    timestamp[us] with isAdjustedToUTC=false read as TIMESTAMP_NTZ, or a
+    plain TIMESTAMP. The single normalization point keeps strict consumers
+    (unix_millis, window ranges) on one type with values rendering
+    identically to DuckDB's naive-timestamp reading. Batch readers,
+    the streaming file source, and tests must ALL route through here so
+    the next fixture-shape change breaks nothing.
+    """
+    ts_type = dict(df.dtypes).get(col)
+    if ts_type == "bigint":
+        # integral `div`, NOT `/`: ns values (~1.7e18) exceed double's
+        # 53-bit mantissa, so float division rounds at the µs level
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if ts_type == "timestamp_ntz":
+        # session TZ is pinned UTC, so this preserves the wall clock
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # The fixture's ts encoding has varied across driver testdata
-        # generations: TIMESTAMP(NANOS) read as long (nanosAsLong), or
-        # timestamp[us] with isAdjustedToUTC=false read as TIMESTAMP_NTZ.
-        # Normalize every shape to a session-TZ (UTC) TIMESTAMP so strict
-        # consumers (unix_millis, window ranges) see one type and values
-        # render identically to DuckDB's naive-timestamp reading.
-        ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":
-            # integral `div`, NOT `/`: ns values (~1.7e18) exceed double's
-            # 53-bit mantissa, so float division rounds at the µs level
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif ts_type == "timestamp_ntz":
-            # session TZ is pinned UTC, so this preserves the wall clock
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        df = normalize_events_ts(df)
     return df
 
 

@@ -65,15 +65,10 @@ def read_events_stream(
     reader = spark.readStream.schema(static_schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    ev = reader.parquet(dir_path)
-    ts_type = dict(ev.dtypes).get("ts")
-    if ts_type == "bigint":
-        # integral div: see sources/batch.py
-        publish = F.timestamp_micros(F.expr("ts div 1000"))
-    elif ts_type == "timestamp_ntz":
-        publish = F.col("ts").cast("timestamp")  # session TZ pinned UTC
-    else:
-        publish = F.col("ts")
+    from pulsar_elasticsearch_sync_rs_spark.sources.batch import normalize_events_ts
+
+    ev = normalize_events_ts(reader.parquet(dir_path))
+    publish = F.col("ts")
     return ev.select(
         "event_id",
         F.col("props").alias("value"),

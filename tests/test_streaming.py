@@ -275,11 +275,13 @@ def test_windowed_counters_stream(spark, sf_dir, tmpdir):
     q.awaitTermination(120)
 
     got = spark.read.parquet(out_dir)
+    from pulsar_elasticsearch_sync_rs_spark.sources.batch import normalize_events_ts
+
     batch = windowed_counters(enrich(
-        spark.read.parquet(src_dir).selectExpr(
+        normalize_events_ts(spark.read.parquet(src_dir)).selectExpr(
             "event_id", "props as value",
             "concat('persistent://public/default/', event_type) as topic",
-            "timestamp_micros(ts div 1000) as publish_time",
+            "ts as publish_time",
         )
     ), window_duration="6 hours")
     # append mode emits only watermark-closed windows; every emitted
