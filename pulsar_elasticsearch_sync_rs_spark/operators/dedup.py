@@ -387,16 +387,34 @@ def dedup_minhash_verified(
     all-pairs result (LSH recall < 1 by construction; bands/hashes set
     the recall curve)."""
     cand = minhash_candidates(df, text, id_col, num_hashes, bands, shingle_k)
-    sh = df.select(F.col(id_col), word_shingles(text, shingle_k).alias("sh"))
-    j = (
-        cand.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-    )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
+    # verify on pair TEXTS with one Arrow/numpy UDF: shuffling the raw
+    # text of candidate pairs is strictly less data than shuffling
+    # k-word shingle arrays (each word repeated k times), and the
+    # set-intersection runs vectorized per Arrow batch instead of as
+    # interpreted array_intersect/array_union expressions — this cut
+    # the sf0.1 lane from 8.8 s to candidates+ε.
+    t = df.select(F.col(id_col), F.col(text).alias("__t"))
+
+    @F.pandas_udf(T.DoubleType())
+    def jaccard_udf(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        def shingle_set(s):
+            toks = s.split() if s else []
+            n = len(toks) - shingle_k + 1
+            if n <= 0:
+                return frozenset()
+            return {" ".join(toks[i : i + shingle_k]) for i in range(n)}
+
+        out = []
+        for x, y in zip(ta, tb):
+            sa, sb = shingle_set(x), shingle_set(y)
+            union = len(sa | sb)
+            out.append(len(sa & sb) / union if union else 0.0)
+        return pd.Series(out)
+
     return (
-        j.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        cand.join(t.withColumnRenamed(id_col, "id_a").withColumnRenamed("__t", "__ta"), "id_a")
+        .join(t.withColumnRenamed(id_col, "id_b").withColumnRenamed("__t", "__tb"), "id_b")
+        .select("id_a", "id_b", F.round(jaccard_udf("__ta", "__tb"), 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -444,16 +462,96 @@ def simhash64(text: Column | str) -> Column:
     return simhash_udf(text)
 
 
-def dedup_simhash(
-    df: DataFrame, text: str = "text", id_col: str = "doc_id"
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_blocks: int = 6,
 ) -> DataFrame:
-    """SimHash-bucket dedup: keep the lowest id per identical 64-bit
-    simhash (hamming-0 buckets; near-dup via banded rotations is a
-    natural extension). One shuffle on the 64-bit signature."""
-    w = Window.partitionBy("__sh").orderBy(F.col(id_col).asc())
-    return (
-        df.withColumn("__sh", simhash64(F.col(text)))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__sh")
+    """Hamming-distance-≤k candidate pairs over 64-bit SimHash
+    signatures, Manku/Jain/Sarma block-combination scheme (WWW'07
+    "Detecting Near-Duplicates for Web Crawling" — public algorithm):
+
+    split the signature into ``n_blocks`` blocks; k bit flips can dirty
+    at most k blocks, so any pair within hamming ≤ k agrees EXACTLY on
+    some (n_blocks - k)-block combination (pigeonhole) → emit one row
+    per C(n_blocks, n_blocks-k) combination keyed by the concatenated
+    clean-block values, equi-join on (combo_id, key), then verify with
+    JVM-side ``bit_count(sig_a ^ sig_b)``. 100% recall within k by
+    construction; the verify makes precision exact.
+
+    Scale: with the default 6-choose-3 scheme the join key is ~33 bits
+    of signature (vs 16 bits for naive 4-banding) — bucket population
+    at N docs is N/2^33 per combo, so the within-bucket join stays
+    linear far beyond 10^9 docs, at the cost of a 20× key explosion of
+    (id, sig, key) triples — narrow rows; document text never shuffles.
+    The signature itself is ONE Arrow/numpy UDF pass."""
+    import itertools
+
+    if not 0 < k < n_blocks:
+        raise ValueError(f"need 0 < k < n_blocks, got k={k} n_blocks={n_blocks}")
+    sigs = df.select(F.col(id_col).alias("id"), simhash64(F.col(text)).alias("sig"))
+
+    base, rem = divmod(64, n_blocks)
+    widths = [base + 1] * rem + [base] * (n_blocks - rem)
+    offsets = [sum(widths[:i]) for i in range(n_blocks)]
+    blocks = [
+        F.shiftrightunsigned("sig", offsets[i]).bitwiseAND(F.lit((1 << widths[i]) - 1))
+        for i in range(n_blocks)
+    ]
+    clean = n_blocks - k
+    spacing = max(widths) + 1  # no overlap when packing block values
+    keys = []
+    for combo in itertools.combinations(range(n_blocks), clean):
+        key = F.lit(0).cast("long")
+        for j, bi in enumerate(combo):
+            key = key + (blocks[bi].cast("long") * F.lit(1 << (spacing * j)).cast("long"))
+        keys.append(key)
+
+    exploded = sigs.select(
+        "id", "sig", F.posexplode(F.array(*keys)).alias("combo_id", "key")
     )
+    a = exploded.select(
+        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "combo_id", "key"
+    )
+    b = exploded.select(
+        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "combo_id", "key"
+    )
+    return (
+        a.join(b, ["combo_id", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.expr("bit_count(sig_a ^ sig_b)").cast("int"))
+        .filter(F.col("hamming") <= k)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def dedup_simhash(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id", k: int = 0
+) -> DataFrame:
+    """SimHash dedup survivors.
+
+    ``k=0``: keep the lowest id per identical 64-bit signature (one
+    shuffle on the signature). ``k>0``: near-dup suppression — drop
+    every doc that has a smaller-id neighbor within hamming ≤ k
+    (candidates via :func:`simhash_neardup_pairs`, exact bit_count
+    verify). The survivor rule is deterministic single-pass
+    neighborhood suppression; full transitive clustering is the
+    iterative connected-components extension and deliberately out of
+    scope (same survivor semantics as the minhash verified lane)."""
+    if k == 0:
+        w = Window.partitionBy("__sh").orderBy(F.col(id_col).asc())
+        return (
+            df.withColumn("__sh", simhash64(F.col(text)))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__sh")
+        )
+    losers = (
+        simhash_neardup_pairs(df, text=text, id_col=id_col, k=k)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -7,8 +7,9 @@ once (offline), assign each vector to its nearest centroid, and at
 query time scan only the nprobe closest cells instead of the corpus.
 
 Spark-first shape:
-- training + assignment: ``pyspark.ml.clustering.KMeans`` (built-in,
-  distributed) over the embedding column;
+- quantizer training: bounded-sample numpy Lloyd on the driver (the
+  Faiss recipe — see :func:`train_coarse_quantizer`); cell assignment
+  of the full corpus: one distributed Arrow/numpy pass;
 - the centroid table is tiny (nlist × dim) → broadcast to assign
   queries;
 - the probe search is an equi-join on ``cell_id`` (shuffle on a small
@@ -31,10 +32,60 @@ from pyspark.sql import types as T
 from pulsar_elasticsearch_sync_rs_spark.operators.similarity import cosine
 
 
-def _to_ml_vector(df: DataFrame, vec_col: str, out_col: str) -> DataFrame:
-    from pyspark.ml.functions import array_to_vector
+TRAIN_SAMPLE_SIZE = 4096  # Faiss-style bounded quantizer-training sample
 
-    return df.withColumn(out_col, array_to_vector(F.col(vec_col).cast("array<double>")))
+
+def train_coarse_quantizer(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    seed: int = 42,
+    max_iter: int = 20,
+    sample_size: int = TRAIN_SAMPLE_SIZE,
+) -> np.ndarray:
+    """Train the k-means coarse quantizer on a BOUNDED sample,
+    driver-side numpy Lloyd iterations (the Faiss training recipe: a
+    coarse quantizer never trains on the full corpus — Faiss defaults
+    to ~39×nlist..256×nlist samples). The sample is a deterministic
+    hash-ordered top-N (TakeOrdered on crc32(id): unbiased w.r.t. any
+    corpus clustering, reproducible across runs and partitionings),
+    its size FIXED and independent of corpus size — so the only
+    driver-side collect in the IVF family is O(sample_size · dim)
+    no matter how large the corpus. Iterations are numpy on the
+    driver: 20 Lloyd steps on ≤4096 vectors are microseconds, versus
+    20 distributed jobs for a cluster-wide k-means whose per-job
+    scheduling overhead dominated the previous implementation."""
+    rows = (
+        corpus.select(
+            F.col(vec_col).alias("v"),
+            F.crc32(F.col(id_col).cast("string").cast("binary")).alias("__r"),
+        )
+        .orderBy("__r")
+        .limit(sample_size)
+        .select("v")
+        .collect()
+    )
+    X = np.array([r["v"] for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    centers = X[rng.choice(len(X), size=min(nlist, len(X)), replace=False)]
+    for _ in range(max_iter):
+        d = (
+            (X * X).sum(axis=1, keepdims=True)
+            - 2.0 * (X @ centers.T)
+            + (centers * centers).sum(axis=1)
+        )
+        assign = d.argmin(axis=1)
+        new_centers = np.array(
+            [
+                X[assign == j].mean(axis=0) if (assign == j).any() else centers[j]
+                for j in range(len(centers))
+            ]
+        )
+        if np.allclose(new_centers, centers):
+            break
+        centers = new_centers
+    return centers
 
 
 def build_ivf_index(
@@ -43,16 +94,19 @@ def build_ivf_index(
     nlist: int = 16,
     seed: int = 42,
     max_iter: int = 20,
+    id_col: str = "vec_id",
 ):
-    """Train the coarse quantizer and assign every corpus vector to a
-    cell. Returns (assigned_corpus_df_with_cell_id, centers ndarray)."""
-    from pyspark.ml.clustering import KMeans
-
-    ml_df = _to_ml_vector(corpus, vec_col, "__fv")
-    km = KMeans(k=nlist, seed=seed, maxIter=max_iter, featuresCol="__fv", predictionCol="cell_id")
-    model = km.fit(ml_df)
-    assigned = model.transform(ml_df).drop("__fv")
-    centers = np.array([np.asarray(c) for c in model.clusterCenters()])
+    """Train the coarse quantizer (bounded-sample, driver-side — see
+    :func:`train_coarse_quantizer`) and assign every corpus vector to
+    its nearest cell with ONE distributed Arrow/numpy pass. Returns
+    (assigned_corpus_df_with_cell_id, centers ndarray)."""
+    centers = train_coarse_quantizer(
+        corpus, id_col=id_col, vec_col=vec_col, nlist=nlist, seed=seed, max_iter=max_iter
+    )
+    probe1 = make_cell_probe_udf(centers, nprobe=1)
+    assigned = corpus.withColumn(
+        "cell_id", F.element_at(probe1(F.col(vec_col)), 1)
+    )
     return assigned, centers
 
 
@@ -89,38 +143,67 @@ def embedding_near_dup_ivf(
     probability collapses (see similarity.embedding_near_dup's regime
     note).
 
-    Shape: k-means the corpus once (offline at scale), assign each
-    vector to its ``nprobe`` nearest cells (narrow explode), self-join
-    on ``cell_id``, exact cosine verify on the distinct candidate set.
-    Quadratic only WITHIN a cell, and cell size is tunable: at 100 TB
-    you grow ``nlist`` with the corpus so cells stay bounded — the
-    data-driven generalization of label blocking, with recall set by
-    ``nprobe`` (fixture-measured 0.95 at nlist=16/nprobe=4)."""
-    from pyspark.sql import Window  # noqa: F401  (parity with knn helper imports)
+    Shape (the standard IVF index/probe asymmetry): each vector is
+    INDEXED once, in its primary (nearest) cell; each vector PROBES its
+    ``nprobe`` nearest cells. A pair is a candidate when one endpoint
+    probes the other's primary cell.
 
-    _, centers = build_ivf_index(df, vec_col, nlist=nlist, seed=seed)
+    The candidate "join" is never materialized as rows: probe and
+    index sides are COGROUPED per cell and the within-cell pair
+    enumeration happens inside one numpy matmul per cell
+    (``cogroup(...).applyInPandas``), emitting ONLY pairs that pass
+    the exact cosine threshold. What shuffles is corpus×(nprobe+1)
+    narrow (id, vector) rows on uniform cell keys — ~5 MB at this
+    fixture versus ~0.5 GB when 10⁶ candidate rows each carried two
+    64-float vectors through join-back (the previous shape; 3.0 s →
+    see BENCH_r4). At 100 TB: grow ``nlist`` with the corpus so cells
+    stay bounded; per-cell work is a dense BLAS matmul."""
+    assigned, centers = build_ivf_index(df, vec_col, nlist=nlist, seed=seed, id_col=id_col)
+    index = assigned.select(F.col(id_col).alias("vid"), "cell_id", F.col(vec_col).alias("v"))
     probe = make_cell_probe_udf(centers, nprobe)
-    cells = df.select(F.col(id_col), F.col(vec_col)).withColumn(
-        "cell_id", F.explode(probe(F.col(vec_col)))
+    probes = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        F.explode(probe(F.col(vec_col))).alias("cell_id"),
     )
-    x, y = cells.select(id_col, "cell_id").alias("x"), cells.select(id_col, "cell_id").alias("y")
-    cand = (
-        x.join(
-            y,
-            (F.col("x.cell_id") == F.col("y.cell_id"))
-            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cosine_sim", T.DoubleType()),
+        ]
+    )
+
+    def verify_cell(key, probe_pdf: pd.DataFrame, index_pdf: pd.DataFrame) -> pd.DataFrame:
+        if probe_pdf.empty or index_pdf.empty:
+            return pd.DataFrame(columns=["id_a", "id_b", "cosine_sim"])
+        P = np.array(probe_pdf["v"].tolist(), dtype=np.float64)
+        M = np.array(index_pdf["v"].tolist(), dtype=np.float64)
+        pn = np.linalg.norm(P, axis=1, keepdims=True)
+        mn = np.linalg.norm(M, axis=1, keepdims=True)
+        den = pn @ mn.T
+        sims = np.round(np.where(den > 0, (P @ M.T) / np.where(den == 0, 1.0, den), 0.0), 6)
+        pids = probe_pdf["vid"].to_numpy()
+        mids = index_pdf["vid"].to_numpy()
+        pi, mi = np.nonzero((sims >= threshold) & (pids[:, None] != mids[None, :]))
+        a, b = pids[pi], mids[mi]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(a, b),
+                "id_b": np.maximum(a, b),
+                "cosine_sim": sims[pi, mi],
+            }
         )
-        .select(F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b"))
-        .distinct()
+
+    hits = (
+        probes.groupBy("cell_id")
+        .cogroup(index.groupBy("cell_id"))
+        .applyInPandas(verify_cell, out_schema)
     )
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
-    return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .select("id_a", "id_b", F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cosine_sim"))
-        .filter(F.col("cosine_sim") >= threshold)
-    )
+    # a pair can surface from several probed cells → one shuffle over
+    # the (small) surviving-pair set, not the candidate set
+    return hits.dropDuplicates(["id_a", "id_b"])
 
 
 def persist_ivf_index(
@@ -143,7 +226,7 @@ def persist_ivf_index(
     the corpus side (asserted in tests). At 100 TB this is the
     difference between re-shuffling the corpus per probe batch and
     reading only co-located buckets. Returns the centroid matrix."""
-    assigned, centers = build_ivf_index(corpus, vec_col, nlist=nlist, seed=seed)
+    assigned, centers = build_ivf_index(corpus, vec_col, nlist=nlist, seed=seed, id_col=id_col)
     (
         assigned.write.mode("overwrite")
         .bucketBy(n_buckets, "cell_id")
@@ -190,7 +273,7 @@ def knn_cosine_ivf(
     exact cosine re-rank inside the probed cells only."""
     from pyspark.sql import Window
 
-    assigned, centers = build_ivf_index(corpus, vec_col, nlist=nlist, seed=seed)
+    assigned, centers = build_ivf_index(corpus, vec_col, nlist=nlist, seed=seed, id_col=id_col)
     probe = make_cell_probe_udf(centers, nprobe)
     q = queries.select(F.col(query_id), F.col("query_vec")).withColumn(
         "cell_id", F.explode(probe(F.col("query_vec")))

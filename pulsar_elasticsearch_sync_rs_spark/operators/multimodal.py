@@ -45,16 +45,9 @@ def attach_media_metadata(df: DataFrame, payload: str = "payload") -> DataFrame:
     )
 
 
-def decode_stub(kind: str):  # pragma: no cover - exercised via fake below
-    """STUB: image/video decoders (PIL / av) are not available in this
-    container. Audio WAV decode IS real — see :func:`parse_wav` below,
-    a pure-stdlib RIFF/PCM parser. The engine's contract for the other
-    kinds is the signature below."""
-    raise NotImplementedError(
-        f"media decode for kind={kind!r} requires codec libraries not "
-        "present in this environment; use fake_feature_extract for the "
-        "plumbing tests (WAV audio decode is implemented: parse_wav)"
-    )
+# All three media kinds now have REAL pure-stdlib decoders: WAV audio
+# (parse_wav), 24-bpp BMP images (parse_bmp), and uncompressed AVI-DIB
+# video (parse_avi_frames) — no codec libraries required.
 
 
 # --- real audio codec: pure-stdlib WAV (RIFF/PCM16) ----------------------
@@ -293,6 +286,226 @@ def decode_wav_features(
             yield pd.DataFrame(rows, columns=[f.name for f in WAV_FEATURE_SCHEMA.fields])
 
     return df.mapInPandas(decode, WAV_FEATURE_SCHEMA)
+
+
+# --- real video codec: pure-stdlib uncompressed AVI (DIB frames) ---------
+
+def synth_avi(
+    width: int,
+    height: int,
+    frame_colors: list[tuple[int, int, int]],
+    us_per_frame: int = 100_000,
+) -> bytes:
+    """Serialize a minimal-but-real uncompressed AVI: RIFF('AVI ') →
+    LIST('hdrl') with ``avih`` + LIST('strl')(``strh``/``strf``) →
+    LIST('movi') with one ``00db`` DIB chunk per frame (4-byte-aligned
+    bottom-up BGR rows, same pixel layout as BMP). Every frame is a
+    solid color, so decoded channel means have a closed form."""
+    import struct
+
+    stride = ((width * 3 + 3) // 4) * 4
+    frame_size = stride * height
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(four: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", four + body)
+
+    avih = struct.pack(
+        "<14I",
+        us_per_frame,          # dwMicroSecPerFrame
+        frame_size * 10,       # dwMaxBytesPerSec (nominal)
+        0,                     # dwPaddingGranularity
+        0,                     # dwFlags (no index — sequential movi read)
+        len(frame_colors),     # dwTotalFrames
+        0,                     # dwInitialFrames
+        1,                     # dwStreams
+        frame_size,            # dwSuggestedBufferSize
+        width,
+        height,
+        0, 0, 0, 0,            # dwReserved[4]
+    )
+    strh = (
+        b"vids"
+        + b"DIB "
+        + struct.pack(
+            "<IHHIIIIIIII4H",
+            0, 0, 0, 0,                    # flags, priority, language, initialFrames
+            us_per_frame,                  # dwScale
+            1_000_000,                     # dwRate (fps = rate/scale)
+            0,                             # dwStart
+            len(frame_colors),             # dwLength (frames)
+            frame_size,                    # dwSuggestedBufferSize
+            0xFFFFFFFF,                    # dwQuality
+            frame_size,                    # dwSampleSize
+            0, 0, width, height,           # rcFrame
+        )
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, frame_size, 2835, 2835, 0, 0
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_body = b"".join(
+        chunk(b"00db", ((bytes(bgr) * width) + b"\x00" * (stride - width * 3)) * height)
+        for bgr in frame_colors
+    )
+    movi = lst(b"movi", movi_body)
+    return b"RIFF" + struct.pack("<I", 4 + len(hdrl) + len(movi)) + b"AVI " + hdrl + movi
+
+
+def parse_avi_frames(blob: bytes, sample_every: int = 1) -> dict:
+    """Real decode: walk the RIFF chunk tree (same walker discipline as
+    :func:`parse_wav` — no fixed offsets), read ``avih`` header fields,
+    then iterate the ``movi`` list's ``00db``/``00dc`` frame chunks.
+    Channel means are computed ONLY for sampled frames (``frame_idx %
+    sample_every == 0``) — non-sampled frame bodies are skipped, which
+    is the point of frame sampling at scale. Pure stdlib ``struct``.
+    Channel means slice exactly ``width*3`` bytes per stride-aligned
+    row, so row padding never contaminates the statistics."""
+    import struct
+
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI stream")
+    avih = None
+    frames: list[dict] = []
+    frame_idx = 0
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal avih, frame_idx
+        while pos + 8 <= end:
+            cid = blob[pos : pos + 4]
+            csize = struct.unpack("<I", blob[pos + 4 : pos + 8])[0]
+            body_start = pos + 8
+            if cid == b"LIST":
+                walk(body_start + 4, body_start + csize)
+            elif cid == b"avih":
+                avih = struct.unpack("<14I", blob[body_start : body_start + 56])
+            elif cid in (b"00db", b"00dc"):
+                if frame_idx % sample_every == 0 and avih is not None:
+                    width, height = avih[8], avih[9]
+                    stride = ((width * 3 + 3) // 4) * 4
+                    tot_b = tot_g = tot_r = 0
+                    for r in range(height):
+                        base = body_start + r * stride
+                        row = blob[base : base + width * 3]
+                        tot_b += sum(row[0::3])
+                        tot_g += sum(row[1::3])
+                        tot_r += sum(row[2::3])
+                    n = width * height or 1
+                    frames.append(
+                        {
+                            "frame_idx": frame_idx,
+                            "mean_b": tot_b / n,
+                            "mean_g": tot_g / n,
+                            "mean_r": tot_r / n,
+                        }
+                    )
+                frame_idx += 1
+            pos = body_start + csize + (csize & 1)  # word-aligned chunks
+
+    walk(12, len(blob))
+    if avih is None:
+        raise ValueError("missing avih header")
+    us_per_frame, total_frames = avih[0], avih[4]
+    if frame_idx != total_frames:
+        raise ValueError(f"movi frame count {frame_idx} != avih total {total_frames}")
+    return {
+        "width": avih[8],
+        "height": avih[9],
+        "n_frames": total_frames,
+        "duration_ms": total_frames * us_per_frame // 1000,
+        "frames": frames,
+    }
+
+
+def synthesize_avi_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic AVI corpus from an id column: width = 4 + id%6,
+    height = 2 + id%4, n_frames = 3 + id%5 at 10 fps; frame f is solid
+    BGR ((id + 37f)%256, (3id + 11f)%256, (7id + 5f)%256) — every
+    decoded field and per-frame channel mean is closed-form in (id, f)."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [
+                        synth_avi(
+                            4 + (i % 6),
+                            2 + (i % 4),
+                            [
+                                (
+                                    int((i + 37 * f) % 256),
+                                    int((3 * i + 11 * f) % 256),
+                                    int((7 * i + 5 * f) % 256),
+                                )
+                                for f in range(3 + (i % 5))
+                            ],
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+    return df.mapInPandas(synth, schema)
+
+
+AVI_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("n_frames", T.LongType(), False),
+        T.StructField("duration_ms", T.LongType(), False),
+        T.StructField("mean_b", T.DoubleType(), False),
+        T.StructField("mean_g", T.DoubleType(), False),
+        T.StructField("mean_r", T.DoubleType(), False),
+    ]
+)
+
+
+def decode_avi_frames(
+    df: DataFrame,
+    payload: str = "payload",
+    media_id: str = "media_id",
+    sample_every: int = 1,
+) -> DataFrame:
+    """Arrow-batched ``mapInPandas`` over binary AVI payloads → one row
+    per SAMPLED frame with header fields + per-channel pixel means.
+    Non-sampled frame bodies are never touched (header-walk skip), and
+    blobs are consumed inside the scan partition — never shuffled."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[media_id], pdf[payload]):
+                meta = parse_avi_frames(bytes(blob), sample_every=sample_every)
+                for fr in meta["frames"]:
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "frame_idx": fr["frame_idx"],
+                            "width": meta["width"],
+                            "height": meta["height"],
+                            "n_frames": meta["n_frames"],
+                            "duration_ms": meta["duration_ms"],
+                            "mean_b": fr["mean_b"],
+                            "mean_g": fr["mean_g"],
+                            "mean_r": fr["mean_r"],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in AVI_FRAME_SCHEMA.fields])
+
+    return df.mapInPandas(decode, AVI_FRAME_SCHEMA)
 
 
 FEATURE_SCHEMA = T.StructType(

@@ -408,49 +408,50 @@ ORDER BY c_mktsegment
 def q_tpch_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4-style order-priority check, widened to cover BOTH
     correlated-quantifier shapes: per priority, the count of orders with
-    at least one late lineitem (EXISTS → ``left_semi``) and with none
-    (NOT EXISTS → ``left_anti``).
+    at least one returned lineitem (EXISTS → ``left_semi``) and with
+    none (NOT EXISTS → ``left_anti``). (The fixture's slimmed lineitem
+    has no commit/receipt dates; ``l_returnflag = 'R'`` plays Q4's
+    late-line predicate — the plan shape is identical.)
 
     Scale: the lineitem side is reduced to DISTINCT l_orderkey AFTER the
-    late-line filter (both push to the parquet scan), so the semi/anti
-    joins shuffle keys only — no row multiplication, no payload movement.
-    At 100 TB AQE picks SMJ on the order key; the aggregate after is a
-    5-row reduction. Subsumes the former q_semi_anti declared slot."""
+    returned-line filter (both push to the parquet scan), so the
+    semi/anti joins shuffle keys only — no row multiplication, no
+    payload movement. At 100 TB AQE picks SMJ on the order key; the
+    aggregate after is a 5-row reduction. Subsumes the former
+    q_semi_anti declared slot."""
     orders = read_table(spark, sf_dir, "orders")
     li = read_table(spark, sf_dir, "lineitem")
-    late = (
-        li.filter(F.col("l_commitdate") < F.col("l_receiptdate"))
-        .select("l_orderkey")
-        .distinct()
+    returned = (
+        li.filter(F.col("l_returnflag") == "R").select("l_orderkey").distinct()
     )
-    with_late = orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
-    without_late = orders.join(late, orders.o_orderkey == late.l_orderkey, "left_anti")
+    with_r = orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+    without_r = orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_anti")
     return (
-        with_late.groupBy("o_orderpriority")
-        .agg(F.count("*").alias("n_with_late"))
+        with_r.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_with_returned"))
         .join(
-            without_late.groupBy("o_orderpriority").agg(
-                F.count("*").alias("n_without_late")
+            without_r.groupBy("o_orderpriority").agg(
+                F.count("*").alias("n_without_returned")
             ),
             "o_orderpriority",
             "full_outer",
         )
         .select(
             "o_orderpriority",
-            F.coalesce("n_with_late", F.lit(0)).alias("n_with_late"),
-            F.coalesce("n_without_late", F.lit(0)).alias("n_without_late"),
+            F.coalesce("n_with_returned", F.lit(0)).alias("n_with_returned"),
+            F.coalesce("n_without_returned", F.lit(0)).alias("n_without_returned"),
         )
     )
 
 
 ORACLE_TPCH_EXISTS = """
 SELECT o_orderpriority,
-  CAST(coalesce(sum(CASE WHEN has_late THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_with_late,
-  CAST(coalesce(sum(CASE WHEN has_late THEN 0 ELSE 1 END), 0) AS BIGINT) AS n_without_late
+  CAST(coalesce(sum(CASE WHEN has_r THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_with_returned,
+  CAST(coalesce(sum(CASE WHEN has_r THEN 0 ELSE 1 END), 0) AS BIGINT) AS n_without_returned
 FROM (
   SELECT o_orderpriority,
     EXISTS (SELECT 1 FROM lineitem
-            WHERE l_orderkey = o_orderkey AND l_commitdate < l_receiptdate) AS has_late
+            WHERE l_orderkey = o_orderkey AND l_returnflag = 'R') AS has_r
   FROM orders
 )
 GROUP BY o_orderpriority
@@ -459,23 +460,22 @@ ORDER BY o_orderpriority
 
 
 def q_tpch_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q12-style conditional aggregation: per ship mode, how many
-    late-shipped lines belong to high- vs low-priority orders (CASE
-    inside SUM — one pass, no per-branch scans).
+    """TPC-H Q12-style conditional aggregation: per line status, how
+    many 1997+-shipped lines belong to high- vs low-priority orders
+    (CASE inside SUM — one pass, no per-branch scans; the fixture's
+    slimmed lineitem has no l_shipmode, so l_linestatus plays the
+    grouping dimension — identical plan shape).
 
-    Scale: the receipt/commit/ship-date filters push to the lineitem
-    scan; the only data-sized shuffle is lineitem⋈orders on the order
-    key, then a tiny (|modes|-row) aggregate."""
+    Scale: the ship-date filter pushes to the lineitem scan; the only
+    data-sized shuffle is lineitem⋈orders on the order key, then a
+    tiny (|statuses|-row) aggregate."""
     orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     li = read_table(spark, sf_dir, "lineitem")
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
-        li.filter(
-            (F.col("l_commitdate") < F.col("l_receiptdate"))
-            & (F.col("l_shipdate") < F.col("l_commitdate"))
-        )
+        li.filter(F.col("l_shipdate") >= F.lit("1997-01-01"))
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .groupBy("l_shipmode")
+        .groupBy("l_linestatus")
         .agg(
             F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
             F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
@@ -484,14 +484,14 @@ def q_tpch_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_TPCH_SHIPMODE = """
-SELECT l_shipmode,
+SELECT l_linestatus,
   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
-WHERE l_commitdate < l_receiptdate AND l_shipdate < l_commitdate
-GROUP BY l_shipmode
-ORDER BY l_shipmode
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
 """
 
 

@@ -141,14 +141,16 @@ def q_dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash dedup survivors: 64-bit signature (numpy Arrow UDF —
-    token-hash sign aggregation isn't SQL-expressible), one shuffle on
-    the signature. Deterministic but oracle-less → rows-only driver
-    check; planted-dup semantics pinned in pytest."""
+    """SimHash NEAR-dup dedup survivors at hamming ≤ 3: 64-bit
+    signature (numpy Arrow UDF — token-hash sign aggregation isn't
+    SQL-expressible), Manku 6-choose-3 block-combination candidate
+    join, exact JVM-side bit_count verify, smaller-id-neighbor
+    suppression. Deterministic but oracle-less → rows-only driver
+    check; planted bit-flip recall pinned in pytest."""
     from pulsar_elasticsearch_sync_rs_spark.operators.dedup import dedup_simhash
 
     docs = read_table(spark, sf_dir, "documents")
-    return dedup_simhash(docs, text="text", id_col="doc_id")
+    return dedup_simhash(docs, text="text", id_col="doc_id", k=3)
 
 
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -384,7 +386,7 @@ def q_embed_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pulsar_elasticsearch_sync_rs_spark.operators.ivf import embedding_near_dup_ivf
 
     emb = read_table(spark, sf_dir, "embeddings")
-    return embedding_near_dup_ivf(emb, threshold=0.3, nlist=16, nprobe=4)
+    return embedding_near_dup_ivf(emb, threshold=0.3, nlist=16, nprobe=6)
 
 
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -500,6 +502,57 @@ SELECT doc_id AS media_id,
   CAST((3 * doc_id) % 256 AS DOUBLE) AS mean_g,
   CAST((7 * doc_id) % 256 AS DOUBLE) AS mean_r
 FROM documents
+"""
+
+
+def q_media_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode end-to-end (closes the last multimodal stub):
+    synthesize a deterministic uncompressed AVI per document (RIFF
+    container, DIB frames, parameterized by doc_id), then parse it back
+    with the pure-stdlib RIFF chunk-tree walker
+    (operators.multimodal.parse_avi_frames) via Arrow-batched
+    ``mapInPandas``, sampling every 2nd frame — non-sampled frame
+    bodies are skipped at the chunk walk, the scale point of frame
+    sampling. One output row per sampled frame; synthesis is
+    closed-form in (doc_id, frame_idx) so the oracle predicts every
+    header field and per-frame channel mean independently."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.multimodal import (
+        decode_avi_frames,
+        synthesize_avi_corpus,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    avis = synthesize_avi_corpus(docs, id_col="doc_id")
+    return decode_avi_frames(avis, sample_every=2).select(
+        "media_id",
+        "frame_idx",
+        "width",
+        "height",
+        "n_frames",
+        "duration_ms",
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_r", 6).alias("mean_r"),
+    )
+
+
+# closed-form twin of synthesize_avi_corpus + parse_avi_frames:
+# w = 4+id%6, h = 2+id%4, n_frames = 3+id%5 at 10 fps (100 ms/frame),
+# sampled frames f ∈ {0, 2, 4}, solid BGR channels linear in (id, f).
+ORACLE_MEDIA_VIDEO = """
+SELECT media_id, frame_idx, width, height, n_frames, duration_ms,
+  CAST((media_id + 37 * frame_idx) % 256 AS DOUBLE) AS mean_b,
+  CAST((3 * media_id + 11 * frame_idx) % 256 AS DOUBLE) AS mean_g,
+  CAST((7 * media_id + 5 * frame_idx) % 256 AS DOUBLE) AS mean_r
+FROM (
+  SELECT doc_id AS media_id,
+    CAST(4 + doc_id % 6 AS INT) AS width,
+    CAST(2 + doc_id % 4 AS INT) AS height,
+    CAST(3 + doc_id % 5 AS BIGINT) AS n_frames,
+    CAST((3 + doc_id % 5) * 100 AS BIGINT) AS duration_ms,
+    unnest(generate_series(0, CAST(doc_id % 5 AS BIGINT) + 2, 2)) AS frame_idx
+  FROM documents
+)
 """
 
 

@@ -270,7 +270,7 @@ def test_embed_neardup_ivf_recall(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings")
     got = {
         (r["id_a"], r["id_b"])
-        for r in embedding_near_dup_ivf(emb, threshold=0.3, nlist=16, nprobe=4).collect()
+        for r in embedding_near_dup_ivf(emb, threshold=0.3, nlist=16, nprobe=6).collect()
     }
     assert got <= exact, "IVF emitted a pair below threshold"
     recall = len(got) / len(exact)
@@ -500,3 +500,95 @@ def test_bmp_codec_roundtrip(spark):
     row = decode_bmp_features(df).collect()[0]
     assert (row["width"], row["height"], row["mean_r"]) == (5, 3, 30.0)
     assert row["byte_len"] == len(blob)
+
+
+def test_avi_codec_roundtrip(spark):
+    """Real video codec: synth → parse round-trip with frame sampling,
+    malformed rejection, and the Spark mapInPandas decode lane."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.multimodal import (
+        decode_avi_frames,
+        parse_avi_frames,
+        synth_avi,
+    )
+
+    colors = [(10, 20, 30), (40, 50, 60), (70, 80, 90), (100, 110, 120)]
+    blob = synth_avi(5, 3, colors)  # width 5 → padded stride
+    meta = parse_avi_frames(blob)
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (5, 3, 4)
+    assert meta["duration_ms"] == 400  # 4 frames at 10 fps
+    assert [f["frame_idx"] for f in meta["frames"]] == [0, 1, 2, 3]
+    assert [(f["mean_b"], f["mean_g"], f["mean_r"]) for f in meta["frames"]] == [
+        (10.0, 20.0, 30.0), (40.0, 50.0, 60.0), (70.0, 80.0, 90.0), (100.0, 110.0, 120.0)
+    ]
+    sampled = parse_avi_frames(blob, sample_every=3)
+    assert [f["frame_idx"] for f in sampled["frames"]] == [0, 3]
+
+    with pytest.raises(ValueError):
+        parse_avi_frames(b"RIFFxxxxWAVE")  # not AVI
+    with pytest.raises(ValueError):
+        parse_avi_frames(b"MKVnope" + b"\x00" * 60)
+
+    df = spark.createDataFrame([Row(media_id=7, payload=bytearray(blob))])
+    rows = decode_avi_frames(df, sample_every=2).collect()
+    assert [(r["media_id"], r["frame_idx"], r["mean_g"]) for r in rows] == [
+        (7, 0, 20.0), (7, 2, 80.0)
+    ]
+    assert all((r["width"], r["height"], r["n_frames"]) == (5, 3, 4) for r in rows)
+
+
+def test_simhash_neardup_matches_bruteforce(spark, sf_dir):
+    """The Manku block-combination candidate join + bit_count verify
+    must return EXACTLY the brute-force all-pairs hamming ≤ k set
+    (recall is 100% by pigeonhole; precision exact by verify). Checked
+    on fixture documents plus planted bit-flip-level near-dups."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.dedup import (
+        simhash64,
+        simhash_neardup_pairs,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = spark.createDataFrame(
+        [
+            Row(doc_id=900001, text=BASE),
+            Row(doc_id=900002, text=BASE),           # hamming 0
+            Row(doc_id=900003, text=BASE + " zq"),   # few-bit flip
+            Row(doc_id=900004, text=OTHER),
+        ]
+    )
+    docs = docs.union(planted)
+    k = 3
+
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_neardup_pairs(docs, k=k).collect()
+    }
+
+    sigs = docs.select("doc_id", simhash64("text").alias("sig"))
+    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    brute = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.expr("bit_count(sig_a ^ sig_b)").cast("int"))
+        .filter(F.col("hamming") <= k)
+        .collect()
+    }
+    assert (900001, 900002, 0) in brute  # planted exact pair present
+    assert got == brute
+
+
+def test_simhash_dedup_hamming_k(spark):
+    """k>0 survivor rule: docs with a smaller-id neighbor within
+    hamming <= k are suppressed; singletons survive."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.dedup import dedup_simhash
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text=BASE),
+            Row(doc_id=1, text=BASE),   # hamming 0 from doc 0 → dropped
+            Row(doc_id=2, text=OTHER),  # far → survives
+        ]
+    )
+    ids = sorted(r["doc_id"] for r in dedup_simhash(docs, k=3).collect())
+    assert 0 in ids and 2 in ids and 1 not in ids
