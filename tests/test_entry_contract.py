@@ -16,13 +16,12 @@ def test_oracle_keys_subset_of_queries():
     # every rows-only query is one of the documented exceptions
     allowed = {
         "q_uuid_inject",  # nondeterministic values
-        "q_dedup_minhash",  # probabilistic LSH recall
+        "q_approx_distinct",  # HLL sketch differs per engine (≤5% pytest)
         "q_dedup_minhash_verified",  # LSH candidates -> verify (subset/recall pytest)
-        "q_dedup_simhash",  # numpy UDF signature, not SQL-expressible (planted pytest)
+        "q_dedup_simhash",  # numpy UDF signature, not SQL-expressible (brute-force-equality pytest)
         "q_embed_neardup_lsh",  # sign-LSH lane (recall pytest vs exact)
         "q_embed_neardup_ivf",  # IVF lane (recall pytest vs exact)
-        "q_knn_lsh",  # approximate
-        "q_knn_ivf",  # approximate + iterative training
+        "q_knn_ivf",  # approximate + sample-trained quantizer
     }
     assert rows_only == allowed, f"unexpected rows-only queries: {rows_only ^ allowed}"
 

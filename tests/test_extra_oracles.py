@@ -1,0 +1,54 @@
+"""Oracle sweep for the extras registry — green queries displaced from
+the driver's 50-slot grading budget keep machine-checked correctness
+here: every ``extra_queries()`` entry runs on Spark AND its DuckDB twin,
+compared by row count, column names, and order-insensitive value hash
+(the exact driver protocol, via tools/check_oracle.sweep).
+
+Also pins the declared-set contract (exactly 50 entries, oracled
+prefix first) and the approx-distinct error bound.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as entrymod
+
+
+def test_declared_set_is_exactly_50_oracled_first():
+    qs = list(entrymod.queries())
+    oracles = entrymod.oracle_sql()
+    assert len(qs) == 50, f"driver grades exactly 50; declared {len(qs)}"
+    n_oracled = len([q for q in qs if q in oracles])
+    assert qs[:n_oracled] == [q for q in qs if q in oracles], (
+        "oracled queries must form the declared prefix"
+    )
+    assert set(oracles) <= set(qs)
+    # extras must not overlap the declared set
+    assert not set(entrymod.extra_queries()) & set(qs)
+
+
+def test_extra_queries_match_their_oracles(spark, sf_dir):
+    from tools.check_oracle import duckdb_conn, sweep
+
+    con = duckdb_conn(sf_dir)
+    failures = sweep(
+        spark,
+        con,
+        sf_dir,
+        entrymod.extra_queries(),
+        entrymod.extra_oracle_sql(),
+        verbose=False,
+    )
+    assert failures == []
+
+
+def test_approx_distinct_within_5pct(spark, sf_dir):
+    """HLL lane contract: |approx - exact| / exact <= 5% per group
+    (rsd=0.02 configured; 5% is the documented bound)."""
+    rows = entrymod.queries()["q_approx_distinct"](spark, sf_dir).collect()
+    assert rows, "no groups returned"
+    for r in rows:
+        assert r["rel_err"] <= 0.05, (r["event_type"], r["rel_err"])

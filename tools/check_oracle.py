@@ -1,6 +1,8 @@
 """Local replica of the driver's correctness gate: run every
-``queries()`` entry on Spark and its ``oracle_sql()`` twin on DuckDB,
-compare row count, column names, and an order-insensitive value hash.
+``queries()`` entry (AND every ``extra_queries()`` entry — green
+queries displaced from the driver's 50-slot budget) on Spark and its
+oracle twin on DuckDB, comparing row count, column names, and an
+order-insensitive value hash.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
@@ -13,9 +15,6 @@ import sys
 import duckdb
 
 sys.path.insert(0, ".")
-
-import __spark_entry__ as entrymod
-from pulsar_elasticsearch_sync_rs_spark.session import get_spark
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -49,16 +48,15 @@ def table_hash(rows, colnames) -> str:
     return h.hexdigest()
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 and "/" in sys.argv[1] else "/root/testdata/sf0.001"
-    only = [a for a in sys.argv[1:] if "/" not in a]
-    spark = get_spark(cpus=8)
+def duckdb_conn(sf_dir: str):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
 
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+
+def sweep(spark, con, sf_dir, qs, oracles, only=(), verbose=True) -> list[str]:
+    """Run each query vs its oracle; return the list of failed names."""
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
@@ -72,7 +70,8 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {e}")
             continue
         if name not in oracles:
-            print(f"rows  {name}: {len(srows)} rows (rows-only check)")
+            if verbose:
+                print(f"rows  {name}: {len(srows)} rows (rows-only check)")
             continue
         try:
             cur = con.execute(oracles[name])
@@ -88,11 +87,12 @@ def main() -> int:
         status = "OK  " if (ok_n and ok_c and ok_h) else "FAIL"
         if status == "FAIL":
             failures.append(name)
-        print(
-            f"{status}  {name}: spark={len(srows)} duck={len(orows)} "
-            f"cols={'ok' if ok_c else f'{sorted(scols)} vs {sorted(ocols)}'} "
-            f"hash={'ok' if ok_h else 'MISMATCH'}"
-        )
+        if verbose or status == "FAIL":
+            print(
+                f"{status}  {name}: spark={len(srows)} duck={len(orows)} "
+                f"cols={'ok' if ok_c else f'{sorted(scols)} vs {sorted(ocols)}'} "
+                f"hash={'ok' if ok_h else 'MISMATCH'}"
+            )
         if not ok_h and ok_n and ok_c and len(srows) <= 20000:
             order = sorted(range(len(scols)), key=lambda i: scols[i])
             sset = sorted("\x1f".join(norm_cell(r[i]) for i in order) for r in srows)
@@ -102,6 +102,21 @@ def main() -> int:
             for a, b in diffs:
                 print(f"      spark: {a!r}")
                 print(f"      duck : {b!r}")
+    return failures
+
+
+def main() -> int:
+    import __spark_entry__ as entrymod
+    from pulsar_elasticsearch_sync_rs_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and "/" in sys.argv[1] else "/root/testdata/sf0.001"
+    only = [a for a in sys.argv[1:] if "/" not in a]
+    spark = get_spark(cpus=8)
+    con = duckdb_conn(sf_dir)
+
+    qs = {**entrymod.queries(), **entrymod.extra_queries()}
+    oracles = {**entrymod.oracle_sql(), **entrymod.extra_oracle_sql()}
+    failures = sweep(spark, con, sf_dir, qs, oracles, only=only)
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL OK")
     return 1 if failures else 0
 
