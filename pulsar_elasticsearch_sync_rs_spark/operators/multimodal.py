@@ -3,10 +3,12 @@
 Images / audio / video ride through the engine as opaque ``binary``
 columns plus a typed metadata struct. The Spark-side machinery —
 schema, batch shape, Arrow transfer, ``mapInPandas`` signatures,
-partition sizing — is real and tested; the codec step itself is
-STUBBED (the image/audio libraries are not in this container) behind
-``decode_stub`` / a deterministic fake feature extractor, clearly
-marked below.
+partition sizing — is real and tested, and all three media kinds
+decode with REAL pure-stdlib codecs (no external libraries): WAV
+audio (:func:`parse_wav`), 24-bpp BMP images (:func:`parse_bmp`),
+and uncompressed AVI-DIB video (:func:`parse_avi_frames`). A
+deterministic fake feature extractor remains for embed-shaped
+plumbing tests, clearly marked below.
 
 Scale posture: media blobs dominate bytes, so operators (a) never
 shuffle the binary column unless the transform requires it, (b) process
@@ -549,8 +551,8 @@ def fake_feature_extract(df: DataFrame, payload: str = "payload", media_id: str 
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan* (schema + row-count contract): one
     output row per sampled frame timestamp. The decode that would fill
-    ``frame_payload`` is stubbed (see decode_stub); timestamps derive
-    from metadata only, so the plan runs without codecs."""
+    ``frame_payload`` is left null here (metadata-only plan shape);
+    the REAL frame decode is :func:`decode_avi_frames`."""
     frames = df.withColumn(
         "frame_ts_ms",
         F.explode(
