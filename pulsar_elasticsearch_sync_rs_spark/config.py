@@ -63,6 +63,13 @@ class PipelineConfig:
     flush_interval_ms: int = 5000  # -> trigger(processingTime)
     channel_buffer_size: int = 2048  # backpressure -> source admission
 
+    # --- rendering ---
+    # The reference buckets the dated index by the HOST-LOCAL date
+    # (src/util.rs:45-46). Default None = UTC (deterministic, the
+    # documented strict upgrade); set an IANA tz name to reproduce the
+    # reference's local-date behavior.
+    render_tz: str | None = None
+
     # --- constants shared with the reference ---
     default_app: str = "__DEFAULT_APP__"  # src/es.rs:350-351
     injected_field: str = "__INJECTED_DATA__"  # src/es.rs:346-348

@@ -52,8 +52,19 @@ def rfc3339(ts: Column) -> Column:
     return F.date_format(ts, RFC3339_FMT)
 
 
-def date_str(ts: Column | str) -> Column:
+def date_str(ts: Column | str, tz: str | None = None) -> Column:
     """P4 — ``yyyy.MM.dd`` date string for index naming
-    (reference ``src/util.rs:35-48``)."""
+    (reference ``src/util.rs:35-48``).
+
+    The reference renders this in the HOST-LOCAL timezone
+    (``Local.timestamp_millis``, ``src/util.rs:45-46``), so a doc
+    published at 23:30 EST lands in that local date's index. Default
+    here is UTC (deterministic, host-independent — the documented
+    strict upgrade); pass ``tz`` (an IANA name via
+    ``PipelineConfig.render_tz``) to reproduce the reference's
+    local-date bucketing exactly: ``convert_timezone`` shifts to the
+    target wall clock (DST-correct per timestamp) before formatting."""
     ts = F.col(ts) if isinstance(ts, str) else ts
+    if tz is not None:
+        ts = F.convert_timezone(F.lit("UTC"), F.lit(tz), ts)
     return F.date_format(ts, DATE_FMT)

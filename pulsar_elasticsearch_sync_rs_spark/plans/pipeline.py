@@ -72,7 +72,7 @@ def etl_transform(df: DataFrame, cfg: PipelineConfig, tiebreaker: str | None = "
     df = (
         df.withColumn("at_ts", ts)
         .withColumn("at_timestamp", rfc3339(F.col("at_ts")))
-        .withColumn("date_str", date_str("publish_time"))
+        .withColumn("date_str", date_str("publish_time", tz=cfg.render_tz))
     )
     df = df.withColumn(
         "index",

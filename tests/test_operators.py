@@ -191,3 +191,24 @@ def test_pii_redaction_golden(spark):
         "or <PHONE>, host <IP>, version 1.2 stays, id 12-34 stays"
     )
     assert (row["ne"], row["ns"], row["np"], row["ni"]) == (1, 1, 2, 1)
+
+
+def test_date_str_render_tz(spark):
+    """P4 local-TZ rendering parity (reference src/util.rs:45-46): a
+    UTC timestamp late in the evening lands in the PREVIOUS date when
+    rendered in a western timezone, and the index name follows."""
+    from pyspark.sql import functions as F
+
+    from pulsar_elasticsearch_sync_rs_spark.functions.timestamps import date_str
+
+    df = spark.createDataFrame(
+        [("2024-03-15 03:30:00",)], "ts_str string"
+    ).select(F.to_timestamp("ts_str").alias("ts"))
+    row = df.select(
+        date_str("ts").alias("utc"),
+        date_str("ts", tz="America/New_York").alias("nyc"),
+        date_str("ts", tz="Asia/Tokyo").alias("tokyo"),
+    ).collect()[0]
+    assert row["utc"] == "2024.03.15"
+    assert row["nyc"] == "2024.03.14"  # 03:30 UTC = 23:30 EDT previous day
+    assert row["tokyo"] == "2024.03.15"  # 12:30 JST same day
