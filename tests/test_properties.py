@@ -180,3 +180,60 @@ def test_ngram_size_band_lossless(spark_global, docs, threshold):
         ).collect()
     }
     assert got == expected, (docs, threshold)
+
+
+@given(
+    width=st.integers(min_value=1, max_value=16),
+    height=st.integers(min_value=1, max_value=8),
+    colors=st.lists(
+        st.tuples(
+            st.integers(0, 255), st.integers(0, 255), st.integers(0, 255)
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    every=st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=50, deadline=None)
+def test_avi_codec_roundtrip_model(width, height, colors, every):
+    """Pure-Python property: synth_avi → parse_avi_frames recovers the
+    header fields exactly and the sampled solid-frame channel means
+    exactly, for arbitrary dimensions (including stride-padding widths),
+    frame counts, and sampling strides."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.multimodal import (
+        parse_avi_frames,
+        synth_avi,
+    )
+
+    blob = synth_avi(width, height, colors)
+    meta = parse_avi_frames(blob, sample_every=every)
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (
+        width, height, len(colors),
+    )
+    assert meta["duration_ms"] == len(colors) * 100
+    assert [f["frame_idx"] for f in meta["frames"]] == list(
+        range(0, len(colors), every)
+    )
+    for fr in meta["frames"]:
+        b, g, r = colors[fr["frame_idx"]]
+        assert (fr["mean_b"], fr["mean_g"], fr["mean_r"]) == (b, g, r)
+
+
+@given(
+    n_samples=st.integers(min_value=2, max_value=512).filter(lambda n: n % 2 == 0),
+    amp=st.integers(min_value=0, max_value=32000),
+)
+@settings(max_examples=50, deadline=None)
+def test_wav_codec_roundtrip_model(n_samples, amp):
+    """Pure-Python property: synth_wav → parse_wav recovers sample
+    count, duration, and the square wave's exact peak/mean."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.multimodal import (
+        parse_wav,
+        synth_wav,
+    )
+
+    meta = parse_wav(synth_wav(n_samples, amp))
+    assert meta["n_samples"] == n_samples
+    assert meta["peak_amp"] == amp
+    assert meta["mean_abs"] == float(amp)  # even-length alternating wave
+    assert meta["duration_ms"] == n_samples * 1000 // 8000
