@@ -182,6 +182,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_frames": _wrap(L.q_media_frames),  # sampling plan (⊂ q_media_video)
         "q_dedup_minhash": _wrap(L.q_dedup_minhash),  # candidates-only (⊂ verified lane)
         "q_knn_lsh": _wrap(L.q_knn_lsh),  # sign-LSH top-k (⊂ embed_neardup_lsh machinery)
+        "q_dedup_clusters": _wrap(L.q_dedup_clusters),  # transitive CC clustering (iterative, oracle-checked)
     }
 
 
@@ -194,4 +195,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "q_argmin_join": A.ORACLE_ARGMIN_JOIN,
         "q_dedup_normalized": L.ORACLE_DEDUP_NORMALIZED,
         "q_media_frames": L.ORACLE_MEDIA_FRAMES,
+        "q_dedup_clusters": L.ORACLE_DEDUP_CLUSTERS,
     }

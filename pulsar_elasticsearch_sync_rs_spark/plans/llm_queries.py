@@ -153,6 +153,62 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_simhash(docs, text="text", id_col="doc_id", k=3)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRANSITIVE near-dup clustering: every document labeled with its
+    cluster id = the minimum doc_id of its connected component in the
+    exact-Jaccard pair graph (q_ngram_jaccard's edges; singletons label
+    themselves). The components run as the iterative alternating
+    large-star/small-star contraction (operators/components.py) — an
+    ITERATIVE graph algorithm whose result is still deterministic
+    because the edges are, so a DuckDB recursive-CTE transitive closure
+    oracle checks it value-for-value."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.components import dedup_clusters
+
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "blk", F.concat_ws("|", "lang", "source")
+    )
+    pairs = ngram_jaccard_pairs(
+        docs, text="text", id_col="doc_id", threshold=0.35, shingle_k=3, block_col="blk"
+    )
+    return dedup_clusters(docs, pairs, id_col="doc_id")
+
+
+ORACLE_DEDUP_CLUSTERS = r"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, lang, source,
+    list_distinct(CASE WHEN len(toks) >= 3
+      THEN list_transform(generate_series(1, len(toks) - 2),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      ELSE [] END) AS shingles
+  FROM (
+    SELECT doc_id, lang, source,
+      list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS toks
+    FROM documents
+  )
+), edges AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE len(list_distinct(list_concat(a.shingles, b.shingles))) > 0
+    AND round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) >= 0.35
+), sym AS (
+  SELECT id_a AS u, id_b AS v FROM edges
+  UNION
+  SELECT id_b, id_a FROM edges
+), reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE r.u <> s.v
+), comp AS (
+  SELECT u AS id, least(u, min(v)) AS cluster FROM reach GROUP BY u
+)
+SELECT d.doc_id, CAST(coalesce(c.cluster, d.doc_id) AS BIGINT) AS cluster
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+ORDER BY d.doc_id
+"""
+
+
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling PLAN over synthesized durations (same
     closed-form as the WAV corpus): one row per sampled frame timestamp

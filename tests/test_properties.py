@@ -237,3 +237,48 @@ def test_wav_codec_roundtrip_model(n_samples, amp):
     assert meta["peak_amp"] == amp
     assert meta["mean_abs"] == float(amp)  # even-length alternating wave
     assert meta["duration_ms"] == n_samples * 1000 // 8000
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=0,
+        max_size=40,
+    )
+)
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_connected_components_matches_union_find(spark_global, edges):
+    """Alternating star contraction must agree with a brute-force
+    union-find on arbitrary random graphs (chains, cliques, self-loops,
+    duplicates, isolated pairs)."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {v: find(v) for v in parent}
+
+    df = spark_global.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    assert got == expected
