@@ -77,6 +77,15 @@ def app_from_json(raw: Column | str, default_app: str = DEFAULT_APP) -> Column:
     return F.coalesce(F.get_json_object(raw, "$.app"), F.lit(default_app))
 
 
+def app_from_map(parsed_map: Column, default_app: str = DEFAULT_APP) -> Column:
+    """P10 over the already-parsed map — same semantics as
+    :func:`app_from_json` for top-level string values, but reuses the
+    single ``from_json`` pass instead of re-parsing the raw payload
+    (``get_json_object`` is a full JSON parse per call; the ETL chain
+    was parsing every payload three times)."""
+    return F.coalesce(F.element_at(parsed_map, "app"), F.lit(default_app))
+
+
 def field_count(parsed_map: Column) -> Column:
     """P12 — number of top-level keys (reference ``get_key_len``,
     ``src/util.rs:150-156``). Feeds the per-(index, app) gauge."""

@@ -34,15 +34,31 @@ def time_key_ts(raw: Column | str, time_key: str) -> Column:
     return F.timestamp_millis(millis.try_cast("long"))
 
 
+def time_key_ts_from_map(parsed_map: Column, time_key: str) -> Column:
+    """:func:`time_key_ts` over the already-parsed map — identical
+    semantics (map values are the JSON literals as strings, so the
+    try_cast accepts exactly what ``get_json_object`` would return)
+    without re-parsing the raw payload."""
+    millis = F.element_at(parsed_map, time_key).try_cast("double")
+    return F.timestamp_millis(millis.try_cast("long"))
+
+
 def at_timestamp(
-    raw: Column | str, publish_time: Column | str, time_key: str | None
+    raw: Column | str,
+    publish_time: Column | str,
+    time_key: str | None,
+    parsed_map: Column | None = None,
 ) -> Column:
     """P3 — the ``@timestamp`` rule: time-key field when numeric, else
     publish_time (reference ``src/es.rs:84-97``). Returns TimestampType;
-    render with :func:`rfc3339` for string-typed parity."""
+    render with :func:`rfc3339` for string-typed parity. Pass
+    ``parsed_map`` to reuse an existing ``from_json`` pass instead of
+    re-parsing ``raw``."""
     publish_time = F.col(publish_time) if isinstance(publish_time, str) else publish_time
     if time_key is None:
         return publish_time
+    if parsed_map is not None:
+        return F.coalesce(time_key_ts_from_map(parsed_map, time_key), publish_time)
     return F.coalesce(time_key_ts(raw, time_key), publish_time)
 
 

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from pulsar_elasticsearch_sync_rs_spark.config import PipelineConfig
 from pulsar_elasticsearch_sync_rs_spark.functions.debug import is_debug_log
 from pulsar_elasticsearch_sync_rs_spark.functions.json_fns import (
-    app_from_json,
+    app_from_map,
     field_count,
     sanitize_keys,
 )
@@ -68,7 +68,10 @@ def etl_transform(df: DataFrame, cfg: PipelineConfig, tiebreaker: str | None = "
         "parsed", F.from_json("value", "map<string,string>")
     ).filter(F.col("parsed").isNotNull())
     df = df.withColumn("doc", sanitize_keys(F.col("parsed")))
-    ts = at_timestamp("value", "publish_time", cfg.time_key)
+    # single-parse discipline: app/time-key read the parsed map instead
+    # of re-running get_json_object (a full JSON parse per call) on the
+    # raw payload — the chain parses each payload exactly once
+    ts = at_timestamp("value", "publish_time", cfg.time_key, parsed_map=F.col("parsed"))
     df = (
         df.withColumn("at_ts", ts)
         .withColumn("at_timestamp", rfc3339(F.col("at_ts")))
@@ -78,7 +81,7 @@ def etl_transform(df: DataFrame, cfg: PipelineConfig, tiebreaker: str | None = "
         "index",
         index_name(rewrite_index("topic_short", cfg.rewrite_rules), F.col("date_str")),
     )
-    df = df.withColumn("app", app_from_json("value", cfg.default_app))
+    df = df.withColumn("app", app_from_map(F.col("parsed"), cfg.default_app))
     df = df.withColumn("is_debug", is_debug_log("value", cfg.debug_log_pattern))
     df = df.withColumn("n_fields", field_count(F.col("parsed")))
     if cfg.rate_limits:
