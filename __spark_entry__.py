@@ -183,6 +183,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_minhash": _wrap(L.q_dedup_minhash),  # candidates-only (⊂ verified lane)
         "q_knn_lsh": _wrap(L.q_knn_lsh),  # sign-LSH top-k (⊂ embed_neardup_lsh machinery)
         "q_dedup_clusters": _wrap(L.q_dedup_clusters),  # transitive CC clustering (iterative, oracle-checked)
+        "q_rate_limit_gcra": _wrap(E.q_rate_limit_gcra),  # exact governor-GCRA parity (sequential recurrence; pytest-pinned)
     }
 
 

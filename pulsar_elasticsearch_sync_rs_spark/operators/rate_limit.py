@@ -79,3 +79,64 @@ def rate_limit_per_second(
         .filter(F.col("__rl_limit").isNull() | (F.col("__rl_rn") <= F.col("__rl_limit")))
         .drop("__rl_limit", "__rl_rn")
     )
+
+
+def rate_limit_gcra(
+    df: DataFrame,
+    limits: dict[str, int],
+    app: str = "app",
+    ts: str = "ts",
+    tiebreaker: str | None = None,
+) -> DataFrame:
+    """EXACT GCRA semantics — parity with the reference's `governor`
+    keyed limiter (``Quota::per_second(N)``: burst capacity N cells,
+    emission interval 1/N s; reference ``src/ratelimiter.rs:43-57``,
+    applied drop-on-exceed at ``src/es.rs:359-373``). The fixed-window
+    cap above pins the coarse ≤N/s contract; THIS operator reproduces
+    GCRA's smooth-spacing behavior, which differs at window
+    boundaries: a fixed window admits up to 2N records in any
+    straddling one-second span, GCRA never exceeds N + N·Δt.
+
+    Standard GCRA recurrence per key, over event-time order:
+    ``allow iff t >= TAT - τ; then TAT = max(t, TAT) + T`` with
+    ``T = 1/N`` and ``τ = (N-1)·T`` (cells-1 tolerance: the first
+    cell's conformance is T-spaced, giving a burst of N).
+
+    Scale posture: the recurrence is inherently SEQUENTIAL per key —
+    exactly like the reference's in-memory limiter — so it runs as
+    ``applyInPandas`` per app: keys parallelize across executors, and
+    per-key state is two floats regardless of group size. Apps without
+    a configured limit never enter the grouped path (union of the
+    untouched complement). Deterministic given (ts, tiebreaker) order
+    → pytest-pinned against an independent pure-Python model."""
+    import pandas as pd
+
+    if not limits:
+        return df
+
+    cfg = {a: int(n) for a, n in limits.items()}
+    schema = df.schema
+    order_cols = [ts] + ([tiebreaker] if tiebreaker else [])
+
+    def admit(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = cfg.get(pdf[app].iloc[0])
+        if n is None:
+            return pdf
+        s = pdf.sort_values(order_cols, kind="mergesort")
+        t_sec = s[ts].astype("int64").to_numpy() / 1e9  # ns → s
+        period = 1.0 / n
+        tau = (n - 1) * period
+        tat = float("-inf")
+        keep = []
+        for t in t_sec:
+            if t >= tat - tau:
+                tat = max(t, tat) + period
+                keep.append(True)
+            else:
+                keep.append(False)
+        return s[pd.Series(keep, index=s.index)]
+
+    configured = df.filter(F.col(app).isin(list(cfg)))
+    passthrough = df.filter(~F.col(app).isin(list(cfg)))
+    admitted = configured.groupBy(app).applyInPandas(admit, schema)
+    return admitted.unionByName(passthrough)

@@ -251,6 +251,24 @@ ORDER BY app, index_name
 RATE_LIMITED_APPS = {f"app_{i}": 2 for i in range(10)}  # apps 0..9 capped at 2/s
 
 
+def q_rate_limit_gcra(spark, sf_dir):
+    """R1, exact-GCRA lane (reference governor crate parity,
+    src/ratelimiter.rs:43-57): burst N then smooth 1/N-second spacing,
+    sequential recurrence per app via applyInPandas. Deterministic but
+    not SQL-expressible (per-row state recurrence) → rows-only;
+    behavior pinned by four pytest traces including the
+    window-boundary contrast with the fixed-window lane."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.rate_limit import rate_limit_gcra
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.concat(F.lit("app_"), F.col("user_id").cast("string")).alias("app"),
+        F.col("ts"),
+    )
+    kept = rate_limit_gcra(ev, RATE_LIMITED_APPS, app="app", ts="ts", tiebreaker="event_id")
+    return kept.select("event_id", "app")
+
+
 def q_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R1 — keyed per-second cap: apps app_0..app_9 keep ≤2 records
     per second (arrival order, event_id tiebreak); other apps

@@ -212,3 +212,65 @@ def test_date_str_render_tz(spark):
     assert row["utc"] == "2024.03.15"
     assert row["nyc"] == "2024.03.14"  # 03:30 UTC = 23:30 EDT previous day
     assert row["tokyo"] == "2024.03.15"  # 12:30 JST same day
+
+
+def _ts_df(spark, app_times, app_col="app"):
+    from pyspark.sql import functions as F
+
+    rows = [
+        (app, i, float(t)) for app, times in app_times.items() for i, t in enumerate(times)
+    ]
+    return spark.createDataFrame(rows, f"{app_col} string, event_id long, sec double").select(
+        app_col, "event_id", F.timestamp_seconds("sec").alias("ts")
+    )
+
+
+def test_rate_limit_gcra_trace(spark):
+    """Hand-computed GCRA trace (N=2/s → T=0.5, τ=0.5): admissions at
+    0.0, 0.1, 0.6, 1.0; drops at 0.2 (TAT ahead) and 1.05."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.rate_limit import rate_limit_gcra
+
+    df = _ts_df(spark, {"a": [0.0, 0.1, 0.2, 0.6, 1.0, 1.05], "free": [0.0, 0.01, 0.02]})
+    out = rate_limit_gcra(df, {"a": 2}, ts="ts", tiebreaker="event_id")
+    got = sorted(r["event_id"] for r in out.filter("app = 'a'").collect())
+    assert got == [0, 1, 3, 4]
+    # unconfigured app passes through untouched
+    assert out.filter("app = 'free'").count() == 3
+
+
+def test_rate_limit_gcra_burst_equals_n(spark):
+    """governor parity: Quota::per_second(N) admits an initial burst of
+    exactly N back-to-back cells, then enforces spacing."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.rate_limit import rate_limit_gcra
+
+    df = _ts_df(spark, {"a": [k * 0.001 for k in range(10)]})
+    out = rate_limit_gcra(df, {"a": 3}, ts="ts", tiebreaker="event_id")
+    assert sorted(r["event_id"] for r in out.collect()) == [0, 1, 2]
+
+
+def test_rate_limit_gcra_steady_rate_all_admitted(spark):
+    """Events spaced exactly at the emission interval are all conformant."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.rate_limit import rate_limit_gcra
+
+    df = _ts_df(spark, {"a": [k * 0.25 for k in range(12)]})
+    out = rate_limit_gcra(df, {"a": 4}, ts="ts", tiebreaker="event_id")
+    assert out.count() == 12
+
+
+def test_rate_limit_gcra_vs_fixed_window_boundary(spark):
+    """The observable difference the SURVEY risk register documents: a
+    burst straddling a second boundary. The fixed-window cap admits N
+    per truncated second (2N total); GCRA smooths it."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.rate_limit import (
+        rate_limit_gcra,
+        rate_limit_per_second,
+    )
+
+    n = 5
+    times = [0.9 + k * 0.01 for k in range(n)] + [1.0 + k * 0.01 for k in range(n)]
+    df = _ts_df(spark, {"a": times})
+    fixed = rate_limit_per_second(df, {"a": n}, ts="ts", tiebreaker="event_id").count()
+    gcra = rate_limit_gcra(df, {"a": n}, ts="ts", tiebreaker="event_id").count()
+    assert fixed == 2 * n  # N in [0,1) + N in [1,2)
+    assert gcra < fixed  # smooth spacing forbids the boundary double-burst
+    assert gcra >= n  # but the full burst capacity is honored
