@@ -93,3 +93,56 @@ def rate_limit_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+GCRA_STATE_SCHEMA = T.StructType([T.StructField("tat_micros", T.LongType())])
+
+
+def stateful_gcra_limiter(limits: dict[str, int], id_field: str = "event_id"):
+    """Exact-GCRA streaming twin (see operators/rate_limit.rate_limit_gcra
+    and reference ``src/ratelimiter.rs:43-57``): per-app state is the
+    single theoretical-arrival-time, carried across micro-batches as
+    integer MICROseconds (avoids float drift in the state store).
+    ``allow iff t >= TAT - τ; TAT = max(t, TAT) + T`` with T = 1/N s,
+    τ = (N-1)·T."""
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        app = key[0]
+        limit = limits.get(app)
+        tat = state.get[0] if state.exists else None  # µs
+        for pdf in pdfs:
+            if limit is None:
+                yield pdf[[id_field, "app", "ts"]]
+                continue
+            period = 1_000_000 // limit
+            tau = (limit - 1) * period
+            pdf = pdf.sort_values(["ts", id_field])
+            keep_mask = []
+            for ts in pdf["ts"]:
+                t = int(ts.timestamp() * 1_000_000)
+                if tat is None or t >= tat - tau:
+                    tat = (t if tat is None else max(t, tat)) + period
+                    keep_mask.append(True)
+                else:
+                    keep_mask.append(False)
+            yield pdf.loc[keep_mask, [id_field, "app", "ts"]]
+        if tat is not None:
+            state.update((tat,))
+
+    return fn
+
+
+def rate_limit_stream_gcra(
+    df: DataFrame, limits: dict[str, int], id_field: str = "event_id"
+) -> DataFrame:
+    """Apply the exact-GCRA stateful limiter to a streaming DataFrame
+    with columns (id_field, app, ts). Output: admitted rows only."""
+    return df.groupBy("app").applyInPandasWithState(
+        stateful_gcra_limiter(limits, id_field),
+        outputStructType=make_output_schema(id_field),
+        stateStructType=GCRA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

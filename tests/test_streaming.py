@@ -358,3 +358,48 @@ def test_session_window_stream_matches_batch(spark, sf_dir, tmpdir):
     got = spark.sql("SELECT user_id, n_events FROM sess_stream").collect()
     got_multiset = sorted((r["user_id"], r["n_events"]) for r in got)
     assert got_multiset == batch_multiset
+
+
+def test_stateful_gcra_across_batches(spark, tmpdir):
+    """The GCRA theoretical-arrival-time persists across micro-batches:
+    with N=2/s (T=0.5, tau=0.5), batch 1 admits 0.0s and 0.1s leaving
+    TAT=1.0; batch 2's 0.2s event must be DROPPED (a fresh state would
+    admit it), while 0.6s and 1.0s conform."""
+    from pulsar_elasticsearch_sync_rs_spark.streaming.rate_limit_state import (
+        rate_limit_stream_gcra,
+    )
+
+    src_dir = os.path.join(tmpdir, "src")
+    os.makedirs(src_dir)
+    rows1 = [(0, "a", 0.0), (1, "a", 0.1)]
+    rows2 = [(2, "a", 0.2), (3, "a", 0.6), (4, "a", 1.0), (5, "b", 0.0)]
+    for i, rows in enumerate([rows1, rows2]):
+        (
+            spark.createDataFrame(rows, "event_id long, app string, sec double")
+            .withColumn("ts", F.timestamp_seconds("sec"))
+            .drop("sec")
+            .coalesce(1)
+            .write.mode("append" if i else "overwrite")
+            .parquet(src_dir)
+        )
+
+    stream = (
+        spark.readStream.schema("event_id long, app string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    out = rate_limit_stream_gcra(stream, {"a": 2})
+    out_dir = os.path.join(tmpdir, "out")
+    q = (
+        out.writeStream.outputMode("append")
+        .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out_dir)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    a_ids = sorted(r["event_id"] for r in got.filter(F.col("app") == "a").collect())
+    assert a_ids == [0, 1, 3, 4], f"TAT not carried across batches: {a_ids}"
+    assert got.filter(F.col("app") == "b").count() == 1
