@@ -179,22 +179,24 @@ def minhash_candidates(
     banded = sig.select(id_col, F.explode(band_arr).alias("band")).select(
         id_col, "band.band_id", "band.band_hash"
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
+    # bucket-grouped pair generation instead of a self-join: a
+    # self-join recomputes the ENTIRE signature subtree (the Arrow UDF
+    # pass over every document) once per join side — Catalyst does not
+    # share subtrees across join branches. Grouping materializes each
+    # bucket's id list once (one signature pass, ONE shuffle on the
+    # short uniform band key) and expands the within-bucket pairs
+    # in-row with two explodes. Combinatorics are identical; the per-
+    # bucket id list is 8 B/id and bounded by bucket size, the same
+    # quantity that bounds the join's blow-up.
+    return (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.collect_list(F.col(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode("ids").alias("id_a"), F.col("ids"))
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
-    return pairs
 
 
 def ngram_jaccard_pairs(
@@ -512,19 +514,26 @@ def simhash_neardup_pairs(
     exploded = sigs.select(
         "id", "sig", F.posexplode(F.array(*keys)).alias("combo_id", "key")
     )
-    a = exploded.select(
-        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "combo_id", "key"
-    )
-    b = exploded.select(
-        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "combo_id", "key"
-    )
+    # bucket-grouped pair generation (same rationale as
+    # minhash_candidates): a self-join would run the simhash Arrow UDF
+    # over the corpus once per side; grouping runs it once, shuffles
+    # (id, sig) structs on the ~33-bit combo key, and expands
+    # within-bucket pairs in-row. The exact bit_count verify then
+    # filters candidates to true hamming <= k pairs.
     return (
-        a.join(b, ["combo_id", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-        .withColumn("hamming", F.expr("bit_count(sig_a ^ sig_b)").cast("int"))
+        exploded.groupBy("combo_id", "key")
+        .agg(F.collect_list(F.struct("id", "sig")).alias("members"))
+        .filter(F.size("members") > 1)
+        .select(F.explode("members").alias("a"), F.col("members"))
+        .select("a", F.explode("members").alias("b"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.expr("bit_count(a.sig ^ b.sig)").cast("int").alias("hamming"),
+        )
         .filter(F.col("hamming") <= k)
-        .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
