@@ -282,3 +282,46 @@ def test_connected_components_matches_union_find(spark_global, edges):
         for r in connected_components(df).collect()
     }
     assert got == expected
+
+
+@given(
+    payloads=st.lists(
+        st.one_of(
+            st.text(max_size=40),
+            st.text(max_size=10).map(lambda s: '{"k": "' + s.replace('"', "") + '"}'),
+            st.sampled_from(
+                ['{"a": 1}', "[1,2]", "null", "{broken", '{"app": "x", "t": "1.5"}', "", "   "]
+            ),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_etl_chain_total_on_arbitrary_payloads(spark_global, payloads):
+    """Robustness property: the full ETL chain is TOTAL over arbitrary
+    payload strings (ANSI mode must not abort on malformed JSON — the
+    try_cast/dead-letter discipline), and dead_letter_split partitions
+    the input exactly: every record lands in main or dead, never both,
+    never neither."""
+    from pyspark.sql import functions as F
+
+    from pulsar_elasticsearch_sync_rs_spark.config import PipelineConfig
+    from pulsar_elasticsearch_sync_rs_spark.operators.filters import dead_letter_split
+    from pulsar_elasticsearch_sync_rs_spark.plans.pipeline import etl_transform
+
+    df = spark_global.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)], "event_id long, value string"
+    ).select(
+        "event_id",
+        "value",
+        F.lit("persistent://public/default/t0").alias("topic"),
+        F.timestamp_seconds(F.col("event_id")).alias("publish_time"),
+    )
+    cfg = PipelineConfig(time_key="t")
+    out = etl_transform(df, cfg, tiebreaker="event_id")
+    n_out = out.count()  # must not raise
+    main, dead = dead_letter_split(df, "value")
+    assert main.count() + dead.count() == len(payloads)
+    # the chain keeps exactly the parseable, non-empty records
+    assert n_out <= len(payloads)
