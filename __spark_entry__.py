@@ -184,6 +184,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_lsh": _wrap(L.q_knn_lsh),  # sign-LSH top-k (⊂ embed_neardup_lsh machinery)
         "q_dedup_clusters": _wrap(L.q_dedup_clusters),  # transitive CC clustering (iterative, oracle-checked)
         "q_rate_limit_gcra": _wrap(E.q_rate_limit_gcra),  # exact governor-GCRA parity (sequential recurrence; pytest-pinned)
+        "q_quantiles": _wrap(A.q_quantiles),  # exact percentile aggregation
+        "q_histogram": _wrap(A.q_histogram),  # fixed-width binning
     }
 
 
@@ -197,4 +199,6 @@ def extra_oracle_sql() -> dict[str, str]:
         "q_dedup_normalized": L.ORACLE_DEDUP_NORMALIZED,
         "q_media_frames": L.ORACLE_MEDIA_FRAMES,
         "q_dedup_clusters": L.ORACLE_DEDUP_CLUSTERS,
+        "q_quantiles": A.ORACLE_QUANTILES,
+        "q_histogram": A.ORACLE_HISTOGRAM,
     }

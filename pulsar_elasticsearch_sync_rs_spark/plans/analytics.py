@@ -696,3 +696,54 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 """
+
+
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous-interpolation quantiles of event value per
+    event type (p50/p90/p99) — the percentile aggregation surface.
+    Spark's ``percentile`` and DuckDB's ``quantile_cont`` share the
+    same definition (sort + linear interpolation), so exact values
+    hash-match after rounding. One shuffle on event_type.
+
+    Scale note: exact percentile buffers the group's values — the
+    oracle-grade lane. The sketch path at 100 TB is
+    ``approx_percentile`` (same shape as q_approx_distinct's HLL
+    twin): fixed-size t-digest-style state, map-side mergeable."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+ORACLE_QUANTILES = """
+SELECT event_type,
+  round(quantile_cont(value, 0.5), 6) AS p50,
+  round(quantile_cont(value, 0.9), 6) AS p90,
+  round(quantile_cont(value, 0.99), 6) AS p99
+FROM events
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values per event type: integer
+    bin index = floor(value / 10) (engine-portable — no width_bucket
+    dependency), count per (type, bin). Single shuffle; bins are
+    bounded by the value range, so the aggregate is tiny."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type", F.floor(F.col("value") / 10).cast("long").alias("bin")
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+ORACLE_HISTOGRAM = """
+SELECT event_type, CAST(floor(value / 10) AS BIGINT) AS bin, count(*) AS n
+FROM events
+GROUP BY event_type, bin
+ORDER BY event_type, bin
+"""
