@@ -186,6 +186,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rate_limit_gcra": _wrap(E.q_rate_limit_gcra),  # exact governor-GCRA parity (sequential recurrence; pytest-pinned)
         "q_quantiles": _wrap(A.q_quantiles),  # exact percentile aggregation
         "q_histogram": _wrap(A.q_histogram),  # fixed-width binning
+        "q_tfidf_topk": _wrap(L.q_tfidf_topk),  # per-doc top terms by tf-idf
+        "q_group_sample": _wrap(L.q_group_sample),  # deterministic per-group reservoir
     }
 
 
@@ -201,4 +203,6 @@ def extra_oracle_sql() -> dict[str, str]:
         "q_dedup_clusters": L.ORACLE_DEDUP_CLUSTERS,
         "q_quantiles": A.ORACLE_QUANTILES,
         "q_histogram": A.ORACLE_HISTOGRAM,
+        "q_tfidf_topk": L.ORACLE_TFIDF_TOPK,
+        "q_group_sample": L.ORACLE_GROUP_SAMPLE,
     }

@@ -889,3 +889,83 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return knn_cosine_ivf(emb, queries, k=5, nlist=8, nprobe=4)
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by TF-IDF — the feature-extraction
+    staple of corpus analysis. tf = term count in doc; idf =
+    ln(N / df) over distinct-doc frequency; top-3 per doc by
+    round(tf·idf, 6) with term tiebreak.
+
+    Plan: explode tokens (narrow) → (doc, term) counts and (term, df)
+    counts — two partial-agg shuffles over (term[, doc]) keys, never
+    documents — → broadcast-sized df table joins back → windowed
+    top-k. ln() is IEEE-double on both engines; the 6-dp round is the
+    same discipline the cosine lanes use."""
+    docs = read_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = docs.select(
+        "doc_id", F.explode(ws_tokens(F.lower("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = toks.distinct().groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(dfreq, "term").withColumn(
+        "tfidf",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "rnk", "term", "tfidf")
+    )
+
+
+ORACLE_TFIDF_TOPK = r"""
+WITH toks AS (
+  SELECT doc_id,
+    unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+    round(tf.tf * ln((SELECT count(*) FROM documents) / CAST(dfreq.df AS DOUBLE)), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term)
+)
+SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, term, tfidf FROM (
+  SELECT doc_id, term, tfidf,
+    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rnk
+  FROM scored
+) WHERE rnk <= 3
+ORDER BY doc_id, rnk
+"""
+
+
+def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group reservoir: the k=3 docs per source with
+    the smallest md5(text) rank — a reproducible, engine-portable
+    "random" sample per stratum (no RNG; the same content always wins,
+    which is what makes the lane auditable). Windowed top-k: one
+    shuffle on source."""
+    docs = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.md5("text").asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("source", F.col("rnk").cast("int").alias("rnk"), "doc_id")
+    )
+
+
+ORACLE_GROUP_SAMPLE = """
+SELECT source, CAST(rnk AS INTEGER) AS rnk, doc_id FROM (
+  SELECT source, doc_id,
+    row_number() OVER (PARTITION BY source ORDER BY md5(text) ASC, doc_id ASC) AS rnk
+  FROM documents
+) WHERE rnk <= 3
+ORDER BY source, rnk
+"""
