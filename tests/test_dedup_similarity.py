@@ -592,3 +592,22 @@ def test_simhash_dedup_hamming_k(spark):
     )
     ids = sorted(r["doc_id"] for r in dedup_simhash(docs, k=3).collect())
     assert 0 in ids and 2 in ids and 1 not in ids
+
+
+def test_connected_components_empty_and_singleton(spark):
+    """Degenerate graphs: no edges at all, and self-loop-only input
+    (filtered out) — both yield empty component output, and
+    dedup_clusters then labels every doc as its own cluster."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.components import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(empty).count() == 0
+    loops = spark.createDataFrame([(7, 7)], "id_a long, id_b long")
+    assert connected_components(loops).count() == 0
+
+    docs = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    got = {r["doc_id"]: r["cluster"] for r in dedup_clusters(docs, empty).collect()}
+    assert got == {1: 1, 2: 2}
