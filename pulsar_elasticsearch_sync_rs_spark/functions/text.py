@@ -175,3 +175,40 @@ def rolling_fingerprint(text: Column | str) -> Column:
         F.size(toks) > 0,
         F.aggregate(pairs, F.lit(0).cast("bigint"), lambda a, x: a + x) % F.lit(2147483647),
     ).otherwise(F.lit(0).cast("bigint"))
+
+
+# --- Python-side twins of the JVM tokenization, for Arrow UDF kernels ----
+
+_JAVA_TRIM_CHARS = "".join(chr(c) for c in range(0x21))  # Java trim: <= U+0020
+_JAVA_WS_RE = None  # compiled lazily inside executors
+
+
+def py_ws_tokens(text: str | None) -> list[str]:
+    """Python-side twin of :func:`ws_tokens` with JAVA semantics, shared
+    by every Arrow UDF kernel (minhash / simhash / jaccard verify) so
+    Python lanes can never drift from the JVM/oracle lanes: Java's
+    ``trim`` strips code points <= U+0020 and Spark's ``split`` uses
+    Java ``\\s`` (ASCII [ \\t\\n\\x0B\\f\\r] — NOT Unicode whitespace,
+    which plain ``str.split()`` would also split on, silently changing
+    shingle sets for e.g. NBSP-containing documents)."""
+    global _JAVA_WS_RE
+    if not text:
+        return []
+    if _JAVA_WS_RE is None:
+        import re
+
+        _JAVA_WS_RE = re.compile(r"[ \t\n\x0b\f\r]+")
+    stripped = text.strip(_JAVA_TRIM_CHARS)
+    if not stripped:
+        return []
+    return [t for t in _JAVA_WS_RE.split(stripped) if t]
+
+
+def py_word_shingles(text: str | None, k: int) -> set[str]:
+    """Python-side twin of :func:`word_shingles` (distinct k-word
+    shingles as space-joined strings) over :func:`py_ws_tokens`."""
+    toks = py_ws_tokens(text)
+    n = len(toks) - k + 1
+    if n <= 0:
+        return set()
+    return {" ".join(toks[i : i + k]) for i in range(n)}

@@ -73,24 +73,31 @@ def connected_components(
     (node, root). ``max_iter`` is a safety bound far above the
     O(log² n) theory — hitting it raises instead of silently returning
     partial components."""
+    # canonicalize BEFORE symmetrizing: an input containing both (a,b)
+    # and (b,a) would otherwise survive the directed distinct and then
+    # duplicate under the reversal union, breaking the set-equality
+    # convergence test
     edges = (
-        pairs.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
-        .filter(F.col("u") != F.col("v"))
+        pairs.select(F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
         .distinct()
     )
     edges = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     edges = edges.localCheckpoint()
+    edges_count = edges.count()
 
     for _ in range(max_iter):
         ls = _large_star(edges)
         sym = ls.union(ls.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
         ss = _small_star(sym).localCheckpoint()
         new_sym = ss.union(ss.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        # converged when the star contraction is a fixed point
-        if (
-            new_sym.exceptAll(edges).isEmpty()
-            and edges.exceptAll(new_sym).isEmpty()
-        ):
+        # converged when the star contraction is a fixed point. Both
+        # sides are distinct sets, so subset + equal cardinality ⇒
+        # equality: one exceptAll plus a cheap count instead of two
+        # exceptAll jobs per round.
+        new_count = new_sym.count()
+        if new_count == edges_count and new_sym.exceptAll(edges).isEmpty():
             roots = ss  # (u > root, root)
             return roots.select(
                 F.col("u").alias("id"), F.col("v").alias("component")
@@ -98,6 +105,7 @@ def connected_components(
                 roots.select("v", "v").distinct().toDF("id", "component")
             ).distinct()
         edges = new_sym.localCheckpoint()
+        edges_count = new_count
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 

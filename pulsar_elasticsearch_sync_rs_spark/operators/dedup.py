@@ -122,15 +122,15 @@ def make_minhash_udf(num_hashes: int = 32, shingle_k: int = 3):
     def minhash_udf(text: pd.Series) -> pd.Series:
         import zlib
 
+        from pulsar_elasticsearch_sync_rs_spark.functions.text import py_word_shingles
+
         out = []
         for t in text:
-            toks = t.split() if t else []
-            n = len(toks) - shingle_k + 1
-            if n <= 0:
+            shingles = py_word_shingles(t, shingle_k)
+            if not shingles:
                 # empty-shingle sentinel: all empty docs share a signature
                 out.append([MERSENNE] * num_hashes)
                 continue
-            shingles = {" ".join(toks[i : i + shingle_k]) for i in range(n)}
             hv = np.fromiter(
                 (zlib.crc32(s.encode("utf-8")) for s in shingles),
                 dtype=np.int64,
@@ -399,16 +399,11 @@ def dedup_minhash_verified(
 
     @F.pandas_udf(T.DoubleType())
     def jaccard_udf(ta: pd.Series, tb: pd.Series) -> pd.Series:
-        def shingle_set(s):
-            toks = s.split() if s else []
-            n = len(toks) - shingle_k + 1
-            if n <= 0:
-                return frozenset()
-            return {" ".join(toks[i : i + shingle_k]) for i in range(n)}
+        from pulsar_elasticsearch_sync_rs_spark.functions.text import py_word_shingles
 
         out = []
         for x, y in zip(ta, tb):
-            sa, sb = shingle_set(x), shingle_set(y)
+            sa, sb = py_word_shingles(x, shingle_k), py_word_shingles(y, shingle_k)
             union = len(sa | sb)
             out.append(len(sa & sb) / union if union else 0.0)
         return pd.Series(out)
@@ -437,10 +432,12 @@ def simhash64(text: Column | str) -> Column:
     def simhash_udf(texts: pd.Series) -> pd.Series:
         import hashlib
 
+        from pulsar_elasticsearch_sync_rs_spark.functions.text import py_ws_tokens
+
         bit_idx = np.arange(64, dtype=np.uint64)
         out = []
         for t in texts:
-            toks = t.split() if t else []
+            toks = py_ws_tokens(t)
             if not toks:
                 out.append(0)
                 continue

@@ -167,10 +167,13 @@ def embedding_near_dup_ivf(
         F.explode(probe(F.col(vec_col))).alias("cell_id"),
     )
 
+    # preserve the caller's id type (string ids worked before the
+    # cogroup rewrite and must keep working)
+    id_type = df.schema[id_col].dataType
     out_schema = T.StructType(
         [
-            T.StructField("id_a", T.LongType()),
-            T.StructField("id_b", T.LongType()),
+            T.StructField("id_a", id_type),
+            T.StructField("id_b", id_type),
             T.StructField("cosine_sim", T.DoubleType()),
         ]
     )
@@ -188,13 +191,11 @@ def embedding_near_dup_ivf(
         mids = index_pdf["vid"].to_numpy()
         pi, mi = np.nonzero((sims >= threshold) & (pids[:, None] != mids[None, :]))
         a, b = pids[pi], mids[mi]
-        return pd.DataFrame(
-            {
-                "id_a": np.minimum(a, b),
-                "id_b": np.maximum(a, b),
-                "cosine_sim": sims[pi, mi],
-            }
-        )
+        # np.where (not np.minimum) so object/string id arrays order
+        # correctly too
+        lo = np.where(a <= b, a, b)
+        hi = np.where(a <= b, b, a)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine_sim": sims[pi, mi]})
 
     hits = (
         probes.groupBy("cell_id")

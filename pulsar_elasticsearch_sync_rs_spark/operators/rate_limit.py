@@ -123,20 +123,28 @@ def rate_limit_gcra(
         if n is None:
             return pdf
         s = pdf.sort_values(order_cols, kind="mergesort")
-        t_sec = s[ts].astype("int64").to_numpy() / 1e9  # ns → s
-        period = 1.0 / n
+        # integer NANOSECONDS end to end (pandas timestamps are exact
+        # int64 ns) — no float division anywhere, so the batch and
+        # streaming lanes share bit-identical arithmetic (the governor
+        # crate also computes GCRA in integer nanos)
+        t_ns = s[ts].astype("int64").to_numpy()
+        period = 1_000_000_000 // n
         tau = (n - 1) * period
-        tat = float("-inf")
+        tat = None
         keep = []
-        for t in t_sec:
-            if t >= tat - tau:
-                tat = max(t, tat) + period
+        for t in t_ns:
+            if tat is None or t >= tat - tau:
+                tat = (t if tat is None else max(int(t), tat)) + period
                 keep.append(True)
             else:
                 keep.append(False)
         return s[pd.Series(keep, index=s.index)]
 
-    configured = df.filter(F.col(app).isin(list(cfg)))
-    passthrough = df.filter(~F.col(app).isin(list(cfg)))
+    # null-safe split: a NULL app is "unconfigured" and must pass
+    # through (isin returns NULL for NULL input, which a bare ~filter
+    # would silently drop from BOTH branches — data loss)
+    is_configured = F.coalesce(F.col(app).isin(list(cfg)), F.lit(False))
+    configured = df.filter(is_configured)
+    passthrough = df.filter(~is_configured)
     admitted = configured.groupBy(app).applyInPandas(admit, schema)
     return admitted.unionByName(passthrough)

@@ -86,8 +86,16 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs (≥0.35) within
     (lang, source) blocks — the verification-grade dedup; the 100 TB
     candidate-generation path is q_dedup_minhash."""
+    # null-safe, delimiter-unambiguous block key: NULL when either
+    # field is NULL (a NULL join key never matches, exactly like the
+    # oracle's lang = lang AND source = source), JSON-escaped so a
+    # literal '|' in either value cannot alias two different blocks
     docs = read_table(spark, sf_dir, "documents").withColumn(
-        "blk", F.concat_ws("|", "lang", "source")
+        "blk",
+        F.when(
+            F.col("lang").isNotNull() & F.col("source").isNotNull(),
+            F.to_json(F.struct("lang", "source")),
+        ),
     )
     pairs = ngram_jaccard_pairs(
         docs, text="text", id_col="doc_id", threshold=0.35, shingle_k=3, block_col="blk"
@@ -164,8 +172,16 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle checks it value-for-value."""
     from pulsar_elasticsearch_sync_rs_spark.operators.components import dedup_clusters
 
+    # null-safe, delimiter-unambiguous block key: NULL when either
+    # field is NULL (a NULL join key never matches, exactly like the
+    # oracle's lang = lang AND source = source), JSON-escaped so a
+    # literal '|' in either value cannot alias two different blocks
     docs = read_table(spark, sf_dir, "documents").withColumn(
-        "blk", F.concat_ws("|", "lang", "source")
+        "blk",
+        F.when(
+            F.col("lang").isNotNull() & F.col("source").isNotNull(),
+            F.to_json(F.struct("lang", "source")),
+        ),
     )
     pairs = ngram_jaccard_pairs(
         docs, text="text", id_col="doc_id", threshold=0.35, shingle_k=3, block_col="blk"
@@ -953,7 +969,11 @@ def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is what makes the lane auditable). Windowed top-k: one
     shuffle on source."""
     docs = read_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy(F.md5("text").asc(), F.col("doc_id").asc())
+    # asc_nulls_last: Spark ASC is NULLS FIRST but DuckDB ASC defaults
+    # to NULLS LAST — pin the oracle's ordering for NULL texts
+    w = Window.partitionBy("source").orderBy(
+        F.md5("text").asc_nulls_last(), F.col("doc_id").asc()
+    )
     return (
         docs.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)

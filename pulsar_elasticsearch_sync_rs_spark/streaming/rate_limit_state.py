@@ -95,33 +95,35 @@ def rate_limit_stream(
     )
 
 
-GCRA_STATE_SCHEMA = T.StructType([T.StructField("tat_micros", T.LongType())])
+GCRA_STATE_SCHEMA = T.StructType([T.StructField("tat_nanos", T.LongType())])
 
 
 def stateful_gcra_limiter(limits: dict[str, int], id_field: str = "event_id"):
     """Exact-GCRA streaming twin (see operators/rate_limit.rate_limit_gcra
     and reference ``src/ratelimiter.rs:43-57``): per-app state is the
     single theoretical-arrival-time, carried across micro-batches as
-    integer MICROseconds (avoids float drift in the state store).
-    ``allow iff t >= TAT - τ; TAT = max(t, TAT) + T`` with T = 1/N s,
-    τ = (N-1)·T."""
+    integer NANOseconds — ``ts.value`` is the exact int64 ns of the
+    pandas timestamp, so the streaming and batch lanes share
+    bit-identical arithmetic (and the governor crate itself computes
+    GCRA in integer nanos). ``allow iff t >= TAT - τ;
+    TAT = max(t, TAT) + T`` with T = 10⁹//N ns, τ = (N-1)·T."""
 
     def fn(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         app = key[0]
         limit = limits.get(app)
-        tat = state.get[0] if state.exists else None  # µs
+        tat = state.get[0] if state.exists else None  # ns
         for pdf in pdfs:
             if limit is None:
                 yield pdf[[id_field, "app", "ts"]]
                 continue
-            period = 1_000_000 // limit
+            period = 1_000_000_000 // limit
             tau = (limit - 1) * period
             pdf = pdf.sort_values(["ts", id_field])
             keep_mask = []
             for ts in pdf["ts"]:
-                t = int(ts.timestamp() * 1_000_000)
+                t = int(ts.value)  # exact int64 ns
                 if tat is None or t >= tat - tau:
                     tat = (t if tat is None else max(t, tat)) + period
                     keep_mask.append(True)
