@@ -274,3 +274,19 @@ def test_rate_limit_gcra_vs_fixed_window_boundary(spark):
     assert fixed == 2 * n  # N in [0,1) + N in [1,2)
     assert gcra < fixed  # smooth spacing forbids the boundary double-burst
     assert gcra >= n  # but the full burst capacity is honored
+
+
+def test_rate_limit_gcra_null_app_passthrough(spark):
+    """Regression: a NULL app is 'unconfigured' and must pass through —
+    isin() returns NULL for NULL input, which once excluded such rows
+    from both the configured and passthrough branches (data loss)."""
+    from pyspark.sql import functions as F
+
+    from pulsar_elasticsearch_sync_rs_spark.operators.rate_limit import rate_limit_gcra
+
+    df = spark.createDataFrame(
+        [(0, "a", 0.0), (1, None, 0.0), (2, None, 0.001)],
+        "event_id long, app string, sec double",
+    ).select("event_id", "app", F.timestamp_seconds("sec").alias("ts"))
+    out = rate_limit_gcra(df, {"a": 5}, ts="ts", tiebreaker="event_id")
+    assert out.count() == 3  # nothing lost; NULL-app rows unlimited
