@@ -403,3 +403,44 @@ def test_stateful_gcra_across_batches(spark, tmpdir):
     a_ids = sorted(r["event_id"] for r in got.filter(F.col("app") == "a").collect())
     assert a_ids == [0, 1, 3, 4], f"TAT not carried across batches: {a_ids}"
     assert got.filter(F.col("app") == "b").count() == 1
+
+
+def test_admission_bounds_micro_batches(spark, sf_dir, tmpdir):
+    """X1 backpressure as observable behavior (not just design): the
+    maxFilesPerTrigger admission option bounds every micro-batch to one
+    source file's rows — the Spark-native equivalent of the reference's
+    bounded-channel backpressure (its channel caps in-flight records
+    between consume and sink; admission caps in-flight records per
+    micro-batch)."""
+    src_dir = os.path.join(tmpdir, "src")
+    os.makedirs(src_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").limit(400)
+    # 4 files of ~100 rows each
+    ev.repartition(4).write.mode("overwrite").parquet(src_dir)
+    per_file = max(
+        spark.read.parquet(src_dir + "/" + f).count()
+        for f in os.listdir(src_dir)
+        if f.endswith(".parquet")
+    )
+
+    batch_sizes = []
+
+    def record(batch_df, batch_id):
+        batch_sizes.append(batch_df.count())
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+        .trigger(availableNow=True)
+        .foreachBatch(record)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(batch_sizes) == 4, f"expected 4 admitted micro-batches, got {batch_sizes}"
+    assert sum(batch_sizes) == 400
+    assert max(batch_sizes) <= per_file  # no batch exceeds the admission bound
