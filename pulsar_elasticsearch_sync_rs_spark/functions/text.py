@@ -179,18 +179,23 @@ def rolling_fingerprint(text: Column | str) -> Column:
 
 # --- Python-side twins of the JVM tokenization, for Arrow UDF kernels ----
 
-_JAVA_TRIM_CHARS = "".join(chr(c) for c in range(0x21))  # Java trim: <= U+0020
 _JAVA_WS_RE = None  # compiled lazily inside executors
 
 
 def py_ws_tokens(text: str | None) -> list[str]:
-    """Python-side twin of :func:`ws_tokens` with JAVA semantics, shared
-    by every Arrow UDF kernel (minhash / simhash / jaccard verify) so
-    Python lanes can never drift from the JVM/oracle lanes: Java's
-    ``trim`` strips code points <= U+0020 and Spark's ``split`` uses
-    Java ``\\s`` (ASCII [ \\t\\n\\x0B\\f\\r] — NOT Unicode whitespace,
-    which plain ``str.split()`` would also split on, silently changing
-    shingle sets for e.g. NBSP-containing documents)."""
+    """Python-side twin of :func:`ws_tokens` with exact SPARK-SQL
+    semantics, shared by every Arrow UDF kernel (minhash / simhash /
+    jaccard verify) so Python lanes can never drift from the
+    JVM/oracle lanes:
+
+    - Spark SQL ``trim()`` strips ONLY the space character U+0020
+      (NOT Java ``String.trim``'s <= U+0020 — a leading control char
+      like \\x01 stays attached to its token);
+    - Spark's ``split`` uses Java ``\\s`` — the ASCII class
+      [ \\t\\n\\x0B\\f\\r] — NOT Unicode whitespace, which plain
+      ``str.split()`` would also split on, silently changing shingle
+      sets for e.g. NBSP-containing documents;
+    - empty fragments are filtered, matching ``ws_tokens``' filter."""
     global _JAVA_WS_RE
     if not text:
         return []
@@ -198,7 +203,7 @@ def py_ws_tokens(text: str | None) -> list[str]:
         import re
 
         _JAVA_WS_RE = re.compile(r"[ \t\n\x0b\f\r]+")
-    stripped = text.strip(_JAVA_TRIM_CHARS)
+    stripped = text.strip(" ")
     if not stripped:
         return []
     return [t for t in _JAVA_WS_RE.split(stripped) if t]

@@ -160,6 +160,16 @@ def minhash_candidates(
     rows_per_band = num_hashes // bands
     mh = make_minhash_udf(num_hashes, shingle_k)
     sig = df.select(F.col(id_col), mh(F.col(text)).alias("sig"))
+    # exclude empty-shingle sentinel docs from candidate generation:
+    # every doc with < shingle_k tokens shares the [MERSENNE]*K
+    # signature, so a crawl corpus with millions of empty/short docs
+    # would concentrate them ALL into one bucket per band (the
+    # degenerate mega-bucket). Their exact Jaccard against anything is
+    # 0 (empty shingle set), so at threshold > 0 excluding them is
+    # lossless — exact-dup collapsing of empty docs is dedup_exact's
+    # job. The test is precise: permuted hashes are (h·a+b) mod
+    # MERSENNE < MERSENNE strictly, so sig[0] == MERSENNE ⟺ sentinel.
+    sig = sig.filter(F.element_at("sig", 1) != MERSENNE)
     band_arr = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.struct(
@@ -491,6 +501,14 @@ def simhash_neardup_pairs(
     if not 0 < k < n_blocks:
         raise ValueError(f"need 0 < k < n_blocks, got k={k} n_blocks={n_blocks}")
     sigs = df.select(F.col(id_col).alias("id"), simhash64(F.col(text)).alias("sig"))
+    # token-less docs all hash to signature 0 and would form one
+    # degenerate mega-bucket in every block combination (same hazard as
+    # the minhash sentinel — see minhash_candidates); empty docs are
+    # exact dups of each other and belong to dedup_exact, so exclude
+    # them here. (A real doc hashing to exactly 0 requires all 64 sign
+    # sums non-positive — astronomically unlikely and, if it happens,
+    # the doc merely skips NEAR-dup pairing.)
+    sigs = sigs.filter(F.col("sig") != 0)
 
     base, rem = divmod(64, n_blocks)
     widths = [base + 1] * rem + [base] * (n_blocks - rem)

@@ -503,7 +503,7 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Rows-only by nature: HLL sketches are engine-specific, so no DuckDB
     hash-match is possible — the |approx-exact|/exact <= 5% contract is
-    pinned by pytest instead (tests/test_analytics_extra.py).
+    pinned by pytest instead (tests/test_extra_oracles.py).
 
     Scale: approx_count_distinct is a fixed-size sketch per group —
     map-side partials merge without holding the distinct set, so at

@@ -256,7 +256,7 @@ def q_rate_limit_gcra(spark, sf_dir):
     src/ratelimiter.rs:43-57): burst N then smooth 1/N-second spacing,
     sequential recurrence per app via applyInPandas. Deterministic but
     not SQL-expressible (per-row state recurrence) → rows-only;
-    behavior pinned by four pytest traces including the
+    behavior pinned by five pytest traces including the
     window-boundary contrast with the fixed-window lane."""
     from pulsar_elasticsearch_sync_rs_spark.operators.rate_limit import rate_limit_gcra
 

@@ -114,22 +114,29 @@ def stateful_gcra_limiter(limits: dict[str, int], id_field: str = "event_id"):
         app = key[0]
         limit = limits.get(app)
         tat = state.get[0] if state.exists else None  # ns
-        for pdf in pdfs:
-            if limit is None:
+        if limit is None:
+            for pdf in pdfs:
                 yield pdf[[id_field, "app", "ts"]]
-                continue
-            period = 1_000_000_000 // limit
-            tau = (limit - 1) * period
-            pdf = pdf.sort_values(["ts", id_field])
-            keep_mask = []
-            for ts in pdf["ts"]:
-                t = int(ts.value)  # exact int64 ns
-                if tat is None or t >= tat - tau:
-                    tat = (t if tat is None else max(t, tat)) + period
-                    keep_mask.append(True)
-                else:
-                    keep_mask.append(False)
-            yield pdf.loc[keep_mask, [id_field, "app", "ts"]]
+            return
+        # concatenate the group's Arrow chunks BEFORE sorting: a group
+        # larger than arrow.maxRecordsPerBatch arrives as several
+        # chunks, and sorting each independently would process events
+        # out of event-time order across chunk boundaries — diverging
+        # from the batch lane, which sorts the whole group. Buffering
+        # the micro-batch's group mirrors the batch lane's memory
+        # posture (one group in one task).
+        pdf = pd.concat(list(pdfs)).sort_values(["ts", id_field])
+        period = 1_000_000_000 // limit
+        tau = (limit - 1) * period
+        keep_mask = []
+        for ts in pdf["ts"]:
+            t = int(ts.value)  # exact int64 ns
+            if tat is None or t >= tat - tau:
+                tat = (t if tat is None else max(t, tat)) + period
+                keep_mask.append(True)
+            else:
+                keep_mask.append(False)
+        yield pdf.loc[keep_mask, [id_field, "app", "ts"]]
         if tat is not None:
             state.update((tat,))
 

@@ -563,7 +563,9 @@ def test_simhash_neardup_matches_bruteforce(spark, sf_dir):
         for r in simhash_neardup_pairs(docs, k=k).collect()
     }
 
-    sigs = docs.select("doc_id", simhash64("text").alias("sig"))
+    sigs = docs.select("doc_id", simhash64("text").alias("sig")).filter(
+        F.col("sig") != 0  # operator excludes token-less sentinel docs
+    )
     a = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
     b = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
     brute = {

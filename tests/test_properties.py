@@ -325,3 +325,36 @@ def test_etl_chain_total_on_arbitrary_payloads(spark_global, payloads):
     assert main.count() + dead.count() == len(payloads)
     # the chain keeps exactly the parseable, non-empty records
     assert n_out <= len(payloads)
+
+
+@given(
+    texts=st.lists(
+        st.one_of(
+            st.text(alphabet=st.characters(min_codepoint=0, max_codepoint=0x2500), max_size=30),
+            st.sampled_from(
+                ["\x01hello world foo", "\tfoo bar", " x ", "\xa0nbsp join\xa0", "a b", ""]
+            ),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_py_tokenizer_matches_jvm(spark_global, texts):
+    """The Python Arrow-kernel tokenizer must agree with the JVM
+    ws_tokens expression on ARBITRARY input — control chars, Unicode
+    whitespace (NBSP, line separator), tabs, empties — because the
+    minhash/simhash/jaccard UDF lanes claim subset/equality contracts
+    against JVM- and oracle-tokenized lanes."""
+    from pulsar_elasticsearch_sync_rs_spark.functions.text import (
+        py_ws_tokens,
+        ws_tokens,
+    )
+
+    df = spark_global.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    jvm = {
+        r["i"]: r["toks"]
+        for r in df.select("i", ws_tokens("t").alias("toks")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert py_ws_tokens(t) == jvm[i], repr(t)
