@@ -82,7 +82,16 @@ def app_from_map(parsed_map: Column, default_app: str = DEFAULT_APP) -> Column:
     :func:`app_from_json` for top-level string values, but reuses the
     single ``from_json`` pass instead of re-parsing the raw payload
     (``get_json_object`` is a full JSON parse per call; the ETL chain
-    was parsing every payload three times)."""
+    was parsing every payload three times).
+
+    Duplicate-key semantics (pinned by
+    ``tests/test_operators.py::test_duplicate_json_keys_first_wins``):
+    for a pathological payload with the same top-level key twice, BOTH
+    ``get_json_object`` and the ``from_json`` map return the FIRST
+    occurrence on this Spark version, so the single-parse refactor did
+    not move the semantics. The pin exists because nothing in the API
+    contract guarantees this — a future Jackson/Spark change flipping
+    the map to last-wins would otherwise drift silently."""
     return F.coalesce(F.element_at(parsed_map, "app"), F.lit(default_app))
 
 

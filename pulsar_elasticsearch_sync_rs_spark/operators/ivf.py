@@ -66,6 +66,11 @@ def train_coarse_quantizer(
         .select("v")
         .collect()
     )
+    if not rows:
+        raise ValueError(
+            "cannot train IVF coarse quantizer on an empty corpus "
+            f"(no rows in {vec_col!r} after filters)"
+        )
     X = np.array([r["v"] for r in rows], dtype=np.float64)
     rng = np.random.default_rng(seed)
     centers = X[rng.choice(len(X), size=min(nlist, len(X)), replace=False)]

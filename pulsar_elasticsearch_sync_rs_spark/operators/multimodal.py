@@ -379,6 +379,11 @@ def parse_avi_frames(blob: bytes, sample_every: int = 1) -> dict:
             cid = blob[pos : pos + 4]
             csize = struct.unpack("<I", blob[pos + 4 : pos + 8])[0]
             body_start = pos + 8
+            if body_start + csize > len(blob):
+                raise ValueError(
+                    f"truncated {cid!r} chunk: needs {csize} bytes at "
+                    f"{body_start}, blob is {len(blob)}"
+                )
             if cid == b"LIST":
                 walk(body_start + 4, body_start + csize)
             elif cid == b"avih":
@@ -387,6 +392,11 @@ def parse_avi_frames(blob: bytes, sample_every: int = 1) -> dict:
                 if frame_idx % sample_every == 0 and avih is not None:
                     width, height = avih[8], avih[9]
                     stride = ((width * 3 + 3) // 4) * 4
+                    if stride * height > csize:
+                        raise ValueError(
+                            f"frame chunk {frame_idx} short: {csize} bytes "
+                            f"< stride*height {stride * height}"
+                        )
                     tot_b = tot_g = tot_r = 0
                     for r in range(height):
                         base = body_start + r * stride

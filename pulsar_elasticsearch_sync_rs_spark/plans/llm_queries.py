@@ -77,7 +77,7 @@ def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_DEDUP_NORMALIZED = r"""
 SELECT min(doc_id) AS survivor_id, count(*) AS n_copies
 FROM documents
-GROUP BY regexp_replace(trim(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g')), '\s+', ' ', 'g')
+GROUP BY regexp_replace(trim(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g')), '[ \t\n\x0B\f\r]+', ' ', 'g')
 ORDER BY survivor_id
 """
 
@@ -112,7 +112,7 @@ WITH sh AS (
       ELSE [] END) AS shingles
   FROM (
     SELECT doc_id, lang, source,
-      list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS toks
+      list_filter(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'), t -> t <> '') AS toks
     FROM documents
   )
 )
@@ -198,7 +198,7 @@ WITH RECURSIVE sh AS (
       ELSE [] END) AS shingles
   FROM (
     SELECT doc_id, lang, source,
-      list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS toks
+      list_filter(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'), t -> t <> '') AS toks
     FROM documents
   )
 ), edges AS (
@@ -268,7 +268,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TEXT_STATS = r"""
 SELECT doc_id,
-  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS INTEGER) AS n_ws_tokens,
+  CAST(len(list_filter(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'), t -> t <> '')) AS INTEGER) AS n_ws_tokens,
   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpe_tokens,
   CAST(length(text) AS INTEGER) AS n_chars_computed,
   round(CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
@@ -294,7 +294,7 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TOKEN_COUNT = r"""
 SELECT source,
-  CAST(sum(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> ''))) AS BIGINT) AS total_ws_tokens,
+  CAST(sum(len(list_filter(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'), t -> t <> ''))) AS BIGINT) AS total_ws_tokens,
   CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_bpe_tokens,
   count(*) AS n_docs
 FROM documents
@@ -327,7 +327,7 @@ WITH scored AS (
     {', '.join(score_exprs)}
   FROM (
     SELECT doc_id, lang,
-      list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS toks
+      list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+'), t -> t <> '') AS toks
     FROM documents
   )
 )
@@ -356,8 +356,8 @@ ORACLE_FINGERPRINT = r"""
 SELECT doc_id,
   md5(array_to_string(
     list_filter(string_split_regex(trim(
-      regexp_replace(trim(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g')), '\s+', ' ', 'g')
-    ), '\s+'), t -> t <> ''), ' ')) AS fingerprint
+      regexp_replace(trim(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g')), '[ \t\n\x0B\f\r]+', ' ', 'g')
+    ), '[ \t\n\x0B\f\r]+'), t -> t <> ''), ' ')) AS fingerprint
 FROM documents
 """
 
@@ -641,8 +641,8 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_QUALITY_SCORE = r"""
 WITH toks AS (
   SELECT doc_id, text,
-    list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS t,
-    list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS tl
+    list_filter(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'), t -> t <> '') AS t,
+    list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+'), t -> t <> '') AS tl
   FROM documents
 ), feat AS (
   SELECT doc_id,
@@ -737,7 +737,7 @@ def _oracle_stratified_sample() -> str:
     default_hex = _frac_to_hex(0.1)
     return rf"""
 SELECT source, count(*) AS n_kept,
-  CAST(sum(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> ''))) AS BIGINT) AS kept_tokens
+  CAST(sum(len(list_filter(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'), t -> t <> ''))) AS BIGINT) AS kept_tokens
 FROM documents
 WHERE CASE {arms}
       ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) < '{default_hex}' END
@@ -767,7 +767,7 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_VOCAB_TOPK = r"""
 SELECT token, count(*) AS n
 FROM (
-  SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '')) AS token
+  SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+'), t -> t <> '')) AS token
   FROM documents
 )
 GROUP BY token
@@ -847,8 +847,8 @@ def _oracle_corpus_curation() -> str:
     return rf"""
 WITH toks AS (
   SELECT doc_id, text,
-    list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS t,
-    list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS tl
+    list_filter(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'), t -> t <> '') AS t,
+    list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+'), t -> t <> '') AS tl
   FROM documents
 ), feat AS (
   SELECT doc_id, text, t, tl,
@@ -875,7 +875,7 @@ WITH toks AS (
       + (1.0 - least(punct_ratio * 5, 1.0)) * 0.25
       + least(sw_ratio * 4, 1.0) * 0.25, 6) AS quality,
     CAST(len(t) AS BIGINT) AS n_toks,
-    sha256(regexp_replace(trim(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g')), '\s+', ' ', 'g')) AS norm
+    sha256(regexp_replace(trim(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g')), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm
   FROM feat
 ), kept AS (
   SELECT * FROM enr WHERE quality >= 0.5
@@ -942,7 +942,7 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_TFIDF_TOPK = r"""
 WITH toks AS (
   SELECT doc_id,
-    unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '')) AS term
+    unnest(list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+'), t -> t <> '')) AS term
   FROM documents
 ), tf AS (
   SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term

@@ -38,8 +38,8 @@ def read_jsonl(
     streaming: bool = False,
 ) -> DataFrame:
     """JSONL reader (batch or file-stream) with dead-letter capture:
-    rows whose line failed to parse have every schema field NULL and
-    the raw line in ``_corrupt_record``. Split with
+    rows whose line failed to parse carry the raw line in
+    ``_corrupt_record`` (NULL schema fields). Split with
     :func:`split_corrupt`.
 
     Implemented as text source + ``from_json`` — the same parse
@@ -48,22 +48,31 @@ def read_jsonl(
     QUERY_ONLY_CORRUPT_RECORD_COLUMN restriction forbids the natural
     dead-letter count without caching the whole parse. The text source
     decompresses ``.gz`` shards transparently and needs no schema
-    inference pass."""
+    inference pass.
+
+    Corruption is flagged PRECISELY by appending ``_corrupt_record``
+    to the ``from_json`` schema with ``columnNameOfCorruptRecord``
+    (PERMISSIVE mode fills it only for malformed lines), so a
+    legitimate row whose schema fields are all NULL round-trips clean
+    instead of being inferred corrupt. The only struct-NULL case left
+    is a blank line, handled by the ``__j IS NULL`` fallback."""
     reader = spark.readStream if streaming else spark.read
     raw = reader.text(path)
-    parsed = raw.select(
-        F.from_json("value", schema).alias("__j"), F.col("value").alias("__raw")
+    parse_schema = T.StructType(
+        list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
     )
-    # from_json in PERMISSIVE mode yields an ALL-NULL struct (not a
-    # NULL struct) for a malformed line, so the corrupt test is
-    # "struct null or every field null" — a legit line of all-null
-    # fields is indistinguishable and also dead-letters (documented).
-    all_null = F.lit(True)
-    for f in schema.fields:
-        all_null = all_null & F.col(f"__j.{f.name}").isNull()
+    parsed = raw.select(
+        F.from_json(
+            "value", parse_schema, {"columnNameOfCorruptRecord": CORRUPT_COL}
+        ).alias("__j"),
+        F.col("value").alias("__raw"),
+    )
+    corrupt = F.when(F.col("__j").isNull(), F.col("__raw")).otherwise(
+        F.col(f"__j.{CORRUPT_COL}")
+    )
     return parsed.select(
-        "__j.*",
-        F.when(F.col("__j").isNull() | all_null, F.col("__raw")).alias(CORRUPT_COL),
+        *[F.col(f"__j.{f.name}") for f in schema.fields],
+        corrupt.alias(CORRUPT_COL),
     )
 
 
@@ -85,8 +94,14 @@ def write_jsonl(
     """Emit one JSON object per line (``to_json(struct(*))`` runs in
     whole-stage codegen — no Python in the write path), sharded by
     ``n_shards`` (None = keep the input partitioning; at scale pick
-    shards so each lands in the 100 MB–1 GB range)."""
-    out = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+    shards so each lands in the 100 MB–1 GB range).
+
+    ``ignoreNullFields=false`` keeps NULL fields explicit in the
+    output so an all-NULL row serializes as ``{"f": null, ...}`` (not
+    ``{}``) and survives the read side's corrupt check."""
+    out = df.select(
+        F.to_json(F.struct(*df.columns), {"ignoreNullFields": "false"}).alias("value")
+    )
     if n_shards:
         out = out.repartition(n_shards)
     writer = out.write.mode("overwrite")

@@ -56,6 +56,28 @@ def test_jsonl_dead_letters_malformed_lines(spark, tmpdir):
     assert "{broken json" in dead.collect()[0]["_corrupt_record"]
 
 
+def test_jsonl_all_null_row_roundtrips_clean(spark, tmpdir):
+    # A legit row whose schema fields are all NULL must NOT be
+    # dead-lettered: the writer keeps explicit nulls
+    # (ignoreNullFields=false) and the reader flags corruption via
+    # columnNameOfCorruptRecord, not an all-null heuristic.
+    from pulsar_elasticsearch_sync_rs_spark.sources.corpus_io import DOCUMENTS_SCHEMA
+
+    df = spark.createDataFrame(
+        [(None, None, None, None), (7, "t", "en", "s")], schema=DOCUMENTS_SCHEMA
+    )
+    path = os.path.join(tmpdir, "nulls")
+    write_jsonl(df, path, n_shards=1, compress=False)
+    shard = [f for f in os.listdir(path) if f.startswith("part-")][0]
+    with open(os.path.join(path, shard)) as f:
+        lines = f.read().splitlines()
+    assert any('"doc_id":null' in ln for ln in lines)  # explicit nulls on disk
+    clean, dead = split_corrupt(read_jsonl(spark, path))
+    assert dead.count() == 0
+    assert clean.count() == 2
+    assert clean.filter(F.col("doc_id").isNull()).count() == 1
+
+
 def test_jsonl_streaming_reader(spark, sf_dir, tmpdir):
     docs = read_table(spark, sf_dir, "documents").limit(50)
     src = os.path.join(tmpdir, "src")

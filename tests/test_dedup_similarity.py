@@ -527,6 +527,10 @@ def test_avi_codec_roundtrip(spark):
         parse_avi_frames(b"RIFFxxxxWAVE")  # not AVI
     with pytest.raises(ValueError):
         parse_avi_frames(b"MKVnope" + b"\x00" * 60)
+    # truncated frame body must error loudly, not yield silently-short
+    # channel means (chunk-size-vs-blob-length validation)
+    with pytest.raises(ValueError, match="truncated"):
+        parse_avi_frames(blob[:-7])
 
     df = spark.createDataFrame([Row(media_id=7, payload=bytearray(blob))])
     rows = decode_avi_frames(df, sample_every=2).collect()
@@ -613,3 +617,13 @@ def test_connected_components_empty_and_singleton(spark):
     docs = spark.createDataFrame([(1,), (2,)], "doc_id long")
     got = {r["doc_id"]: r["cluster"] for r in dedup_clusters(docs, empty).collect()}
     assert got == {1: 1, 2: 2}
+
+
+def test_ivf_empty_corpus_raises_clear_error(spark):
+    """An empty/filtered-empty corpus must raise a clear ValueError from
+    quantizer training, not a numpy axis traceback."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.ivf import train_coarse_quantizer
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty corpus"):
+        train_coarse_quantizer(empty, id_col="vec_id")

@@ -290,3 +290,29 @@ def test_rate_limit_gcra_null_app_passthrough(spark):
     ).select("event_id", "app", F.timestamp_seconds("sec").alias("ts"))
     out = rate_limit_gcra(df, {"a": 5}, ts="ts", tiebreaker="event_id")
     assert out.count() == 3  # nothing lost; NULL-app rows unlimited
+
+
+def test_duplicate_json_keys_first_wins(spark):
+    """Pin the duplicate-key semantics of the single-parse map lane:
+    on this Spark version BOTH from_json's map and get_json_object
+    keep the FIRST occurrence of a repeated top-level key, so the
+    parse-once refactor (app_from_map replacing get_json_object)
+    changed nothing. Neither behavior is API-guaranteed; this test
+    fails loudly if a Spark upgrade ever moves either lane."""
+    from pyspark.sql import functions as F
+
+    from pulsar_elasticsearch_sync_rs_spark.functions.json_fns import (
+        app_from_json,
+        app_from_map,
+    )
+
+    payload = '{"app": "first", "app": "second"}'
+    df = spark.createDataFrame([(payload,)], "value string").select(
+        "value", F.from_json("value", "map<string,string>").alias("parsed")
+    )
+    row = df.select(
+        app_from_map(F.col("parsed")).alias("map_app"),
+        app_from_json("value").alias("gjo_app"),
+    ).collect()[0]
+    assert row["map_app"] == "first"  # both lanes agree: first wins
+    assert row["gjo_app"] == "first"
