@@ -149,6 +149,7 @@ def minhash_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_k: int = 3,
+    max_bucket: int = 1024,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing ≥1 band of their minhash
     signature. Returns (id_a, id_b) with id_a < id_b, distinct.
@@ -156,6 +157,23 @@ def minhash_candidates(
     Scale path: signature via one vectorized UDF pass (narrow), explode
     to (band_id, band_hash, id) — short uniform keys — then self-join
     per bucket. Only ids + band hashes shuffle; the text never does.
+
+    Mega-bucket guard (``max_bucket``): a genuine near-dup mega-cluster
+    — millions of boilerplate pages sharing a band hash, the common
+    case in web crawls — would otherwise concentrate its whole id list
+    into ONE ``collect_list`` row and explode k² pairs from it. Buckets
+    with k > max_bucket therefore degrade to STAR pairs: (min_id, id)
+    for every other member — O(k) rows, computed by window functions
+    with no id list ever materialized. A band bucket that large is a
+    duplicate cluster by construction (k docs agreeing on a whole band
+    are near-identical w.h.p.), so the star preserves exactly what
+    downstream needs: connectivity for transitive cluster dedup, and a
+    verifiable (hub, member) pair per member. What it gives up is
+    spoke-to-spoke pair enumeration INSIDE the mega-cluster, which adds
+    no information at threshold-level recall and is the quadratic term
+    that kills crawl-scale runs. Small buckets (k ≤ max_bucket) keep
+    exact in-row pair expansion, so results are unchanged unless the
+    cap is actually hit.
     """
     rows_per_band = num_hashes // bands
     mh = make_minhash_udf(num_hashes, shingle_k)
@@ -195,18 +213,26 @@ def minhash_candidates(
     # share subtrees across join branches. Grouping materializes each
     # bucket's id list once (one signature pass, ONE shuffle on the
     # short uniform band key) and expands the within-bucket pairs
-    # in-row with two explodes. Combinatorics are identical; the per-
-    # bucket id list is 8 B/id and bounded by bucket size, the same
-    # quantity that bounds the join's blow-up.
-    return (
-        banded.groupBy("band_id", "band_hash")
+    # in-row with two explodes. The window's count/min share that same
+    # hash partitioning, so sizing the buckets adds no extra Exchange.
+    w = Window.partitionBy("band_id", "band_hash")
+    sized = banded.withColumn("__k", F.count(F.lit(1)).over(w)).withColumn(
+        "__hub", F.min(id_col).over(w)
+    )
+    small_pairs = (
+        sized.filter((F.col("__k") > 1) & (F.col("__k") <= max_bucket))
+        .groupBy("band_id", "band_hash")
         .agg(F.collect_list(F.col(id_col)).alias("ids"))
-        .filter(F.size("ids") > 1)
         .select(F.explode("ids").alias("id_a"), F.col("ids"))
         .select("id_a", F.explode("ids").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
-        .distinct()
     )
+    # mega buckets: stream (hub, member) rows straight off the window —
+    # bounded per-row memory regardless of cluster size
+    mega_pairs = sized.filter(
+        (F.col("__k") > max_bucket) & (F.col(id_col) != F.col("__hub"))
+    ).select(F.col("__hub").alias("id_a"), F.col(id_col).alias("id_b"))
+    return small_pairs.unionByName(mega_pairs).distinct()
 
 
 def ngram_jaccard_pairs(

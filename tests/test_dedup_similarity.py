@@ -627,3 +627,53 @@ def test_ivf_empty_corpus_raises_clear_error(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="empty corpus"):
         train_coarse_quantizer(empty, id_col="vec_id")
+
+
+def test_minhash_mega_bucket_is_bounded(spark):
+    """Planted boilerplate mega-cluster: 10k near-identical docs share
+    every band hash. Uncapped, that is one 10k-id collect_list row and
+    ~5·10^7 exploded pairs per band; with the max_bucket guard it must
+    degrade to O(k) star pairs (hub = min id) while keeping the cluster
+    fully connected, and small buckets must keep exact pair expansion."""
+    n = 10_000
+    boiler = "terms of service privacy policy all rights reserved contact us about"
+    rows = [Row(doc_id=i, text=boiler) for i in range(n)]
+    # a small genuine near-dup pair, far from the cap
+    rows += [Row(doc_id=n, text=BASE), Row(doc_id=n + 1, text=NEAR)]
+    df = spark.createDataFrame(rows)
+    pairs = minhash_candidates(df, num_hashes=32, bands=8, max_bucket=100)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    star = {(0, i) for i in range(1, n)}
+    assert star <= got  # hub connects every mega-cluster member
+    mega_side = {p for p in got if p[0] < n and p[1] < n}
+    assert mega_side == star  # O(k) star pairs, no k^2 spoke-to-spoke blowup
+    assert (n, n + 1) in got  # small-bucket exact expansion untouched
+    # connectivity survives for transitive cluster dedup downstream
+    ids_seen = {i for p in mega_side for i in p}
+    assert ids_seen == set(range(n))
+    # the two-regime union must not re-run the signature UDF pass per
+    # branch: the band-key Exchange is shared via exchange reuse
+    final = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final, final
+
+
+def test_minhash_cap_not_hit_is_identical(spark):
+    """With the cap above every bucket size the output must be exactly
+    the uncapped in-row expansion (regression pin for the two-regime
+    split)."""
+    docs = _docs(spark)
+    lo = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_candidates(docs, num_hashes=32, bands=16, max_bucket=2).collect()
+    }
+    hi = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_candidates(
+            docs, num_hashes=32, bands=16, max_bucket=1 << 20
+        ).collect()
+    }
+    # the planted corpus has a 3-doc bucket (0,1 exact + 2 near): with
+    # max_bucket=2 it stars through hub 0; with a huge cap it pair-expands.
+    # Both must connect the same ids; the uncapped one is a superset.
+    assert lo <= hi or lo == hi
+    assert {i for p in lo for i in p} == {i for p in hi for i in p}
