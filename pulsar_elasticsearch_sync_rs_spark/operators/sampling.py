@@ -48,6 +48,9 @@ def md5_gate(id_col: Column | str, p: float) -> Column:
     return F.substring(F.md5(c.cast("string")), 1, 6) < F.lit(_frac_to_hex(p))
 
 
+MAX_STRATA = 10_000
+
+
 def stratified_sample(
     df: DataFrame,
     stratum_col: str,
@@ -57,8 +60,25 @@ def stratified_sample(
 ) -> DataFrame:
     """Per-stratum Bernoulli sampling (`df.sampleBy`): strata absent
     from ``fractions`` get ``default_fraction`` (0 = dropped — the
-    usual 'only keep listed sources' recipe semantics)."""
-    all_strata = [r[0] for r in df.select(stratum_col).distinct().collect()]
+    usual 'only keep listed sources' recipe semantics).
+
+    ``sampleBy`` needs the full per-stratum fraction map, so the
+    stratum values are collected — guarded by ``MAX_STRATA``: pointing
+    this at a high-cardinality column (a doc id, a URL) must raise a
+    clear error, not OOM the driver. Beyond the cap, use
+    :func:`deterministic_stratified_sample`, whose md5 gate never
+    enumerates strata."""
+    cap = (
+        df.select(stratum_col).distinct().limit(MAX_STRATA + 1).collect()
+    )
+    if len(cap) > MAX_STRATA:
+        raise ValueError(
+            f"stratified_sample: column {stratum_col!r} has more than "
+            f"{MAX_STRATA} distinct strata; driver-side fraction maps "
+            "don't scale there — use deterministic_stratified_sample "
+            "(hash gate, no stratum enumeration) instead"
+        )
+    all_strata = [r[0] for r in cap]
     full = {s: fractions.get(s, default_fraction) for s in all_strata}
     return df.sampleBy(stratum_col, fractions=full, seed=seed)
 

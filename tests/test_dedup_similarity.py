@@ -677,3 +677,22 @@ def test_minhash_cap_not_hit_is_identical(spark):
     # Both must connect the same ids; the uncapped one is a superset.
     assert lo <= hi or lo == hi
     assert {i for p in lo for i in p} == {i for p in hi for i in p}
+
+
+def test_stratified_sample_guards_high_cardinality(spark):
+    """Pointing sampleBy-backed stratified sampling at a high-cardinality
+    column (e.g. the doc id) must raise a clear error instead of
+    collecting unbounded strata onto the driver."""
+    import pulsar_elasticsearch_sync_rs_spark.operators.sampling as sampling
+    from pulsar_elasticsearch_sync_rs_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    df = spark.range(200).select(F.col("id").alias("doc_id"))
+    orig = sampling.MAX_STRATA
+    sampling.MAX_STRATA = 100  # keep the test cheap
+    try:
+        with pytest.raises(ValueError, match="distinct strata"):
+            stratified_sample(df, "doc_id", {"1": 1.0})
+    finally:
+        sampling.MAX_STRATA = orig
