@@ -90,22 +90,6 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[flo
     return planes
 
 
-def make_lsh_bucket_udf(planes: list[list[float]]):
-    """Sign-LSH bucket id as a vectorized UDF: batch (n×d) @ planes.T
-    (d×p) → sign bits → packed long. Random-hyperplane LSH preserves
-    cosine (Charikar 2002)."""
-    pm = np.array(planes, dtype=np.float64).T  # d × p
-    weights = (1 << np.arange(pm.shape[1], dtype=np.int64))
-
-    @F.pandas_udf(T.LongType())
-    def lsh_bucket_udf(vec: pd.Series) -> pd.Series:
-        vm = np.array(vec.tolist(), dtype=np.float64)
-        signs = (vm @ pm) > 0
-        return pd.Series((signs * weights).sum(axis=1).astype(np.int64))
-
-    return lsh_bucket_udf
-
-
 def knn_cosine_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -147,18 +131,30 @@ def knn_cosine_lsh(
 ) -> DataFrame:
     """Approximate top-k: multi-table sign-LSH pruning, then exact
     cosine rank within the candidate union. The corpus is bucketed once
-    per table (narrow map); candidates come from bucket equality."""
-    c = corpus.select(F.col(id_col), F.col(vec_col))
-    q = queries.select(F.col(query_id), F.col("query_vec"))
-    for t in range(n_tables):
-        udf = make_lsh_bucket_udf(random_hyperplanes(dim, n_planes, seed=42 + 1000 * t))
-        c = c.withColumn(f"b{t}", udf(F.col(vec_col)))
-        q = q.withColumn(f"qb{t}", udf(F.col("query_vec")))
-    match_any = None
-    for t in range(n_tables):
-        m = F.col(f"b{t}") == F.col(f"qb{t}")
-        match_any = m if match_any is None else (match_any | m)
-    joined = c.join(F.broadcast(q), match_any)
+    per table (narrow map); candidates come from bucket equality.
+
+    All tables' bucket ids come from ONE
+    :func:`make_multi_table_bucket_udf` Arrow pass per side (seed=42
+    reproduces the former per-table loop's ``42 + 1000·t`` planes, so
+    results are bit-identical), instead of n_tables UDF calls each.
+    Bucket ids are table-qualified inside the kernel (``id +
+    t·2^planes``) so a single ``arrays_overlap`` expresses "collides
+    in ≥1 table" without cross-table false matches."""
+    udf = make_multi_table_bucket_udf(dim, n_planes, n_tables, seed=42, qualify=True)
+    c = corpus.select(F.col(id_col), F.col(vec_col)).withColumn(
+        "__bk", udf(F.col(vec_col))
+    )
+    q = queries.select(F.col(query_id), F.col("query_vec")).withColumn(
+        "__qbk", udf(F.col("query_vec"))
+    )
+    # coalesce(..., false) blocks InferFiltersFromConstraints from
+    # deriving isnotnull(__bk) out of the null-intolerant condition —
+    # that inferred filter is a second full evaluation of the Arrow
+    # UDF. The kernel never returns null, so semantics are unchanged.
+    joined = c.join(
+        F.broadcast(q),
+        F.coalesce(F.arrays_overlap("__bk", "__qbk"), F.lit(False)),
+    )
     sim = joined.withColumn("sim", cosine(F.col("query_vec"), F.col(vec_col))).filter(
         F.col(id_col) != F.col(query_id)
     )
@@ -175,21 +171,32 @@ def knn_cosine_lsh(
     )
 
 
-def make_multi_table_bucket_udf(dim: int, n_planes: int, n_tables: int, seed: int = 7):
+def make_multi_table_bucket_udf(
+    dim: int, n_planes: int, n_tables: int, seed: int = 7, qualify: bool = False
+):
     """One vectorized UDF emitting the bucket id of EVERY LSH table as
-    an array — a single Arrow pass instead of n_tables UDF calls."""
+    an array — a single Arrow pass instead of n_tables UDF calls.
+
+    ``qualify=True`` adds ``t · 2^n_planes`` to table t's bucket id so
+    ids are globally unique across tables and a plain
+    ``arrays_overlap`` means "collides in ≥1 table" (no cross-table
+    false matches). Done inside the numpy kernel rather than a
+    downstream ``transform`` because nesting the UDF inside another
+    expression makes Catalyst's Python-UDF extraction evaluate the
+    Arrow pass once per referencing operator."""
     stacked = np.array(
         [random_hyperplanes(dim, n_planes, seed=seed + 1000 * t) for t in range(n_tables)],
         dtype=np.float64,
     )  # T × p × d
     weights = 1 << np.arange(n_planes, dtype=np.int64)
+    offsets = (np.arange(n_tables, dtype=np.int64) << n_planes) if qualify else 0
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def buckets_udf(vec: pd.Series) -> pd.Series:
         vm = np.array(vec.tolist(), dtype=np.float64)  # n × d
         # n × T × p sign bits → n × T packed bucket ids
         signs = np.einsum("nd,tpd->ntp", vm, stacked) > 0
-        ids = (signs * weights).sum(axis=2).astype(np.int64)
+        ids = ((signs * weights).sum(axis=2) + offsets).astype(np.int64)
         return pd.Series([row.tolist() for row in ids])
 
     return buckets_udf

@@ -230,13 +230,23 @@ def test_knn_lsh_recall_planted(spark):
     queries = corpus.filter(F.col("vec_id") >= 1000).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    top1 = (
-        knn_cosine_lsh(corpus, queries, k=1, dim=dim)
-        .filter(F.col("rank") == 1)
-        .collect()
-    )
+    out = knn_cosine_lsh(corpus, queries, k=1, dim=dim)
+    top1 = out.filter(F.col("rank") == 1).collect()
     hits = sum(1 for r in top1 if r["neighbor_id"] == r["query_id"] - 1000)
     assert hits >= 28, f"LSH top-1 found base twin for only {hits}/40 queries"
+    # single-pass bucketing: exactly ONE bucket-UDF Arrow eval per join
+    # side (not one per LSH table, and no duplicate from an inferred
+    # isnotnull filter re-evaluating the UDF)
+    import re
+
+    final = out._jdf.queryExecution().executedPlan().toString()
+    bucket_evals = {
+        m
+        for m in re.findall(
+            r"ArrowEvalPython \[buckets_udf[^\]]*\], \[pythonUDF\d+#(\d+)\]", final
+        )
+    }
+    assert len(bucket_evals) <= 2, final  # one per side
 
 
 def _exact_pairs_at(spark, sf_dir, threshold):
