@@ -12,10 +12,13 @@ oracle-backed query first, then every rows-only production lane — so
 every declared query lands a CORRECTNESS row. Redundant-but-green
 variants that lost their slot (Q10 custrev, range-frame window,
 semi/anti standalone, cube, argmin, normalized dedup, frame-plan,
-minhash-candidates, knn-lsh) moved to ``extra_queries()`` /
+minhash-candidates, knn-lsh, and the deliberately-quadratic exact
+embedding-near-dup twin) moved to ``extra_queries()`` /
 ``extra_oracle_sql()``: same contract shape, swept by
 ``tools/check_oracle.py`` and pytest (tests/test_extra_oracles.py)
-instead of the driver.
+instead of the driver. Round 5 swapped ``q_dedup_clusters`` (the
+production cluster-level dedup shape) into the graded 50 in place of
+that exact twin, per the round-4 review.
 """
 
 from __future__ import annotations
@@ -107,7 +110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_vocab_topk": _wrap(L.q_vocab_topk),
         "q_stratified_sample": _wrap(L.q_stratified_sample),
         "q_knn_cosine": _wrap(L.q_knn_cosine),
-        "q_embed_neardup": _wrap(L.q_embed_neardup),
+        "q_dedup_clusters": _wrap(L.q_dedup_clusters),  # transitive CC cluster dedup (recursive-CTE oracle)
         # --- rows-only production lanes (no SQL-expressible oracle;
         #     each pinned by a dedicated pytest) ---
         "q_uuid_inject": _wrap(E.q_uuid_inject),  # nondeterministic by design
@@ -164,7 +167,7 @@ def oracle_sql() -> dict[str, str]:
         "q_vocab_topk": L.ORACLE_VOCAB_TOPK,
         "q_stratified_sample": L.ORACLE_STRATIFIED_SAMPLE,
         "q_knn_cosine": L.ORACLE_KNN_COSINE,
-        "q_embed_neardup": L.ORACLE_EMBED_NEARDUP,
+        "q_dedup_clusters": L.ORACLE_DEDUP_CLUSTERS,
     }
 
 
@@ -182,7 +185,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_frames": _wrap(L.q_media_frames),  # sampling plan (⊂ q_media_video)
         "q_dedup_minhash": _wrap(L.q_dedup_minhash),  # candidates-only (⊂ verified lane)
         "q_knn_lsh": _wrap(L.q_knn_lsh),  # sign-LSH top-k (⊂ embed_neardup_lsh machinery)
-        "q_dedup_clusters": _wrap(L.q_dedup_clusters),  # transitive CC clustering (iterative, oracle-checked)
+        "q_embed_neardup": _wrap(L.q_embed_neardup),  # exact label-blocked twin (quadratic by design; oracle-checked)
         "q_rate_limit_gcra": _wrap(E.q_rate_limit_gcra),  # exact governor-GCRA parity (sequential recurrence; pytest-pinned)
         "q_quantiles": _wrap(A.q_quantiles),  # exact percentile aggregation
         "q_histogram": _wrap(A.q_histogram),  # fixed-width binning
@@ -200,7 +203,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "q_argmin_join": A.ORACLE_ARGMIN_JOIN,
         "q_dedup_normalized": L.ORACLE_DEDUP_NORMALIZED,
         "q_media_frames": L.ORACLE_MEDIA_FRAMES,
-        "q_dedup_clusters": L.ORACLE_DEDUP_CLUSTERS,
+        "q_embed_neardup": L.ORACLE_EMBED_NEARDUP,
         "q_quantiles": A.ORACLE_QUANTILES,
         "q_histogram": A.ORACLE_HISTOGRAM,
         "q_tfidf_topk": L.ORACLE_TFIDF_TOPK,
