@@ -1,0 +1,134 @@
+"""Sequence packing — the pipeline stage between corpus curation and
+training: documents → fixed-length token windows with full
+(doc_id, seq_id, begin/end offset) lineage.
+
+The packing discipline is concatenate-then-chunk (the standard
+GPT-style pretraining packing, equivalently greedy next-fit bin
+packing WITH document splitting): documents are laid out in one
+deterministic global token stream ordered by doc id, and the stream is
+cut into consecutive ``seq_len``-token windows. Short docs therefore
+pack together into shared windows with zero padding waste, and long
+docs split across as many windows as they need; every window except
+the final one is exactly full. Each output row is one (sequence,
+document) fragment carrying the doc-relative token range
+``[begin_tok, end_tok)``, which is exactly the lineage a training-data
+audit needs ("which tokens of which document landed in sequence s").
+
+Everything is closed-form in the token counts — no RNG, no sequential
+state — so the whole operator is expressible as window + explode
+expressions in Spark AND as a running-sum SQL in DuckDB
+(``ORACLE_SEQ_PACK`` in plans/llm_queries.py); the driver-style value
+hash pins the two engines to each other.
+
+Scale shape (the reason this file exists instead of a single
+``Window.orderBy`` line): a global running sum over an UNPARTITIONED
+window pulls the entire corpus into one task. The prefix sum here is
+the classic two-phase distributed scan instead:
+
+1. range-partition by doc id (``repartitionByRange`` keeps the global
+   order across partitions);
+2. per-partition running sums via a window PARTITIONED by the physical
+   partition id — fully parallel;
+3. one tiny driver-side pass over the P partition totals (P = shuffle
+   partitions, not data size) produces each partition's global offset,
+   broadcast-joined back.
+
+The collected state is O(partitions), independent of corpus size; at
+100 TB the full-data costs are two shuffles of the 16-byte
+(doc_id, n_toks) stream — the range partition plus the window's
+re-clustering on the partition id (Catalyst can't see that the rows
+are already physically clustered that way) — never of the text
+itself. Partition boundaries are sampled by Spark, but the result is
+boundary-independent: a prefix sum over a total order is the same no
+matter where the cuts land.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pulsar_elasticsearch_sync_rs_spark.functions.text import token_count_ws
+
+
+def exclusive_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    val_col: str,
+    out_col: str = "start_off",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``out_col`` = sum of ``val_col`` over all rows strictly
+    before this one in ``order_col`` order (distributed two-phase scan;
+    see module docstring). ``order_col`` must be unique."""
+    spark = df.sparkSession
+    n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    part = df.repartitionByRange(n_part, order_col).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("__pid").orderBy(order_col)
+    local = part.withColumn(
+        "__local_excl",
+        F.coalesce(
+            F.sum(val_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0).cast("bigint"),
+        ),
+    )
+    totals = sorted(
+        local.groupBy("__pid").agg(F.sum(val_col).alias("__tot")).collect(),
+        key=lambda r: r["__pid"],
+    )
+    acc, base_rows = 0, []
+    for r in totals:
+        base_rows.append((r["__pid"], acc))
+        acc += r["__tot"] or 0
+    base = spark.createDataFrame(base_rows, "__pid int, __base bigint")
+    return (
+        local.join(F.broadcast(base), "__pid")
+        .withColumn(out_col, (F.col("__base") + F.col("__local_excl")).cast("bigint"))
+        .drop("__pid", "__local_excl", "__base")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int = 256,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Documents → (seq_id, doc_id, begin_tok, end_tok) fragments under
+    concat-then-chunk packing at ``seq_len`` tokens per sequence.
+
+    Offsets are doc-relative and half-open; a doc's fragments tile
+    ``[0, n_tokens)`` contiguously across consecutive seq_ids, and
+    every sequence except the last sums to exactly ``seq_len`` tokens
+    (both properties pytest-pinned). Empty docs contribute nothing and
+    shift no offsets.
+    """
+    counts = df.select(
+        F.col(id_col), token_count_ws(text).cast("bigint").alias("n_toks")
+    )
+    offs = exclusive_prefix_sum(counts, id_col, "n_toks")
+    # doc [start, start+n) overlaps windows  start div L .. (start+n-1) div L
+    # (`div` = exact integer division — no double-precision floor)
+    frag = offs.filter(F.col("n_toks") > 0).select(
+        F.col(id_col),
+        "n_toks",
+        "start_off",
+        F.explode(
+            F.sequence(
+                F.expr(f"start_off div {seq_len}"),
+                F.expr(f"(start_off + n_toks - 1) div {seq_len}"),
+            )
+        ).alias("seq_id"),
+    )
+    return frag.select(
+        F.col("seq_id").cast("bigint"),
+        F.col(id_col),
+        F.greatest(F.lit(0), F.col("seq_id") * seq_len - F.col("start_off"))
+        .cast("bigint")
+        .alias("begin_tok"),
+        F.least(F.col("n_toks"), (F.col("seq_id") + 1) * seq_len - F.col("start_off"))
+        .cast("bigint")
+        .alias("end_tok"),
+    )

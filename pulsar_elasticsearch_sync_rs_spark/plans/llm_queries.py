@@ -989,3 +989,38 @@ SELECT source, CAST(rnk AS INTEGER) AS rnk, doc_id FROM (
 ) WHERE rnk <= 3
 ORDER BY source, rnk
 """
+
+
+def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/packing.py): documents →
+    fixed-length 256-token training windows under concat-then-chunk
+    packing, with (seq_id, doc_id, begin_tok, end_tok) lineage per
+    fragment. Closed-form in the whitespace token counts, so the
+    DuckDB running-sum oracle reproduces it exactly; the distributed
+    two-phase prefix scan keeps the Spark side shuffle-bounded (no
+    single-partition global window)."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.packing import pack_sequences
+
+    docs = read_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, seq_len=256)
+
+
+ORACLE_SEQ_PACK = r"""
+WITH toks AS (
+  SELECT doc_id,
+    CAST(len(list_filter(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'), t -> t <> '')) AS BIGINT) AS n_toks
+  FROM documents
+), offs AS (
+  SELECT doc_id, n_toks,
+    CAST(COALESCE(sum(n_toks) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+  FROM toks
+), frags AS (
+  SELECT doc_id, n_toks, start_off,
+    unnest(range(start_off // 256, (start_off + n_toks - 1) // 256 + 1)) AS seq_id
+  FROM offs WHERE n_toks > 0
+)
+SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+  CAST(greatest(0, seq_id * 256 - start_off) AS BIGINT) AS begin_tok,
+  CAST(least(n_toks, (seq_id + 1) * 256 - start_off) AS BIGINT) AS end_tok
+FROM frags
+"""

@@ -1,0 +1,101 @@
+"""Sequence packing: boundary properties of concat-then-chunk packing
+(fullness, tiling, lineage) plus the distributed prefix scan against a
+pure-Python reference."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from pulsar_elasticsearch_sync_rs_spark.operators.packing import (
+    exclusive_prefix_sum,
+    pack_sequences,
+)
+
+
+def _ref_pack(lengths: list[tuple[int, int]], L: int) -> set[tuple[int, int, int, int]]:
+    """Pure-Python reference: (doc_id, n_toks) sorted by doc_id →
+    {(seq_id, doc_id, begin, end)} fragments."""
+    out, off = set(), 0
+    for doc_id, n in sorted(lengths):
+        for s in range(off // L, (off + n - 1) // L + 1) if n > 0 else []:
+            out.add((s, doc_id, max(0, s * L - off), min(n, (s + 1) * L - off)))
+        off += n
+    return out
+
+
+def _doc(doc_id: int, n: int) -> Row:
+    return Row(doc_id=doc_id, text=" ".join(f"t{i}" for i in range(n)))
+
+
+def test_pack_matches_reference_on_boundaries(spark):
+    """Boundary menu: empty doc, 1-token doc, exactly-L doc, doc ending
+    exactly on a window edge, doc spanning 3 windows."""
+    L = 8
+    lens = [(0, 3), (1, 0), (2, 8), (3, 5), (4, 20), (5, 1), (6, 0), (7, 11)]
+    df = spark.createDataFrame([_doc(i, n) for i, n in lens])
+    got = {
+        (r["seq_id"], r["doc_id"], r["begin_tok"], r["end_tok"])
+        for r in pack_sequences(df, seq_len=L).collect()
+    }
+    assert got == _ref_pack(lens, L)
+
+
+def test_pack_fullness_and_tiling_random(spark):
+    """Random corpus: every sequence but the last is exactly full, each
+    doc's fragments tile [0, n) contiguously, fragments are non-empty,
+    and per-doc seq ids are consecutive."""
+    L = 16
+    rng = random.Random(5)
+    lens = [(i, rng.choice([0, 1, 3, L - 1, L, L + 1, 5 * L + 7])) for i in range(60)]
+    df = spark.createDataFrame([_doc(i, n) for i, n in lens])
+    frags = pack_sequences(df, seq_len=L).collect()
+    assert frags == [r for r in frags if r["begin_tok"] < r["end_tok"]]  # non-empty
+    per_seq: dict[int, int] = {}
+    per_doc: dict[int, list] = {}
+    for r in frags:
+        per_seq[r["seq_id"]] = per_seq.get(r["seq_id"], 0) + (
+            r["end_tok"] - r["begin_tok"]
+        )
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    total = sum(n for _, n in lens)
+    last_seq = max(per_seq)
+    assert set(per_seq) == set(range(last_seq + 1))  # no sequence gaps
+    for s, tok in per_seq.items():
+        assert tok == (L if s < last_seq else total - last_seq * L)
+    for doc_id, n in lens:
+        rows = sorted(per_doc.get(doc_id, []), key=lambda r: r["seq_id"])
+        if n == 0:
+            assert rows == []
+            continue
+        seqs = [r["seq_id"] for r in rows]
+        assert seqs == list(range(seqs[0], seqs[0] + len(seqs)))  # consecutive
+        assert rows[0]["begin_tok"] == 0 and rows[-1]["end_tok"] == n
+        for a, b in zip(rows, rows[1:]):
+            assert a["end_tok"] == b["begin_tok"]  # contiguous tiling
+
+
+def test_exclusive_prefix_sum_is_order_correct(spark):
+    """The two-phase scan must match the sequential prefix sum no
+    matter how the input rows are physically arranged."""
+    rng = random.Random(11)
+    vals = [(i, rng.randrange(0, 50)) for i in range(500)]
+    shuffled = vals[:]
+    rng.shuffle(shuffled)
+    df = spark.createDataFrame(shuffled, "k long, v long").repartition(13)
+    got = {
+        r["k"]: r["start_off"]
+        for r in exclusive_prefix_sum(df, "k", "v").collect()
+    }
+    acc = 0
+    for k, v in vals:
+        assert got[k] == acc, k
+        acc += v
+
+
+def test_pack_empty_corpus(spark):
+    df = spark.createDataFrame([], "doc_id long, text string")
+    assert pack_sequences(df, seq_len=8).count() == 0
