@@ -105,10 +105,45 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "stream": stream,
+                "yardsticks": yardsticks(spark),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
     )
+
+
+def yardsticks(spark) -> dict:
+    """Machine yardsticks (SCALE.md protocol, recorded per bench run so
+    host drift is distinguishable from code regressions without a
+    bisect): warm JVM codegen sum, warm 5M-row shuffle, numpy matmul,
+    pure-Python loop. If the bench moves and these move proportionally
+    it's the host; if the bench moves alone, bisect the code."""
+    import time as _time
+
+    import numpy as np
+
+    r: dict[str, float] = {}
+    spark.range(int(2e8)).selectExpr("sum(id)").collect()  # warm
+    t0 = _time.perf_counter()
+    spark.range(int(2e8)).selectExpr("sum(id)").collect()
+    r["spark_range_2e8_sum_sec"] = round(_time.perf_counter() - t0, 3)
+    sh = spark.range(int(5e6)).selectExpr("id", "id % 1000 as k")
+    sh.groupBy("k").count().count()  # warm
+    t0 = _time.perf_counter()
+    sh.groupBy("k").count().count()
+    r["spark_shuffle_5m_sec"] = round(_time.perf_counter() - t0, 3)
+    a = np.random.default_rng(0).normal(size=(2000, 2000))
+    _ = a @ a  # warm
+    t0 = _time.perf_counter()
+    for _i in range(3):
+        _ = a @ a
+    r["numpy_matmul_3x2000_sec"] = round(_time.perf_counter() - t0, 3)
+    t0 = _time.perf_counter()
+    s = 0
+    for i in range(10_000_000):
+        s += i
+    r["python_loop_10m_sec"] = round(_time.perf_counter() - t0, 3)
+    return r
 
 
 def stream_throughput(spark, sf_dir: str) -> dict:
@@ -124,6 +159,11 @@ def stream_throughput(spark, sf_dir: str) -> dict:
       of the returned dict — the schema BENCH_r2/r3 recorded.
     - ``sessionize``: native session_window aggregation (30-min gap).
     - ``dedup``: content-hash dropDuplicatesWithinWatermark.
+    - ``gcra``: exact per-app GCRA admission via
+      applyInPandasWithState — the state-store round-trip (Arrow in,
+      TAT state out) is the likeliest streaming regression surface.
+    - ``counters``: G3 event-time windowed counters with watermark
+      (streaming aggregation state).
 
     All lanes: file-source availableNow over the same events copy;
     msgs/s = INPUT events per wall second through the lane."""
@@ -219,11 +259,64 @@ def stream_throughput(spark, sf_dir: str) -> dict:
                 .start()
             )
 
+        def start_gcra(ckpt, out):
+            from pulsar_elasticsearch_sync_rs_spark.streaming.rate_limit_state import (
+                rate_limit_stream_gcra,
+            )
+
+            src = read_events_stream(spark, src_dir)
+            ev = src.select(
+                "event_id",
+                F.element_at(F.split("topic", "/"), -1).alias("app"),
+                F.col("publish_time").alias("ts"),
+            )
+            apps = [
+                r["app"]
+                for r in spark.read.parquet(src_dir)
+                .select(F.col("event_type").alias("app"))
+                .distinct()
+                .collect()
+            ]
+            return (
+                rate_limit_stream_gcra(ev, {a: 50 for a in apps})
+                .writeStream.outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .format("parquet")
+                .option("path", out)
+                .start()
+            )
+
+        def start_counters(ckpt, out):
+            from pulsar_elasticsearch_sync_rs_spark.functions.debug import is_debug_log
+            from pulsar_elasticsearch_sync_rs_spark.streaming.counters import (
+                windowed_counters,
+            )
+
+            cfg = PipelineConfig()
+            src = read_events_stream(spark, src_dir)
+            enriched = src.withColumn(
+                "topic_short", F.element_at(F.split("topic", "/"), -1)
+            ).withColumn("is_debug", is_debug_log("value", cfg.debug_log_pattern))
+            return (
+                windowed_counters(
+                    enriched, window_duration="1 minute", watermark_delay="2 minutes"
+                )
+                .writeStream.outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .format("parquet")
+                .option("path", out)
+                .start()
+            )
+
         etl = run_lane("etl", start_etl, msgs_from_output=True)
         return {
             **etl,  # BENCH_r2/r3-compatible top-level ETL figures
             "sessionize": run_lane("sessionize", start_sessionize),
             "dedup": run_lane("dedup", start_dedup),
+            "gcra": run_lane("gcra", start_gcra),
+            "counters": run_lane("counters", start_counters),
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
