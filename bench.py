@@ -188,7 +188,14 @@ def stream_throughput(spark, sf_dir: str) -> dict:
     try:
         src_dir = os.path.join(tmp, "src")
         os.makedirs(src_dir)
-        shutil.copy(f"{sf_dir}/events.parquet", src_dir)
+        ev_path = f"{sf_dir}/events.parquet"
+        if os.path.isdir(ev_path):
+            # multi-file fixture (tools/make_scale_decade.py output)
+            for fname in os.listdir(ev_path):
+                if fname.endswith(".parquet"):
+                    shutil.copy(os.path.join(ev_path, fname), src_dir)
+        else:
+            shutil.copy(ev_path, src_dir)
         n_input = spark.read.parquet(src_dir).count()
 
         def run_lane(name: str, start_query, msgs_from_output: bool = False) -> dict:

@@ -1,0 +1,153 @@
+"""Build a one-decade-up scale factor (default sf0.1 → "sf1") for the
+SCALE.md data-scaling probe. The driver ships fixtures only up to
+sf0.1; this tool upsizes them reproducibly so the bench can be run one
+decade into the data-dependent regime.
+
+Construction (deterministic, seed-free except where noted):
+
+- region/nation: copied unchanged (fixed-cardinality dims, as in
+  TPC-H).
+- customer/supplier/part/orders/lineitem: R key-shifted replicas with
+  CONSISTENT foreign keys (replica i shifts every key k by
+  i · SHIFT[table-of-k]), so each replica is an independent copy of
+  the sf0.1 universe: join selectivities, per-key group sizes, and
+  skew profiles are preserved exactly while data volume scales by R.
+- events: R replicas with shifted event_id/user_id and the replica
+  index injected into the JSON payload (payloads stay valid JSON but
+  become globally unique — content-hash dedup keeps its real regime
+  instead of collapsing 90% of a replicated stream).
+- documents: R replicas where replica i>0 suffixes EVERY token with
+  ``_i`` — vocabularies of different replicas are disjoint, so no
+  artificial cross-replica near-dups are created and every similarity
+  ground truth (exact-dup groups, Jaccard pairs, minhash buckets,
+  PPJoin prefix df profile) scales EXACTLY by R. This mimics how a
+  sharded crawl scales: new content, same internal structure.
+- embeddings: original vectors plus fresh seeded N(0,1) vectors up to
+  R_EMB× (default 4× — the ratio the driver's own sf0.01→sf0.1 decade
+  used), labels drawn uniformly from the existing label set.
+
+Run:  python tools/make_scale_decade.py [SRC_DIR] [DST_DIR] [R]
+      (defaults: /root/testdata/sf0.1 /tmp/sf1 10)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from pulsar_elasticsearch_sync_rs_spark.session import get_spark
+
+# key spaces: shift must clear the max key at the SOURCE sf; 10M clears
+# every sf≤1 fixture with room
+SHIFT = 10_000_000
+R_EMB = 4
+
+
+def main() -> None:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    spark = get_spark(app_name="make_scale_decade", cpus=16)
+    os.makedirs(dst, exist_ok=True)
+
+    def rd(name):
+        return spark.read.parquet(f"{src}/{name}.parquet")
+
+    def wr(df, name, parts=8):
+        df.repartition(parts).write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
+        print(f"# {name}: {spark.read.parquet(f'{dst}/{name}.parquet').count()} rows")
+
+    def replicate(df, key_cols: list[str], i_expr=None):
+        """Union of R key-shifted replicas; i_expr(df, i) may add
+        replica-specific mutations."""
+        parts = []
+        for i in range(reps):
+            d = df
+            for k in key_cols:
+                d = d.withColumn(k, F.col(k) + F.lit(i * SHIFT))
+            if i_expr is not None:
+                d = i_expr(d, i)
+            parts.append(d)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    wr(rd("region"), "region", 1)
+    wr(rd("nation"), "nation", 1)
+    wr(replicate(rd("customer"), ["c_custkey"]), "customer")
+    wr(replicate(rd("supplier"), ["s_suppkey"]), "supplier", 2)
+    wr(replicate(rd("part"), ["p_partkey"]), "part", 2)
+    wr(replicate(rd("orders"), ["o_orderkey", "o_custkey"]), "orders")
+    wr(
+        replicate(rd("lineitem"), ["l_orderkey", "l_partkey", "l_suppkey"]),
+        "lineitem",
+        16,
+    )
+
+    def mutate_events(d, i):
+        if i == 0:
+            return d
+        # unique payload per replica, still valid JSON
+        return d.withColumn(
+            "props", F.regexp_replace("props", r"^\{", '{"__rep": %d, ' % i)
+        )
+
+    wr(replicate(rd("events"), ["event_id", "user_id"], mutate_events), "events")
+
+    def mutate_docs(d, i):
+        if i == 0:
+            return d
+        # disjoint vocabulary per replica: suffix every token
+        return d.withColumn(
+            "text", F.regexp_replace("text", r"(\S+)", r"$1_%d" % i)
+        ).withColumn("n_chars", F.length("text"))
+
+    wr(replicate(rd("documents"), ["doc_id"], mutate_docs), "documents")
+
+    emb = rd("embeddings")
+    n_emb = emb.count()
+    dim = len(emb.select("embedding").first()["embedding"])
+    labels = [r["label"] for r in emb.select("label").distinct().collect()]
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            rows = []
+            for vid in ids:
+                rng = np.random.default_rng(vid)  # per-id seed: reproducible
+                rows.append(
+                    (
+                        int(vid),
+                        rng.normal(size=dim).astype(np.float32).tolist(),
+                        int(labels[int(vid) % len(labels)]),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+
+    fresh = (
+        spark.range(n_emb * (R_EMB - 1))
+        .withColumn("id", F.col("id") + F.lit(SHIFT))
+        .mapInPandas(gen, schema=out_schema)
+    )
+    wr(emb.unionByName(fresh), "embeddings", 8)
+    print(f"# decade fixture written to {dst} (R={reps}, emb {R_EMB}x)")
+
+
+if __name__ == "__main__":
+    main()
