@@ -160,6 +160,43 @@ def word_shingles(text: Column | str, k: int = 3) -> Column:
     return F.array_distinct(F.when(n >= k, shingle).otherwise(F.array().cast("array<string>")))
 
 
+def word_bigrams(text: Column | str) -> Column:
+    """All word bigrams (space-joined, order-preserving, NOT distinct)
+    over :func:`ws_tokens` — the unit for repetition signals. Docs with
+    fewer than two tokens yield an empty array."""
+    toks = ws_tokens(text)
+    n = F.size(toks)
+    bigram = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i.cast("int")), F.element_at(toks, (i + 1).cast("int"))
+        ),
+    )
+    return F.when(n >= 2, bigram).otherwise(F.array().cast("array<string>"))
+
+
+def max_multiplicity(arr: Column) -> Column:
+    """Highest multiplicity of any element in ``arr`` — the mode count —
+    computed per-row with ZERO shuffle: sort the array, then one
+    ``aggregate`` pass tracks the longest equal-run. The obvious
+    explode→groupBy alternative shuffles one row per n-gram of the whole
+    corpus just to answer a per-document question; this stays narrow no
+    matter the corpus size. Empty array -> 0."""
+    sorted_arr = F.array_sort(arr)
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("bigint").alias("run"),
+        F.lit(0).cast("bigint").alias("best"),
+    )
+
+    def step(acc, x):
+        # x == NULL prev yields NULL -> otherwise branch -> run restarts at 1
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("bigint"))
+        return F.struct(x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best"))
+
+    return F.aggregate(sorted_arr, acc0, step, lambda a: a["best"])
+
+
 def rolling_fingerprint(text: Column | str) -> Column:
     """Deterministic document fingerprint: polynomial rolling hash over
     whitespace tokens, computed with pure integer arithmetic so a SQL

@@ -17,9 +17,11 @@ from pulsar_elasticsearch_sync_rs_spark.functions.text import (
     BPE_ISH_RE,
     STOPWORDS,
     lang_guess,
+    max_multiplicity,
     punct_ratio,
     token_count_bpe_ish,
     token_count_ws,
+    word_bigrams,
     word_shingles,
     ws_tokens,
 )
@@ -1023,4 +1025,75 @@ SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
   CAST(greatest(0, seq_id * 256 - start_off) AS BIGINT) AS begin_tok,
   CAST(least(n_toks, (seq_id + 1) * 256 - start_off) AS BIGINT) AS end_tok
 FROM frags
+"""
+
+
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filtering (Rae et al. 2021, public): flag
+    documents dominated by repeated content via two per-doc signals —
+    ``dup_word_frac`` (1 − distinct/total tokens) and
+    ``top_bigram_frac`` (multiplicity of the most frequent bigram over
+    all bigrams). keep = dup_word_frac ≤ 0.6 AND top_bigram_frac ≤ 0.1.
+
+    Scale shape: both signals are PER-ROW expressions — the bigram mode
+    count is a sorted-array run-length ``aggregate``
+    (functions/text.py:max_multiplicity), so the whole query is one
+    narrow codegen'd scan with ZERO shuffle; the explode→groupBy
+    alternative would shuffle one row per bigram of a 100 TB corpus to
+    answer a per-document question."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = ws_tokens(F.lower("text"))
+    n = F.size(toks).cast("bigint")
+    bgs = word_bigrams(F.lower("text"))
+    dup_word_frac = F.round(
+        F.when(
+            n > 0,
+            F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n.cast("double"),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    top_bigram_frac = F.round(
+        F.when(
+            n >= 2,
+            max_multiplicity(bgs).cast("double") / (n - 1).cast("double"),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    out = docs.select(
+        "doc_id",
+        F.coalesce(n, F.lit(0).cast("bigint")).alias("n_toks"),
+        dup_word_frac.alias("dup_word_frac"),
+        top_bigram_frac.alias("top_bigram_frac"),
+    )
+    return out.withColumn(
+        "keep", (F.col("dup_word_frac") <= 0.6) & (F.col("top_bigram_frac") <= 0.1)
+    )
+
+
+ORACLE_REPETITION_FILTER = r"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+'), t -> t <> '') AS t
+  FROM documents
+), base AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_toks,
+    round(CASE WHEN len(t) > 0
+      THEN 1 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t) ELSE 0.0 END, 6) AS dup_word_frac,
+    t
+  FROM toks
+), bg AS (
+  SELECT doc_id,
+    unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])) AS g
+  FROM base WHERE n_toks >= 2
+), topbg AS (
+  SELECT doc_id, max(c) AS top_c
+  FROM (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g) GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_toks, b.dup_word_frac,
+  round(CASE WHEN b.n_toks >= 2
+    THEN CAST(COALESCE(t.top_c, 0) AS DOUBLE) / (b.n_toks - 1) ELSE 0.0 END, 6) AS top_bigram_frac,
+  (b.dup_word_frac <= 0.6 AND round(CASE WHEN b.n_toks >= 2
+    THEN CAST(COALESCE(t.top_c, 0) AS DOUBLE) / (b.n_toks - 1) ELSE 0.0 END, 6) <= 0.1) AS keep
+FROM base b LEFT JOIN topbg t USING (doc_id)
+ORDER BY b.doc_id
 """
