@@ -193,6 +193,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_group_sample": _wrap(L.q_group_sample),  # deterministic per-group reservoir
         "q_seq_pack": _wrap(L.q_seq_pack),  # concat-then-chunk sequence packing with lineage
         "q_repetition_filter": _wrap(L.q_repetition_filter),  # Gopher repetition signals, shuffle-free
+        "q_decontaminate": _wrap(L.q_decontaminate),  # benchmark n-gram overlap, broadcast bench set
     }
 
 
@@ -212,4 +213,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "q_group_sample": L.ORACLE_GROUP_SAMPLE,
         "q_seq_pack": L.ORACLE_SEQ_PACK,
         "q_repetition_filter": L.ORACLE_REPETITION_FILTER,
+        "q_decontaminate": L.ORACLE_DECONTAMINATE,
     }

@@ -1097,3 +1097,56 @@ SELECT b.doc_id, b.n_toks, b.dup_word_frac,
 FROM base b LEFT JOIN topbg t USING (doc_id)
 ORDER BY b.doc_id
 """
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the standard pre-training hygiene
+    pass (n-gram overlap against a held-out evaluation set, as in
+    GPT-3/PaLM data cards, public knowledge): a deterministic subset
+    (doc_id % 97 == 0) stands in for the benchmark corpus; every other
+    document is flagged with the number of DISTINCT word 3-grams it
+    shares with ANY benchmark document.
+
+    Scale shape: the benchmark n-gram set is bounded (eval suites are
+    tiny next to a 100 TB corpus) → built once, deduped, and BROADCAST;
+    the corpus side explodes distinct shingles (narrow strings, never
+    document bodies) and the only shuffle is the per-doc hit count —
+    a partial-agg on doc_id. No corpus-vs-corpus join exists."""
+    docs = read_table(spark, sf_dir, "documents")
+    shingled = docs.select("doc_id", word_shingles("text", 3).alias("sh"))
+    bench_grams = (
+        shingled.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+    )
+    corpus_grams = shingled.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id", F.explode("sh").alias("g")
+    )
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit_ngrams"))
+    )
+
+
+ORACLE_DECONTAMINATE = r"""
+WITH sh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(t) >= 3
+      THEN list_transform(generate_series(1, len(t) - 2),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      ELSE [] END) AS s
+  FROM (
+    SELECT doc_id,
+      list_filter(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'), t -> t <> '') AS t
+    FROM documents
+  )
+), bench AS (
+  SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0
+), corpus AS (
+  SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 97 <> 0
+)
+SELECT doc_id, count(*) AS n_hit_ngrams
+FROM corpus WHERE g IN (SELECT g FROM bench)
+GROUP BY doc_id ORDER BY doc_id
+"""
