@@ -194,6 +194,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_seq_pack": _wrap(L.q_seq_pack),  # concat-then-chunk sequence packing with lineage
         "q_repetition_filter": _wrap(L.q_repetition_filter),  # Gopher repetition signals, shuffle-free
         "q_decontaminate": _wrap(L.q_decontaminate),  # benchmark n-gram overlap, broadcast bench set
+        "q_domain_mix": _wrap(L.q_domain_mix),  # alpha-temperature stratum rebalancing, hash-deterministic
     }
 
 
@@ -214,4 +215,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "q_seq_pack": L.ORACLE_SEQ_PACK,
         "q_repetition_filter": L.ORACLE_REPETITION_FILTER,
         "q_decontaminate": L.ORACLE_DECONTAMINATE,
+        "q_domain_mix": L.ORACLE_DOMAIN_MIX,
     }

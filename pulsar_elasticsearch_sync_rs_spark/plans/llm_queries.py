@@ -1150,3 +1150,53 @@ SELECT doc_id, count(*) AS n_hit_ngrams
 FROM corpus WHERE g IN (SELECT g FROM bench)
 GROUP BY doc_id ORDER BY doc_id
 """
+
+
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted domain mixing — rebalance a skewed corpus
+    toward uniform strata, the multilingual-LLM sampling recipe
+    (alpha-temperature sampling, e.g. mBERT/XLM-R data cards, public
+    knowledge). Per-lang keep rate = round(sqrt(c_min / c_lang), 6)
+    (alpha = 0.5: the smallest stratum keeps everything, large strata
+    are downsampled toward it); membership is a DETERMINISTIC integer
+    hash — keep iff (doc_id * 2654435761) mod 2^32 < floor(rate * 2^32)
+    (Knuth multiplicative hash) — pure bigint arithmetic, so the DuckDB
+    oracle reproduces the exact row set, no RNG.
+
+    Scale shape: stratum counts are one partial-agg over lang; the
+    tiny rate table (≤ #langs rows; the whole-frame min runs on that
+    agg output, not the corpus) is BROADCAST back; the keep decision
+    is a narrow filter — the corpus itself never shuffles. Docs with
+    NULL lang carry no stratum and are excluded (documented)."""
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("lang").isNotNull())
+    counts = docs.groupBy("lang").agg(F.count("*").alias("c"))
+    # constant partition key: the global min runs over the tiny agg
+    # output (≤ #langs rows) without WindowExec's no-partition warning
+    rates = counts.withColumn(
+        "c_min", F.min("c").over(Window.partitionBy(F.lit(0)))
+    ).select(
+        "lang",
+        F.round(F.sqrt(F.col("c_min").cast("double") / F.col("c").cast("double")), 6).alias("rate"),
+    )
+    u = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    thresh = F.floor(F.col("rate") * F.lit(4294967296.0)).cast("bigint")
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(u < thresh)
+        .select("doc_id", "lang", "rate")
+    )
+
+
+ORACLE_DOMAIN_MIX = """
+WITH counts AS (
+  SELECT lang, count(*) AS c FROM documents WHERE lang IS NOT NULL GROUP BY lang
+), rates AS (
+  SELECT lang,
+    round(sqrt(CAST((SELECT min(c) FROM counts) AS DOUBLE) / CAST(c AS DOUBLE)), 6) AS rate
+  FROM counts
+)
+SELECT d.doc_id, d.lang, r.rate
+FROM documents d JOIN rates r USING (lang)
+WHERE (d.doc_id * 2654435761) % 4294967296 < CAST(floor(rate * 4294967296.0) AS BIGINT)
+ORDER BY d.doc_id
+"""
