@@ -195,6 +195,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition_filter": _wrap(L.q_repetition_filter),  # Gopher repetition signals, shuffle-free
         "q_decontaminate": _wrap(L.q_decontaminate),  # benchmark n-gram overlap, broadcast bench set
         "q_domain_mix": _wrap(L.q_domain_mix),  # alpha-temperature stratum rebalancing, hash-deterministic
+        "q_knn_pq": _wrap(L.q_knn_pq),  # product-quantization ADC top-k (rows-only; recall pytest)
     }
 
 

@@ -35,6 +35,63 @@ from pulsar_elasticsearch_sync_rs_spark.operators.similarity import cosine
 TRAIN_SAMPLE_SIZE = 4096  # Faiss-style bounded quantizer-training sample
 
 
+def lloyd_kmeans(
+    X: np.ndarray, k: int, seed: int = 42, max_iter: int = 20
+) -> np.ndarray:
+    """Plain-numpy Lloyd iterations on an in-memory sample — shared by
+    the IVF coarse quantizer and the PQ sub-quantizers (operators/
+    pq.py). Deterministic (seeded init, no empty-cluster respawn:
+    an emptied center keeps its previous position)."""
+    rng = np.random.default_rng(seed)
+    centers = X[rng.choice(len(X), size=min(k, len(X)), replace=False)]
+    for _ in range(max_iter):
+        d = (
+            (X * X).sum(axis=1, keepdims=True)
+            - 2.0 * (X @ centers.T)
+            + (centers * centers).sum(axis=1)
+        )
+        assign = d.argmin(axis=1)
+        new_centers = np.array(
+            [
+                X[assign == j].mean(axis=0) if (assign == j).any() else centers[j]
+                for j in range(len(centers))
+            ]
+        )
+        if np.allclose(new_centers, centers):
+            break
+        centers = new_centers
+    return centers
+
+
+def bounded_training_sample(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    sample_size: int = TRAIN_SAMPLE_SIZE,
+) -> np.ndarray:
+    """The deterministic bounded quantizer-training sample shared by
+    IVF and PQ: hash-ordered top-N (TakeOrdered on crc32(id) —
+    unbiased w.r.t. any corpus clustering, reproducible across runs and
+    partitionings), size FIXED and independent of corpus size, so
+    driver memory stays O(sample_size · dim) at any scale."""
+    rows = (
+        corpus.select(
+            F.col(vec_col).alias("v"),
+            F.crc32(F.col(id_col).cast("string").cast("binary")).alias("__r"),
+        )
+        .orderBy("__r")
+        .limit(sample_size)
+        .select("v")
+        .collect()
+    )
+    if not rows:
+        raise ValueError(
+            "cannot train a quantizer on an empty corpus "
+            f"(no rows in {vec_col!r} after filters)"
+        )
+    return np.array([r["v"] for r in rows], dtype=np.float64)
+
+
 def train_coarse_quantizer(
     corpus: DataFrame,
     id_col: str,
@@ -56,41 +113,8 @@ def train_coarse_quantizer(
     driver: 20 Lloyd steps on ≤4096 vectors are microseconds, versus
     20 distributed jobs for a cluster-wide k-means whose per-job
     scheduling overhead dominated the previous implementation."""
-    rows = (
-        corpus.select(
-            F.col(vec_col).alias("v"),
-            F.crc32(F.col(id_col).cast("string").cast("binary")).alias("__r"),
-        )
-        .orderBy("__r")
-        .limit(sample_size)
-        .select("v")
-        .collect()
-    )
-    if not rows:
-        raise ValueError(
-            "cannot train IVF coarse quantizer on an empty corpus "
-            f"(no rows in {vec_col!r} after filters)"
-        )
-    X = np.array([r["v"] for r in rows], dtype=np.float64)
-    rng = np.random.default_rng(seed)
-    centers = X[rng.choice(len(X), size=min(nlist, len(X)), replace=False)]
-    for _ in range(max_iter):
-        d = (
-            (X * X).sum(axis=1, keepdims=True)
-            - 2.0 * (X @ centers.T)
-            + (centers * centers).sum(axis=1)
-        )
-        assign = d.argmin(axis=1)
-        new_centers = np.array(
-            [
-                X[assign == j].mean(axis=0) if (assign == j).any() else centers[j]
-                for j in range(len(centers))
-            ]
-        )
-        if np.allclose(new_centers, centers):
-            break
-        centers = new_centers
-    return centers
+    X = bounded_training_sample(corpus, id_col, vec_col, sample_size)
+    return lloyd_kmeans(X, nlist, seed=seed, max_iter=max_iter)
 
 
 def build_ivf_index(

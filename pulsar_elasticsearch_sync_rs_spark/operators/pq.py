@@ -1,0 +1,225 @@
+"""Product quantization (PQ) approximate nearest neighbor — the
+memory-compression scale path beside IVF and sign-LSH (SURVEY.md §2.9).
+
+Classic PQ (Jégou, Douze, Schmid, "Product quantization for nearest
+neighbor search", IEEE TPAMI 2011 — public literature): split each
+d-dim vector into ``m`` subvectors, k-means each subspace into
+``ksub`` centroids, and store a vector as ``m`` small codes
+(m=16 × ksub=64 on 64-dim float32 = 16 bytes/vector vs 256 — a 16×
+compression; 64 centroids/subspace keeps ADC ranking sharp enough on
+unstructured embeddings for the refine step to recover ≥0.95 recall,
+pytest-pinned). Search is ADC (asymmetric distance computation): the
+query stays exact; per-subspace dot products against the codebook form
+a lookup table, and each database vector's approximate similarity is
+``m`` table lookups — no vector arithmetic per candidate.
+
+Spark-first shape:
+- codebook training: the SAME bounded deterministic sample + driver
+  numpy Lloyd recipe as the IVF coarse quantizer
+  (operators/ivf.py:bounded_training_sample / lloyd_kmeans) — the only
+  driver collect is O(sample · dim) regardless of corpus size;
+- encoding: ONE distributed Arrow pass (pandas_udf) → ``array<int>``
+  codes; at 100 TB the codes table is what you persist — it is 16×
+  smaller than the embeddings and is the only thing the search scans;
+- search: queries are tiny → their ADC lookup tables ship in the UDF
+  closure; ``mapInPandas`` scans the codes, keeping a per-partition
+  top-C per query (C = k·refine), so the shuffle after the scan is
+  #partitions × #queries × C candidate ROWS (ids + scores, no
+  vectors); an exact cosine re-rank over only those candidates
+  restores high recall (the standard PQ + refine recipe).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pulsar_elasticsearch_sync_rs_spark.operators.ivf import (
+    bounded_training_sample,
+    lloyd_kmeans,
+)
+from pulsar_elasticsearch_sync_rs_spark.operators.similarity import cosine
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 16,
+    ksub: int = 64,
+    seed: int = 42,
+    max_iter: int = 20,
+) -> np.ndarray:
+    """Train the ``m`` per-subspace codebooks on ONE bounded sample
+    (one driver collect shared across subspaces). Returns an
+    (m, ksub, dsub) ndarray. dim must divide evenly into m."""
+    X = bounded_training_sample(corpus, id_col, vec_col)
+    dim = X.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    books = [
+        lloyd_kmeans(X[:, j * dsub : (j + 1) * dsub], ksub, seed=seed + j, max_iter=max_iter)
+        for j in range(m)
+    ]
+    if any(len(b) != len(books[0]) for b in books):
+        # only possible when the sample is smaller than ksub
+        raise ValueError("training sample smaller than ksub; lower ksub")
+    return np.stack(books)
+
+
+def make_pq_encode_udf(codebooks: np.ndarray):
+    """One vectorized Arrow pass: vector → m nearest-sub-centroid codes."""
+    m, ksub, dsub = codebooks.shape
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def encode(vec: pd.Series) -> pd.Series:
+        V = np.array(vec.tolist(), dtype=np.float64)
+        codes = np.empty((len(V), m), dtype=np.int32)
+        for j in range(m):
+            sub = V[:, j * dsub : (j + 1) * dsub]
+            C = codebooks[j]
+            d = (
+                (sub * sub).sum(axis=1, keepdims=True)
+                - 2.0 * (sub @ C.T)
+                + (C * C).sum(axis=1)
+            )
+            codes[:, j] = d.argmin(axis=1)
+        return pd.Series([row.tolist() for row in codes])
+
+    return encode
+
+
+def encode_pq(
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The persistable PQ codes table: (id, codes). 16× smaller than
+    the embeddings at m=16 codes/vector — at 100 TB this table is the
+    search's only scan input."""
+    encode = make_pq_encode_udf(codebooks)
+    return corpus.select(F.col(id_col), encode(F.col(vec_col)).alias("codes"))
+
+
+def knn_cosine_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    m: int = 16,
+    ksub: int = 64,
+    refine: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k by cosine: ADC scan over PQ codes → top
+    (k·refine) candidates per query → exact cosine re-rank on the
+    candidates only. Output schema matches the other KNN lanes."""
+    codebooks = train_pq_codebooks(
+        corpus, id_col=id_col, vec_col=vec_col, m=m, ksub=ksub, seed=seed
+    )
+    codes = encode_pq(corpus, codebooks, id_col=id_col, vec_col=vec_col)
+
+    # queries are a bounded set by contract (the other KNN lanes
+    # broadcast them); their ADC tables are tiny: Q × m × ksub doubles
+    q_rows = queries.select(F.col(query_id), F.col("query_vec")).collect()
+    if not q_rows:
+        raise ValueError("knn_cosine_pq: empty query set")
+    q_ids = [r[query_id] for r in q_rows]
+    Q = np.array([r["query_vec"] for r in q_rows], dtype=np.float64)
+    n_q, dim = Q.shape
+    dsub = dim // m
+    # luts[q, j, c] = dot(q_sub_j, codebook[j, c]); cnorm2[j, c] = ||c||²
+    luts = np.einsum("qjd,jcd->qjc", Q.reshape(n_q, m, dsub), codebooks)
+    cnorm2 = (codebooks * codebooks).sum(axis=2)
+    q_norms = np.linalg.norm(Q, axis=1)
+    n_cand = k * refine
+    cand_schema = T.StructType(
+        [
+            T.StructField("query_ix", T.IntegerType()),
+            T.StructField(id_col, corpus.schema[id_col].dataType),
+            T.StructField("adc_sim", T.DoubleType()),
+        ]
+    )
+
+    def scan_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # running per-partition top-n_cand per query across batches
+        best_ids = [[] for _ in range(n_q)]
+        best_sims = [[] for _ in range(n_q)]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.array(pdf["codes"].tolist(), dtype=np.int64)  # (n, m)
+            ids = pdf[id_col].to_numpy()
+            j_ix = np.arange(m)
+            approx_norm = np.sqrt(cnorm2[j_ix[None, :], C].sum(axis=1))  # (n,)
+            den = np.where(approx_norm == 0, 1.0, approx_norm)
+            for q in range(n_q):
+                dots = luts[q][j_ix[None, :], C].sum(axis=1)  # (n,)
+                sims = dots / (q_norms[q] * den)
+                top = (
+                    np.argpartition(-sims, n_cand - 1)[:n_cand]
+                    if len(sims) > n_cand
+                    else np.arange(len(sims))
+                )
+                best_ids[q].append(ids[top])
+                best_sims[q].append(sims[top])
+        out_q, out_id, out_sim = [], [], []
+        for q in range(n_q):
+            if not best_ids[q]:
+                continue
+            ids_all = np.concatenate(best_ids[q])
+            sims_all = np.concatenate(best_sims[q])
+            top = (
+                np.argpartition(-sims_all, n_cand - 1)[:n_cand]
+                if len(sims_all) > n_cand
+                else np.arange(len(sims_all))
+            )
+            out_q.extend([q] * len(top))
+            out_id.extend(ids_all[top].tolist())
+            out_sim.extend(sims_all[top].tolist())
+        yield pd.DataFrame({"query_ix": out_q, id_col: out_id, "adc_sim": out_sim})
+
+    local_cands = codes.mapInPandas(scan_partition, cand_schema)
+    # global top n_cand per query over the (tiny) per-partition winners
+    w_adc = Window.partitionBy("query_ix").orderBy(
+        F.col("adc_sim").desc(), F.col(id_col).asc()
+    )
+    cands = (
+        local_cands.withColumn("__r", F.row_number().over(w_adc))
+        .filter(F.col("__r") <= n_cand)
+        .drop("__r", "adc_sim")
+    )
+    # exact re-rank: join candidates (ids only) back to their vectors,
+    # broadcast the query vectors, window top-k — candidates are
+    # O(#queries · k·refine) rows no matter the corpus size
+    qdf = queries.sparkSession.createDataFrame(
+        [(int(i), qid) for i, qid in enumerate(q_ids)], ["query_ix", "q_id"]
+    ).join(
+        queries.select(F.col(query_id).alias("q_id"), "query_vec"), "q_id"
+    )
+    exact = (
+        cands.join(corpus.select(id_col, vec_col), id_col)
+        .join(F.broadcast(qdf), "query_ix")
+        .filter(F.col(id_col) != F.col("q_id"))
+        .withColumn("sim", cosine(F.col("query_vec"), F.col(vec_col)))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col(id_col).asc())
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("q_id").alias(query_id),
+            F.col(id_col).alias("neighbor_id"),
+            F.col("rank"),
+            F.round("sim", 6).alias("cosine_sim"),
+        )
+    )

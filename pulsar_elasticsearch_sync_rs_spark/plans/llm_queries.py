@@ -1200,3 +1200,18 @@ FROM documents d JOIN rates r USING (lang)
 WHERE (d.doc_id * 2654435761) % 4294967296 < CAST(floor(rate * 4294967296.0) AS BIGINT)
 ORDER BY d.doc_id
 """
+
+
+def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization top-5 (operators/pq.py): 16×64 codebooks →
+    16-byte codes (16× compression), ADC lookup-table scan with
+    per-partition top-C, exact cosine re-rank on candidates only.
+    K-means codebooks are iterative/approximate → rows-only driver
+    check; pytest pins recall ≥0.85 against brute force."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.pq import knn_cosine_pq
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return knn_cosine_pq(emb, queries, k=5, m=16, ksub=64, refine=8)
