@@ -44,6 +44,12 @@ HEADLINE = [
     "q_token_count",
     "q_knn_cosine",
     "q_embed_neardup_ivf",
+    # round-5 curation additions: one narrow shuffle-free scan
+    # (repetition signals), one broadcast-join hygiene pass
+    # (decontamination), one compressed-ANN lane (PQ ADC + re-rank)
+    "q_repetition_filter",
+    "q_decontaminate",
+    "q_knn_pq",
 ]
 
 # per-query protocol: ONE untimed warm-up execution (pays plan codegen,
@@ -56,7 +62,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark(app_name="bench", cpus=cpus)
-    qs = entrymod.queries()
+    qs = {**entrymod.queries(), **entrymod.extra_queries()}
 
     # warm up the JVM, parquet footer cache, and the Python/Arrow UDF
     # workers (first pandas-UDF call pays worker spawn + numpy import —

@@ -51,11 +51,15 @@ def lloyd_kmeans(
             + (centers * centers).sum(axis=1)
         )
         assign = d.argmin(axis=1)
-        new_centers = np.array(
-            [
-                X[assign == j].mean(axis=0) if (assign == j).any() else centers[j]
-                for j in range(len(centers))
-            ]
+        # vectorized mean-per-cluster (scatter-add + bincount) — the
+        # per-cluster boolean-mask loop costs k full passes over X per
+        # iteration and dominated PQ training (16 subspaces × 64
+        # clusters); results are identical (same row order, sum/count)
+        sums = np.zeros_like(centers)
+        np.add.at(sums, assign, X)
+        counts = np.bincount(assign, minlength=len(centers)).astype(np.float64)
+        new_centers = np.where(
+            counts[:, None] > 0, sums / np.maximum(counts[:, None], 1.0), centers
         )
         if np.allclose(new_centers, centers):
             break
