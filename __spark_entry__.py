@@ -196,6 +196,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_decontaminate": _wrap(L.q_decontaminate),  # benchmark n-gram overlap, broadcast bench set
         "q_domain_mix": _wrap(L.q_domain_mix),  # alpha-temperature stratum rebalancing, hash-deterministic
         "q_knn_pq": _wrap(L.q_knn_pq),  # product-quantization ADC top-k (rows-only; recall pytest)
+        "q_dedup_incremental": _wrap(L.q_dedup_incremental),  # new-batch vs corpus anti-join dedup
+        "q_cluster_survivors": _wrap(L.q_cluster_survivors),  # quality-argmax survivor per near-dup cluster
     }
 
 
@@ -217,4 +219,6 @@ def extra_oracle_sql() -> dict[str, str]:
         "q_repetition_filter": L.ORACLE_REPETITION_FILTER,
         "q_decontaminate": L.ORACLE_DECONTAMINATE,
         "q_domain_mix": L.ORACLE_DOMAIN_MIX,
+        "q_dedup_incremental": L.ORACLE_DEDUP_INCREMENTAL,
+        "q_cluster_survivors": L.ORACLE_CLUSTER_SURVIVORS,
     }

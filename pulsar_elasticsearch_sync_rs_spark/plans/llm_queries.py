@@ -1215,3 +1215,165 @@ def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return knn_cosine_pq(emb, queries, k=5, m=16, ksub=64, refine=8)
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the daily-increment production shape: a NEW
+    batch (upper half of doc_ids, standing in for today's crawl) is
+    admitted only if its content hash is (a) unseen in the EXISTING
+    corpus (lower half) and (b) the first occurrence within the batch
+    itself (min doc_id wins, matching q_dedup_exact's survivor rule).
+    Output: admitted (doc_id, content sha) pairs.
+
+    Scale shape: only (sha256, doc_id) ever shuffles — never text.
+    The cross-corpus check is a LEFT ANTI join on the 32-byte hash
+    (at 100 TB the existing-corpus side is the persisted hash index,
+    bucketed by sha so the anti-join is co-located and incremental
+    batches never reshuffle the historical corpus); the within-batch
+    rule is one partial-agg groupBy on the same key."""
+    docs = read_table(spark, sf_dir, "documents")
+    # floor division, pinned on BOTH sides: Spark's double->bigint cast
+    # truncates (249.5 -> 249) while DuckDB's CAST rounds (-> 250)
+    split_at = docs.agg(
+        F.floor(F.max("doc_id") / 2).cast("bigint").alias("m")
+    ).collect()[0]["m"]
+    hashed = docs.select(
+        "doc_id", F.sha2("text", 256).alias("sha")
+    )
+    existing = hashed.filter(F.col("doc_id") <= split_at).select("sha").distinct()
+    batch = hashed.filter(F.col("doc_id") > split_at)
+    batch_first = (
+        batch.groupBy("sha").agg(F.min("doc_id").alias("doc_id"))
+    )
+    return batch_first.join(existing, "sha", "left_anti").select("doc_id", "sha")
+
+
+ORACLE_DEDUP_INCREMENTAL = """
+WITH split AS (
+  SELECT CAST(floor(max(doc_id) / 2) AS BIGINT) AS m FROM documents
+), hashed AS (
+  SELECT doc_id, sha256(text) AS sha FROM documents
+), existing AS (
+  SELECT DISTINCT sha FROM hashed WHERE doc_id <= (SELECT m FROM split)
+), batch_first AS (
+  SELECT sha, min(doc_id) AS doc_id FROM hashed
+  WHERE doc_id > (SELECT m FROM split) GROUP BY sha
+)
+SELECT doc_id, sha FROM batch_first
+WHERE sha NOT IN (SELECT sha FROM existing)
+ORDER BY doc_id
+"""
+
+
+def q_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production "which copy do we keep" decision: near-dup
+    clusters (q_dedup_clusters' star-contraction components over exact
+    Jaccard edges) × quality scoring → per cluster, keep the HIGHEST
+    quality member (tie → min doc_id), reporting its quality and the
+    cluster size. Composes two verified operators into the stage a
+    training pipeline actually runs between dedup and packing —
+    survivor choice by quality, not by arbitrary min-id.
+
+    Scale: inherits the components' O(log² n) contraction; the quality
+    join moves (doc_id, double) pairs; the argmax is one window over
+    cluster keys."""
+    from pulsar_elasticsearch_sync_rs_spark.functions.text import quality_score
+    from pulsar_elasticsearch_sync_rs_spark.operators.components import dedup_clusters
+
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "blk",
+        F.when(
+            F.col("lang").isNotNull() & F.col("source").isNotNull(),
+            F.to_json(F.struct("lang", "source")),
+        ),
+    )
+    pairs = ngram_jaccard_pairs(
+        docs, text="text", id_col="doc_id", threshold=0.35, shingle_k=3, block_col="blk"
+    )
+    clusters = dedup_clusters(docs, pairs, id_col="doc_id")
+    scored = docs.select("doc_id", quality_score("text").alias("quality"))
+    labeled = clusters.join(scored, "doc_id")
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    wc = Window.partitionBy("cluster")
+    return (
+        labeled.withColumn("rnk", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(wc))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "cluster",
+            F.col("doc_id").alias("survivor_id"),
+            "quality",
+            F.col("n_members").cast("bigint").alias("n_members"),
+        )
+    )
+
+
+ORACLE_CLUSTER_SURVIVORS = r"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, lang, source,
+    list_distinct(CASE WHEN len(toks) >= 3
+      THEN list_transform(generate_series(1, len(toks) - 2),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      ELSE [] END) AS shingles
+  FROM (
+    SELECT doc_id, lang, source,
+      list_filter(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'), t -> t <> '') AS toks
+    FROM documents
+  )
+), edges AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE len(list_distinct(list_concat(a.shingles, b.shingles))) > 0
+    AND round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) >= 0.35
+), sym AS (
+  SELECT id_a AS u, id_b AS v FROM edges
+  UNION
+  SELECT id_b, id_a FROM edges
+), reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE r.u <> s.v
+), comp AS (
+  SELECT u AS id, least(u, min(v)) AS cluster FROM reach GROUP BY u
+), clusters AS (
+  SELECT d.doc_id, CAST(coalesce(c.cluster, d.doc_id) AS BIGINT) AS cluster
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+), qtoks AS (
+  SELECT doc_id, text,
+    list_filter(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'), t -> t <> '') AS t,
+    list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+'), t -> t <> '') AS tl
+  FROM documents
+), feat AS (
+  SELECT doc_id,
+    CAST(len(t) AS DOUBLE) AS n_tok,
+    CASE WHEN len(t) > 0
+         THEN CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t)
+         ELSE 0.0 END AS mean_wlen,
+    CASE WHEN length(text) > 0
+         THEN CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / length(text)
+         ELSE 0.0 END AS punct_ratio,
+    CASE WHEN len(tl) > 0
+         THEN CAST(len(list_filter(tl, x -> list_contains(['the','and','of','to','a','in','is','it'], x))) AS DOUBLE) / len(tl)
+         ELSE 0.0 END AS sw_ratio
+  FROM qtoks
+), q AS (
+  SELECT doc_id,
+    round(
+      least(n_tok / 50.0, 1.0) * 0.3
+      + (CASE WHEN mean_wlen >= 3 AND mean_wlen <= 10 THEN 1.0 ELSE 0.5 END) * 0.2
+      + (1.0 - least(punct_ratio * 5, 1.0)) * 0.25
+      + least(sw_ratio * 4, 1.0) * 0.25, 6) AS quality
+  FROM feat
+), ranked AS (
+  SELECT cl.cluster, cl.doc_id, q.quality,
+    row_number() OVER (PARTITION BY cl.cluster ORDER BY q.quality DESC, cl.doc_id ASC) AS rnk,
+    count(*) OVER (PARTITION BY cl.cluster) AS n_members
+  FROM clusters cl JOIN q USING (doc_id)
+)
+SELECT cluster, doc_id AS survivor_id, quality, CAST(n_members AS BIGINT) AS n_members
+FROM ranked WHERE rnk = 1 ORDER BY cluster
+"""
