@@ -1377,3 +1377,44 @@ WITH RECURSIVE sh AS (
 SELECT cluster, doc_id AS survivor_id, quality, CAST(n_members AS BIGINT) AS n_members
 FROM ranked WHERE rnk = 1 ORDER BY cluster
 """
+
+
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (98/1/1) — the final stage
+    before packing. Assignment = Knuth multiplicative hash of doc_id
+    mod 100 (pure bigint arithmetic, same discipline as q_domain_mix):
+    content-independent, reproducible across runs/partitionings, and
+    disjoint-and-exhaustive by construction. Output: per-split doc
+    counts and token totals — the figures a data card reports.
+
+    Scale: one narrow projection + one 3-key partial agg; nothing else
+    moves."""
+    docs = read_table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % F.lit(100)
+    split = (
+        F.when(bucket < 98, F.lit("train"))
+        .when(bucket < 99, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(split.alias("split"), token_count_ws("text").alias("n_tok"))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
+
+
+ORACLE_TRAIN_SPLIT = r"""
+WITH assigned AS (
+  SELECT
+    CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 98 THEN 'train'
+         WHEN (doc_id * 2654435761) % 4294967296 % 100 < 99 THEN 'val'
+         ELSE 'test' END AS split,
+    len(list_filter(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'), t -> t <> '')) AS n_tok
+  FROM documents
+)
+SELECT split, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+FROM assigned GROUP BY split ORDER BY split
+"""
