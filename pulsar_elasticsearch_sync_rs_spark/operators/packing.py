@@ -40,7 +40,9 @@ re-clustering on the partition id (Catalyst can't see that the rows
 are already physically clustered that way) — never of the text
 itself. Partition boundaries are sampled by Spark, but the result is
 boundary-independent: a prefix sum over a total order is the same no
-matter where the cuts land.
+matter where the cuts land — PROVIDED every job reads the same cuts,
+which the eager localCheckpoint in :func:`exclusive_prefix_sum`
+guarantees (repartitionByRange re-samples per plan execution).
 """
 
 from __future__ import annotations
@@ -74,6 +76,16 @@ def exclusive_prefix_sum(
             F.lit(0).cast("bigint"),
         ),
     )
+    # Pin ONE physical partitioning: the totals job below and every
+    # later action on the returned DataFrame must see the SAME range
+    # boundaries, but repartitionByRange's sampler is re-seeded per
+    # plan execution — when the sampler subsamples (large input
+    # partitions), re-executing the exchange in a second job can move
+    # boundary rows to a different __pid than the one their __base was
+    # computed from, silently corrupting offsets. The eager
+    # localCheckpoint materializes the partitioned (id, count, pid,
+    # local-sum) stream once — O(16 bytes/doc), never the text.
+    local = local.localCheckpoint(eager=True)
     totals = sorted(
         local.groupBy("__pid").agg(F.sum(val_col).alias("__tot")).collect(),
         key=lambda r: r["__pid"],

@@ -67,9 +67,13 @@ def train_pq_codebooks(
         lloyd_kmeans(X[:, j * dsub : (j + 1) * dsub], ksub, seed=seed + j, max_iter=max_iter)
         for j in range(m)
     ]
-    if any(len(b) != len(books[0]) for b in books):
-        # only possible when the sample is smaller than ksub
-        raise ValueError("training sample smaller than ksub; lower ksub")
+    if len(books[0]) < ksub:
+        # lloyd_kmeans returns min(ksub, sample) centers — a short
+        # sample silently degrades every codebook, so fail loudly
+        raise ValueError(
+            f"training sample ({len(X)} vectors) smaller than ksub={ksub}; "
+            "lower ksub or supply more data"
+        )
     return np.stack(books)
 
 
@@ -201,10 +205,20 @@ def knn_cosine_pq(
     # exact re-rank: join candidates (ids only) back to their vectors,
     # broadcast the query vectors, window top-k — candidates are
     # O(#queries · k·refine) rows no matter the corpus size
+    # build directly from the already-collected rows (preserving the
+    # caller's id/vector types): the driver holds the vectors, so
+    # re-evaluating the queries lineage plus a join to reattach them
+    # would be a second pointless job
+    q_schema = T.StructType(
+        [
+            T.StructField("query_ix", T.IntegerType()),
+            T.StructField("q_id", queries.schema[query_id].dataType),
+            T.StructField("query_vec", queries.schema["query_vec"].dataType),
+        ]
+    )
     qdf = queries.sparkSession.createDataFrame(
-        [(int(i), qid) for i, qid in enumerate(q_ids)], ["query_ix", "q_id"]
-    ).join(
-        queries.select(F.col(query_id).alias("q_id"), "query_vec"), "q_id"
+        [(int(i), qid, r["query_vec"]) for i, (qid, r) in enumerate(zip(q_ids, q_rows))],
+        q_schema,
     )
     exact = (
         cands.join(corpus.select(id_col, vec_col), id_col)

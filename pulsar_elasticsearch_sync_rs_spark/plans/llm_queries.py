@@ -271,7 +271,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_TEXT_STATS = r"""
 SELECT doc_id,
   CAST(len(list_filter(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'), t -> t <> '')) AS INTEGER) AS n_ws_tokens,
-  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpe_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]')) AS INTEGER) AS n_bpe_tokens,
   CAST(length(text) AS INTEGER) AS n_chars_computed,
   round(CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
         / length(text), 6) AS punct_ratio
@@ -297,7 +297,7 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_TOKEN_COUNT = r"""
 SELECT source,
   CAST(sum(len(list_filter(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'), t -> t <> ''))) AS BIGINT) AS total_ws_tokens,
-  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_bpe_tokens,
+  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]'))) AS BIGINT) AS total_bpe_tokens,
   count(*) AS n_docs
 FROM documents
 GROUP BY source ORDER BY source

@@ -92,9 +92,19 @@ def main() -> None:
     def mutate_events(d, i):
         if i == 0:
             return d
-        # unique payload per replica, still valid JSON
+        # unique payload per replica, still valid JSON: only inject the
+        # marker when a key follows (a bare '{}' would otherwise gain a
+        # trailing comma and dead-letter every replica copy), and allow
+        # leading whitespace so those payloads don't silently skip
+        # uniquification and collapse under content-hash dedup
         return d.withColumn(
-            "props", F.regexp_replace("props", r"^\{", '{"__rep": %d, ' % i)
+            "props",
+            F.when(
+                F.col("props").rlike(r'^\s*\{\s*"'),
+                F.regexp_replace("props", r"^(\s*)\{", '$1{"__rep": %d, ' % i),
+            ).otherwise(
+                F.regexp_replace("props", r"^(\s*)\{", '$1{"__rep": %d' % i)
+            ),
         )
 
     wr(replicate(rd("events"), ["event_id", "user_id"], mutate_events), "events")
@@ -112,7 +122,9 @@ def main() -> None:
     emb = rd("embeddings")
     n_emb = emb.count()
     dim = len(emb.select("embedding").first()["embedding"])
-    labels = [r["label"] for r in emb.select("label").distinct().collect()]
+    # sorted: distinct().collect() order is partitioning-dependent, and
+    # label assignment below must be reproducible across regenerations
+    labels = sorted(r["label"] for r in emb.select("label").distinct().collect())
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
