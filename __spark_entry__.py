@@ -172,9 +172,12 @@ def oracle_sql() -> dict[str, str]:
 
 
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Green queries displaced from the driver's 50-slot budget —
-    identical contract to ``queries()``; swept by tools/check_oracle.py
-    and tests/test_extra_oracles.py instead of the driver."""
+    """Queries beyond the driver's 50-slot budget — green lanes
+    displaced from the graded set plus the round-5 curation pack
+    (repetition filter, decontamination, domain mixing, incremental
+    dedup, cluster survivors, train split, PQ ANN). Identical contract
+    to ``queries()``; swept by tools/check_oracle.py and
+    tests/test_extra_oracles.py instead of the driver."""
     return {
         "q_tpch_custrev": _wrap(A.q_tpch_custrev),  # Q10 (join+agg+topk ⊂ Q3/Q5 family)
         "q_window_range": _wrap(A.q_window_range),  # RANGE-frame window
