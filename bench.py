@@ -50,6 +50,9 @@ HEADLINE = [
     "q_repetition_filter",
     "q_decontaminate",
     "q_knn_pq",
+    # the end-to-end curation composite: gate → decontaminate → dedup
+    # → mix → split → pack in one plan
+    "q_llm_pipeline",
 ]
 
 # per-query protocol: ONE untimed warm-up execution (pays plan codegen,

@@ -1170,11 +1170,11 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL lang carry no stratum and are excluded (documented)."""
     docs = read_table(spark, sf_dir, "documents").filter(F.col("lang").isNotNull())
     counts = docs.groupBy("lang").agg(F.count("*").alias("c"))
-    # constant partition key: the global min runs over the tiny agg
-    # output (≤ #langs rows) without WindowExec's no-partition warning
-    rates = counts.withColumn(
-        "c_min", F.min("c").over(Window.partitionBy(F.lit(0)))
-    ).select(
+    # global min via a broadcast cross join of the one-row agg — both
+    # sides are ≤ #langs rows; an unpartitioned window here would drag
+    # the (tiny) counts into one partition and log a scary warning
+    cmin = counts.agg(F.min("c").alias("c_min"))
+    rates = counts.crossJoin(F.broadcast(cmin)).select(
         "lang",
         F.round(F.sqrt(F.col("c_min").cast("double") / F.col("c").cast("double")), 6).alias("rate"),
     )
@@ -1417,4 +1417,201 @@ WITH assigned AS (
 )
 SELECT split, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
 FROM assigned GROUP BY split ORDER BY split
+"""
+
+
+def q_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE end-to-end curation pipeline — every stage a training-data
+    run actually executes, chained in production order and still
+    oracle-checkable because each stage is deterministic closed-form:
+
+      1. gate: quality ≥ 0.65 AND repetition keep (dup_word ≤ 0.6,
+         top_bigram ≤ 0.1) — q_quality_score × q_repetition_filter;
+      2. decontaminate: drop docs sharing any word-5-gram with the
+         benchmark subset (and the benchmark docs themselves) — the
+         long-n-gram any-hit rule used for real eval suites; the
+         reporting lane q_decontaminate uses 3-grams to surface
+         partial overlaps, which on this small-vocab fixture would
+         flag most of the corpus;
+      3. exact dedup: min-doc_id survivor per content sha —
+         q_dedup_exact's survivor rule, applied as a semi-join so the
+         text column never shuffles on the hash key;
+      4. domain mix: α=0.5 temperature rates over the SURVIVING
+         corpus's lang counts — q_domain_mix on the filtered set;
+      5. split: keep the 98% train partition — q_train_split's hash;
+      6. pack: 256-token concat-then-chunk windows with lineage —
+         q_seq_pack's operator over what remains.
+
+    Output: the packed training fragments (seq_id, doc_id, begin_tok,
+    end_tok). Scale: stages 1–2 are narrow filters plus one broadcast
+    join; stage 3 shuffles (sha, id) pairs only; 4 broadcasts a
+    ≤#langs rate table; 6 is the two-phase prefix scan. The corpus
+    text crosses the wire exactly once — into the packer's
+    range partition."""
+    from pulsar_elasticsearch_sync_rs_spark.functions.text import quality_score
+    from pulsar_elasticsearch_sync_rs_spark.operators.packing import pack_sequences
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = ws_tokens(F.lower("text"))
+    n = F.size(toks).cast("bigint")
+    dup_word_frac = F.round(
+        F.when(
+            n > 0,
+            F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n.cast("double"),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    top_bigram_frac = F.round(
+        F.when(
+            n >= 2,
+            max_multiplicity(word_bigrams(F.lower("text"))).cast("double")
+            / (n - 1).cast("double"),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    gated = docs.filter(
+        (quality_score("text") >= 0.65)
+        & (dup_word_frac <= 0.6)
+        & (top_bigram_frac <= 0.1)
+    )
+
+    # decontamination as a filter: benchmark docs out, gram-hit docs out
+    shingled = docs.select("doc_id", word_shingles("text", 5).alias("sh"))
+    bench_grams = (
+        shingled.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+    )
+    hit_ids = (
+        shingled.filter(F.col("doc_id") % 97 != 0)
+        .select("doc_id", F.explode("sh").alias("g"))
+        .join(F.broadcast(bench_grams), "g")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = gated.filter(F.col("doc_id") % 97 != 0).join(hit_ids, "doc_id", "left_anti")
+
+    # exact dedup: min-id survivor per sha, via semi-join (ids shuffle, text doesn't)
+    surv_ids = (
+        clean.select(F.sha2("text", 256).alias("sha"), "doc_id")
+        .groupBy("sha")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    deduped = clean.join(surv_ids, "doc_id", "left_semi")
+
+    # domain mix over the surviving corpus
+    counts = deduped.filter(F.col("lang").isNotNull()).groupBy("lang").agg(
+        F.count("*").alias("c")
+    )
+    cmin = counts.agg(F.min("c").alias("c_min"))
+    rates = counts.crossJoin(F.broadcast(cmin)).select(
+        "lang",
+        F.round(F.sqrt(F.col("c_min").cast("double") / F.col("c").cast("double")), 6).alias("rate"),
+    )
+    u = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    thresh = F.floor(F.col("rate") * F.lit(4294967296.0)).cast("bigint")
+    mixed = deduped.join(F.broadcast(rates), "lang").filter(u < thresh)
+
+    # train split (98%)
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % F.lit(100)
+    train = mixed.filter(bucket < 98)
+
+    return pack_sequences(train.select("doc_id", "text"), seq_len=256)
+
+
+ORACLE_LLM_PIPELINE = r"""
+WITH toks AS (
+  SELECT doc_id, text, lang,
+    list_filter(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'), t -> t <> '') AS t,
+    list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+'), t -> t <> '') AS tl
+  FROM documents
+), feat AS (
+  SELECT doc_id,
+    CAST(len(t) AS DOUBLE) AS n_tok,
+    CASE WHEN len(t) > 0
+         THEN CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t)
+         ELSE 0.0 END AS mean_wlen,
+    CASE WHEN length(text) > 0
+         THEN CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / length(text)
+         ELSE 0.0 END AS punct_ratio,
+    CASE WHEN len(tl) > 0
+         THEN CAST(len(list_filter(tl, x -> list_contains(['the','and','of','to','a','in','is','it'], x))) AS DOUBLE) / len(tl)
+         ELSE 0.0 END AS sw_ratio
+  FROM toks
+), qual AS (
+  SELECT doc_id,
+    round(least(n_tok / 50.0, 1.0) * 0.3
+      + (CASE WHEN mean_wlen >= 3 AND mean_wlen <= 10 THEN 1.0 ELSE 0.5 END) * 0.2
+      + (1.0 - least(punct_ratio * 5, 1.0)) * 0.25
+      + least(sw_ratio * 4, 1.0) * 0.25, 6) AS quality
+  FROM feat
+), rep AS (
+  SELECT tk.doc_id,
+    round(CASE WHEN len(tk.tl) > 0
+      THEN 1 - CAST(len(list_distinct(tk.tl)) AS DOUBLE) / len(tk.tl) ELSE 0.0 END, 6) AS dup_word_frac,
+    round(CASE WHEN len(tk.tl) >= 2
+      THEN CAST(COALESCE(tb.top_c, 0) AS DOUBLE) / (len(tk.tl) - 1) ELSE 0.0 END, 6) AS top_bigram_frac
+  FROM toks tk LEFT JOIN (
+    SELECT doc_id, max(c) AS top_c FROM (
+      SELECT doc_id, g, count(*) AS c FROM (
+        SELECT doc_id,
+          unnest(list_transform(generate_series(1, len(tl) - 1), i -> tl[i] || ' ' || tl[i+1])) AS g
+        FROM toks WHERE len(tl) >= 2
+      ) GROUP BY doc_id, g
+    ) GROUP BY doc_id
+  ) tb ON tk.doc_id = tb.doc_id
+), sh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(t) >= 5
+      THEN list_transform(generate_series(1, len(t) - 4),
+        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])
+      ELSE [] END) AS s
+  FROM toks
+), bench AS (
+  SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0
+), hits AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 97 <> 0
+  ) WHERE g IN (SELECT g FROM bench)
+), gated AS (
+  SELECT d.doc_id, d.text, d.lang
+  FROM documents d
+  JOIN qual q ON d.doc_id = q.doc_id
+  JOIN rep r ON d.doc_id = r.doc_id
+  WHERE q.quality >= 0.65 AND r.dup_word_frac <= 0.6 AND r.top_bigram_frac <= 0.1
+    AND d.doc_id % 97 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM hits)
+), surv AS (
+  SELECT min(doc_id) AS doc_id FROM gated GROUP BY sha256(text)
+), deduped AS (
+  SELECT g.* FROM gated g WHERE g.doc_id IN (SELECT doc_id FROM surv)
+), counts AS (
+  SELECT lang, count(*) AS c FROM deduped WHERE lang IS NOT NULL GROUP BY lang
+), rates AS (
+  SELECT lang,
+    round(sqrt(CAST((SELECT min(c) FROM counts) AS DOUBLE) / CAST(c AS DOUBLE)), 6) AS rate
+  FROM counts
+), mixed AS (
+  SELECT d.doc_id, d.text FROM deduped d JOIN rates r USING (lang)
+  WHERE (d.doc_id * 2654435761) % 4294967296 < CAST(floor(r.rate * 4294967296.0) AS BIGINT)
+), train AS (
+  SELECT doc_id, text FROM mixed
+  WHERE (doc_id * 2654435761) % 4294967296 % 100 < 98
+), ptoks AS (
+  SELECT doc_id,
+    CAST(len(list_filter(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'), t -> t <> '')) AS BIGINT) AS n_toks
+  FROM train
+), offs AS (
+  SELECT doc_id, n_toks,
+    CAST(COALESCE(sum(n_toks) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+  FROM ptoks
+), frags AS (
+  SELECT doc_id, n_toks, start_off,
+    unnest(range(start_off // 256, (start_off + n_toks - 1) // 256 + 1)) AS seq_id
+  FROM offs WHERE n_toks > 0
+)
+SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+  CAST(greatest(0, seq_id * 256 - start_off) AS BIGINT) AS begin_tok,
+  CAST(least(n_toks, (seq_id + 1) * 256 - start_off) AS BIGINT) AS end_tok
+FROM frags
 """
