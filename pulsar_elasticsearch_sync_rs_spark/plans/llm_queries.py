@@ -1615,3 +1615,49 @@ SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
   CAST(least(n_toks, (seq_id + 1) * 256 - start_off) AS BIGINT) AS end_tok
 FROM frags
 """
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring — the perplexity-filter proxy
+    (CCNet-style: score each document by its mean token log-probability
+    under a model trained on the corpus itself; low scores = gibberish
+    or vocabulary outliers, high = repetitive boilerplate). The unigram
+    LM is closed-form — p(t) = count(t)/total — so unlike a real KenLM
+    pass the whole lane is two aggregations and oracle-checkable.
+
+    Scale shape: one (term) partial-agg builds the LM (vocab ≪ corpus;
+    Catalyst picks broadcast vs shuffle join by its size), one join
+    scores the exploded token stream, one (doc_id) partial-agg
+    averages. The corpus-total scalar rides a broadcast cross join of
+    the one-row sum — nothing unpartitioned, nothing collected."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(ws_tokens(F.lower("text"))).alias("term"))
+    tf = toks.groupBy("term").agg(F.count("*").alias("c"))
+    total = tf.agg(F.sum("c").alias("total"))
+    lm = tf.crossJoin(F.broadcast(total)).select(
+        "term", F.log(F.col("c").cast("double") / F.col("total").cast("double")).alias("lp")
+    )
+    return (
+        toks.join(lm, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_toks"),
+            F.round(F.avg("lp"), 6).alias("mean_logprob"),
+        )
+    )
+
+
+ORACLE_UNIGRAM_LOGPROB = r"""
+WITH toks AS (
+  SELECT doc_id,
+    unnest(list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+'), t -> t <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT term, count(*) AS c FROM toks GROUP BY term
+), lm AS (
+  SELECT term, ln(CAST(c AS DOUBLE) / (SELECT CAST(sum(c) AS DOUBLE) FROM tf)) AS lp FROM tf
+)
+SELECT t.doc_id, count(*) AS n_toks, round(avg(l.lp), 6) AS mean_logprob
+FROM toks t JOIN lm l USING (term)
+GROUP BY t.doc_id ORDER BY t.doc_id
+"""

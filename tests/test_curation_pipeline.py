@@ -1,0 +1,45 @@
+"""Invariants of the end-to-end curation composite (q_llm_pipeline)
+that the value-hash oracle can't express directly: stage rules hold on
+the OUTPUT (no benchmark docs, only train-bucket docs, every doc
+survived its own gates), and the packing tiling is exact."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as entrymod
+
+
+def test_pipeline_output_respects_stage_rules(spark, sf_dir):
+    frags = entrymod.extra_queries()["q_llm_pipeline"](spark, sf_dir).collect()
+    assert frags, "pipeline produced no fragments"
+    doc_ids = {r["doc_id"] for r in frags}
+    for d in doc_ids:
+        # decontamination: benchmark docs can never reach the output
+        assert d % 97 != 0, f"benchmark doc {d} leaked into training output"
+        # split: only the 98% train bucket survives
+        assert (d * 2654435761) % 4294967296 % 100 < 98, f"non-train doc {d}"
+
+
+def test_pipeline_packing_tiles_exactly(spark, sf_dir):
+    """Every sequence except the last sums to exactly 256 tokens, and
+    each doc's fragments tile [0, n) contiguously."""
+    frags = entrymod.extra_queries()["q_llm_pipeline"](spark, sf_dir).collect()
+    by_seq: dict[int, int] = {}
+    by_doc: dict[int, list] = {}
+    for r in frags:
+        by_seq[r["seq_id"]] = by_seq.get(r["seq_id"], 0) + (r["end_tok"] - r["begin_tok"])
+        by_doc.setdefault(r["doc_id"], []).append((r["seq_id"], r["begin_tok"], r["end_tok"]))
+    last = max(by_seq)
+    for s, tok_sum in by_seq.items():
+        if s != last:
+            assert tok_sum == 256, f"seq {s} has {tok_sum} tokens"
+        else:
+            assert 0 < tok_sum <= 256
+    for d, parts in by_doc.items():
+        parts.sort()
+        assert parts[0][1] == 0, f"doc {d} does not start at offset 0"
+        for (s1, _, e1), (s2, b2, _) in zip(parts, parts[1:]):
+            assert s2 == s1 + 1 and b2 == e1, f"doc {d} fragments not contiguous"
