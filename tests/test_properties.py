@@ -358,3 +358,53 @@ def test_py_tokenizer_matches_jvm(spark_global, texts):
     }
     for i, t in enumerate(texts):
         assert py_ws_tokens(t) == jvm[i], repr(t)
+
+
+@given(
+    texts=st.lists(
+        st.one_of(
+            st.text(alphabet=st.characters(min_codepoint=0, max_codepoint=0x2500), max_size=40),
+            st.sampled_from(
+                ["a b c d e", "a a a a", "x", "", " \t ", "w1 w2 w1 w2 w1 w2", "\x0bsplit\x0bhere"]
+            ),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_shingles_and_bigrams_match_python_model(spark_global, texts):
+    """The zip_with-of-slices shingle/bigram rewrite (the 12×-faster
+    shape) must agree with the Python twin / a direct token model on
+    ARBITRARY input — this is the regression pin that the perf rewrite
+    can never drift the shingle sets the dedup lanes are built on.
+    Also pins max_multiplicity == the Counter-mode of the bigram list."""
+    from collections import Counter
+
+    from pulsar_elasticsearch_sync_rs_spark.functions.text import (
+        max_multiplicity,
+        py_word_shingles,
+        py_ws_tokens,
+        word_bigrams,
+        word_shingles,
+    )
+
+    df = spark_global.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, t string"
+    )
+    rows = {
+        r["i"]: r
+        for r in df.select(
+            "i",
+            word_shingles("t", 3).alias("sh"),
+            word_bigrams("t").alias("bg"),
+            max_multiplicity(word_bigrams("t")).alias("mm"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = py_ws_tokens(t)
+        assert set(rows[i]["sh"]) == py_word_shingles(t, 3), repr(t)
+        expect_bg = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        assert rows[i]["bg"] == expect_bg, repr(t)
+        expect_mm = max(Counter(expect_bg).values()) if expect_bg else 0
+        assert rows[i]["mm"] == expect_mm, repr(t)
