@@ -48,3 +48,35 @@ def dedup_stream_by_content(
     return dedup_stream_exact(
         hashed, ["__content_sha"], ts_col=ts_col, watermark_delay=watermark_delay
     ).drop("__content_sha")
+
+
+def dedup_stream_against_corpus(
+    stream: DataFrame,
+    corpus_hashes: DataFrame,
+    text_col: str = "value",
+    sha_col: str = "sha",
+    ts_col: str = "publish_time",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Incremental ingest dedup — the STREAMING twin of
+    plans/llm_queries.q_dedup_incremental: admit an arriving record only
+    if its content hash is (a) absent from the EXISTING corpus and
+    (b) the first arrival within the stream's own watermark horizon.
+
+    Shape: a stream-static LEFT ANTI join (Structured Streaming
+    supports static right sides on anti joins with no extra state —
+    the static side is just a lookup) followed by the state-store
+    within-stream dedup. ``corpus_hashes`` is the persisted sha index
+    of the corpus at rest — (sha) only, 32 bytes a row; at 100 TB you
+    point this at the bucketed hash table the batch dedup already
+    maintains, and Spark broadcasts or shuffle-joins it by size. The
+    arriving text never shuffles; only its hash does."""
+    hashed = stream.withColumn("__content_sha", F.sha2(F.col(text_col), 256))
+    fresh = hashed.join(
+        corpus_hashes.select(F.col(sha_col).alias("__content_sha")),
+        "__content_sha",
+        "left_anti",
+    )
+    return dedup_stream_exact(
+        fresh, ["__content_sha"], ts_col=ts_col, watermark_delay=watermark_delay
+    ).drop("__content_sha")

@@ -241,6 +241,51 @@ def test_stream_dedup_within_watermark(spark, tmpdir):
     assert n == 3, f"expected 3 survivors, got {n}"
 
 
+def test_stream_dedup_against_corpus(spark, tmpdir):
+    """Stream-static incremental dedup: records whose content sha is
+    already in the corpus index are rejected; fresh content is admitted
+    once (within-stream dups still collapse)."""
+    from pulsar_elasticsearch_sync_rs_spark.streaming.stream_dedup import (
+        dedup_stream_against_corpus,
+    )
+
+    src_dir = os.path.join(tmpdir, "src")
+    os.makedirs(src_dir)
+    # corpus already contains payload-A
+    corpus = spark.createDataFrame([("payload-A",)], "text string").select(
+        F.sha2("text", 256).alias("sha")
+    )
+    rows = [(1, "payload-A", "2024-01-01 00:00:00"),   # known → rejected
+            (2, "payload-B", "2024-01-01 00:00:01"),   # fresh → admitted
+            (3, "payload-B", "2024-01-01 00:00:02"),   # in-stream dup → dropped
+            (4, "payload-C", "2024-01-01 00:00:03")]   # fresh → admitted
+    (
+        spark.createDataFrame(rows, "event_id long, value string, ts_s string")
+        .withColumn("publish_time", F.to_timestamp("ts_s"))
+        .drop("ts_s")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(src_dir)
+    )
+    stream = (
+        spark.readStream.schema("event_id long, value string, publish_time timestamp")
+        .parquet(src_dir)
+    )
+    out = dedup_stream_against_corpus(stream, corpus, text_col="value")
+    out_dir = os.path.join(tmpdir, "out_corpus")
+    q = (
+        out.writeStream.outputMode("append")
+        .option("checkpointLocation", os.path.join(tmpdir, "ckpt_corpus"))
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out_dir)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["value"] for r in spark.read.parquet(out_dir).collect())
+    assert got == ["payload-B", "payload-C"], got
+
+
 def test_windowed_counters_stream(spark, sf_dir, tmpdir):
     """G3 event-time windowed counters with watermark, run as a real
     streaming aggregation (availableNow) and cross-checked against the
