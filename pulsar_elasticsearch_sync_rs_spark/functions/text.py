@@ -210,6 +210,31 @@ def max_multiplicity(arr: Column) -> Column:
     return F.aggregate(sorted_arr, acc0, step, lambda a: a["best"])
 
 
+def repetition_signals(text: Column | str) -> tuple[Column, Column]:
+    """The two Gopher-style repetition signals, 6-dp rounded:
+    ``(dup_word_frac, top_bigram_frac)``. Shared by the reporting lane
+    (q_repetition_filter) and the curation pipeline's gate so the two
+    can never drift."""
+    lowered = F.lower(F.col(text) if isinstance(text, str) else text)
+    toks = ws_tokens(lowered)
+    n = F.size(toks).cast("bigint")
+    dup_word_frac = F.round(
+        F.when(
+            n > 0,
+            F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n.cast("double"),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    top_bigram_frac = F.round(
+        F.when(
+            n >= 2,
+            max_multiplicity(word_bigrams(lowered)).cast("double") / (n - 1).cast("double"),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    return dup_word_frac, top_bigram_frac
+
+
 def rolling_fingerprint(text: Column | str) -> Column:
     """Deterministic document fingerprint: polynomial rolling hash over
     whitespace tokens, computed with pure integer arithmetic so a SQL

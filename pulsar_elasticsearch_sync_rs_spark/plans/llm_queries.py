@@ -1041,24 +1041,11 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow codegen'd scan with ZERO shuffle; the explode→groupBy
     alternative would shuffle one row per bigram of a 100 TB corpus to
     answer a per-document question."""
+    from pulsar_elasticsearch_sync_rs_spark.functions.text import repetition_signals
+
     docs = read_table(spark, sf_dir, "documents")
-    toks = ws_tokens(F.lower("text"))
-    n = F.size(toks).cast("bigint")
-    bgs = word_bigrams(F.lower("text"))
-    dup_word_frac = F.round(
-        F.when(
-            n > 0,
-            F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n.cast("double"),
-        ).otherwise(F.lit(0.0)),
-        6,
-    )
-    top_bigram_frac = F.round(
-        F.when(
-            n >= 2,
-            max_multiplicity(bgs).cast("double") / (n - 1).cast("double"),
-        ).otherwise(F.lit(0.0)),
-        6,
-    )
+    n = F.size(ws_tokens(F.lower("text"))).cast("bigint")
+    dup_word_frac, top_bigram_frac = repetition_signals("text")
     out = docs.select(
         "doc_id",
         F.coalesce(n, F.lit(0).cast("bigint")).alias("n_toks"),
@@ -1448,27 +1435,14 @@ def q_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤#langs rate table; 6 is the two-phase prefix scan. The corpus
     text crosses the wire exactly once — into the packer's
     range partition."""
-    from pulsar_elasticsearch_sync_rs_spark.functions.text import quality_score
+    from pulsar_elasticsearch_sync_rs_spark.functions.text import (
+        quality_score,
+        repetition_signals,
+    )
     from pulsar_elasticsearch_sync_rs_spark.operators.packing import pack_sequences
 
     docs = read_table(spark, sf_dir, "documents")
-    toks = ws_tokens(F.lower("text"))
-    n = F.size(toks).cast("bigint")
-    dup_word_frac = F.round(
-        F.when(
-            n > 0,
-            F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n.cast("double"),
-        ).otherwise(F.lit(0.0)),
-        6,
-    )
-    top_bigram_frac = F.round(
-        F.when(
-            n >= 2,
-            max_multiplicity(word_bigrams(F.lower("text"))).cast("double")
-            / (n - 1).cast("double"),
-        ).otherwise(F.lit(0.0)),
-        6,
-    )
+    dup_word_frac, top_bigram_frac = repetition_signals("text")
     gated = docs.filter(
         (quality_score("text") >= 0.65)
         & (dup_word_frac <= 0.6)
