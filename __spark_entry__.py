@@ -204,6 +204,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_train_split": _wrap(L.q_train_split),  # deterministic 98/1/1 split accounting
         "q_llm_pipeline": _wrap(L.q_llm_pipeline),  # end-to-end curation: gate→decontaminate→dedup→mix→split→pack
         "q_unigram_logprob": _wrap(L.q_unigram_logprob),  # CCNet-style perplexity-proxy scoring
+        "q_data_card": _wrap(L.q_data_card),  # per-lang corpus release summary
     }
 
 
@@ -230,4 +231,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "q_train_split": L.ORACLE_TRAIN_SPLIT,
         "q_llm_pipeline": L.ORACLE_LLM_PIPELINE,
         "q_unigram_logprob": L.ORACLE_UNIGRAM_LOGPROB,
+        "q_data_card": L.ORACLE_DATA_CARD,
     }

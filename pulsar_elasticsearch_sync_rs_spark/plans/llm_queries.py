@@ -1635,3 +1635,63 @@ SELECT t.doc_id, count(*) AS n_toks, round(avg(l.lp), 6) AS mean_logprob
 FROM toks t JOIN lm l USING (term)
 GROUP BY t.doc_id ORDER BY t.doc_id
 """
+
+
+def q_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-card summary every corpus release ships: per language —
+    document and token counts, mean quality, median document length,
+    and how many docs are exact duplicates of another. One narrow
+    scoring projection, one (lang) partial-agg; the exact median uses
+    the same ``percentile`` ≡ ``quantile_cont`` parity as q_quantiles;
+    the dup count shuffles (sha, lang) pairs only."""
+    from pulsar_elasticsearch_sync_rs_spark.functions.text import quality_score
+
+    docs = read_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        token_count_ws("text").cast("bigint").alias("n_tok"),
+        quality_score("text").alias("q"),
+        F.sha2("text", 256).alias("sha"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.round(F.avg("q"), 6).alias("mean_quality"),
+        F.round(F.expr("percentile(n_tok, 0.5)"), 6).alias("p50_tokens"),
+        (F.count("*") - F.countDistinct("sha")).alias("n_dup_docs"),
+    )
+
+
+ORACLE_DATA_CARD = r"""
+WITH toks AS (
+  SELECT doc_id, text, lang,
+    list_filter(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'), t -> t <> '') AS t,
+    list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+'), t -> t <> '') AS tl
+  FROM documents
+), feat AS (
+  SELECT doc_id, lang, CAST(len(t) AS BIGINT) AS n_tok, sha256(text) AS sha,
+    CAST(len(t) AS DOUBLE) AS n_tok_d,
+    CASE WHEN len(t) > 0
+         THEN CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t)
+         ELSE 0.0 END AS mean_wlen,
+    CASE WHEN length(text) > 0
+         THEN CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / length(text)
+         ELSE 0.0 END AS punct_ratio,
+    CASE WHEN len(tl) > 0
+         THEN CAST(len(list_filter(tl, x -> list_contains(['the','and','of','to','a','in','is','it'], x))) AS DOUBLE) / len(tl)
+         ELSE 0.0 END AS sw_ratio
+  FROM toks
+), per_doc AS (
+  SELECT lang, n_tok, sha,
+    round(least(n_tok_d / 50.0, 1.0) * 0.3
+      + (CASE WHEN mean_wlen >= 3 AND mean_wlen <= 10 THEN 1.0 ELSE 0.5 END) * 0.2
+      + (1.0 - least(punct_ratio * 5, 1.0)) * 0.25
+      + least(sw_ratio * 4, 1.0) * 0.25, 6) AS q
+  FROM feat
+)
+SELECT lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+  round(avg(q), 6) AS mean_quality,
+  round(quantile_cont(n_tok, 0.5), 6) AS p50_tokens,
+  CAST(count(*) - count(DISTINCT sha) AS BIGINT) AS n_dup_docs
+FROM per_doc GROUP BY lang ORDER BY lang
+"""
