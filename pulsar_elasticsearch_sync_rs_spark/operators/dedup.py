@@ -605,3 +605,47 @@ def dedup_simhash(
         .distinct()
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def persist_sha_index(
+    corpus: DataFrame,
+    table_name: str,
+    path: str,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 16,
+) -> None:
+    """Materialize the corpus content-hash index as a Spark-native
+    BUCKETED table (``bucketBy(sha)`` + ``sortBy(sha)``) — the at-rest
+    state incremental dedup joins against. At 100 TB this is the
+    one-off pass the batch dedup already pays; every subsequent
+    increment's anti-join reads co-located buckets instead of
+    re-shuffling the historical index (plan-asserted in
+    tests/test_dedup_similarity.py)."""
+    idx = corpus.select(F.sha2(text, 256).alias("sha"), F.col(id_col))
+    (
+        idx.write.mode("overwrite")
+        .bucketBy(n_buckets, "sha")
+        .sortBy("sha")
+        .option("path", path)
+        .saveAsTable(table_name)
+    )
+
+
+def dedup_incremental_bucketed(
+    spark,
+    table_name: str,
+    batch: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Admit only batch rows whose content sha is absent from the
+    persisted index AND first within the batch (min id). The history
+    side never shuffles: its bucket layout satisfies the anti-join's
+    distribution requirement, so the ONLY Exchange in the plan is the
+    (small) increment's own groupBy — which Catalyst then reuses for
+    the join."""
+    idx = spark.table(table_name).select("sha")
+    hashed = batch.select(F.sha2(text, 256).alias("sha"), F.col(id_col))
+    first = hashed.groupBy("sha").agg(F.min(id_col).alias(id_col))
+    return first.join(idx, "sha", "left_anti").select(id_col, "sha")

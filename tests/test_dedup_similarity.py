@@ -739,3 +739,40 @@ def test_stratified_sample_guards_high_cardinality(spark):
             stratified_sample(df, "doc_id", {"1": 1.0})
     finally:
         sampling.MAX_STRATA = orig
+
+
+def test_incremental_dedup_bucketed_history_never_shuffles(spark, sf_dir, tmpdir):
+    """The persisted sha index's bucket layout must satisfy the
+    anti-join distribution: exactly ONE Exchange in the plan (the
+    increment's own groupBy, reused for the join) and none on the
+    index scan subtree — the claim q_dedup_incremental's docstring
+    makes about the at-scale shape, machine-checked."""
+    import os
+
+    from pulsar_elasticsearch_sync_rs_spark.operators.dedup import (
+        dedup_incremental_bucketed,
+        persist_sha_index,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    table = "sha_index_test"
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        persist_sha_index(
+            docs.filter(F.col("doc_id") % 2 == 0), table,
+            os.path.join(tmpdir, "sha_tbl"), n_buckets=8,
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        batch = docs.filter(F.col("doc_id") % 2 == 1)
+        out = dedup_incremental_bucketed(spark, table, batch)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1, f"history side shuffled:\n{plan}"
+        assert "SortMergeJoin" in plan
+        rows = out.collect()
+        assert rows
+        # semantics: no admitted sha exists in the even-id history
+        hist = {r["sha"] for r in spark.table(table).collect()}
+        assert all(r["sha"] not in hist for r in rows)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
