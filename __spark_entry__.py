@@ -205,6 +205,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_llm_pipeline": _wrap(L.q_llm_pipeline),  # end-to-end curation: gate→decontaminate→dedup→mix→split→pack
         "q_unigram_logprob": _wrap(L.q_unigram_logprob),  # CCNet-style perplexity-proxy scoring
         "q_data_card": _wrap(L.q_data_card),  # per-lang corpus release summary
+        "q_repeated_spans": _wrap(L.q_repeated_spans),  # maximal repeated 20-gram spans (substring-dedup cuts)
     }
 
 
@@ -232,4 +233,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "q_llm_pipeline": L.ORACLE_LLM_PIPELINE,
         "q_unigram_logprob": L.ORACLE_UNIGRAM_LOGPROB,
         "q_data_card": L.ORACLE_DATA_CARD,
+        "q_repeated_spans": L.ORACLE_REPEATED_SPANS,
     }

@@ -147,9 +147,9 @@ def lang_guess(text: Column | str) -> Column:
     return best
 
 
-def word_shingles(text: Column | str, k: int = 3) -> Column:
-    """Distinct k-word shingles (arrays of strings joined by a space) —
-    the unit for n-gram Jaccard / MinHash.
+def word_kgrams(text: Column | str, k: int) -> Column:
+    """ALL k-word grams (space-joined, order-preserving, NOT distinct)
+    — position i of the result is the gram starting at token i.
 
     Shape matters here: ``zip_with`` over k shifted ``slice``s of the
     token array, NOT ``transform(sequence, i -> element_at(toks, i+j))``.
@@ -164,12 +164,18 @@ def word_shingles(text: Column | str, k: int = 3) -> Column:
     n = F.size(toks)
     ln = n - k + 1
     arrs = [F.slice(toks, j + 1, ln) for j in range(k)]
-    shingle = arrs[0]
+    gram = arrs[0]
     for arr in arrs[1:]:
-        shingle = F.zip_with(shingle, arr, lambda acc, t: F.concat(acc, F.lit(" "), t))
+        gram = F.zip_with(gram, arr, lambda acc, t: F.concat(acc, F.lit(" "), t))
     # the when() guard keeps the negative-length slices of short docs
     # from ever evaluating (CaseWhen branches are lazy)
-    return F.array_distinct(F.when(n >= k, shingle).otherwise(F.array().cast("array<string>")))
+    return F.when(n >= k, gram).otherwise(F.array().cast("array<string>"))
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """Distinct k-word shingles — the unit for n-gram Jaccard /
+    MinHash. See :func:`word_kgrams` for the expression-shape note."""
+    return F.array_distinct(word_kgrams(text, k))
 
 
 def word_bigrams(text: Column | str) -> Column:

@@ -1695,3 +1695,63 @@ SELECT lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
   CAST(count(*) - count(DISTINCT sha) AS BIGINT) AS n_dup_docs
 FROM per_doc GROUP BY lang ORDER BY lang
 """
+
+
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-substring detection — the memorization-removal
+    primitive (Lee et al. 2021, "Deduplicating Training Data Makes
+    Language Models Better", public): find every MAXIMAL token span
+    covered by 20-grams that occur ≥2 times anywhere in the corpus
+    (the spans substring-dedup would cut). A distributed suffix array
+    is the exact tool; the fixed-k positional-gram formulation is its
+    bounded, fully-relational equivalent.
+
+    Plan: positional 20-grams via the zip_with slice chain (narrow),
+    md5 the gram so the repeat-count shuffle moves 32-hex keys instead
+    of 20-token strings, count ≥2, semi-join back, and collapse
+    overlapping hits into maximal spans with the gaps-and-islands
+    window (pos − row_number() constant within an island) — one
+    (doc_id) window shuffle."""
+    from pulsar_elasticsearch_sync_rs_spark.functions.text import word_kgrams
+
+    docs = read_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.posexplode(word_kgrams("text", 20)).alias("pos", "g")
+    ).select("doc_id", "pos", F.md5("g").alias("gh"))
+    repeated = grams.groupBy("gh").agg(F.count("*").alias("c")).filter(F.col("c") >= 2)
+    occ = grams.join(repeated.select("gh"), "gh", "left_semi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = occ.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    return (
+        islands.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").cast("bigint").alias("begin_tok"),
+            (F.max("pos") + 20).cast("bigint").alias("end_tok"),
+        )
+        .drop("grp")
+        .select("doc_id", "begin_tok", "end_tok")
+    )
+
+
+ORACLE_REPEATED_SPANS = r"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'), t -> t <> '') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, i - 1 AS pos, md5(array_to_string(t[i:i+19], ' ')) AS gh
+  FROM toks, unnest(generate_series(1, len(t) - 19)) AS u(i)
+  WHERE len(t) >= 20
+), rep AS (
+  SELECT gh FROM grams GROUP BY gh HAVING count(*) >= 2
+), occ AS (
+  SELECT doc_id, pos FROM grams WHERE gh IN (SELECT gh FROM rep)
+), islands AS (
+  SELECT doc_id, pos,
+    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM occ
+)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS begin_tok,
+  CAST(max(pos) + 20 AS BIGINT) AS end_tok
+FROM islands GROUP BY doc_id, grp ORDER BY doc_id, begin_tok
+"""
