@@ -216,11 +216,12 @@ def max_multiplicity(arr: Column) -> Column:
     return F.aggregate(sorted_arr, acc0, step, lambda a: a["best"])
 
 
-def repetition_signals(text: Column | str) -> tuple[Column, Column]:
-    """The two Gopher-style repetition signals, 6-dp rounded:
-    ``(dup_word_frac, top_bigram_frac)``. Shared by the reporting lane
-    (q_repetition_filter) and the curation pipeline's gate so the two
-    can never drift."""
+def repetition_signals(text: Column | str) -> tuple[Column, Column, Column]:
+    """The Gopher-style repetition signals:
+    ``(n_toks, dup_word_frac, top_bigram_frac)`` (fracs 6-dp rounded).
+    Shared by the reporting lane (q_repetition_filter) and the curation
+    pipeline's gate so the two can never drift; n_toks is returned so
+    callers don't re-tokenize for the count."""
     lowered = F.lower(F.col(text) if isinstance(text, str) else text)
     toks = ws_tokens(lowered)
     n = F.size(toks).cast("bigint")
@@ -238,7 +239,7 @@ def repetition_signals(text: Column | str) -> tuple[Column, Column]:
         ).otherwise(F.lit(0.0)),
         6,
     )
-    return dup_word_frac, top_bigram_frac
+    return n, dup_word_frac, top_bigram_frac
 
 
 def rolling_fingerprint(text: Column | str) -> Column:

@@ -638,14 +638,23 @@ def dedup_incremental_bucketed(
     batch: DataFrame,
     text: str = "text",
     id_col: str = "doc_id",
+    n_buckets: int = 16,
 ) -> DataFrame:
     """Admit only batch rows whose content sha is absent from the
     persisted index AND first within the batch (min id). The history
-    side never shuffles: its bucket layout satisfies the anti-join's
-    distribution requirement, so the ONLY Exchange in the plan is the
-    (small) increment's own groupBy — which Catalyst then reuses for
-    the join."""
+    side never shuffles — but ONLY when the increment side's partition
+    count matches the index's bucket count (``n_buckets`` must equal
+    the value given to :func:`persist_sha_index`): Spark satisfies a
+    bucketed join's distribution requirement per partition-count, and
+    with the session's ``shuffle.partitions`` differing from the bucket
+    count it would silently re-shuffle a side. The explicit
+    ``repartition(n_buckets, sha)`` pins it; Catalyst reuses that one
+    Exchange for both the groupBy and the join (plan-asserted)."""
     idx = spark.table(table_name).select("sha")
     hashed = batch.select(F.sha2(text, 256).alias("sha"), F.col(id_col))
-    first = hashed.groupBy("sha").agg(F.min(id_col).alias(id_col))
+    first = (
+        hashed.repartition(n_buckets, "sha")
+        .groupBy("sha")
+        .agg(F.min(id_col).alias(id_col))
+    )
     return first.join(idx, "sha", "left_anti").select(id_col, "sha")

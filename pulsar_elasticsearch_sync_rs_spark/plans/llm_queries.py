@@ -1044,8 +1044,7 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pulsar_elasticsearch_sync_rs_spark.functions.text import repetition_signals
 
     docs = read_table(spark, sf_dir, "documents")
-    n = F.size(ws_tokens(F.lower("text"))).cast("bigint")
-    dup_word_frac, top_bigram_frac = repetition_signals("text")
+    n, dup_word_frac, top_bigram_frac = repetition_signals("text")
     out = docs.select(
         "doc_id",
         F.coalesce(n, F.lit(0).cast("bigint")).alias("n_toks"),
@@ -1139,37 +1138,64 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# --- deterministic sampling primitives (shared by the mix / split
+# --- lanes AND the q_llm_pipeline composite, so the composite can
+# --- never drift from the stage lanes it chains) ----------------------
+
+KNUTH_M = 2654435761  # Knuth's 2^32 golden-ratio multiplier
+U32 = 4294967296
+# The split stream MUST be decorrelated from the mix stream: both hash
+# doc_id, and reusing one value would make the two decisions fully
+# dependent (a stratum downsampled to rate < 100/2^32 would land its
+# survivors ~entirely in train, never val/test). A pre-multiply salt
+# gives an independent permutation of the id space.
+TRAIN_SPLIT_SALT = 1442695041
+
+
+def knuth_u32(col, salt: int = 0):
+    """((col + salt) * KNUTH_M) mod 2^32 — pure bigint arithmetic, so
+    DuckDB oracles reproduce the exact row set with no RNG. Safe for
+    ids below ~3.4e9 (product must fit int64)."""
+    base = (F.col(col) if isinstance(col, str) else col) + F.lit(salt)
+    return (base * F.lit(KNUTH_M)) % F.lit(U32)
+
+
+def temperature_rates(docs: DataFrame, stratum: str = "lang") -> DataFrame:
+    """α=0.5 temperature keep-rates per stratum:
+    round(sqrt(c_min / c), 6) — the smallest stratum keeps everything,
+    large strata are downsampled toward it. The global min rides a
+    broadcast cross join of the one-row agg — both sides are ≤ #strata
+    rows; an unpartitioned window here would drag the (tiny) counts
+    into one partition and log a scary warning."""
+    counts = docs.groupBy(stratum).agg(F.count("*").alias("c"))
+    cmin = counts.agg(F.min("c").alias("c_min"))
+    return counts.crossJoin(F.broadcast(cmin)).select(
+        stratum,
+        F.round(F.sqrt(F.col("c_min").cast("double") / F.col("c").cast("double")), 6).alias("rate"),
+    )
+
+
+def mix_keep_predicate(id_col: str = "doc_id", rate_col: str = "rate"):
+    """keep iff knuth_u32(id) < floor(rate · 2^32)."""
+    return knuth_u32(id_col) < F.floor(F.col(rate_col) * F.lit(float(U32))).cast("bigint")
+
+
 def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-weighted domain mixing — rebalance a skewed corpus
     toward uniform strata, the multilingual-LLM sampling recipe
     (alpha-temperature sampling, e.g. mBERT/XLM-R data cards, public
-    knowledge). Per-lang keep rate = round(sqrt(c_min / c_lang), 6)
-    (alpha = 0.5: the smallest stratum keeps everything, large strata
-    are downsampled toward it); membership is a DETERMINISTIC integer
-    hash — keep iff (doc_id * 2654435761) mod 2^32 < floor(rate * 2^32)
-    (Knuth multiplicative hash) — pure bigint arithmetic, so the DuckDB
-    oracle reproduces the exact row set, no RNG.
+    knowledge). Rates from :func:`temperature_rates`; membership is the
+    DETERMINISTIC :func:`knuth_u32` gate (:func:`mix_keep_predicate`).
 
     Scale shape: stratum counts are one partial-agg over lang; the
-    tiny rate table (≤ #langs rows; the whole-frame min runs on that
-    agg output, not the corpus) is BROADCAST back; the keep decision
-    is a narrow filter — the corpus itself never shuffles. Docs with
-    NULL lang carry no stratum and are excluded (documented)."""
+    tiny rate table is BROADCAST back; the keep decision is a narrow
+    filter — the corpus itself never shuffles. Docs with NULL lang
+    carry no stratum and are excluded (documented)."""
     docs = read_table(spark, sf_dir, "documents").filter(F.col("lang").isNotNull())
-    counts = docs.groupBy("lang").agg(F.count("*").alias("c"))
-    # global min via a broadcast cross join of the one-row agg — both
-    # sides are ≤ #langs rows; an unpartitioned window here would drag
-    # the (tiny) counts into one partition and log a scary warning
-    cmin = counts.agg(F.min("c").alias("c_min"))
-    rates = counts.crossJoin(F.broadcast(cmin)).select(
-        "lang",
-        F.round(F.sqrt(F.col("c_min").cast("double") / F.col("c").cast("double")), 6).alias("rate"),
-    )
-    u = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
-    thresh = F.floor(F.col("rate") * F.lit(4294967296.0)).cast("bigint")
+    rates = temperature_rates(docs, "lang")
     return (
         docs.join(F.broadcast(rates), "lang")
-        .filter(u < thresh)
+        .filter(mix_keep_predicate())
         .select("doc_id", "lang", "rate")
     )
 
@@ -1368,16 +1394,18 @@ FROM ranked WHERE rnk = 1 ORDER BY cluster
 
 def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split (98/1/1) — the final stage
-    before packing. Assignment = Knuth multiplicative hash of doc_id
-    mod 100 (pure bigint arithmetic, same discipline as q_domain_mix):
-    content-independent, reproducible across runs/partitionings, and
-    disjoint-and-exhaustive by construction. Output: per-split doc
-    counts and token totals — the figures a data card reports.
+    before packing. Assignment = SALTED Knuth hash of doc_id mod 100
+    (:func:`knuth_u32` with TRAIN_SPLIT_SALT — the salt decorrelates
+    the split stream from q_domain_mix's keep stream; see the constant's
+    comment): content-independent, reproducible across
+    runs/partitionings, and disjoint-and-exhaustive by construction.
+    Output: per-split doc counts and token totals — the figures a data
+    card reports.
 
     Scale: one narrow projection + one 3-key partial agg; nothing else
     moves."""
     docs = read_table(spark, sf_dir, "documents")
-    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % F.lit(100)
+    bucket = knuth_u32("doc_id", TRAIN_SPLIT_SALT) % F.lit(100)
     split = (
         F.when(bucket < 98, F.lit("train"))
         .when(bucket < 99, F.lit("val"))
@@ -1396,8 +1424,8 @@ def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_TRAIN_SPLIT = r"""
 WITH assigned AS (
   SELECT
-    CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 98 THEN 'train'
-         WHEN (doc_id * 2654435761) % 4294967296 % 100 < 99 THEN 'val'
+    CASE WHEN ((doc_id + 1442695041) * 2654435761) % 4294967296 % 100 < 98 THEN 'train'
+         WHEN ((doc_id + 1442695041) * 2654435761) % 4294967296 % 100 < 99 THEN 'val'
          ELSE 'test' END AS split,
     len(list_filter(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'), t -> t <> '')) AS n_tok
   FROM documents
@@ -1442,28 +1470,30 @@ def q_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pulsar_elasticsearch_sync_rs_spark.operators.packing import pack_sequences
 
     docs = read_table(spark, sf_dir, "documents")
-    dup_word_frac, top_bigram_frac = repetition_signals("text")
+    _, dup_word_frac, top_bigram_frac = repetition_signals("text")
     gated = docs.filter(
         (quality_score("text") >= 0.65)
         & (dup_word_frac <= 0.6)
         & (top_bigram_frac <= 0.1)
     )
 
-    # decontamination as a filter: benchmark docs out, gram-hit docs out
-    shingled = docs.select("doc_id", word_shingles("text", 5).alias("sh"))
+    # decontamination as a filter: benchmark docs out, gram-hit docs
+    # out. The corpus gram side shingles ONLY gate survivors — hits for
+    # gate-rejected docs would be computed and then discarded by the
+    # anti-join; bench grams still come from the full benchmark subset.
+    base = gated.filter(F.col("doc_id") % 97 != 0)
     bench_grams = (
-        shingled.filter(F.col("doc_id") % 97 == 0)
-        .select(F.explode("sh").alias("g"))
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode(word_shingles("text", 5)).alias("g"))
         .distinct()
     )
     hit_ids = (
-        shingled.filter(F.col("doc_id") % 97 != 0)
-        .select("doc_id", F.explode("sh").alias("g"))
+        base.select("doc_id", F.explode(word_shingles("text", 5)).alias("g"))
         .join(F.broadcast(bench_grams), "g")
         .select("doc_id")
         .distinct()
     )
-    clean = gated.filter(F.col("doc_id") % 97 != 0).join(hit_ids, "doc_id", "left_anti")
+    clean = base.join(hit_ids, "doc_id", "left_anti")
 
     # exact dedup: min-id survivor per sha, via semi-join (ids shuffle, text doesn't)
     surv_ids = (
@@ -1474,22 +1504,14 @@ def q_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deduped = clean.join(surv_ids, "doc_id", "left_semi")
 
-    # domain mix over the surviving corpus
-    counts = deduped.filter(F.col("lang").isNotNull()).groupBy("lang").agg(
-        F.count("*").alias("c")
-    )
-    cmin = counts.agg(F.min("c").alias("c_min"))
-    rates = counts.crossJoin(F.broadcast(cmin)).select(
-        "lang",
-        F.round(F.sqrt(F.col("c_min").cast("double") / F.col("c").cast("double")), 6).alias("rate"),
-    )
-    u = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
-    thresh = F.floor(F.col("rate") * F.lit(4294967296.0)).cast("bigint")
-    mixed = deduped.join(F.broadcast(rates), "lang").filter(u < thresh)
+    # domain mix over the surviving corpus — SAME helpers as
+    # q_domain_mix, so the composite can never drift from the lane
+    rates = temperature_rates(deduped.filter(F.col("lang").isNotNull()), "lang")
+    mixed = deduped.join(F.broadcast(rates), "lang").filter(mix_keep_predicate())
 
-    # train split (98%)
-    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % F.lit(100)
-    train = mixed.filter(bucket < 98)
+    # train split (98%) — q_train_split's SALTED stream (independent of
+    # the mix stream above; see TRAIN_SPLIT_SALT)
+    train = mixed.filter(knuth_u32("doc_id", TRAIN_SPLIT_SALT) % F.lit(100) < 98)
 
     return pack_sequences(train.select("doc_id", "text"), seq_len=256)
 
@@ -1570,7 +1592,7 @@ WITH toks AS (
   WHERE (d.doc_id * 2654435761) % 4294967296 < CAST(floor(r.rate * 4294967296.0) AS BIGINT)
 ), train AS (
   SELECT doc_id, text FROM mixed
-  WHERE (doc_id * 2654435761) % 4294967296 % 100 < 98
+  WHERE ((doc_id + 1442695041) * 2654435761) % 4294967296 % 100 < 98
 ), ptoks AS (
   SELECT doc_id,
     CAST(len(list_filter(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'), t -> t <> '')) AS BIGINT) AS n_toks
@@ -1708,10 +1730,12 @@ def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: positional 20-grams via the zip_with slice chain (narrow),
     md5 the gram so the repeat-count shuffle moves 32-hex keys instead
-    of 20-token strings, count ≥2, semi-join back, and collapse
-    overlapping hits into maximal spans with the gaps-and-islands
-    window (pos − row_number() constant within an island) — one
-    (doc_id) window shuffle."""
+    of 20-token strings, count ≥2, semi-join back, and collapse hits
+    into maximal spans with the lag/cumulative-sum islands window: a
+    NEW island starts only when the gap to the previous hit exceeds the
+    gram length (hit intervals [p, p+20) that overlap or abut merge —
+    consecutive-position islands alone would emit overlapping,
+    non-maximal spans for hits 2 apart). One (doc_id) window shuffle."""
     from pulsar_elasticsearch_sync_rs_spark.functions.text import word_kgrams
 
     docs = read_table(spark, sf_dir, "documents")
@@ -1721,7 +1745,13 @@ def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     repeated = grams.groupBy("gh").agg(F.count("*").alias("c")).filter(F.col("c") >= 2)
     occ = grams.join(repeated.select("gh"), "gh", "left_semi").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
-    islands = occ.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    # first row: lag is NULL -> condition NULL -> otherwise(0); the
+    # cumulative sum then starts island 0 there
+    new_island = F.when(F.col("pos") - F.lag("pos", 1).over(w) > 20, 1).otherwise(0)
+    islands = occ.withColumn(
+        "grp",
+        F.sum(new_island).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
     return (
         islands.groupBy("doc_id", "grp")
         .agg(
@@ -1746,10 +1776,16 @@ WITH toks AS (
   SELECT gh FROM grams GROUP BY gh HAVING count(*) >= 2
 ), occ AS (
   SELECT doc_id, pos FROM grams WHERE gh IN (SELECT gh FROM rep)
+), flagged AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 20
+         THEN 1 ELSE 0 END AS ni
+  FROM occ
 ), islands AS (
   SELECT doc_id, pos,
-    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-  FROM occ
+    sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM flagged
 )
 SELECT doc_id, CAST(min(pos) AS BIGINT) AS begin_tok,
   CAST(max(pos) + 20 AS BIGINT) AS end_tok

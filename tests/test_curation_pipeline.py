@@ -19,8 +19,9 @@ def test_pipeline_output_respects_stage_rules(spark, sf_dir):
     for d in doc_ids:
         # decontamination: benchmark docs can never reach the output
         assert d % 97 != 0, f"benchmark doc {d} leaked into training output"
-        # split: only the 98% train bucket survives
-        assert (d * 2654435761) % 4294967296 % 100 < 98, f"non-train doc {d}"
+        # split: only the 98% train bucket survives (salted stream —
+        # independent of the mix stream; see llm_queries.TRAIN_SPLIT_SALT)
+        assert ((d + 1442695041) * 2654435761) % 4294967296 % 100 < 98, f"non-train doc {d}"
 
 
 def test_pipeline_packing_tiles_exactly(spark, sf_dir):

@@ -744,9 +744,13 @@ def test_stratified_sample_guards_high_cardinality(spark):
 def test_incremental_dedup_bucketed_history_never_shuffles(spark, sf_dir, tmpdir):
     """The persisted sha index's bucket layout must satisfy the
     anti-join distribution: exactly ONE Exchange in the plan (the
-    increment's own groupBy, reused for the join) and none on the
-    index scan subtree — the claim q_dedup_incremental's docstring
-    makes about the at-scale shape, machine-checked."""
+    increment's pinned repartition, reused for both the groupBy and
+    the join) and none on the index scan subtree — the claim
+    q_dedup_incremental's docstring makes about the at-scale shape,
+    machine-checked. Uses the DEFAULT n_buckets=16 while the test
+    session runs fewer shuffle partitions — the exact mismatch that
+    silently re-shuffled the history before the explicit repartition
+    pinned the increment to the bucket count."""
     import os
 
     from pulsar_elasticsearch_sync_rs_spark.operators.dedup import (
@@ -760,7 +764,7 @@ def test_incremental_dedup_bucketed_history_never_shuffles(spark, sf_dir, tmpdir
     try:
         persist_sha_index(
             docs.filter(F.col("doc_id") % 2 == 0), table,
-            os.path.join(tmpdir, "sha_tbl"), n_buckets=8,
+            os.path.join(tmpdir, "sha_tbl"),
         )
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         batch = docs.filter(F.col("doc_id") % 2 == 1)
