@@ -24,6 +24,29 @@ def test_pipeline_output_respects_stage_rules(spark, sf_dir):
         assert ((d + 1442695041) * 2654435761) % 4294967296 % 100 < 98, f"non-train doc {d}"
 
 
+def test_mix_and_split_streams_are_decorrelated(spark, sf_dir):
+    """Regression for the correlated-hash finding: among domain-mix
+    SURVIVORS, the salted train-split must still carve out ~2%
+    val+test. With the unsalted stream the two decisions shared one
+    hash value and the non-train fraction among survivors could
+    collapse to 0 for downsampled strata."""
+    import __spark_entry__ as em
+    from pyspark.sql import functions as F
+
+    from pulsar_elasticsearch_sync_rs_spark.plans.llm_queries import (
+        TRAIN_SPLIT_SALT,
+        knuth_u32,
+    )
+
+    mixed = em.extra_queries()["q_domain_mix"](spark, sf_dir)
+    n = mixed.count()
+    non_train = mixed.filter(
+        knuth_u32("doc_id", TRAIN_SPLIT_SALT) % F.lit(100) >= 98
+    ).count()
+    frac = non_train / n
+    assert 0.005 <= frac <= 0.05, f"non-train fraction {frac:.4f} among {n} survivors"
+
+
 def test_pipeline_packing_tiles_exactly(spark, sf_dir):
     """Every sequence except the last sums to exactly 256 tokens, and
     each doc's fragments tile [0, n) contiguously."""
