@@ -206,6 +206,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_unigram_logprob": _wrap(L.q_unigram_logprob),  # CCNet-style perplexity-proxy scoring
         "q_data_card": _wrap(L.q_data_card),  # per-lang corpus release summary
         "q_repeated_spans": _wrap(L.q_repeated_spans),  # maximal repeated 20-gram spans (substring-dedup cuts)
+        "q_approx_quantiles": _wrap(A.q_approx_quantiles),  # mergeable-sketch percentiles (rows-only; error pytest)
     }
 
 

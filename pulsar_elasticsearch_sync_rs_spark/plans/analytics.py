@@ -747,3 +747,35 @@ FROM events
 GROUP BY event_type, bin
 ORDER BY event_type, bin
 """
+
+
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch twin q_quantiles' docstring promises: per event type,
+    ``approx_percentile`` (fixed-size mergeable state — map-side
+    partials combine without buffering the group's values, which the
+    exact lane must do) beside the exact percentile, with the absolute
+    error rendered so the bound is visible in the result.
+
+    Rows-only by nature (sketch internals are engine-specific); pytest
+    pins |approx − exact| ≤ the accuracy parameter's guarantee on both
+    p50 and p99 (tests/test_extra_oracles.py)."""
+    ev = read_table(spark, sf_dir, "events")
+    acc = 10000  # 1/acc relative-rank error guarantee
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr(f"approx_percentile(value, 0.5, {acc})").alias("approx_p50"),
+            F.expr("percentile(value, 0.5)").alias("exact_p50"),
+            F.expr(f"approx_percentile(value, 0.99, {acc})").alias("approx_p99"),
+            F.expr("percentile(value, 0.99)").alias("exact_p99"),
+        )
+        .select(
+            "event_type",
+            F.round("approx_p50", 6).alias("approx_p50"),
+            F.round("exact_p50", 6).alias("exact_p50"),
+            F.round(F.abs(F.col("approx_p50") - F.col("exact_p50")), 6).alias("abs_err_p50"),
+            F.round("approx_p99", 6).alias("approx_p99"),
+            F.round("exact_p99", 6).alias("exact_p99"),
+            F.round(F.abs(F.col("approx_p99") - F.col("exact_p99")), 6).alias("abs_err_p99"),
+        )
+    )

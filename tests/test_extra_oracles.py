@@ -52,3 +52,37 @@ def test_approx_distinct_within_5pct(spark, sf_dir):
     assert rows, "no groups returned"
     for r in rows:
         assert r["rel_err"] <= 0.05, (r["event_type"], r["rel_err"])
+
+
+def test_approx_quantiles_rank_bracket(spark, sf_dir):
+    """Sketch-percentile lane contract: approx_percentile guarantees
+    RANK error (≤1/accuracy), not value error — at small groups the
+    value gap near p99 dominates, so the honest pin is a rank bracket:
+    the approx value must lie between the exact percentiles one rank
+    point either side of the target (p49..p51 for p50, p98..max for
+    p99)."""
+    from pyspark.sql import functions as F
+
+    from pulsar_elasticsearch_sync_rs_spark.sources.batch import read_table
+
+    rows = {
+        r["event_type"]: r
+        for r in entrymod.extra_queries()["q_approx_quantiles"](spark, sf_dir).collect()
+    }
+    assert rows, "no groups returned"
+    brackets = {
+        r["event_type"]: r
+        for r in read_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.49)").alias("p49"),
+            F.expr("percentile(value, 0.51)").alias("p51"),
+            F.expr("percentile(value, 0.98)").alias("p98"),
+            F.max("value").alias("vmax"),
+        )
+        .collect()
+    }
+    for et, r in rows.items():
+        b = brackets[et]
+        assert b["p49"] <= r["approx_p50"] <= b["p51"], (et, r, b)
+        assert b["p98"] <= r["approx_p99"] <= b["vmax"], (et, r, b)
