@@ -779,3 +779,58 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(F.col("approx_p99") - F.col("exact_p99")), 6).alias("abs_err_p99"),
         )
     )
+
+
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap fill — the metrics-pipeline staple:
+    per user, DAILY buckets of mean event value over the user's own
+    active span, with days that saw no events FORWARD-FILLED from the
+    last observed day (n_events marks fills as 0). Dense, regular
+    per-entity series are what downstream forecasting/joining expects.
+
+    Scale shape: one (user, day) partial-agg; the per-user day spine is
+    an exploded ``sequence`` off the (tiny) per-user min/max span — no
+    calendar table, no cross join; the fill is one ``last(ignorenulls)``
+    window per user. Shuffle keys are (user, day) and user."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("DAY", "ts").alias("day")
+    ).agg(
+        F.round(F.avg("value"), 6).alias("mean_value"),
+        F.count("*").alias("n_events"),
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = span.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day"),
+    )
+    joined = spine.join(daily, ["user_id", "day"], "left")
+    w = Window.partitionBy("user_id").orderBy("day")
+    return joined.select(
+        "user_id",
+        "day",
+        F.round(F.last("mean_value", ignorenulls=True).over(w), 6).alias("value_ffill"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+    )
+
+
+ORACLE_RESAMPLE_FFILL = """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+    round(avg(value), 6) AS mean_value, count(*) AS n_events
+  FROM events GROUP BY user_id, date_trunc('day', ts)
+), span AS (
+  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id
+), spine AS (
+  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM span
+)
+SELECT s.user_id, s.day,
+  round(last_value(d.mean_value IGNORE NULLS)
+    OVER (PARTITION BY s.user_id ORDER BY s.day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value_ffill,
+  COALESCE(d.n_events, 0) AS n_events
+FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+ORDER BY s.user_id, s.day
+"""
