@@ -208,6 +208,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repeated_spans": _wrap(L.q_repeated_spans),  # maximal repeated 20-gram spans (substring-dedup cuts)
         "q_approx_quantiles": _wrap(A.q_approx_quantiles),  # mergeable-sketch percentiles (rows-only; error pytest)
         "q_resample_ffill": _wrap(A.q_resample_ffill),  # daily resample + forward-fill per user
+        "q_daily_anomalies": _wrap(A.q_daily_anomalies),  # per-user z-score outlier days
     }
 
 
@@ -237,4 +238,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "q_data_card": L.ORACLE_DATA_CARD,
         "q_repeated_spans": L.ORACLE_REPEATED_SPANS,
         "q_resample_ffill": A.ORACLE_RESAMPLE_FFILL,
+        "q_daily_anomalies": A.ORACLE_DAILY_ANOMALIES,
     }

@@ -834,3 +834,50 @@ SELECT s.user_id, s.day,
 FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
 ORDER BY s.user_id, s.day
 """
+
+
+def q_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier detection over the resampled series: flag the days where
+    a user's mean event value sits more than 2 sample standard
+    deviations from that user's own mean — the ops-dashboard staple on
+    top of q_resample_ffill's dense series (computed here on observed
+    days only; fills carry no new information). One (user, day)
+    partial-agg, one (user) agg joined back broadcast-or-shuffle by
+    size; z rounded to 4 dp so the two engines' float summation orders
+    cannot flip the hash."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("DAY", "ts").alias("day")
+    ).agg(F.avg("value").alias("mean_value"))
+    stats = daily.groupBy("user_id").agg(
+        F.avg("mean_value").alias("mu"),
+        F.stddev_samp("mean_value").alias("sigma"),
+        F.count("*").alias("n_days"),
+    )
+    z = (F.col("mean_value") - F.col("mu")) / F.col("sigma")
+    return (
+        daily.join(stats, "user_id")
+        .filter((F.col("n_days") >= 3) & (F.col("sigma") > 0))
+        .withColumn("z", F.round(z, 4))
+        .filter(F.abs("z") > 2)
+        .select("user_id", "day", F.round("mean_value", 6).alias("mean_value"), "z")
+    )
+
+
+ORACLE_DAILY_ANOMALIES = """
+WITH daily AS (
+  -- CAST: DuckDB date_trunc('day') yields DATE, Spark yields TIMESTAMP
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, avg(value) AS mean_value
+  FROM events GROUP BY user_id, date_trunc('day', ts)
+), stats AS (
+  SELECT user_id, avg(mean_value) AS mu, stddev_samp(mean_value) AS sigma,
+    count(*) AS n_days
+  FROM daily GROUP BY user_id
+)
+SELECT d.user_id, d.day, round(d.mean_value, 6) AS mean_value,
+  round((d.mean_value - s.mu) / s.sigma, 4) AS z
+FROM daily d JOIN stats s USING (user_id)
+WHERE s.n_days >= 3 AND s.sigma > 0
+  AND abs(round((d.mean_value - s.mu) / s.sigma, 4)) > 2
+ORDER BY d.user_id, d.day
+"""
