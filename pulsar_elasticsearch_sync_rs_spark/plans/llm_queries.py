@@ -1738,7 +1738,16 @@ def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-maximal spans for hits 2 apart). One (doc_id) window shuffle."""
     from pulsar_elasticsearch_sync_rs_spark.functions.text import word_kgrams
 
-    docs = read_table(spark, sf_dir, "documents")
+    # repartition BEFORE the gram projection: the k=20 zip chain is an
+    # interpreted HOF and the fixture is a single parquet file — without
+    # the exchange the whole corpus grams in one task (measured 10.5 s
+    # → ~1 s at sf0.1 on local[32]); projections don't migrate above an
+    # exchange on their own, so the order matters
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
     grams = docs.select(
         "doc_id", F.posexplode(word_kgrams("text", 20)).alias("pos", "g")
     ).select("doc_id", "pos", F.md5("g").alias("gh"))
