@@ -209,6 +209,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_approx_quantiles": _wrap(A.q_approx_quantiles),  # mergeable-sketch percentiles (rows-only; error pytest)
         "q_resample_ffill": _wrap(A.q_resample_ffill),  # daily resample + forward-fill per user
         "q_daily_anomalies": _wrap(A.q_daily_anomalies),  # per-user z-score outlier days
+        "q_range_join": _wrap(A.q_range_join),  # no-equi-key interval join via bucket binning
+        "q_time_bucket_rollup": _wrap(A.q_time_bucket_rollup),  # day+hour grains in one Expand pass
     }
 
 
@@ -239,4 +241,6 @@ def extra_oracle_sql() -> dict[str, str]:
         "q_repeated_spans": L.ORACLE_REPEATED_SPANS,
         "q_resample_ffill": A.ORACLE_RESAMPLE_FFILL,
         "q_daily_anomalies": A.ORACLE_DAILY_ANOMALIES,
+        "q_range_join": A.ORACLE_RANGE_JOIN,
+        "q_time_bucket_rollup": A.ORACLE_TIME_BUCKET_ROLLUP,
     }

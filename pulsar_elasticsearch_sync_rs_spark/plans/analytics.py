@@ -881,3 +881,105 @@ WHERE s.n_days >= 3 AND s.sigma > 0
   AND abs(round((d.mean_value - s.mu) / s.sigma, 4)) > 2
 ORDER BY d.user_id, d.day
 """
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join with NO equality key — "which signups
+    landed inside the 30 minutes after each error?" — the
+    time-alignment shape (incident windows × events, promo windows ×
+    purchases) that naively analyzes to a nested-loop join.
+
+    Implemented with operators/range_join.py's binning rewrite: both
+    sides quantize onto 30-minute buckets (each interval explodes onto
+    <= 2 of them), the join is a plain equi-join on the bucket id, and
+    exact containment is a residual filter — O(|P| + 2|I|) join input
+    instead of |P|x|I| comparisons. The oracle computes the same pairs
+    via DuckDB's native inequality join (IEJoin)."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.range_join import bucketed_range_join
+
+    ev = read_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("w_end"),
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"), F.col("ts").alias("s_ts")
+    )
+    pairs = bucketed_range_join(
+        points=signups,
+        intervals=errors,
+        point_ts="s_ts",
+        start_ts="w_start",
+        end_ts="w_end",
+        bucket_width_s=1800,
+    )
+    return pairs.select(
+        "error_id",
+        "signup_id",
+        (F.unix_micros("s_ts") - F.unix_micros("w_start")).alias("delay_us"),
+    )
+
+
+ORACLE_RANGE_JOIN = """
+SELECT e.event_id AS error_id, s.event_id AS signup_id,
+  epoch_us(s.ts) - epoch_us(e.ts) AS delay_us
+FROM events e JOIN events s
+  ON s.ts >= e.ts AND s.ts < e.ts + INTERVAL 30 MINUTE
+WHERE e.event_type = 'error' AND s.event_type = 'signup'
+ORDER BY error_id, signup_id
+"""
+
+
+def q_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: per event type, event
+    count + exact value sum at BOTH day and hour granularities in ONE
+    Expand+aggregate pass (GROUPING SETS -> single shuffle), instead of
+    two scans. This is the time-series "rollup cascade" shape
+    (Timescale continuous aggregates / Druid granularity rollup): the
+    coarse grain is always available beside the fine grain, and at
+    100 TB the one-pass Expand halves the scan cost of maintaining
+    both. ``grouping()`` distinguishes the grains; day/hour render as
+    strings per FIXTURES.md determinism conventions."""
+    ev = read_table(spark, sf_dir, "events")
+    bucketed = ev.select(
+        "event_type",
+        F.date_trunc("DAY", "ts").alias("day"),
+        F.date_trunc("HOUR", "ts").alias("hour"),
+        "value",
+    )
+    return (
+        bucketed.groupingSets(
+            [["event_type", "day"], ["event_type", "day", "hour"]],
+            "event_type",
+            "day",
+            "hour",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            _dsum("value").alias("sum_value"),
+            F.grouping("hour").alias("__g"),
+        )
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.when(F.col("__g") == 1, F.lit("day")).otherwise(F.lit("hour")).alias("grain"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+ORACLE_TIME_BUCKET_ROLLUP = """
+SELECT event_type,
+  strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+  CASE WHEN GROUPING(date_trunc('hour', ts)) = 1 THEN 'day' ELSE 'hour' END AS grain,
+  count(*) AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY GROUPING SETS ((event_type, date_trunc('day', ts)),
+                        (event_type, date_trunc('day', ts), date_trunc('hour', ts)))
+ORDER BY event_type, day, grain, hour
+"""

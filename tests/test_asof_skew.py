@@ -59,3 +59,58 @@ def test_salted_agg_equals_direct(spark, sf_dir):
         .collect()
     }
     assert {(r["event_type"], r["total"]) for r in s.collect()} == direct_sum
+
+
+def test_range_join_boundary_semantics(spark):
+    """Planted edge cases for the bucketed range join: start inclusive,
+    end exclusive, interval crossing a bucket boundary, point exactly on
+    a bucket boundary, empty interval, and pair-uniqueness (no dedup
+    pass exists, so double-emission would show up as duplicate rows)."""
+    from datetime import datetime
+
+    from pulsar_elasticsearch_sync_rs_spark.operators.range_join import bucketed_range_join
+
+    T = datetime
+    intervals = spark.createDataFrame(
+        [
+            (1, T(2024, 1, 1, 0, 10), T(2024, 1, 1, 0, 40)),  # crosses 00:30 bucket edge
+            (2, T(2024, 1, 1, 1, 0), T(2024, 1, 1, 1, 30)),   # aligned exactly to buckets
+            (3, T(2024, 1, 1, 2, 0), T(2024, 1, 1, 2, 0)),    # empty: matches nothing
+        ],
+        "iid int, s timestamp, e timestamp",
+    )
+    points = spark.createDataFrame(
+        [
+            (10, T(2024, 1, 1, 0, 10)),   # == start of 1 -> inclusive
+            (11, T(2024, 1, 1, 0, 30)),   # on bucket boundary, inside 1
+            (12, T(2024, 1, 1, 0, 40)),   # == end of 1 -> exclusive
+            (13, T(2024, 1, 1, 1, 29, 59)),  # just inside 2
+            (14, T(2024, 1, 1, 1, 30)),   # == end of 2 -> exclusive
+            (15, T(2024, 1, 1, 2, 0)),    # empty interval 3: no match
+        ],
+        "pid int, ts timestamp",
+    )
+    out = bucketed_range_join(points, intervals, "ts", "s", "e", bucket_width_s=1800)
+    pairs = sorted((r.iid, r.pid) for r in out.collect())
+    assert pairs == [(1, 10), (1, 11), (2, 13)]
+    assert len(pairs) == len(set(pairs))  # emitted exactly once each
+
+
+def test_range_join_guard_rejects_mega_interval(spark):
+    """An interval fanning out past max_buckets_per_interval must fail
+    fast (assert_true), not silently explode."""
+    from datetime import datetime
+
+    import pytest as _pytest
+
+    from pulsar_elasticsearch_sync_rs_spark.operators.range_join import bucketed_range_join
+
+    intervals = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), datetime(2024, 3, 1))], "iid int, s timestamp, e timestamp"
+    )
+    points = spark.createDataFrame([(1, datetime(2024, 1, 5))], "pid int, ts timestamp")
+    out = bucketed_range_join(
+        points, intervals, "ts", "s", "e", bucket_width_s=60, max_buckets_per_interval=1000
+    )
+    with _pytest.raises(Exception, match="range_join"):
+        out.collect()
