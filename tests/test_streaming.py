@@ -489,3 +489,73 @@ def test_admission_bounds_micro_batches(spark, sf_dir, tmpdir):
     assert len(batch_sizes) == 4, f"expected 4 admitted micro-batches, got {batch_sizes}"
     assert sum(batch_sizes) == 400
     assert max(batch_sizes) <= per_file  # no batch exceeds the admission bound
+
+
+def test_stream_interval_join_matches_batch(spark, sf_dir, tmpdir):
+    """Stream-stream interval join (error windows × signup events,
+    delivered across multiple micro-batches so matches span batch
+    boundaries) produces exactly the batch bucketed_range_join pairs."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.range_join import bucketed_range_join
+    from pulsar_elasticsearch_sync_rs_spark.sources.batch import read_table
+    from pulsar_elasticsearch_sync_rs_spark.streaming.interval_join import (
+        stream_interval_join,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), F.col("ts").alias("w_start")
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"), F.col("ts").alias("s_ts")
+    )
+
+    batch_pairs = {
+        (r["error_id"], r["signup_id"])
+        for r in bucketed_range_join(
+            signups,
+            errors.withColumn("w_end", F.col("w_start") + F.expr("INTERVAL 30 MINUTES")),
+            "s_ts",
+            "w_start",
+            "w_end",
+            bucket_width_s=1800,
+        ).collect()
+    }
+    assert batch_pairs, "fixture lost its error/signup overlap"
+
+    err_dir = os.path.join(tmpdir, "err")
+    sig_dir = os.path.join(tmpdir, "sig")
+    # two files per side -> two micro-batches per side under
+    # maxFilesPerTrigger=1; cross-batch pairs exercise the join state
+    errors.filter(F.col("error_id") % 2 == 0).coalesce(1).write.parquet(err_dir)
+    errors.filter(F.col("error_id") % 2 == 1).coalesce(1).write.mode("append").parquet(err_dir)
+    signups.filter(F.col("signup_id") % 2 == 0).coalesce(1).write.parquet(sig_dir)
+    signups.filter(F.col("signup_id") % 2 == 1).coalesce(1).write.mode("append").parquet(sig_dir)
+
+    err_stream = (
+        spark.readStream.schema("error_id long, w_start timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(err_dir)
+    )
+    sig_stream = (
+        spark.readStream.schema("signup_id long, s_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sig_dir)
+    )
+    out = stream_interval_join(sig_stream, err_stream, "s_ts", "w_start", duration_s=1800)
+    q = (
+        out.select("error_id", "signup_id")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ij_stream")
+        .option("checkpointLocation", os.path.join(tmpdir, "ckpt_ij"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["error_id"], r["signup_id"])
+        for r in spark.sql("select * from ij_stream").collect()
+    }
+    assert got == batch_pairs
+    n = spark.sql("select count(*) c from ij_stream").collect()[0]["c"]
+    assert n == len(batch_pairs), f"duplicate pair emission: {n} vs {len(batch_pairs)}"
