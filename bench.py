@@ -53,6 +53,10 @@ HEADLINE = [
     # the end-to-end curation composite: gate → decontaminate → dedup
     # → mix → split → pack in one plan
     "q_llm_pipeline",
+    # late round-5 relational lanes: the no-equi-key interval join
+    # (bucket-binning rewrite) and the one-pass two-grain rollup
+    "q_range_join",
+    "q_time_bucket_rollup",
 ]
 
 # per-query protocol: ONE untimed warm-up execution (pays plan codegen,
