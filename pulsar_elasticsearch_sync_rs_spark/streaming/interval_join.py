@@ -36,12 +36,22 @@ def stream_interval_join(
     start_ts: str,
     duration_s: int,
     watermark_delay: str = "0 seconds",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner join of two STREAMING DataFrames: every (interval, point)
-    pair with ``start <= point_ts < start + duration_s``. Column names
-    must be disjoint. Bucket width = the window duration, so each
-    interval lands in at most 2 buckets.
+    """Join of two STREAMING DataFrames: every (interval, point) pair
+    with ``start <= point_ts < start + duration_s``. Column names must
+    be disjoint. Bucket width = the window duration, so each interval
+    lands in at most 2 buckets.
+
+    ``how="left_outer"`` additionally emits each UNMATCHED point with
+    null interval columns — but only once the interval-side watermark
+    passes the point's timestamp (no earlier-starting interval can
+    still arrive), so outer results trail the watermark by design.
+    Because a point occupies exactly ONE bucket row, the outer
+    null-extension is emitted exactly once.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be inner or left_outer, got {how!r}")
     overlap = set(points.columns) & set(intervals.columns)
     if overlap:
         raise ValueError(f"point/interval column names must be disjoint; both have {sorted(overlap)}")
@@ -71,4 +81,4 @@ def stream_interval_join(
         & (pts[point_ts] >= iv[start_ts])
         & (pts[point_ts] < iv[start_ts] + F.expr(f"INTERVAL {int(duration_s)} SECONDS"))
     )
-    return pts.join(iv, cond, "inner").drop("__p_b", "__i_b")
+    return pts.join(iv, cond, how).drop("__p_b", "__i_b")

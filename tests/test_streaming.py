@@ -559,3 +559,59 @@ def test_stream_interval_join_matches_batch(spark, sf_dir, tmpdir):
     assert got == batch_pairs
     n = spark.sql("select count(*) c from ij_stream").collect()[0]["c"]
     assert n == len(batch_pairs), f"duplicate pair emission: {n} vs {len(batch_pairs)}"
+
+
+def test_stream_interval_join_left_outer(spark, tmpdir):
+    """Left-outer stream interval join: unmatched points null-extend
+    exactly once, emitted after the interval-side watermark passes them
+    (far-future rows on both sides push the watermarks)."""
+    from pulsar_elasticsearch_sync_rs_spark.streaming.interval_join import (
+        stream_interval_join,
+    )
+
+    pdir = os.path.join(tmpdir, "p")
+    idir = os.path.join(tmpdir, "i")
+
+    # interval 100 opens 00:00 (30-min window); point 1 at 00:10 is
+    # matched, point 2 at 01:00 is unmatched; id-99/199 rows at 10:00
+    # advance both watermarks far past point 2
+    def write(d, rows, mode):
+        (
+            spark.createDataFrame(rows, "id long, t string")
+            .withColumn("ts", F.to_timestamp("t"))
+            .drop("t")
+            .coalesce(1)
+            .write.mode(mode)
+            .parquet(d)
+        )
+
+    write(pdir, [(1, "2024-01-01 00:10:00"), (2, "2024-01-01 01:00:00")], "overwrite")
+    write(pdir, [(99, "2024-01-01 10:00:00")], "append")
+    write(idir, [(100, "2024-01-01 00:00:00")], "overwrite")
+    write(idir, [(199, "2024-01-01 10:00:00")], "append")
+
+    ps = (
+        spark.readStream.schema("id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(pdir)
+        .select(F.col("id").alias("pid"), F.col("ts").alias("pts"))
+    )
+    ivs = (
+        spark.readStream.schema("id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(idir)
+        .select(F.col("id").alias("iid"), F.col("ts").alias("its"))
+    )
+    out = stream_interval_join(ps, ivs, "pts", "its", 1800, how="left_outer")
+    q = (
+        out.select("pid", "iid")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("oj_stream")
+        .option("checkpointLocation", os.path.join(tmpdir, "ckpt_oj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted((r["pid"], r["iid"]) for r in spark.sql("select * from oj_stream").collect())
+    assert got == [(1, 100), (2, None), (99, 199)]
