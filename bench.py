@@ -177,6 +177,9 @@ def stream_throughput(spark, sf_dir: str) -> dict:
       TAT state out) is the likeliest streaming regression surface.
     - ``counters``: G3 event-time windowed counters with watermark
       (streaming aggregation state).
+    - ``interval_join``: stream-stream interval join (error windows ×
+      signup events, both branches off the same source) — symmetric
+      hash-join state keyed by time bucket.
 
     All lanes: file-source availableNow over the same events copy;
     msgs/s = INPUT events per wall second through the lane."""
@@ -335,6 +338,36 @@ def stream_throughput(spark, sf_dir: str) -> dict:
                 .start()
             )
 
+        def start_ijoin(ckpt, out):
+            from pulsar_elasticsearch_sync_rs_spark.streaming.interval_join import (
+                stream_interval_join,
+            )
+
+            src = read_events_stream(spark, src_dir)
+            base = src.select(
+                "event_id",
+                F.element_at(F.split("topic", "/"), -1).alias("app"),
+                F.col("publish_time").alias("ts"),
+            )
+            ivs = base.filter(F.col("app") == "error").select(
+                F.col("event_id").alias("error_id"), F.col("ts").alias("w_start")
+            )
+            pts = base.filter(F.col("app") == "signup").select(
+                F.col("event_id").alias("signup_id"), F.col("ts").alias("s_ts")
+            )
+            paired = stream_interval_join(
+                pts, ivs, "s_ts", "w_start", 1800, watermark_delay="1 minute"
+            )
+            return (
+                paired.select("error_id", "signup_id")
+                .writeStream.outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .format("parquet")
+                .option("path", out)
+                .start()
+            )
+
         etl = run_lane("etl", start_etl, msgs_from_output=True)
         return {
             **etl,  # BENCH_r2/r3-compatible top-level ETL figures
@@ -342,6 +375,7 @@ def stream_throughput(spark, sf_dir: str) -> dict:
             "dedup": run_lane("dedup", start_dedup),
             "gcra": run_lane("gcra", start_gcra),
             "counters": run_lane("counters", start_counters),
+            "interval_join": run_lane("interval_join", start_ijoin),
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
