@@ -211,6 +211,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_daily_anomalies": _wrap(A.q_daily_anomalies),  # per-user z-score outlier days
         "q_range_join": _wrap(A.q_range_join),  # no-equi-key interval join via bucket binning
         "q_time_bucket_rollup": _wrap(A.q_time_bucket_rollup),  # day+hour grains in one Expand pass
+        "q_heavy_hitters": _wrap(L.q_heavy_hitters),  # count-min sketch lane (rows-only; xxhash64 has no DuckDB twin; invariants pytest)
     }
 
 

@@ -1800,3 +1800,35 @@ SELECT doc_id, CAST(min(pos) AS BIGINT) AS begin_tok,
   CAST(max(pos) + 20 AS BIGINT) AS end_tok
 FROM islands GROUP BY doc_id, grp ORDER BY doc_id, begin_tok
 """
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via count-min sketch — the sketch lane beside the
+    exact q_vocab_topk, same division of labor as q_approx_quantiles vs
+    q_quantiles: at 100 TB the exact vocabulary groupBy shuffles one
+    partial per distinct token per partition, while the sketch's
+    aggregation state is a FIXED 4×1024 cell grid (operators/
+    sketches.py) whose wire cost is O(partitions · d · w) no matter how
+    large the vocabulary grows. Output: the exact top-20 tokens with
+    their true count, sketch estimate, and overcount — making the
+    sketch's one-sided error VISIBLE (est_n >= n always; bound pinned
+    by pytest, not prose). Deterministic (seeded xxhash64, no RNG) but
+    xxhash64 has no DuckDB twin, so this is a rows-only lane."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.sketches import (
+        cms_estimate,
+        count_min_sketch,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(ws_tokens(F.lower(F.col("text")))).alias("token"))
+    cms = count_min_sketch(toks, "token", d=4, w=1024)
+    top = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(20)
+    )
+    est = cms_estimate(cms, top, "token", d=4, w=1024)
+    return est.select(
+        "token", "n", "est_n", (F.col("est_n") - F.col("n")).alias("overcount")
+    ).orderBy(F.col("n").desc(), F.col("token").asc())

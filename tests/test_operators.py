@@ -316,3 +316,44 @@ def test_duplicate_json_keys_first_wins(spark):
     ).collect()[0]
     assert row["map_app"] == "first"  # both lanes agree: first wins
     assert row["gjo_app"] == "first"
+
+
+def test_count_min_sketch_guarantees(spark, sf_dir):
+    """CMS invariants on the real corpus: (1) every point estimate is
+    an OVERestimate (one-sided error); (2) the overcount respects a
+    loose 4·N/w bound; (3) sketches of two shards merge by cell-wise
+    addition into exactly the whole-corpus sketch."""
+    from pyspark.sql import functions as F
+
+    from pulsar_elasticsearch_sync_rs_spark.functions.text import ws_tokens
+    from pulsar_elasticsearch_sync_rs_spark.operators.sketches import (
+        cms_estimate,
+        cms_merge,
+        count_min_sketch,
+    )
+    from pulsar_elasticsearch_sync_rs_spark.sources.batch import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(ws_tokens(F.lower(F.col("text")))).alias("token")
+    )
+    n_total = toks.count()
+    w = 1024
+
+    cms = count_min_sketch(toks, "token", d=4, w=w)
+    exact = toks.groupBy("token").agg(F.count("*").alias("n"))
+    est = cms_estimate(cms, exact, "token", d=4, w=w)
+    rows = est.collect()
+    assert rows, "no tokens in fixture"
+    assert all(r["est_n"] >= r["n"] for r in rows), "CMS must never underestimate"
+    bound = 4 * n_total / w
+    worst = max(r["est_n"] - r["n"] for r in rows)
+    assert worst <= bound, f"overcount {worst} blew the loose 4N/w bound {bound}"
+
+    half_a = count_min_sketch(toks.filter(F.col("doc_id") % 2 == 0), "token", d=4, w=w)
+    half_b = count_min_sketch(toks.filter(F.col("doc_id") % 2 == 1), "token", d=4, w=w)
+    merged = {
+        (r["row"], r["col"]): r["cnt"] for r in cms_merge(half_a, half_b).collect()
+    }
+    full = {(r["row"], r["col"]): r["cnt"] for r in cms.collect()}
+    assert merged == full, "shard sketches must merge into the whole-corpus sketch"
