@@ -615,3 +615,45 @@ def test_stream_interval_join_left_outer(spark, tmpdir):
     q.awaitTermination(120)
     got = sorted((r["pid"], r["iid"]) for r in spark.sql("select * from oj_stream").collect())
     assert got == [(1, 100), (2, None), (99, 199)]
+
+
+def test_count_min_sketch_streams_incrementally(spark, sf_dir, tmpdir):
+    """The CMS build is a plain explode+groupBy, so it runs unchanged
+    as a STREAMING aggregation: sketching a corpus delivered across
+    micro-batches yields exactly the batch sketch's cells."""
+    from pulsar_elasticsearch_sync_rs_spark.functions.text import ws_tokens
+    from pulsar_elasticsearch_sync_rs_spark.operators.sketches import count_min_sketch
+    from pulsar_elasticsearch_sync_rs_spark.sources.batch import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src_dir = os.path.join(tmpdir, "docs")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(src_dir)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src_dir)
+
+    toks_of = lambda df: df.select(
+        F.explode(ws_tokens(F.lower(F.col("text")))).alias("token")
+    )
+    batch_cells = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in count_min_sketch(toks_of(docs), "token", d=4, w=256).collect()
+    }
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        count_min_sketch(toks_of(stream), "token", d=4, w=256)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("cms_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_cells = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in spark.sql("select * from cms_stream").collect()
+    }
+    assert stream_cells == batch_cells
