@@ -62,6 +62,8 @@ def bucketed_range_join(
     overlap = set(points.columns) & set(intervals.columns)
     if overlap:
         raise ValueError(f"point/interval column names must be disjoint; both have {sorted(overlap)}")
+    if int(bucket_width_s) <= 0:
+        raise ValueError(f"bucket_width_s must be positive, got {bucket_width_s}")
     w_us = int(bucket_width_s) * 1_000_000
 
     pts = points.withColumn("__p_us", F.unix_micros(F.col(point_ts))).withColumn(

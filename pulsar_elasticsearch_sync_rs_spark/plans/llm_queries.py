@@ -1828,7 +1828,7 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("token").asc())
         .limit(20)
     )
-    est = cms_estimate(cms, top, "token", d=4, w=1024)
+    est = cms_estimate(cms, top, "token")
     return est.select(
         "token", "n", "est_n", (F.col("est_n") - F.col("n")).alias("overcount")
     ).orderBy(F.col("n").desc(), F.col("token").asc())

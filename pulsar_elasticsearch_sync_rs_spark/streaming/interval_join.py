@@ -55,14 +55,22 @@ def stream_interval_join(
     overlap = set(points.columns) & set(intervals.columns)
     if overlap:
         raise ValueError(f"point/interval column names must be disjoint; both have {sorted(overlap)}")
+    if int(duration_s) <= 0:
+        raise ValueError(f"duration_s must be positive, got {duration_s}")
     w_us = int(duration_s) * 1_000_000
 
+    # integer `div` only runs over the materialized internal __*_us
+    # columns, never over interpolated user column names (a column
+    # name that isn't a bare SQL identifier must not break the expr)
     pts = (
         points.withWatermark(point_ts, watermark_delay)
-        .withColumn("__p_b", F.expr(f"unix_micros({point_ts}) div {w_us}"))
+        .withColumn("__p_us", F.unix_micros(F.col(point_ts)))
+        .withColumn("__p_b", F.expr(f"__p_us div {w_us}"))
+        .drop("__p_us")
     )
     iv = (
         intervals.withWatermark(start_ts, watermark_delay)
+        .withColumn("__s_us", F.unix_micros(F.col(start_ts)))
         # [start, start+dur) overlaps bucket(start) and, unless start is
         # bucket-aligned, bucket(start)+1; end-exclusive, so the last
         # covered microsecond is start + dur - 1
@@ -70,11 +78,12 @@ def stream_interval_join(
             "__i_b",
             F.explode(
                 F.sequence(
-                    F.expr(f"unix_micros({start_ts}) div {w_us}"),
-                    F.expr(f"(unix_micros({start_ts}) + {w_us} - 1) div {w_us}"),
+                    F.expr(f"__s_us div {w_us}"),
+                    F.expr(f"(__s_us + {w_us} - 1) div {w_us}"),
                 )
             ),
         )
+        .drop("__s_us")
     )
     cond = (
         (pts["__p_b"] == iv["__i_b"])

@@ -50,5 +50,6 @@ def test_every_query_tolerates_an_empty_corpus(spark, empty_sf_dir):
             if name not in EXPECTED_RAISE or "empty corpus" not in str(e):
                 wrong.append(f"{name}: ValueError {e}")
         except Exception as e:  # noqa: BLE001 - cataloging, not handling
-            wrong.append(f"{name}: {type(e).__name__} {str(e).splitlines()[0][:100]}")
+            first_line = (str(e).splitlines() or [""])[0]
+            wrong.append(f"{name}: {type(e).__name__} {first_line[:100]}")
     assert not wrong, "empty-input failures:\n" + "\n".join(wrong)

@@ -342,7 +342,7 @@ def test_count_min_sketch_guarantees(spark, sf_dir):
 
     cms = count_min_sketch(toks, "token", d=4, w=w)
     exact = toks.groupBy("token").agg(F.count("*").alias("n"))
-    est = cms_estimate(cms, exact, "token", d=4, w=w)
+    est = cms_estimate(cms, exact, "token")
     rows = est.collect()
     assert rows, "no tokens in fixture"
     assert all(r["est_n"] >= r["n"] for r in rows), "CMS must never underestimate"
@@ -353,7 +353,16 @@ def test_count_min_sketch_guarantees(spark, sf_dir):
     half_a = count_min_sketch(toks.filter(F.col("doc_id") % 2 == 0), "token", d=4, w=w)
     half_b = count_min_sketch(toks.filter(F.col("doc_id") % 2 == 1), "token", d=4, w=w)
     merged = {
-        (r["row"], r["col"]): r["cnt"] for r in cms_merge(half_a, half_b).collect()
+        (r["row"], r["col"]): r["cnt"] for r in cms_merge(half_a, half_b).cells.collect()
     }
-    full = {(r["row"], r["col"]): r["cnt"] for r in cms.collect()}
+    full = {(r["row"], r["col"]): r["cnt"] for r in cms.cells.collect()}
     assert merged == full, "shard sketches must merge into the whole-corpus sketch"
+
+    # parameter-mismatch and name-collision guards fail fast
+    import pytest as _pytest
+
+    other = count_min_sketch(toks, "token", d=4, w=2 * w)
+    with _pytest.raises(ValueError, match="different"):
+        cms_merge(cms, other)
+    with _pytest.raises(ValueError, match="collide"):
+        cms_estimate(cms, exact.withColumnRenamed("n", "cnt"), "token")

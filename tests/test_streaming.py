@@ -635,7 +635,7 @@ def test_count_min_sketch_streams_incrementally(spark, sf_dir, tmpdir):
     )
     batch_cells = {
         (r["row"], r["col"]): r["cnt"]
-        for r in count_min_sketch(toks_of(docs), "token", d=4, w=256).collect()
+        for r in count_min_sketch(toks_of(docs), "token", d=4, w=256).cells.collect()
     }
 
     stream = (
@@ -645,7 +645,7 @@ def test_count_min_sketch_streams_incrementally(spark, sf_dir, tmpdir):
     )
     q = (
         count_min_sketch(toks_of(stream), "token", d=4, w=256)
-        .writeStream.outputMode("complete")
+        .cells.writeStream.outputMode("complete")
         .format("memory")
         .queryName("cms_stream")
         .trigger(availableNow=True)
