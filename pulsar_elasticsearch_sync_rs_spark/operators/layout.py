@@ -1,0 +1,55 @@
+"""Clustered parquet layout — data organization for scan pruning,
+the storage-side half of "push down and prune" at 100 TB.
+
+Predicate pushdown only SKIPS data the file layout lets it skip:
+parquet readers prune whole row groups when a pushed filter falls
+outside a row group's (min, max) statistics. On a corpus written in
+arrival order, every row group spans every language/source/date, the
+stats bracket everything, and a ``lang = 'x'`` scan still reads 100%
+of the bytes. Clustering the write fixes that — and it's a pure
+layout decision, invisible to query semantics.
+
+``persist_clustered`` = ``repartitionByRange(cluster_cols)`` (range
+partitioning puts each cluster value in as few output files as
+possible) + ``sortWithinPartitions`` (within a file, row groups cover
+disjoint runs of the cluster key, so per-row-group min==max for
+low-cardinality keys) + ``maxRecordsPerFile`` (bounds file size for
+parallel planning). The test (tests/test_layout.py) verifies the
+MECHANISM, not vibes: it reads back the parquet footers with pyarrow
+and asserts each row group's (min, max) on the cluster column is
+tight, versus the arrival-order baseline whose row groups all span
+the full value range.
+
+This mirrors the layout discipline of lakehouse table formats
+(Hive-style clustering / Delta OPTIMIZE ZORDER's 1-D case) expressed
+with stock Spark writers — no table-format dependency.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def persist_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    n_files: int = 8,
+    max_records_per_file: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as parquet clustered on ``cluster_cols``: range
+    partitioned across ``n_files`` writers and sorted within each, so
+    row-group min/max stats on the cluster columns are tight and a
+    pushed equality/range filter prunes whole row groups at read time.
+    """
+    if not cluster_cols:
+        raise ValueError("cluster_cols must name at least one column")
+    writer = (
+        df.repartitionByRange(n_files, *cluster_cols)
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode(mode)
+    )
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(path)

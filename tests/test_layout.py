@@ -1,0 +1,79 @@
+"""Clustered-layout mechanism test: row-group statistics, read straight
+from the parquet footers, must become TIGHT under persist_clustered —
+that tightness is exactly what lets a pushed filter prune row groups
+at scan time. Compared against the arrival-order baseline whose row
+groups all span the full value range."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+sys.path.insert(0, ".")
+
+from pulsar_elasticsearch_sync_rs_spark.operators.layout import persist_clustered
+from pulsar_elasticsearch_sync_rs_spark.sources.batch import read_table
+
+
+def _rowgroup_ranges(path: str, col: str) -> list[tuple]:
+    """(min, max) of ``col`` for every row group of every file."""
+    ranges = []
+    for root, _dirs, files in os.walk(path):
+        for fname in files:
+            if not fname.endswith(".parquet"):
+                continue
+            meta = pq.ParquetFile(os.path.join(root, fname)).metadata
+            idx = meta.schema.names.index(col)
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(idx).statistics
+                ranges.append((st.min, st.max))
+    return ranges
+
+
+def test_clustered_write_tightens_rowgroup_stats(spark, sf_dir, tmp_path):
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
+    langs = {r["lang"] for r in docs.select("lang").distinct().collect() if r["lang"]}
+    assert len(langs) >= 2, "fixture needs multiple langs for this test to mean anything"
+
+    base_dir = str(tmp_path / "arrival_order")
+    clus_dir = str(tmp_path / "clustered")
+    # arrival order, few writers: row groups mix all langs
+    docs.coalesce(2).write.parquet(base_dir)
+    persist_clustered(docs, clus_dir, ["lang"], n_files=4, max_records_per_file=500)
+
+    base = _rowgroup_ranges(base_dir, "lang")
+    clus = _rowgroup_ranges(clus_dir, "lang")
+    assert base and clus
+
+    # the pruning semantics, measured directly: a lang='x' filter must
+    # read every row group whose [min, max] contains x. Arrival order:
+    # that's ALL of them, for every lang. Clustered: at most 2 (the
+    # lang's own run + possibly one boundary group straddling adjacent
+    # values when a range partition holds two langs).
+    def groups_read(ranges, value):
+        return sum(1 for mn, mx in ranges if mn <= value <= mx)
+
+    for lang in langs:
+        assert groups_read(base, lang) == len(base), "baseline unexpectedly clustered"
+        assert groups_read(clus, lang) <= 2, (
+            f"lang={lang} still hits {groups_read(clus, lang)}/{len(clus)} row groups"
+        )
+
+    # layout is semantics-invisible: same rows back
+    a = spark.read.parquet(base_dir).agg(F.sum("doc_id"), F.count("*")).collect()[0]
+    b = spark.read.parquet(clus_dir).agg(F.sum("doc_id"), F.count("*")).collect()[0]
+    assert tuple(a) == tuple(b)
+
+    # and the pushed filter reaches the clustered scan (the pruning
+    # precondition on the query side)
+    plan = (
+        spark.read.parquet(clus_dir)
+        .filter(F.col("lang") == next(iter(langs)))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang," in plan
