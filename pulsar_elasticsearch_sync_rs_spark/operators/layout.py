@@ -53,3 +53,29 @@ def persist_clustered(
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.parquet(path)
+
+
+def compact_clustered(
+    spark,
+    src_path: str,
+    dst_path: str,
+    cluster_cols: list[str],
+    target_rows_per_file: int = 1_000_000,
+) -> int:
+    """Compact a directory of small parquet files (the natural output
+    of a streaming sink's per-trigger writes) into size-bounded files
+    that are ALSO clustered on ``cluster_cols`` — one rewrite pass
+    fixes both the small-file problem and the row-group stats. Returns
+    the row count written. Sizing: ⌈rows / target⌉ range partitions,
+    so output file count tracks data volume, not trigger count."""
+    df = spark.read.parquet(src_path)
+    n_rows = df.count()
+    n_files = max(1, -(-n_rows // target_rows_per_file))
+    persist_clustered(
+        df,
+        dst_path,
+        cluster_cols,
+        n_files=n_files,
+        max_records_per_file=target_rows_per_file,
+    )
+    return n_rows

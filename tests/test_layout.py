@@ -77,3 +77,33 @@ def test_clustered_write_tightens_rowgroup_stats(spark, sf_dir, tmp_path):
         .toString()
     )
     assert "PushedFilters: [IsNotNull(lang), EqualTo(lang," in plan
+
+
+def test_compaction_rewrites_small_files(spark, sf_dir, tmp_path):
+    """Many per-trigger files -> few clustered files, losslessly."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.layout import compact_clustered
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    frag_dir = str(tmp_path / "fragments")
+    # simulate 10 micro-batch writes
+    for i in range(10):
+        docs.filter(F.col("doc_id") % 10 == i).coalesce(1).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(frag_dir)
+    n_frag_files = len([f for f in os.listdir(frag_dir) if f.endswith(".parquet")])
+    assert n_frag_files == 10
+
+    out_dir = str(tmp_path / "compacted")
+    n = compact_clustered(spark, frag_dir, out_dir, ["lang"], target_rows_per_file=10_000)
+    n_out_files = len([f for f in os.listdir(out_dir) if f.endswith(".parquet")])
+    assert n_out_files < n_frag_files
+    assert n == docs.count()
+    a = spark.read.parquet(frag_dir).agg(F.sum("doc_id"), F.count("*")).collect()[0]
+    b = spark.read.parquet(out_dir).agg(F.sum("doc_id"), F.count("*")).collect()[0]
+    assert tuple(a) == tuple(b)
+    # compaction also clustered: each lang hits <=2 row groups
+    ranges = _rowgroup_ranges(out_dir, "lang")
+    langs = {r["lang"] for r in docs.select("lang").distinct().collect() if r["lang"]}
+    for lang in langs:
+        hits = sum(1 for mn, mx in ranges if mn <= lang <= mx)
+        assert hits <= 2, f"lang={lang} hits {hits} row groups post-compaction"
