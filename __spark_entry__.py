@@ -212,6 +212,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_range_join": _wrap(A.q_range_join),  # no-equi-key interval join via bucket binning
         "q_time_bucket_rollup": _wrap(A.q_time_bucket_rollup),  # day+hour grains in one Expand pass
         "q_heavy_hitters": _wrap(L.q_heavy_hitters),  # count-min sketch lane (rows-only; xxhash64 has no DuckDB twin; invariants pytest)
+        "q_salted_join": _wrap(A.q_salted_join),  # skew-safe (key, salt) shuffle join == plain join
     }
 
 
@@ -244,4 +245,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "q_daily_anomalies": A.ORACLE_DAILY_ANOMALIES,
         "q_range_join": A.ORACLE_RANGE_JOIN,
         "q_time_bucket_rollup": A.ORACLE_TIME_BUCKET_ROLLUP,
+        "q_salted_join": A.ORACLE_SALTED_JOIN,
     }

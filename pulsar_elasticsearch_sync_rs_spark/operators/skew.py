@@ -41,3 +41,35 @@ def salted_sum(
         .agg(F.sum(value_expr).alias("__partial"))
     )
     return partial.groupBy(key).agg(F.sum("__partial").alias("total"))
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_from: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join for when the dim side is too big to
+    broadcast AND the fact side has hot keys: salt the fact rows
+    deterministically (spreading each hot key over ``n_salts`` shuffle
+    partitions) and REPLICATE each dim row once per salt value, then
+    join on (key, salt). Result identical to the plain join; cost is
+    an n_salts× blow-up of the (smaller) dim side's shuffle — the
+    classic trade when AQE's runtime skew splitting isn't available
+    (e.g. inside a stream-static join, where AQE is disabled).
+
+    Column names must be disjoint apart from ``key``. ``how`` supports
+    inner/left joins (fact side preserved)."""
+    overlap = (set(fact.columns) & set(dim.columns)) - {key}
+    if overlap:
+        raise ValueError(f"fact/dim column names must be disjoint; both have {sorted(overlap)}")
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"how must be inner or left[_outer], got {how!r}")
+    salt = F.pmod(F.crc32(F.col(salt_from).cast("string").cast("binary")), F.lit(n_salts))
+    f_salted = fact.withColumn("__salt", salt)
+    d_replicated = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return f_salted.join(d_replicated, [key, "__salt"], how).drop("__salt")

@@ -983,3 +983,28 @@ GROUP BY GROUPING SETS ((event_type, date_trunc('day', ts)),
                         (event_type, date_trunc('day', ts), date_trunc('hour', ts)))
 ORDER BY event_type, day, grain, hour
 """
+
+
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe shuffle join (operators/skew.salted_join): events
+    joined to customers on a salted (key, salt) pair — each hot user's
+    fact rows spread over 16 reducers, the dim side replicated 16× —
+    then aggregated per customer. Result must equal the plain join the
+    oracle computes; the salting is invisible in the answer, visible
+    only in the shuffle layout."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.skew import salted_join
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id")
+    dim = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name"
+    )
+    joined = salted_join(ev, dim, "user_id", salt_from="event_id", n_salts=16)
+    return joined.groupBy("user_id", "c_name").agg(F.count("*").alias("n_events"))
+
+
+ORACLE_SALTED_JOIN = """
+SELECT e.user_id, c.c_name, count(*) AS n_events
+FROM events e JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY e.user_id, c.c_name
+ORDER BY e.user_id
+"""

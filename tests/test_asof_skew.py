@@ -114,3 +114,34 @@ def test_range_join_guard_rejects_mega_interval(spark):
     )
     with _pytest.raises(Exception, match="range_join"):
         out.collect()
+
+
+def test_salted_join_equals_direct(spark, sf_dir):
+    """The salted join must return exactly the plain join's rows, with
+    a planted hot key dominating the fact side."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.skew import salted_join
+    from pulsar_elasticsearch_sync_rs_spark.sources.batch import read_table
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id")
+    # plant skew: 80% of fact rows collapse onto one hot user
+    fact = ev.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 5 != 0, F.lit(7)).otherwise(F.col("user_id")),
+    )
+    dim = (
+        read_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_name")
+    )
+    direct = {
+        (r["event_id"], r["c_name"])
+        for r in fact.join(dim, "user_id").select("event_id", "c_name").collect()
+    }
+    salted = {
+        (r["event_id"], r["c_name"])
+        for r in salted_join(fact, dim, "user_id", salt_from="event_id")
+        .select("event_id", "c_name")
+        .collect()
+    }
+    assert salted == direct
+    n = salted_join(fact, dim, "user_id", salt_from="event_id").count()
+    assert n == len(direct), "salting fabricated duplicate matches"
