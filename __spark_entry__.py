@@ -213,6 +213,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_time_bucket_rollup": _wrap(A.q_time_bucket_rollup),  # day+hour grains in one Expand pass
         "q_heavy_hitters": _wrap(L.q_heavy_hitters),  # count-min sketch lane (rows-only; xxhash64 has no DuckDB twin; invariants pytest)
         "q_salted_join": _wrap(A.q_salted_join),  # skew-safe (key, salt) shuffle join == plain join
+        "q_media_png": _wrap(L.q_media_png),  # 4th real codec: compressed PNG (CRC + inflate + unfilter)
     }
 
 
@@ -246,4 +247,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "q_range_join": A.ORACLE_RANGE_JOIN,
         "q_time_bucket_rollup": A.ORACLE_TIME_BUCKET_ROLLUP,
         "q_salted_join": A.ORACLE_SALTED_JOIN,
+        "q_media_png": L.ORACLE_MEDIA_PNG,
     }

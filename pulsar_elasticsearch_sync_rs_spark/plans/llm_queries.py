@@ -1832,3 +1832,44 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.select(
         "token", "n", "est_n", (F.col("est_n") - F.col("n")).alias("overcount")
     ).orderBy(F.col("n").desc(), F.col("token").asc())
+
+
+def q_media_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode (the fourth codec, and the first
+    COMPRESSED one): synthesize a deterministic 8-bit truecolor PNG
+    per document — rows encoded with rotating scanline filters — then
+    decode via the pure-stdlib chunk-walk + CRC-verify + zlib-inflate
+    + filter-reconstruction parser (operators.multimodal.parse_png)
+    through Arrow-batched ``mapInPandas``. Decoded stats have closed
+    forms even though the byte stream is DEFLATE-compressed, so the
+    lane stays fully oracle hash-checked."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.multimodal import (
+        decode_png_features,
+        synthesize_png_corpus,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    pngs = synthesize_png_corpus(docs, id_col="doc_id")
+    return decode_png_features(pngs).select(
+        "media_id",
+        "width",
+        "height",
+        "n_pixels",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
+# closed-form twin of synthesize_png_corpus + parse_png: w = 3+id%6,
+# h = 2+id%4, solid RGB — compression cancels out of the statistics.
+ORACLE_MEDIA_PNG = """
+SELECT doc_id AS media_id,
+  CAST(3 + doc_id % 6 AS INT) AS width,
+  CAST(2 + doc_id % 4 AS INT) AS height,
+  CAST((3 + doc_id % 6) * (2 + doc_id % 4) AS BIGINT) AS n_pixels,
+  CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+  CAST((5 * doc_id) % 256 AS DOUBLE) AS mean_g,
+  CAST((11 * doc_id) % 256 AS DOUBLE) AS mean_b
+FROM documents
+"""

@@ -780,3 +780,71 @@ def test_incremental_dedup_bucketed_history_never_shuffles(spark, sf_dir, tmpdir
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_png_codec_round_trip_and_robustness():
+    """Real compressed-image codec: synth → parse round-trip (rotating
+    None/Sub/Up row filters), Average/Paeth reconstruction on a
+    hand-filtered stream, and strict rejection of truncation and CRC
+    corruption."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from pulsar_elasticsearch_sync_rs_spark.operators.multimodal import (
+        _png_chunk,
+        parse_png,
+        synth_png,
+    )
+
+    blob = synth_png(5, 4, (10, 200, 30))  # 4 rows → filters 0,1,2,0
+    got = parse_png(blob)
+    assert got == {
+        "width": 5, "height": 4, "n_pixels": 20,
+        "mean_r": 10.0, "mean_g": 200.0, "mean_b": 30.0,
+    }
+
+    # Average (3) and Paeth (4) reconstruction: take known raw rows,
+    # apply the spec's forward filter, and require exact recovery
+    raw_rows = [bytes([(7 * i) % 256 for i in range(6)]),
+                bytes([(13 * i + 5) % 256 for i in range(6)])]
+
+    def forward_filter(ftype, row, prev):
+        out = bytearray()
+        for i in range(len(row)):
+            a = row[i - 3] if i >= 3 else 0
+            b = prev[i]
+            c = prev[i - 3] if i >= 3 else 0
+            if ftype == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out.append((row[i] - pred) & 0xFF)
+        return bytes(out)
+
+    stream = b"\x03" + forward_filter(3, raw_rows[0], bytes(6))
+    stream += b"\x04" + forward_filter(4, raw_rows[1], raw_rows[0])
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    crafted = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(stream))
+        + _png_chunk(b"IEND", b"")
+    )
+    dec = parse_png(crafted)
+    flat = b"".join(raw_rows)
+    assert dec["mean_r"] == sum(flat[0::3]) / 4
+    assert dec["mean_g"] == sum(flat[1::3]) / 4
+    assert dec["mean_b"] == sum(flat[2::3]) / 4
+
+    with _pytest.raises(ValueError, match="truncated"):
+        parse_png(blob[:-6])
+    corrupted = bytearray(blob)
+    corrupted[20] ^= 0xFF  # inside IHDR body → CRC must catch it
+    with _pytest.raises(ValueError, match="CRC"):
+        parse_png(bytes(corrupted))
+    with _pytest.raises(ValueError, match="not a PNG"):
+        parse_png(b"BM" + blob)
