@@ -1008,3 +1008,48 @@ FROM events e JOIN customer c ON c.c_custkey = e.user_id
 GROUP BY e.user_id, c.c_name
 ORDER BY e.user_id
 """
+
+
+def q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) window aggregation — the monitoring staple
+    Spark expresses natively with ``window(ts, len, slide)``: per
+    event type, count + exact value sum over 1-hour windows sliding
+    every 15 minutes. Each event lands in len/slide = 4 windows via
+    one Expand (no self-join); the single shuffle is on
+    (window, event_type). The oracle reproduces the window set with a
+    generate_series explode."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n_events"), _dsum("value").alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# each event belongs to the 4 hopping windows whose start lies in
+# (ts - 1h, ts]; starts are the 15-min grid points
+ORACLE_HOPPING_WINDOW = """
+WITH hits AS (
+  SELECT e.event_type, CAST(e.value AS DECIMAL(18,4)) AS v,
+    to_timestamp(gs.s) AS w_start
+  FROM events e,
+  LATERAL (
+    SELECT unnest(generate_series(
+      CAST(floor(epoch(e.ts) / 900) AS BIGINT) * 900 - 2700,
+      CAST(floor(epoch(e.ts) / 900) AS BIGINT) * 900,
+      900)) AS s
+  ) gs
+)
+SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start, event_type,
+  count(*) AS n_events, CAST(sum(v) AS DOUBLE) AS sum_value
+FROM hits
+GROUP BY w_start, event_type
+ORDER BY w_start, event_type
+"""
