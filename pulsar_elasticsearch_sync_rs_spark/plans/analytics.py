@@ -1053,3 +1053,39 @@ FROM hits
 GROUP BY w_start, event_type
 ORDER BY w_start, event_type
 """
+
+
+def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned join (operators/bloom.py): events ⋈ orders on
+    o_orderkey-as-event bucket — here events join to the SPARSE set of
+    orders with totalprice > 190000, the shape where most fact rows
+    match nothing and a full fact shuffle is waste. The fact side is
+    pre-filtered through a broadcast m-bit membership summary of the
+    dim keys before the exact join; no false negatives, join removes
+    false positives, so the answer equals the plain join the oracle
+    computes."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.bloom import bloom_join
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id")
+    dim = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 190000)
+        .groupBy(F.col("o_custkey").alias("user_id"))
+        .agg(F.count("*").alias("n_big_orders"))
+    )
+    joined = bloom_join(ev, dim, "user_id", k=5, m=1 << 16)
+    return joined.groupBy("user_id", "n_big_orders").agg(
+        F.count("*").alias("n_events")
+    )
+
+
+ORACLE_BLOOM_JOIN = """
+WITH dim AS (
+  SELECT o_custkey AS user_id, count(*) AS n_big_orders
+  FROM orders WHERE o_totalprice > 190000 GROUP BY o_custkey
+)
+SELECT e.user_id, d.n_big_orders, count(*) AS n_events
+FROM events e JOIN dim d USING (user_id)
+GROUP BY e.user_id, d.n_big_orders
+ORDER BY e.user_id
+"""

@@ -145,3 +145,32 @@ def test_salted_join_equals_direct(spark, sf_dir):
     assert salted == direct
     n = salted_join(fact, dim, "user_id", salt_from="event_id").count()
     assert n == len(direct), "salting fabricated duplicate matches"
+
+
+def test_bloom_prune_no_false_negatives(spark, sf_dir):
+    """Bloom pruning must keep EVERY matching fact row (no false
+    negatives) and drop most non-matching rows on a sparse dim."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.bloom import (
+        bloom_prune,
+        build_bloom,
+    )
+    from pulsar_elasticsearch_sync_rs_spark.sources.batch import read_table
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id")
+    dim = ev.select("user_id").distinct().filter(F.col("user_id") % 17 == 0)
+    dim_keys = {r["user_id"] for r in dim.collect()}
+    assert dim_keys, "fixture has no sparse dim keys"
+
+    bits = build_bloom(dim, "user_id", k=5, m=1 << 16)
+    kept = bloom_prune(ev, "user_id", bits, k=5)
+    kept_keys = {r["user_id"] for r in kept.collect()}
+    assert dim_keys <= kept_keys, "bloom dropped a true match"
+
+    n_total = ev.count()
+    n_kept = kept.count()
+    n_match = ev.join(dim, "user_id", "left_semi").count()
+    # every match kept, plus a bounded trickle of false positives
+    assert n_kept >= n_match
+    assert n_kept <= n_match + max(10, 0.02 * n_total), (
+        f"false-positive rate too high: kept {n_kept} of {n_total}, true {n_match}"
+    )
