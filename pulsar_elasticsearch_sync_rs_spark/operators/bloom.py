@@ -74,6 +74,9 @@ def bloom_prune(fact: DataFrame, key: str, bits: np.ndarray, k: int = 5) -> Data
     @F.pandas_udf(T.BooleanType())
     def test_bits(pos_arrays: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for s in pos_arrays:
+            if len(s) == 0:
+                yield pd.Series([], dtype=bool)
+                continue
             mat = np.vstack(s.to_numpy())  # (batch, k) int64 positions
             byte_idx = mat >> 3
             bit_mask = np.uint8(1) << (mat & 7).astype(np.uint8)
