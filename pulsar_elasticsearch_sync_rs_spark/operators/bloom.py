@@ -40,8 +40,17 @@ from pyspark.sql import types as T
 
 
 def _bit_positions(key_col: str, k: int, m: int):
+    # hash the key's STRING rendering: xxhash64 is type-sensitive
+    # (xxhash64(7::int) != xxhash64(7::bigint)) while the exact join
+    # this operator must agree with coerces numeric types — hashing the
+    # canonical rendering keeps build and probe in agreement across
+    # int/bigint key columns. (Keys whose renderings differ, e.g.
+    # 7 vs 7.0 double, would not survive the exact join's coercion
+    # contract either — match your key types as you would for any
+    # hash-bucketed structure.)
+    key = F.col(key_col).cast("string")
     return F.array(
-        *[F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(m)).cast("long") for i in range(k)]
+        *[F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m)).cast("long") for i in range(k)]
     )
 
 
@@ -64,6 +73,8 @@ def bloom_prune(fact: DataFrame, key: str, bits: np.ndarray, k: int = 5) -> Data
     the exact join to remove false positives. The probe is an
     Arrow-batched pandas UDF doing vectorized numpy bit tests — no
     row-at-a-time Python."""
+    if "__bloom_pos" in fact.columns:
+        raise ValueError("fact already has a __bloom_pos column; rename it before pruning")
     m = int(bits.shape[0]) * 8
 
     # the k positions are computed with the SAME engine-native

@@ -68,6 +68,14 @@ def compact_clustered(
     fixes both the small-file problem and the row-group stats. Returns
     the row count written. Sizing: ⌈rows / target⌉ range partitions,
     so output file count tracks data volume, not trigger count."""
+    import os
+
+    if os.path.abspath(src_path) == os.path.abspath(dst_path):
+        raise ValueError(
+            "compact_clustered cannot run in place: the overwrite write would "
+            "delete the source while it is still being lazily read — "
+            "compact to a new path, then swap directories"
+        )
     df = spark.read.parquet(src_path)
     n_rows = df.count()
     n_files = max(1, -(-n_rows // target_rows_per_file))

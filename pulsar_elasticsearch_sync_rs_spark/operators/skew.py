@@ -15,15 +15,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _salt_expr(salt_from: str, n_salts: int):
+    """Deterministic per-row salt in [0, n_salts). NULL salt_from
+    coalesces to salt 0 — a NULL would never equal any replica's salt
+    in salted_join and silently drop the row; for the aggregations it
+    merely renames NULL's group, which is harmless."""
+    salt = F.pmod(F.crc32(F.col(salt_from).cast("string").cast("binary")), F.lit(n_salts))
+    return F.coalesce(salt, F.lit(0))
+
+
 def salted_count(
     df: DataFrame, key: str, salt_from: str, n_salts: int = 16
 ) -> DataFrame:
     """count(*) per key, hot-key-safe. ``salt_from`` must be a column
     with per-row variation (an id) so the salt is deterministic —
     rand() would break retry/replay determinism."""
-    salt = F.pmod(F.crc32(F.col(salt_from).cast("string").cast("binary")), F.lit(n_salts))
     partial = (
-        df.withColumn("__salt", salt)
+        df.withColumn("__salt", _salt_expr(salt_from, n_salts))
         .groupBy(key, "__salt")
         .agg(F.count(F.lit(1)).alias("__partial"))
     )
@@ -34,9 +42,8 @@ def salted_sum(
     df: DataFrame, key: str, value_expr, salt_from: str, n_salts: int = 16
 ) -> DataFrame:
     """sum(value_expr) per key via the same two-phase spread."""
-    salt = F.pmod(F.crc32(F.col(salt_from).cast("string").cast("binary")), F.lit(n_salts))
     partial = (
-        df.withColumn("__salt", salt)
+        df.withColumn("__salt", _salt_expr(salt_from, n_salts))
         .groupBy(key, "__salt")
         .agg(F.sum(value_expr).alias("__partial"))
     )
@@ -67,8 +74,9 @@ def salted_join(
         raise ValueError(f"fact/dim column names must be disjoint; both have {sorted(overlap)}")
     if how not in ("inner", "left", "left_outer"):
         raise ValueError(f"how must be inner or left[_outer], got {how!r}")
-    salt = F.pmod(F.crc32(F.col(salt_from).cast("string").cast("binary")), F.lit(n_salts))
-    f_salted = fact.withColumn("__salt", salt)
+    if "__salt" in fact.columns or "__salt" in dim.columns:
+        raise ValueError("__salt is reserved by salted_join; rename that column first")
+    f_salted = fact.withColumn("__salt", _salt_expr(salt_from, n_salts))
     d_replicated = dim.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )

@@ -1034,11 +1034,14 @@ def q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # each event belongs to the 4 hopping windows whose start lies in
-# (ts - 1h, ts]; starts are the 15-min grid points
+# (ts - 1h, ts]; starts are the 15-min grid points. make_timestamp
+# (naive, from microseconds) instead of to_timestamp: the latter
+# yields TIMESTAMPTZ and strftime would render it in the DuckDB
+# session's host timezone, breaking the hash off-UTC.
 ORACLE_HOPPING_WINDOW = """
 WITH hits AS (
   SELECT e.event_type, CAST(e.value AS DECIMAL(18,4)) AS v,
-    to_timestamp(gs.s) AS w_start
+    make_timestamp(gs.s * 1000000) AS w_start
   FROM events e,
   LATERAL (
     SELECT unnest(generate_series(

@@ -174,3 +174,32 @@ def test_bloom_prune_no_false_negatives(spark, sf_dir):
     assert n_kept <= n_match + max(10, 0.02 * n_total), (
         f"false-positive rate too high: kept {n_kept} of {n_total}, true {n_match}"
     )
+
+
+def test_bloom_survives_key_type_mismatch(spark):
+    """xxhash64 is type-sensitive; the bloom must still keep every true
+    match when fact and dim key columns are int vs bigint (the exact
+    join coerces them), because hashing goes through the canonical
+    string rendering."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.bloom import bloom_join
+
+    fact = spark.createDataFrame([(i, i % 10) for i in range(100)], "event_id int, k int")
+    dim = spark.createDataFrame([(3, "x"), (7, "y")], "k long, tag string")
+    got = {(r["event_id"], r["tag"]) for r in bloom_join(fact, dim, "k").collect()}
+    want = {(r["event_id"], r["tag"]) for r in fact.join(dim, "k").collect()}
+    assert got == want and len(want) == 20
+
+
+def test_salted_join_null_salt_source(spark):
+    """A NULL salt_from value must not drop the row: it coalesces to
+    salt 0 and still matches its dim replica."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame([(None, 7), (1, 7), (2, 99)], "event_id long, k long")
+    dim = spark.createDataFrame([(7, "x")], "k long, tag string")
+    pairs = [
+        (r["event_id"], r["tag"])
+        for r in salted_join(fact, dim, "k", salt_from="event_id").collect()
+    ]
+    got = sorted(pairs, key=lambda t: (t[0] is not None, t[0] or 0))
+    assert got == [(None, "x"), (1, "x")]
