@@ -657,3 +657,44 @@ def test_count_min_sketch_streams_incrementally(spark, sf_dir, tmpdir):
         for r in spark.sql("select * from cms_stream").collect()
     }
     assert stream_cells == batch_cells
+
+
+def test_hopping_window_stream_matches_batch(spark, sf_dir, tmpdir):
+    """The hopping-window aggregation streams natively (windowed
+    aggregation state): delivering events across micro-batches yields
+    exactly the batch lane's (window, type) counts."""
+    from pulsar_elasticsearch_sync_rs_spark.sources.batch import read_table
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    src_dir = os.path.join(tmpdir, "ev")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(src_dir)
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src_dir)
+
+    def hop(df):
+        return (
+            df.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"))
+            .select(F.col("w.start").alias("w_start"), "event_type", "n_events")
+        )
+
+    batch = {(r["w_start"], r["event_type"]): r["n_events"] for r in hop(ev).collect()}
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        hop(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("hop_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["w_start"], r["event_type"]): r["n_events"]
+        for r in spark.sql("select * from hop_stream").collect()
+    }
+    assert got == batch
