@@ -216,6 +216,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_png": _wrap(L.q_media_png),  # 4th real codec: compressed PNG (CRC + inflate + unfilter)
         "q_hopping_window": _wrap(A.q_hopping_window),  # sliding-window agg: one Expand, no self-join
         "q_bloom_join": _wrap(A.q_bloom_join),  # bloom-pruned fact shuffle == plain join
+        "q_compress_ratio": _wrap(L.q_compress_ratio),  # deflate-ratio quality signal (rows-only: zlib has no SQL twin)
     }
 
 

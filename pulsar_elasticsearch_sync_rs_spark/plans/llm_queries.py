@@ -1873,3 +1873,57 @@ SELECT doc_id AS media_id,
   CAST((11 * doc_id) % 256 AS DOUBLE) AS mean_b
 FROM documents
 """
+
+
+def q_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal — the cheap universal
+    boilerplate/noise detector real curation pipelines run: docs whose
+    text DEFLATEs far below the corpus norm are repetitive template
+    boilerplate; high-ratio docs are high-entropy noise (random identifiers, base64
+    blobs — printable-ASCII noise plateaus near 6/8 = 0.75, hence the
+    0.7 cut). ratio = deflate_len / raw_len per doc, summarized
+    per language with the corpus's low/high cut counts.
+
+    Spark shape: one Arrow-batched ``mapInPandas`` pass (stdlib zlib
+    over each batch — per-row narrow, zero shuffle) then a tiny
+    per-lang aggregate. zlib output has no closed form, so this is a
+    rows-only lane pinned by ordering properties in pytest
+    (repetitive ≪ natural < random within the same length)."""
+    import zlib
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def score(batches):
+        for pdf in batches:
+            raw = pdf["text"].fillna("").str.encode("utf-8")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "lang": pdf["lang"],
+                    "ratio": [
+                        (len(zlib.compress(b, 6)) / len(b)) if len(b) else 1.0
+                        for b in raw
+                    ],
+                }
+            )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("lang", T.StringType(), True),
+            T.StructField("ratio", T.DoubleType(), False),
+        ]
+    )
+    scored = docs.mapInPandas(score, schema)
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("ratio"), 4).alias("mean_ratio"),
+            F.sum((F.col("ratio") < 0.3).cast("bigint")).alias("n_boilerplate_like"),
+            F.sum((F.col("ratio") > 0.7).cast("bigint")).alias("n_noise_like"),
+        )
+        .orderBy("lang")
+    )

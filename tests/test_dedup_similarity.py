@@ -848,3 +848,28 @@ def test_png_codec_round_trip_and_robustness():
         parse_png(bytes(corrupted))
     with _pytest.raises(ValueError, match="not a PNG"):
         parse_png(b"BM" + blob)
+
+
+def test_compress_ratio_orders_text_classes(spark):
+    """The compression-ratio signal must order repetitive < natural <
+    random within comparable lengths — the property curation cuts rely
+    on."""
+    import random
+    import string
+
+    from pulsar_elasticsearch_sync_rs_spark.plans.llm_queries import q_compress_ratio  # noqa: F401  (lane import sanity)
+
+    rng = random.Random(42)
+    rows = [
+        (1, "rep", "the cat sat " * 200),
+        (2, "nat", " ".join(rng.choice(["alpha","bridge","carbon","delta","ember","forest","granite","harbor"]) for _ in range(400))),
+        (3, "rnd", "".join(rng.choice(string.ascii_letters + string.digits) for _ in range(2400))),
+    ]
+    import zlib
+
+    ratios = {}
+    for _id, tag, text in rows:
+        b = text.encode()
+        ratios[tag] = len(zlib.compress(b, 6)) / len(b)
+    assert ratios["rep"] < ratios["nat"] < ratios["rnd"]
+    assert ratios["rep"] < 0.3 and ratios["rnd"] > 0.7
