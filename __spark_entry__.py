@@ -217,6 +217,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hopping_window": _wrap(A.q_hopping_window),  # sliding-window agg: one Expand, no self-join
         "q_bloom_join": _wrap(A.q_bloom_join),  # bloom-pruned fact shuffle == plain join
         "q_compress_ratio": _wrap(L.q_compress_ratio),  # deflate-ratio quality signal (rows-only: zlib has no SQL twin)
+        "q_histogram_equidepth": _wrap(A.q_histogram_equidepth),  # quartile-edge (NDV-aware) binning
+        "q_trending_windows": _wrap(A.q_trending_windows),  # busiest type per hopping window
     }
 
 
@@ -253,4 +255,6 @@ def extra_oracle_sql() -> dict[str, str]:
         "q_media_png": L.ORACLE_MEDIA_PNG,
         "q_hopping_window": A.ORACLE_HOPPING_WINDOW,
         "q_bloom_join": A.ORACLE_BLOOM_JOIN,
+        "q_histogram_equidepth": A.ORACLE_HISTOGRAM_EQUIDEPTH,
+        "q_trending_windows": A.ORACLE_TRENDING_WINDOWS,
     }

@@ -1092,3 +1092,95 @@ FROM events e JOIN dim d USING (user_id)
 GROUP BY e.user_id, d.n_big_orders
 ORDER BY e.user_id
 """
+
+
+def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram — the NDV-aware binning planners and data
+    profilers actually want (fixed-width bins starve on skewed data):
+    per event type, bin edges at the exact quartiles of value, then
+    one pass assigning each event to its quartile bin. Two tiny
+    shuffles: the per-type quartile agg (broadcast back) and the
+    (type, bin) count. `percentile` ≡ DuckDB `quantile_cont` parity is
+    already pinned by q_quantiles."""
+    ev = read_table(spark, sf_dir, "events")
+    edges = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.50)").alias("q2"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+    )
+    binned = ev.join(F.broadcast(edges), "event_type").withColumn(
+        "bin",
+        F.when(F.col("value") <= F.col("q1"), F.lit(0))
+        .when(F.col("value") <= F.col("q2"), F.lit(1))
+        .when(F.col("value") <= F.col("q3"), F.lit(2))
+        .otherwise(F.lit(3)),
+    )
+    return (
+        binned.groupBy("event_type", "bin")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("event_type", "bin")
+    )
+
+
+ORACLE_HISTOGRAM_EQUIDEPTH = """
+WITH edges AS (
+  SELECT event_type,
+    quantile_cont(value, 0.25) AS q1,
+    quantile_cont(value, 0.50) AS q2,
+    quantile_cont(value, 0.75) AS q3
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+  CASE WHEN e.value <= d.q1 THEN 0
+       WHEN e.value <= d.q2 THEN 1
+       WHEN e.value <= d.q3 THEN 2
+       ELSE 3 END AS bin,
+  count(*) AS n_events
+FROM events e JOIN edges d USING (event_type)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_trending_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending detection: the single busiest event type per hopping
+    window (1h windows sliding 15min) — the "what's hot right now"
+    dashboard query. Composes the hopping Expand with one windowed
+    rank; ties break on event_type for determinism."""
+    ev = read_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+    ).agg(F.count("*").alias("n_events"))
+    w = Window.partitionBy("w").orderBy(F.col("n_events").desc(), F.col("event_type").asc())
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+            F.col("event_type").alias("top_type"),
+            "n_events",
+        )
+    )
+
+
+ORACLE_TRENDING_WINDOWS = """
+WITH hits AS (
+  SELECT e.event_type, make_timestamp(gs.s * 1000000) AS w_start
+  FROM events e,
+  LATERAL (
+    SELECT unnest(generate_series(
+      CAST(floor(epoch(e.ts) / 900) AS BIGINT) * 900 - 2700,
+      CAST(floor(epoch(e.ts) / 900) AS BIGINT) * 900,
+      900)) AS s
+  ) gs
+), counts AS (
+  SELECT w_start, event_type, count(*) AS n_events
+  FROM hits GROUP BY w_start, event_type
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY w_start
+             ORDER BY n_events DESC, event_type ASC) AS rnk
+  FROM counts
+)
+SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start,
+  event_type AS top_type, n_events
+FROM ranked WHERE rnk = 1 ORDER BY w_start
+"""
