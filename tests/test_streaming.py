@@ -698,3 +698,65 @@ def test_hopping_window_stream_matches_batch(spark, sf_dir, tmpdir):
         for r in spark.sql("select * from hop_stream").collect()
     }
     assert got == batch
+
+
+def test_materialized_view_maintenance(spark, sf_dir, tmpdir):
+    """foreachBatch view maintenance: totals equal the batch aggregate
+    after multi-micro-batch delivery, AND a restart from the same
+    checkpoint (which replays the last batch) does not double-count."""
+    from pulsar_elasticsearch_sync_rs_spark.sources.batch import read_table
+    from pulsar_elasticsearch_sync_rs_spark.streaming.mview import (
+        maintain_count_sum_view,
+        read_view,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    src_dir = os.path.join(tmpdir, "src")
+    # two files -> two micro-batches under maxFilesPerTrigger=1, so the
+    # view is built by a real multi-batch merge
+    ev.filter(F.col("event_id") % 2 == 0).drop("event_id").coalesce(1).write.parquet(src_dir)
+    ev.filter(F.col("event_id") % 2 == 1).drop("event_id").coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    ev = ev.drop("event_id")
+
+    expected = {
+        r["event_type"]: (r["n_rows"], float(r["sum_value"]))
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
+        )
+        .collect()
+    }
+
+    state_dir = os.path.join(tmpdir, "state")
+    ckpt = os.path.join(tmpdir, "ckpt_mv")
+    stream = spark.readStream.schema("event_type string, value double").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src_dir)
+    q = maintain_count_sum_view(
+        stream, ["event_type"], "value", state_dir, ckpt, available_now=True
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["event_type"]: (r["n_rows"], float(r["sum_value"]))
+        for r in read_view(spark, state_dir).collect()
+    }
+    assert got == expected
+
+    # restart with the same checkpoint: availableNow re-run must be a
+    # no-op (no new files; any replayed batch id is skipped)
+    stream2 = spark.readStream.schema("event_type string, value double").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src_dir)
+    q2 = maintain_count_sum_view(
+        stream2, ["event_type"], "value", state_dir, ckpt, available_now=True
+    )
+    q2.awaitTermination(60)
+    got2 = {
+        r["event_type"]: (r["n_rows"], float(r["sum_value"]))
+        for r in read_view(spark, state_dir).collect()
+    }
+    assert got2 == expected, "restart double-counted the replayed batch"
