@@ -17,11 +17,17 @@ Design (``foreachBatch`` + merge-by-union):
    sum+count) — the same mergeability contract as the CMS cells;
 3. write to a versioned subdirectory then atomically repoint a
    ``_CURRENT`` marker file — readers always see a complete table;
+   versions older than the previous one are pruned (current + one
+   kept for in-flight readers), so disk stays O(2 · state size)
+   instead of growing with stream lifetime;
 4. EXACTLY-ONCE across restarts: the applied ``batch_id`` is stored
    in the marker. Structured Streaming replays the last micro-batch
-   after a crash; a replayed (already-applied) batch id is skipped,
-   so re-delivery cannot double-count. This is the standard
-   idempotent-foreachBatch recipe.
+   after a crash; a replay of EXACTLY the applied batch id is
+   skipped, so re-delivery cannot double-count. A batch id BELOW the
+   applied one means the checkpoint was deleted or repointed while
+   the state survived — silently skipping or merging would corrupt
+   the totals, so that raises instead (rebuild the view or restore
+   the matching checkpoint).
 
 Scale: the merge shuffles (key, partials) only — the corpus of raw
 events never re-reads; state size is the key cardinality. At very
@@ -33,6 +39,7 @@ co-locates without an extra exchange.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -42,23 +49,24 @@ def _current_path(state_dir: str) -> str:
     return os.path.join(state_dir, "_CURRENT")
 
 
-def read_view(spark, state_dir: str) -> DataFrame | None:
-    """The current state of the view, or None before the first batch."""
+def _read_marker(state_dir: str) -> tuple[str, int] | None:
+    """(version, applied_batch_id) from the marker, or None before the
+    first batch — the ONE reader both the skip decision and the state
+    read go through."""
     marker = _current_path(state_dir)
     if not os.path.exists(marker):
         return None
     with open(marker, encoding="utf-8") as fh:
-        version, _batch_id = fh.read().split()
-    return spark.read.parquet(os.path.join(state_dir, version))
+        version, batch_id = fh.read().split()
+    return version, int(batch_id)
 
 
-def _applied_batch_id(state_dir: str) -> int:
-    marker = _current_path(state_dir)
-    if not os.path.exists(marker):
-        return -1
-    with open(marker, encoding="utf-8") as fh:
-        _version, batch_id = fh.read().split()
-    return int(batch_id)
+def read_view(spark, state_dir: str) -> DataFrame | None:
+    """The current state of the view, or None before the first batch."""
+    marker = _read_marker(state_dir)
+    if marker is None:
+        return None
+    return spark.read.parquet(os.path.join(state_dir, marker[0]))
 
 
 def maintain_count_sum_view(
@@ -71,14 +79,24 @@ def maintain_count_sum_view(
 ):
     """Maintain ``groupBy(key_cols).agg(count(*), sum(sum_col))`` over
     the whole stream history as a parquet table under ``state_dir``.
-    Returns the StreamingQuery. Restart-safe: replayed micro-batches
-    are skipped by batch id, so counts never double."""
+    Returns the StreamingQuery. Restart-safe: the replayed micro-batch
+    is skipped by batch id, so counts never double; a checkpoint/state
+    mismatch (batch id regression) fails fast instead of corrupting."""
     spark = stream.sparkSession
     os.makedirs(state_dir, exist_ok=True)
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= _applied_batch_id(state_dir):
-            return  # replayed after restart; already folded in
+        marker = _read_marker(state_dir)
+        prev_version, applied = marker if marker else (None, -1)
+        if batch_id == applied:
+            return  # the one replayed batch after a crash; already folded in
+        if batch_id < applied:
+            raise RuntimeError(
+                f"materialized view at {state_dir} has applied batch {applied} "
+                f"but the stream delivered batch {batch_id}: the checkpoint was "
+                "deleted or repointed while the state survived — rebuild the "
+                "view or restore the matching checkpoint"
+            )
         partial = batch_df.groupBy(*key_cols).agg(
             F.count("*").alias("n_rows"),
             F.sum(F.col(sum_col).cast("decimal(18,4)")).alias("sum_value"),
@@ -97,6 +115,12 @@ def maintain_count_sum_view(
         with open(tmp, "w", encoding="utf-8") as fh:
             fh.write(f"{version} {batch_id}")
         os.replace(tmp, _current_path(state_dir))  # atomic repoint
+        # retention: keep the new current + its predecessor (for readers
+        # that resolved the marker just before the repoint)
+        keep = {version, prev_version}
+        for entry in os.listdir(state_dir):
+            if entry.startswith("v") and entry not in keep:
+                shutil.rmtree(os.path.join(state_dir, entry), ignore_errors=True)
 
     writer = stream.writeStream.foreachBatch(merge).option(
         "checkpointLocation", checkpoint_dir

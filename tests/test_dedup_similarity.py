@@ -850,26 +850,32 @@ def test_png_codec_round_trip_and_robustness():
         parse_png(b"BM" + blob)
 
 
-def test_compress_ratio_orders_text_classes(spark):
+def test_compress_ratio_orders_text_classes(spark, tmp_path):
     """The compression-ratio signal must order repetitive < natural <
-    random within comparable lengths — the property curation cuts rely
-    on."""
+    random within comparable lengths — asserted on q_compress_ratio's
+    ACTUAL Spark output (a planted 3-doc corpus written as the
+    documents table), not a reimplementation."""
     import random
     import string
 
-    from pulsar_elasticsearch_sync_rs_spark.plans.llm_queries import q_compress_ratio  # noqa: F401  (lane import sanity)
+    from pulsar_elasticsearch_sync_rs_spark.plans.llm_queries import q_compress_ratio
 
     rng = random.Random(42)
+    vocab = ["".join(rng.choice(string.ascii_lowercase) for _ in range(rng.randint(3, 9))) for _ in range(300)]
     rows = [
         (1, "rep", "the cat sat " * 200),
-        (2, "nat", " ".join(rng.choice(["alpha","bridge","carbon","delta","ember","forest","granite","harbor"]) for _ in range(400))),
+        # a 300-word vocabulary: diverse enough to stay off the
+        # boilerplate cut, structured enough to stay off the noise cut
+        (2, "nat", " ".join(rng.choice(vocab) for _ in range(400))),
         (3, "rnd", "".join(rng.choice(string.ascii_letters + string.digits) for _ in range(2400))),
     ]
-    import zlib
-
-    ratios = {}
-    for _id, tag, text in rows:
-        b = text.encode()
-        ratios[tag] = len(zlib.compress(b, 6)) / len(b)
-    assert ratios["rep"] < ratios["nat"] < ratios["rnd"]
-    assert ratios["rep"] < 0.3 and ratios["rnd"] > 0.7
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, lang string, text string").write.parquet(
+        f"{sf_dir}/documents.parquet"
+    )
+    out = {r["lang"]: r for r in q_compress_ratio(spark, sf_dir).collect()}
+    assert set(out) == {"rep", "nat", "rnd"}
+    assert out["rep"]["mean_ratio"] < out["nat"]["mean_ratio"] < out["rnd"]["mean_ratio"]
+    assert out["rep"]["n_boilerplate_like"] == 1 and out["rep"]["n_noise_like"] == 0
+    assert out["rnd"]["n_noise_like"] == 1 and out["rnd"]["n_boilerplate_like"] == 0
+    assert out["nat"]["n_boilerplate_like"] == 0 and out["nat"]["n_noise_like"] == 0
