@@ -219,6 +219,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_compress_ratio": _wrap(L.q_compress_ratio),  # deflate-ratio quality signal (rows-only: zlib has no SQL twin)
         "q_histogram_equidepth": _wrap(A.q_histogram_equidepth),  # quartile-edge (NDV-aware) binning
         "q_trending_windows": _wrap(A.q_trending_windows),  # busiest type per hopping window
+        "q_bpe_token_count": _wrap(L.q_bpe_token_count),  # real BPE merge accounting (rows-only: iterative apply; parity pytest)
     }
 
 

@@ -1927,3 +1927,37 @@ def q_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BPE token accounting (functions/bpe.py): learn 64 merges
+    from the corpus's own bounded word-frequency head (deterministic —
+    greedy count-then-lex ordering, no RNG), apply them exactly
+    corpus-wide in one Arrow pass, and report per-language BPE vs
+    whitespace token totals. This is the granularity sequence packing
+    bills at when a trained tokenizer is in play; rank-greedy merge
+    application is iterative per word, so the lane is rows-only
+    (pinned by a canonical-example + Spark≡reference pytest)."""
+    from pulsar_elasticsearch_sync_rs_spark.functions.bpe import (
+        bpe_token_count,
+        learn_merges_from_corpus,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    merges = learn_merges_from_corpus(docs, n_merges=64)
+    counts = bpe_token_count(docs, merges)
+    enriched = docs.select(
+        "doc_id", "lang", token_count_ws("text").cast("bigint").alias("n_ws")
+    ).join(counts, "doc_id")
+    return (
+        enriched.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
+            F.sum("n_ws").alias("total_ws_tokens"),
+            F.round(
+                F.sum("n_bpe_tokens") / F.sum("n_ws"), 4
+            ).alias("bpe_per_word"),
+        )
+        .orderBy("lang")
+    )

@@ -879,3 +879,34 @@ def test_compress_ratio_orders_text_classes(spark, tmp_path):
     assert out["rep"]["n_boilerplate_like"] == 1 and out["rep"]["n_noise_like"] == 0
     assert out["rnd"]["n_noise_like"] == 1 and out["rnd"]["n_boilerplate_like"] == 0
     assert out["nat"]["n_boilerplate_like"] == 0 and out["nat"]["n_noise_like"] == 0
+
+
+def test_bpe_learn_apply_canonical_and_spark_parity(spark, sf_dir):
+    """BPE: (1) the canonical Sennrich example learns the expected
+    merges and segmentations; (2) the distributed Arrow lane's per-doc
+    counts equal a pure-Python reference on real fixture docs."""
+    from pulsar_elasticsearch_sync_rs_spark.functions.bpe import (
+        apply_bpe,
+        bpe_token_count,
+        learn_bpe_merges,
+        learn_merges_from_corpus,
+    )
+    from pulsar_elasticsearch_sync_rs_spark.sources.batch import read_table
+
+    merges = learn_bpe_merges({"low": 5, "lower": 2, "newest": 6, "widest": 3}, 10)
+    assert merges[:3] == [("e", "s"), ("es", "t"), ("est", "</w>")]
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert apply_bpe("lowest", ranks) == ["low", "est</w>"]
+    assert apply_bpe("newest", ranks) == ["newest</w>"]
+    assert apply_bpe("", ranks) == []
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text").limit(25)
+    corpus_merges = learn_merges_from_corpus(docs, n_merges=32, sample_words=5000)
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_token_count(docs, corpus_merges).collect()
+    }
+    ranks = {p: i for i, p in enumerate(corpus_merges)}
+    for r in docs.collect():
+        want = sum(len(apply_bpe(w, ranks)) for w in r["text"].lower().split())
+        assert got[r["doc_id"]] == want, f"doc {r['doc_id']}: {got[r['doc_id']]} != {want}"
