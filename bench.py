@@ -214,7 +214,9 @@ def stream_throughput(spark, sf_dir: str) -> dict:
             shutil.copy(ev_path, src_dir)
         n_input = spark.read.parquet(src_dir).count()
 
-        def run_lane(name: str, start_query, msgs_from_output: bool = False) -> dict:
+        def run_lane(
+            name: str, start_query, msgs_from_output: bool = False, count_output=None
+        ) -> dict:
             # same protocol as the batch queries: ONE untimed warm-up
             # run (pays state-store init, sink codegen, Python-worker
             # spawn for the lane's stage shapes), then best-of-2 timed
@@ -230,7 +232,12 @@ def stream_throughput(spark, sf_dir: str) -> dict:
                 if rep > 0:
                     walls.append(_time.perf_counter() - t0)
             wall = min(walls)
-            n_out = spark.read.parquet(os.path.join(tmp, f"out_{name}_2")).count()
+            last_out = os.path.join(tmp, f"out_{name}_2")
+            n_out = (
+                count_output(last_out)
+                if count_output
+                else spark.read.parquet(last_out).count()
+            )
             # the ETL lane counts OUTPUT rows (the exact metric BENCH_r2/
             # r3 recorded — identical to input only while nothing dead-
             # letters); aggregating lanes report input msgs/s since their
@@ -368,6 +375,24 @@ def stream_throughput(spark, sf_dir: str) -> dict:
                 .start()
             )
 
+        def start_mview(ckpt, out):
+            from pulsar_elasticsearch_sync_rs_spark.streaming.mview import (
+                maintain_count_sum_view,
+            )
+
+            src = read_events_stream(spark, src_dir)
+            ev = src.select(
+                F.element_at(F.split("topic", "/"), -1).alias("app"),
+                F.length("value").cast("double").alias("v"),
+            )
+            return maintain_count_sum_view(ev, ["app"], "v", out, ckpt, available_now=True)
+
+        def mview_outputs(out_dir):
+            from pulsar_elasticsearch_sync_rs_spark.streaming.mview import read_view
+
+            view = read_view(spark, out_dir)
+            return 0 if view is None else view.count()
+
         etl = run_lane("etl", start_etl, msgs_from_output=True)
         return {
             **etl,  # BENCH_r2/r3-compatible top-level ETL figures
@@ -376,6 +401,7 @@ def stream_throughput(spark, sf_dir: str) -> dict:
             "gcra": run_lane("gcra", start_gcra),
             "counters": run_lane("counters", start_counters),
             "interval_join": run_lane("interval_join", start_ijoin),
+            "mview": run_lane("mview", start_mview, count_output=mview_outputs),
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
