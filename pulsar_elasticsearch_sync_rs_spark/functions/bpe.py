@@ -28,11 +28,17 @@ from __future__ import annotations
 
 from typing import Iterator
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 END = "</w>"  # end-of-word sentinel, per the original BPE formulation
+
+# ONE tokenizer definition for learning (JVM) and application (Arrow):
+# the explicit Java-\s character class, so a \u00a0 (Unicode space)
+# cannot make the two phases disagree about word boundaries — the same
+# parity convention the DuckDB oracles use (see plans/llm_queries.py).
+_WS_CLASS = "[ \t\n\x0b\f\r]+"
 
 
 def learn_bpe_merges(word_freqs: dict[str, int], n_merges: int) -> list[tuple[str, str]]:
@@ -86,14 +92,14 @@ def apply_bpe(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
 
 
 def learn_merges_from_corpus(
-    df: DataFrame, text_col: str = "text", n_merges: int = 64, sample_words: int = 50_000
+    df: DataFrame, text_col: str = "text", n_merges: int = 64, sample_words: int = 20_000
 ) -> list[tuple[str, str]]:
     """Bounded-sample merge learning: the top-``sample_words`` most
     frequent lowercase words (a FIXED-size driver table at any corpus
     size — word frequency follows Zipf, so the head dominates pair
     counts) feed the greedy learner."""
     rows = (
-        df.select(F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w"))
+        df.select(F.explode(F.split(F.lower(F.col(text_col)), _WS_CLASS)).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count("*").alias("n"))
@@ -112,32 +118,45 @@ def bpe_token_count(
 ) -> DataFrame:
     """Exact BPE token count per document under the given merge table —
     one Arrow pass, per-executor word→count memo (Zipf makes the hit
-    rate high), zero shuffle."""
+    rate high), zero shuffle. Also emits the whitespace word count from
+    the SAME split, so downstream ratios cannot mix tokenizers."""
+    import re
+
     ranks = {pair: i for i, pair in enumerate(merges)}
+    ws_re = re.compile(_WS_CLASS)
 
     def count(batches: Iterator) -> Iterator:
         import pandas as pd
 
         memo: dict[str, int] = {}
 
-        def n_tokens(text: str) -> int:
-            total = 0
-            for w in (text or "").lower().split():
+        def counts(text: str) -> tuple[int, int]:
+            n_bpe = n_ws = 0
+            for w in ws_re.split((text or "").lower()):
+                if not w:
+                    continue
+                n_ws += 1
                 hit = memo.get(w)
                 if hit is None:
                     hit = memo[w] = len(apply_bpe(w, ranks))
-                total += hit
-            return total
+                n_bpe += hit
+            return n_bpe, n_ws
 
         for pdf in batches:
+            pairs = [counts(t) for t in pdf[text_col]]
             yield pd.DataFrame(
-                {id_col: pdf[id_col], "n_bpe_tokens": [n_tokens(t) for t in pdf[text_col]]}
+                {
+                    id_col: pdf[id_col],
+                    "n_bpe_tokens": [a for a, _ in pairs],
+                    "n_ws_tokens": [b for _, b in pairs],
+                }
             )
 
     schema = T.StructType(
         [
             T.StructField(id_col, T.LongType(), False),
             T.StructField("n_bpe_tokens", T.LongType(), False),
+            T.StructField("n_ws_tokens", T.LongType(), False),
         ]
     )
     return df.mapInPandas(count, schema)

@@ -1945,18 +1945,18 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     merges = learn_merges_from_corpus(docs, n_merges=64)
-    counts = bpe_token_count(docs, merges)
-    enriched = docs.select(
-        "doc_id", "lang", token_count_ws("text").cast("bigint").alias("n_ws")
-    ).join(counts, "doc_id")
+    # ONE Arrow pass emits both counts from the same split (no join,
+    # no second text scan, no tokenizer mismatch)
+    counts = bpe_token_count(docs.select("doc_id", "lang", "text"), merges, id_col="doc_id")
+    counted = docs.select("doc_id", "lang").join(counts, "doc_id")
     return (
-        enriched.groupBy("lang")
+        counted.groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
-            F.sum("n_ws").alias("total_ws_tokens"),
+            F.sum("n_ws_tokens").alias("total_ws_tokens"),
             F.round(
-                F.sum("n_bpe_tokens") / F.sum("n_ws"), 4
+                F.sum("n_bpe_tokens") / F.sum("n_ws_tokens"), 4
             ).alias("bpe_per_word"),
         )
         .orderBy("lang")

@@ -17,9 +17,9 @@ Design (``foreachBatch`` + merge-by-union):
    sum+count) — the same mergeability contract as the CMS cells;
 3. write to a versioned subdirectory then atomically repoint a
    ``_CURRENT`` marker file — readers always see a complete table;
-   versions older than the previous one are pruned (current + one
-   kept for in-flight readers), so disk stays O(2 · state size)
-   instead of growing with stream lifetime;
+   only the newest ``keep_versions`` snapshots are retained (a grace
+   window for in-flight readers), so disk stays O(keep_versions ·
+   state size) instead of growing with stream lifetime;
 4. EXACTLY-ONCE across restarts: the applied ``batch_id`` is stored
    in the marker. Structured Streaming replays the last micro-batch
    after a crash; a replay of EXACTLY the applied batch id is
@@ -76,6 +76,7 @@ def maintain_count_sum_view(
     state_dir: str,
     checkpoint_dir: str,
     available_now: bool = False,
+    keep_versions: int = 3,
 ):
     """Maintain ``groupBy(key_cols).agg(count(*), sum(sum_col))`` over
     the whole stream history as a parquet table under ``state_dir``.
@@ -87,7 +88,7 @@ def maintain_count_sum_view(
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         marker = _read_marker(state_dir)
-        prev_version, applied = marker if marker else (None, -1)
+        applied = marker[1] if marker else -1
         if batch_id == applied:
             return  # the one replayed batch after a crash; already folded in
         if batch_id < applied:
@@ -115,12 +116,17 @@ def maintain_count_sum_view(
         with open(tmp, "w", encoding="utf-8") as fh:
             fh.write(f"{version} {batch_id}")
         os.replace(tmp, _current_path(state_dir))  # atomic repoint
-        # retention: keep the new current + its predecessor (for readers
-        # that resolved the marker just before the repoint)
-        keep = {version, prev_version}
-        for entry in os.listdir(state_dir):
-            if entry.startswith("v") and entry not in keep:
-                shutil.rmtree(os.path.join(state_dir, entry), ignore_errors=True)
+        # retention: keep the newest ``keep_versions`` versions — a
+        # grace window for external readers whose lazily-evaluated
+        # read_view() DataFrame may span several commits (a reader
+        # pinned to an older version than that window is reading a
+        # stale snapshot anyway and should re-resolve the marker)
+        versions = sorted(
+            (e for e in os.listdir(state_dir) if e.startswith("v")),
+            key=lambda e: int(e[1:]),
+        )
+        for entry in versions[:-keep_versions]:
+            shutil.rmtree(os.path.join(state_dir, entry), ignore_errors=True)
 
     writer = stream.writeStream.foreachBatch(merge).option(
         "checkpointLocation", checkpoint_dir

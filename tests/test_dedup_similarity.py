@@ -900,7 +900,7 @@ def test_bpe_learn_apply_canonical_and_spark_parity(spark, sf_dir):
     assert apply_bpe("newest", ranks) == ["newest</w>"]
     assert apply_bpe("", ranks) == []
 
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text").limit(25)
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text").filter(F.col("doc_id") < 25)
     corpus_merges = learn_merges_from_corpus(docs, n_merges=32, sample_words=5000)
     got = {
         r["doc_id"]: r["n_bpe_tokens"]
