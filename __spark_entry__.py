@@ -220,6 +220,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_histogram_equidepth": _wrap(A.q_histogram_equidepth),  # quartile-edge (NDV-aware) binning
         "q_trending_windows": _wrap(A.q_trending_windows),  # busiest type per hopping window
         "q_bpe_token_count": _wrap(L.q_bpe_token_count),  # real BPE merge accounting (rows-only: iterative apply; parity pytest)
+        "q_session_funnel": _wrap(A.q_session_funnel),  # sessionized signup->purchase conversion funnel
     }
 
 
@@ -258,4 +259,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "q_bloom_join": A.ORACLE_BLOOM_JOIN,
         "q_histogram_equidepth": A.ORACLE_HISTOGRAM_EQUIDEPTH,
         "q_trending_windows": A.ORACLE_TRENDING_WINDOWS,
+        "q_session_funnel": A.ORACLE_SESSION_FUNNEL,
     }

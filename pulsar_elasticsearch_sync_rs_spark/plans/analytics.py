@@ -1184,3 +1184,77 @@ SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start,
   event_type AS top_type, n_events
 FROM ranked WHERE rnk = 1 ORDER BY w_start
 """
+
+
+def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionized conversion funnel — "of the sessions that saw a
+    signup, how many purchased AFTER it in the same session?" — the
+    product-analytics staple composed from the verified sessionization
+    model: lag-gap sessions → per-session first-signup time → ordered
+    conversion test → per-user funnel accounting (one row per user, so
+    the result is deterministic and hash-comparable). Shuffles only on
+    user_id; the funnel test is two conditional aggregates."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap_ms = 30 * 60 * 1000
+    prev_ts = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev_ts.isNull() | ((F.unix_millis(F.col("ts")) - F.unix_millis(prev_ts)) > gap_ms),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    sess = ev.withColumn("new_sess", new_sess).withColumn(
+        "session_seq",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_sess = sess.groupBy("user_id", "session_seq").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("ts"))
+        ).alias("first_signup_ts"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("last_purchase_ts"),
+    )
+    return (
+        per_sess.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum(F.col("first_signup_ts").isNotNull().cast("bigint")).alias(
+                "n_signup_sessions"
+            ),
+            F.sum(
+                (
+                    F.col("first_signup_ts").isNotNull()
+                    & (F.col("last_purchase_ts") >= F.col("first_signup_ts"))
+                ).cast("bigint")
+            ).alias("n_converted"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_SESSION_FUNNEL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), sess AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+), per_sess AS (
+  SELECT user_id, session_seq,
+    min(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup_ts,
+    max(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase_ts
+  FROM sess GROUP BY user_id, session_seq
+)
+SELECT user_id,
+  count(*) AS n_sessions,
+  CAST(sum(CASE WHEN first_signup_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup_sessions,
+  CAST(sum(CASE WHEN first_signup_ts IS NOT NULL
+        AND last_purchase_ts >= first_signup_ts THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+FROM per_sess
+GROUP BY user_id ORDER BY user_id
+"""
