@@ -70,7 +70,7 @@ def compact_clustered(
     so output file count tracks data volume, not trigger count."""
     import os
 
-    if os.path.abspath(src_path) == os.path.abspath(dst_path):
+    if os.path.realpath(src_path) == os.path.realpath(dst_path):
         raise ValueError(
             "compact_clustered cannot run in place: the overwrite write would "
             "delete the source while it is still being lazily read — "

@@ -106,11 +106,23 @@ def cms_estimate(sketch: CmsSketch, candidates: DataFrame, token_col: str) -> Da
             f"candidate columns {sorted(shadowed)} collide with the sketch's "
             f"internal names {_RESERVED}; rename them before estimating"
         )
-    probes = candidates.select(
+    # aggregate over a per-row id, not the visible columns, so duplicate
+    # candidate rows come back as duplicates (cardinality is preserved —
+    # the function's contract is "adds est_n to the candidate columns")
+    rid = "__cms_rid"
+    with_rid = candidates.withColumn(rid, F.monotonically_increasing_id())
+    probes = with_rid.select(
+        rid,
         *candidates.columns,
         F.explode(_cell_array(token_col, sketch.d, sketch.w)).alias("cell"),
-    ).select(*candidates.columns, F.col("cell.row").alias("row"), F.col("cell.col").alias("col"))
+    ).select(
+        rid, *candidates.columns, F.col("cell.row").alias("row"), F.col("cell.col").alias("col")
+    )
     joined = probes.join(sketch.cells, ["row", "col"], "left").withColumn(
         "cnt", F.coalesce(F.col("cnt"), F.lit(0))
     )
-    return joined.groupBy(*candidates.columns).agg(F.min("cnt").alias("est_n"))
+    return (
+        joined.groupBy(rid, *candidates.columns)
+        .agg(F.min("cnt").alias("est_n"))
+        .drop(rid)
+    )

@@ -83,6 +83,12 @@ def maintain_count_sum_view(
     Returns the StreamingQuery. Restart-safe: the replayed micro-batch
     is skipped by batch id, so counts never double; a checkpoint/state
     mismatch (batch id regression) fails fast instead of corrupting."""
+    if keep_versions < 1:
+        # lst[:-0] == [] would silently retain EVERY version — the
+        # caller asking for aggressive cleanup would get unbounded disk
+        raise ValueError(
+            f"keep_versions must be >= 1 (the live version itself), got {keep_versions}"
+        )
     spark = stream.sparkSession
     os.makedirs(state_dir, exist_ok=True)
 

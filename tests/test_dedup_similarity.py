@@ -885,12 +885,19 @@ def test_bpe_learn_apply_canonical_and_spark_parity(spark, sf_dir):
     """BPE: (1) the canonical Sennrich example learns the expected
     merges and segmentations; (2) the distributed Arrow lane's per-doc
     counts equal a pure-Python reference on real fixture docs."""
+    import re
+
     from pulsar_elasticsearch_sync_rs_spark.functions.bpe import (
+        _WS_CLASS,
         apply_bpe,
         bpe_token_count,
         learn_bpe_merges,
         learn_merges_from_corpus,
     )
+
+    # one tokenizer on both sides: the reference must split on the SAME
+    # explicit ASCII class the lane uses, not Python's Unicode str.split()
+    ws_re = re.compile(_WS_CLASS)
     from pulsar_elasticsearch_sync_rs_spark.sources.batch import read_table
 
     merges = learn_bpe_merges({"low": 5, "lower": 2, "newest": 6, "widest": 3}, 10)
@@ -908,5 +915,6 @@ def test_bpe_learn_apply_canonical_and_spark_parity(spark, sf_dir):
     }
     ranks = {p: i for i, p in enumerate(corpus_merges)}
     for r in docs.collect():
-        want = sum(len(apply_bpe(w, ranks)) for w in r["text"].lower().split())
+        words = [w for w in ws_re.split(r["text"].lower()) if w]
+        want = sum(len(apply_bpe(w, ranks)) for w in words)
         assert got[r["doc_id"]] == want, f"doc {r['doc_id']}: {got[r['doc_id']]} != {want}"

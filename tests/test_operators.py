@@ -366,3 +366,9 @@ def test_count_min_sketch_guarantees(spark, sf_dir):
         cms_merge(cms, other)
     with _pytest.raises(ValueError, match="collide"):
         cms_estimate(cms, exact.withColumnRenamed("n", "cnt"), "token")
+
+    # cardinality contract: duplicate watchlist rows come back as
+    # duplicates — the estimate is per ROW, not per distinct key
+    doubled = exact.limit(3).unionAll(exact.limit(3))
+    est2 = cms_estimate(cms, doubled, "token").collect()
+    assert len(est2) == 6, f"expected 6 rows back for 6 in, got {len(est2)}"
