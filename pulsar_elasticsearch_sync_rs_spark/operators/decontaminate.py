@@ -1,0 +1,103 @@
+"""Benchmark decontamination — drop / flag corpus documents that share
+word n-grams with a held-out evaluation set (the GPT-3 / PaLM data-card
+hygiene pass, public knowledge).
+
+The benchmark side is a PARAMETER (any DataFrame with a text column),
+not a hard-wired corpus subset: in production it is the eval suite's
+own table, in the fixtures it is the ``doc_id % 97`` stand-in. The
+gram set is built once and deduped; whether it is broadcast is decided
+by MEASURING it, not by assuming it is small:
+
+- ``n_bench_grams <= max_broadcast_grams`` → ``F.broadcast`` hint (one
+  hash table per executor, zero shuffle of the corpus gram stream);
+- above the threshold → a plain equi-join (AQE picks sort-merge or
+  shuffled-hash), because a corpus-sized broadcast is how drivers die
+  at 100 TB.
+
+The count itself is one narrow job over the bench table — eval suites
+are tiny next to the corpus, and when they are not, that is exactly
+the case the guard exists for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import word_shingles
+
+# ~5M short strings ≈ low hundreds of MB as a broadcast hash relation —
+# comfortably inside a 4 GB executor; beyond this, shuffle instead.
+DEFAULT_MAX_BROADCAST_GRAMS = 5_000_000
+
+
+def bench_gram_set(bench: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """The distinct word n-gram set of the benchmark table — one
+    column ``g``. Deduped once so the join side carries no repeats."""
+    return bench.select(F.explode(word_shingles(text_col, n)).alias("g")).distinct()
+
+
+def contamination_hits(
+    corpus: DataFrame,
+    bench: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_broadcast_grams: int = DEFAULT_MAX_BROADCAST_GRAMS,
+) -> DataFrame:
+    """Per-document contamination report: ``(id_col, n_hit_ngrams)`` —
+    the number of DISTINCT word n-grams each corpus document shares
+    with ANY benchmark document. Documents with zero hits are absent
+    (join semantics); callers wanting a filter use
+    :func:`decontaminate`.
+
+    Scale shape: the corpus side explodes distinct shingles (narrow
+    strings, never document bodies); the only wide exchange is the
+    per-doc hit count — a partial-agg on ``id_col``. The bench side is
+    broadcast only if its measured distinct-gram count fits under
+    ``max_broadcast_grams``.
+    """
+    grams = bench_gram_set(bench, n, text_col)
+    grams, _ = _guarded(grams, max_broadcast_grams)
+    corpus_grams = corpus.select(
+        id_col, F.explode(word_shingles(text_col, n)).alias("g")
+    )
+    return (
+        corpus_grams.join(grams, "g")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hit_ngrams"))
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_broadcast_grams: int = DEFAULT_MAX_BROADCAST_GRAMS,
+) -> DataFrame:
+    """The filter form: corpus rows (all columns) that share NO word
+    n-gram with the benchmark set — the any-hit long-n-gram drop rule
+    used for real eval suites. Anti-joins on the id only, so document
+    text never shuffles on the gram key."""
+    grams = bench_gram_set(bench, n, text_col)
+    grams, _ = _guarded(grams, max_broadcast_grams)
+    hit_ids = (
+        corpus.select(id_col, F.explode(word_shingles(text_col, n)).alias("g"))
+        .join(grams, "g")
+        .select(id_col)
+        .distinct()
+    )
+    return corpus.join(hit_ids, id_col, "left_anti")
+
+
+def _guarded(grams: DataFrame, max_broadcast_grams: int):
+    """Apply the broadcast hint iff the measured gram count fits.
+    Returns ``(possibly-hinted grams, n_grams)``. The count is cheap —
+    it runs over the already-deduped bench gram set — and it is the
+    difference between "fast path" and "driver OOM" at scale."""
+    n_grams = grams.count()
+    if n_grams <= max_broadcast_grams:
+        return F.broadcast(grams), n_grams
+    return grams, n_grams

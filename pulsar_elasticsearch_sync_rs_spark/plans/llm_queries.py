@@ -22,7 +22,6 @@ from pulsar_elasticsearch_sync_rs_spark.functions.text import (
     token_count_bpe_ish,
     token_count_ws,
     word_bigrams,
-    word_shingles,
     ws_tokens,
 )
 from pulsar_elasticsearch_sync_rs_spark.operators.dedup import (
@@ -1097,22 +1096,21 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny next to a 100 TB corpus) → built once, deduped, and BROADCAST;
     the corpus side explodes distinct shingles (narrow strings, never
     document bodies) and the only shuffle is the per-doc hit count —
-    a partial-agg on doc_id. No corpus-vs-corpus join exists."""
+    a partial-agg on doc_id. No corpus-vs-corpus join exists.
+
+    The benchmark is a PARAMETER of the underlying operator
+    (operators/decontaminate.py) — any external eval table works; the
+    ``doc_id % 97`` subset is just this fixture's stand-in — and the
+    broadcast is guarded by a measured gram count, falling back to a
+    shuffle join when the bench set is too big to ship whole."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.decontaminate import (
+        contamination_hits,
+    )
+
     docs = read_table(spark, sf_dir, "documents")
-    shingled = docs.select("doc_id", word_shingles("text", 3).alias("sh"))
-    bench_grams = (
-        shingled.filter(F.col("doc_id") % 97 == 0)
-        .select(F.explode("sh").alias("g"))
-        .distinct()
-    )
-    corpus_grams = shingled.filter(F.col("doc_id") % 97 != 0).select(
-        "doc_id", F.explode("sh").alias("g")
-    )
-    return (
-        corpus_grams.join(F.broadcast(bench_grams), "g")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_hit_ngrams"))
-    )
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return contamination_hits(corpus, bench, n=3)
 
 
 ORACLE_DECONTAMINATE = r"""
@@ -1481,19 +1479,13 @@ def q_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # out. The corpus gram side shingles ONLY gate survivors — hits for
     # gate-rejected docs would be computed and then discarded by the
     # anti-join; bench grams still come from the full benchmark subset.
+    # Routed through the parameterized operator (broadcast-size guard).
+    from pulsar_elasticsearch_sync_rs_spark.operators.decontaminate import (
+        decontaminate,
+    )
+
     base = gated.filter(F.col("doc_id") % 97 != 0)
-    bench_grams = (
-        docs.filter(F.col("doc_id") % 97 == 0)
-        .select(F.explode(word_shingles("text", 5)).alias("g"))
-        .distinct()
-    )
-    hit_ids = (
-        base.select("doc_id", F.explode(word_shingles("text", 5)).alias("g"))
-        .join(F.broadcast(bench_grams), "g")
-        .select("doc_id")
-        .distinct()
-    )
-    clean = base.join(hit_ids, "doc_id", "left_anti")
+    clean = decontaminate(base, docs.filter(F.col("doc_id") % 97 == 0), n=5)
 
     # exact dedup: min-id survivor per sha, via semi-join (ids shuffle, text doesn't)
     surv_ids = (

@@ -372,3 +372,45 @@ def test_count_min_sketch_guarantees(spark, sf_dir):
     doubled = exact.limit(3).unionAll(exact.limit(3))
     est2 = cms_estimate(cms, doubled, "token").collect()
     assert len(est2) == 6, f"expected 6 rows back for 6 in, got {len(est2)}"
+
+
+def test_decontaminate_broadcast_guard(spark, sf_dir):
+    """The bench gram side is broadcast only when its MEASURED count
+    fits: (1) under the default threshold the gram join carries the
+    broadcast hint; (2) with the threshold forced below the gram count
+    no hint is planted — Catalyst/AQE may STILL choose broadcast from
+    measured stats (that is the point: measured, never assumed), so the
+    assertion is on the logical-plan hint, not the physical strategy;
+    (3) both paths return identical hits; (4) the filter form drops
+    exactly the hit docs."""
+    from pyspark.sql import functions as F
+
+    from pulsar_elasticsearch_sync_rs_spark.operators.decontaminate import (
+        contamination_hits,
+        decontaminate,
+    )
+    from pulsar_elasticsearch_sync_rs_spark.sources.batch import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+
+    fast = contamination_hits(corpus, bench, n=3)
+    slow = contamination_hits(corpus, bench, n=3, max_broadcast_grams=0)
+
+    plan_fast = fast._jdf.queryExecution().optimizedPlan().toString()
+    plan_slow = slow._jdf.queryExecution().optimizedPlan().toString()
+    assert "broadcast" in plan_fast, "small bench set must carry the broadcast hint"
+    assert "broadcast" not in plan_slow, (
+        "oversized bench set must NOT carry an unconditional broadcast hint"
+    )
+
+    got_fast = {(r["doc_id"], r["n_hit_ngrams"]) for r in fast.collect()}
+    got_slow = {(r["doc_id"], r["n_hit_ngrams"]) for r in slow.collect()}
+    assert got_fast == got_slow and got_fast, "both paths must agree (and hit something)"
+
+    clean = decontaminate(corpus, bench, n=3, max_broadcast_grams=0)
+    hit_ids = {d for d, _ in got_fast}
+    kept = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    all_ids = {r["doc_id"] for r in corpus.select("doc_id").collect()}
+    assert kept == all_ids - hit_ids, "filter form must drop exactly the hit docs"
