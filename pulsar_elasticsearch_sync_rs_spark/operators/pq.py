@@ -112,6 +112,47 @@ def encode_pq(
     return corpus.select(F.col(id_col), encode(F.col(vec_col)).alias("codes"))
 
 
+def persist_pq_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 16,
+    ksub: int = 64,
+    seed: int = 42,
+) -> np.ndarray:
+    """The one-off offline pass of PQ at scale (mirror of
+    persist_ivf_index): train the codebooks, encode the corpus ONCE,
+    and write the codes table + codebooks under ``path``. Every
+    subsequent search reads the 16×-smaller codes table and never
+    re-runs the encode UDF (plan-asserted in tests) — at 100 TB the
+    codes table is the only thing a query scans; re-encoding per query
+    would re-read the full embeddings every time. Returns the trained
+    (m, ksub, dsub) codebooks."""
+    import os
+
+    codebooks = train_pq_codebooks(
+        corpus, id_col=id_col, vec_col=vec_col, m=m, ksub=ksub, seed=seed
+    )
+    encode_pq(corpus, codebooks, id_col=id_col, vec_col=vec_col).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "codes"))
+    os.makedirs(path, exist_ok=True)
+    np.save(os.path.join(path, "codebooks.npy"), codebooks)
+    return codebooks
+
+
+def load_pq_index(spark, path: str):
+    """Read back a persisted PQ artifact → (codes DataFrame, codebooks).
+    The codebooks are tiny (m·ksub·dsub floats); the codes table stays
+    distributed."""
+    import os
+
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    codebooks = np.load(os.path.join(path, "codebooks.npy"))
+    return codes, codebooks
+
+
 def knn_cosine_pq(
     corpus: DataFrame,
     queries: DataFrame,
@@ -126,11 +167,70 @@ def knn_cosine_pq(
 ) -> DataFrame:
     """Approximate top-k by cosine: ADC scan over PQ codes → top
     (k·refine) candidates per query → exact cosine re-rank on the
-    candidates only. Output schema matches the other KNN lanes."""
+    candidates only. Output schema matches the other KNN lanes.
+    Trains + encodes inline — the self-contained form; production
+    persists once with :func:`persist_pq_index` and searches with
+    :func:`knn_cosine_pq_persisted`."""
     codebooks = train_pq_codebooks(
         corpus, id_col=id_col, vec_col=vec_col, m=m, ksub=ksub, seed=seed
     )
     codes = encode_pq(corpus, codebooks, id_col=id_col, vec_col=vec_col)
+    return pq_search(
+        codes,
+        codebooks,
+        corpus,
+        queries,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id=query_id,
+        refine=refine,
+    )
+
+
+def knn_cosine_pq_persisted(
+    spark,
+    path: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    refine: int = 8,
+) -> DataFrame:
+    """Search against a :func:`persist_pq_index` artifact: the plan
+    scans the persisted codes table (no encode UDF stage — asserted in
+    tests); ``corpus`` is touched only by the candidate re-rank join,
+    which reads O(#queries · k·refine) ids."""
+    codes, codebooks = load_pq_index(spark, path)
+    return pq_search(
+        codes,
+        codebooks,
+        corpus,
+        queries,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id=query_id,
+        refine=refine,
+    )
+
+
+def pq_search(
+    codes: DataFrame,
+    codebooks: np.ndarray,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    refine: int = 8,
+) -> DataFrame:
+    """ADC scan + exact re-rank over an already-encoded codes table —
+    the shared engine behind the inline and persisted entries."""
+    m, _ksub, _dsub = codebooks.shape
 
     # queries are a bounded set by contract (the other KNN lanes
     # broadcast them); their ADC tables are tiny: Q × m × ksub doubles

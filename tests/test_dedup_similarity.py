@@ -918,3 +918,48 @@ def test_bpe_learn_apply_canonical_and_spark_parity(spark, sf_dir):
         words = [w for w in ws_re.split(r["text"].lower()) if w]
         want = sum(len(apply_bpe(w, ranks)) for w in words)
         assert got[r["doc_id"]] == want, f"doc {r['doc_id']}: {got[r['doc_id']]} != {want}"
+
+
+def test_pq_persisted_index_no_reencode(spark, sf_dir, tmpdir):
+    """persist_pq_index → knn_cosine_pq_persisted: (1) results are
+    IDENTICAL to the inline lane (same codebooks — same seed, same
+    bounded sample); (2) the persisted search's plan contains NO encode
+    UDF stage — the codes parquet is what it scans — while the inline
+    lane's plan does; (3) the artifact round-trips (codes + codebooks
+    equal what persist returned)."""
+    import os
+
+    import numpy as np
+
+    from pulsar_elasticsearch_sync_rs_spark.operators.pq import (
+        knn_cosine_pq,
+        knn_cosine_pq_persisted,
+        load_pq_index,
+        persist_pq_index,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    path = os.path.join(tmpdir, "pq_index")
+    books = persist_pq_index(emb, path, m=16, ksub=64)
+
+    codes, books2 = load_pq_index(spark, path)
+    assert np.array_equal(books, books2)
+    assert codes.columns == ["vec_id", "codes"]
+    assert codes.count() == emb.count()
+
+    inline = knn_cosine_pq(emb, queries, k=5, m=16, ksub=64, refine=8)
+    persisted = knn_cosine_pq_persisted(spark, path, emb, queries, k=5, refine=8)
+
+    plan_inline = inline._jdf.queryExecution().executedPlan().toString()
+    plan_persisted = persisted._jdf.queryExecution().executedPlan().toString()
+    assert "encode(" in plan_inline, "inline lane must encode"
+    assert "encode(" not in plan_persisted, (
+        "persisted search must scan the codes table, never re-run the encode UDF"
+    )
+
+    got_i = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in inline.collect()}
+    got_p = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in persisted.collect()}
+    assert got_i == got_p and got_i
