@@ -80,17 +80,31 @@ def read_events_stream(
 
 def pulsar_reader_options(cfg: PipelineConfig) -> dict[str, str]:
     """Connector options for the StreamNative pulsar-spark source,
-    derived purely from config (unit-testable without the jar).
+    derived purely from config (unit-testable without the jar). Every
+    key below is from the connector's PUBLIC documented surface
+    (github.com/streamnative/pulsar-spark README) — the lane cannot
+    execute in this sandbox, so the option-key contract is pinned by a
+    golden table test instead (a silently renamed key would otherwise
+    surface only at a customer's cluster):
 
-    Auth parity: the reference reads a JWT from the ``PULSAR_TOKEN``
-    env var and attaches token auth to the client (reference
-    ``src/pulsar.rs:77-84``); the connector's equivalent is the
-    ``pulsar.client.auth*`` pass-through options below.
+    - ``service.url`` — broker address (reference ``src/args.rs:58``).
+    - ``topicsPattern`` — multi-topic regex subscription, full topic
+      names (S1; reference ``src/pulsar.rs`` consumer regex).
+    - ``predefinedSubscription`` — resume the reference's durable
+      subscription by name (the connector's documented key; there is
+      no ``subscriptionName`` option).
+    - ``maxEntriesPerTrigger`` — per-micro-batch admission cap, the
+      connector's analog of the reference's consumer permit budget
+      (X1; reference ``src/args.rs:101-103`` batch_size).
+    - ``pulsar.client.auth*`` — documented client-conf pass-through;
+      carries the JWT the reference reads from ``PULSAR_TOKEN``
+      (``src/pulsar.rs:77-84``).
     """
     opts = {
         "service.url": cfg.pulsar_addr,
         "topicsPattern": f"persistent://{cfg.pulsar_namespace}/{cfg.topic_regex}",
-        "subscriptionName": cfg.subscription,
+        "predefinedSubscription": cfg.subscription,
+        "maxEntriesPerTrigger": str(cfg.batch_size),
     }
     if cfg.pulsar_token:
         opts["pulsar.client.authPluginClassName"] = (

@@ -54,3 +54,45 @@ def test_pattern_compilation():
     assert cfg.global_filter_pattern == "(a)|(b)"
     assert cfg.debug_log_pattern == r"(\[DEBU\])"
     assert PipelineConfig().global_filter_pattern is None
+
+
+def test_pulsar_reader_options_golden_contract():
+    """Golden contract for the connector options builder: the exact
+    key set and values, table-driven. The pulsar lane cannot execute
+    in-sandbox (no jar/broker), so this pins what CAN be checked — the
+    documented StreamNative pulsar-spark option surface. A renamed or
+    misspelled key (e.g. the connector has no `subscriptionName`;
+    the documented key is `predefinedSubscription`) fails HERE instead
+    of silently at a customer's cluster."""
+    from pulsar_elasticsearch_sync_rs_spark.streaming.runner import pulsar_reader_options
+
+    cfg = PipelineConfig(
+        pulsar_addr="pulsar://broker.example:6650",
+        pulsar_namespace="tenant/ns",
+        topic_regex="app-.*",
+        subscription="es-sync-sub",
+        batch_size=2500,
+        pulsar_token="jwt-xyz",
+    )
+    assert pulsar_reader_options(cfg) == {
+        "service.url": "pulsar://broker.example:6650",
+        "topicsPattern": "persistent://tenant/ns/app-.*",
+        "predefinedSubscription": "es-sync-sub",
+        "maxEntriesPerTrigger": "2500",
+        "pulsar.client.authPluginClassName": (
+            "org.apache.pulsar.client.impl.auth.AuthenticationToken"
+        ),
+        "pulsar.client.authParams": "token:jwt-xyz",
+    }
+
+    # no token -> EXACTLY the unauthenticated surface, nothing extra
+    assert pulsar_reader_options(PipelineConfig()) == {
+        "service.url": "pulsar://localhost:6650",
+        "topicsPattern": "persistent://public/default/.*",
+        "predefinedSubscription": "pulsar-es-sync",
+        "maxEntriesPerTrigger": "1000",
+    }
+
+    # every value a spark .options() string (the connector takes str->str)
+    for k, v in pulsar_reader_options(cfg).items():
+        assert isinstance(k, str) and isinstance(v, str), (k, v)
