@@ -64,10 +64,10 @@ def q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TPCH_PRICING = """
 SELECT l_returnflag, l_linestatus,
-  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS VARCHAR) AS DOUBLE) AS sum_charge,
   count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -106,7 +106,7 @@ ORACLE_TPCH_JOIN_TOPK = """
 SELECT o_orderkey,
   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
   o_orderpriority,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS VARCHAR) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -141,7 +141,7 @@ def q_tpch_custrev(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TPCH_CUSTREV = """
 SELECT c_custkey, c_name, n_name,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS VARCHAR) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -176,7 +176,7 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_REGION_REVENUE = """
 SELECT r_name,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS VARCHAR) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -205,7 +205,7 @@ def q_rollup_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_ROLLUP_ACCTBAL = """
 SELECT r_name, n_name,
-  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal,
+  CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_acctbal,
   count(*) AS n_customers
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
@@ -268,7 +268,7 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_WINDOW_RUNNING = """
 SELECT o_orderkey, o_custkey,
   CAST(row_number() OVER w AS INTEGER) AS order_seq,
-  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS running_total
+  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS VARCHAR) AS DOUBLE) AS running_total
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -299,7 +299,7 @@ def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_WINDOW_RANGE = """
 SELECT event_id, user_id,
   CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
-  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_last_hour
+  CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS VARCHAR) AS DOUBLE) AS sum_last_hour
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
@@ -691,7 +691,7 @@ def q_cube_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_CUBE_VOLUME = """
 SELECT l_returnflag, l_linestatus,
-  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
   count(*) AS n_rows
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -977,7 +977,7 @@ SELECT event_type,
   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
   CASE WHEN GROUPING(date_trunc('hour', ts)) = 1 THEN 'day' ELSE 'hour' END AS grain,
   count(*) AS n_events,
-  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+  CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY GROUPING SETS ((event_type, date_trunc('day', ts)),
                         (event_type, date_trunc('day', ts), date_trunc('hour', ts)))
@@ -1051,7 +1051,7 @@ WITH hits AS (
   ) gs
 )
 SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start, event_type,
-  count(*) AS n_events, CAST(sum(v) AS DOUBLE) AS sum_value
+  count(*) AS n_events, CAST(CAST(sum(v) AS VARCHAR) AS DOUBLE) AS sum_value
 FROM hits
 GROUP BY w_start, event_type
 ORDER BY w_start, event_type

@@ -1643,7 +1643,7 @@ WITH toks AS (
 ), tf AS (
   SELECT term, count(*) AS c FROM toks GROUP BY term
 ), lm AS (
-  SELECT term, ln(CAST(c AS DOUBLE) / (SELECT CAST(sum(c) AS DOUBLE) FROM tf)) AS lp FROM tf
+  SELECT term, ln(CAST(c AS DOUBLE) / (SELECT CAST(CAST(sum(c) AS VARCHAR) AS DOUBLE) FROM tf)) AS lp FROM tf
 )
 SELECT t.doc_id, count(*) AS n_toks, round(avg(l.lp), 6) AS mean_logprob
 FROM toks t JOIN lm l USING (term)
