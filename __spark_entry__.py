@@ -221,6 +221,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_trending_windows": _wrap(A.q_trending_windows),  # busiest type per hopping window
         "q_bpe_token_count": _wrap(L.q_bpe_token_count),  # real BPE merge accounting (rows-only: iterative apply; parity pytest)
         "q_session_funnel": _wrap(A.q_session_funnel),  # sessionized signup->purchase conversion funnel
+        "q_token_budget": _wrap(L.q_token_budget),  # greedy-by-quality per-lang token-budget selection
+        "q_semantic_dedup": _wrap(L.q_semantic_dedup),  # SemDeDup: embedding-cosine transitive groups, one survivor each
     }
 
 
@@ -260,4 +262,6 @@ def extra_oracle_sql() -> dict[str, str]:
         "q_histogram_equidepth": A.ORACLE_HISTOGRAM_EQUIDEPTH,
         "q_trending_windows": A.ORACLE_TRENDING_WINDOWS,
         "q_session_funnel": A.ORACLE_SESSION_FUNNEL,
+        "q_token_budget": L.ORACLE_TOKEN_BUDGET,
+        "q_semantic_dedup": L.ORACLE_SEMANTIC_DEDUP,
     }

@@ -1953,3 +1953,164 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted corpus selection (round 6) — the "fill N tokens
+    per language, best documents first" pass every fixed-size
+    pre-training run executes (data-mixing recipes are specified in
+    tokens, not documents; public knowledge — e.g. the Chinchilla /
+    LLaMA data-card token accounting): per language, rank documents by
+    the heuristic quality score (ties → doc_id), then keep the prefix
+    whose running token total fits the per-language budget.
+
+    Scale shape: one scan computes (n_toks, quality) narrowly; the
+    only wide operation is the per-lang cumulative-sum window — a
+    single shuffle on lang, ~|langs| partitions; the take-while is a
+    filter on the running sum (monotone because n_toks ≥ 0, so
+    `cum ≤ budget` IS the greedy prefix). Document text never moves:
+    the window carries (doc_id, lang, n_toks, quality) only. At a real
+    key count the window key is (lang) with millions of rows per lang
+    — still one shuffle, and AQE splits skewed languages."""
+    from pulsar_elasticsearch_sync_rs_spark.functions.text import quality_score
+
+    budget = 1000  # tokens per language, fixture-sized
+    docs = read_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        token_count_ws("text").cast("bigint").alias("n_toks"),
+        quality_score("text").alias("quality"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        scored.withColumn("cum_toks", F.sum("n_toks").over(w))
+        .filter(F.col("cum_toks") <= budget)
+        .select("doc_id", "lang", "n_toks", "quality", "cum_toks")
+    )
+
+
+ORACLE_TOKEN_BUDGET = r"""
+WITH toks AS (
+  SELECT doc_id, lang, text,
+    list_filter(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'), t -> t <> '') AS t,
+    list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+'), t -> t <> '') AS tl
+  FROM documents
+), feat AS (
+  SELECT doc_id, lang,
+    CAST(len(t) AS BIGINT) AS n_toks,
+    CAST(len(t) AS DOUBLE) AS n_tok,
+    CASE WHEN len(t) > 0
+         THEN CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t)
+         ELSE 0.0 END AS mean_wlen,
+    CASE WHEN length(text) > 0
+         THEN CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / length(text)
+         ELSE 0.0 END AS punct_ratio,
+    CASE WHEN len(tl) > 0
+         THEN CAST(len(list_filter(tl, x -> list_contains(['the','and','of','to','a','in','is','it'], x))) AS DOUBLE) / len(tl)
+         ELSE 0.0 END AS sw_ratio
+  FROM toks
+), scored AS (
+  SELECT doc_id, lang, n_toks,
+    round(
+      least(n_tok / 50.0, 1.0) * 0.3
+      + (CASE WHEN mean_wlen >= 3 AND mean_wlen <= 10 THEN 1.0 ELSE 0.5 END) * 0.2
+      + (1.0 - least(punct_ratio * 5, 1.0)) * 0.25
+      + least(sw_ratio * 4, 1.0) * 0.25, 6) AS quality
+  FROM feat
+), cum AS (
+  SELECT *, sum(n_toks) OVER (
+      PARTITION BY lang ORDER BY quality DESC, doc_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_toks
+  FROM scored
+)
+SELECT doc_id, lang, n_toks, quality, cum_toks
+FROM cum WHERE cum_toks <= 1000
+ORDER BY lang, cum_toks
+"""
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (round 6) — SemDeDup-style (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication", public literature): documents whose EMBEDDINGS are
+    near-identical (cosine ≥ the duplicate threshold; 0.35 on this
+    unstructured random fixture, where the within-label max is ~0.45 —
+    production uses ~0.95 on real encoder output) are semantic duplicates even when
+    their text n-grams differ; keep one representative per transitive
+    duplicate group. Output: one row per SURVIVING vector with its
+    cluster size (singletons: size 1).
+
+    The oracle-able lane blocks pairs by label (the fixture's stand-in
+    for SemDeDup's k-means cluster assignment — the paper also
+    compares only within clusters; the scale path swaps the label for
+    an IVF cell from operators/ivf.py, same join shape). Edges are
+    exact within-block cosine; components run as the iterative
+    large-star/small-star contraction; survivor = min vec_id. Shuffle
+    budget: the pair join moves (label, id, vector) within blocks; the
+    component iterations move (long, long) edges only; the final agg
+    groups ≤|vectors| (cluster, id) rows."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.components import dedup_clusters
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    a, b = emb.alias("a"), emb.alias("b")
+    sim = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(sim, 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= 0.35)
+    )
+    clustered = dedup_clusters(emb, pairs, id_col="vec_id")
+    return (
+        clustered.groupBy("cluster")
+        .agg(
+            F.min("vec_id").alias("vec_id"),
+            F.count("*").cast("bigint").alias("cluster_size"),
+        )
+        .select("vec_id", "cluster_size")
+    )
+
+
+ORACLE_SEMANTIC_DEDUP = r"""
+WITH RECURSIVE edges AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE round(
+      list_sum(list_transform(generate_series(1, len(a.embedding)),
+        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
+           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+         * sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
+           i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 6)
+      >= 0.35
+), sym AS (
+  SELECT id_a AS u, id_b AS v FROM edges
+  UNION
+  SELECT id_b, id_a FROM edges
+), reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE r.u <> s.v
+), comp AS (
+  SELECT u AS id, least(u, min(v)) AS cluster FROM reach GROUP BY u
+), clustered AS (
+  SELECT e.vec_id, CAST(coalesce(c.cluster, e.vec_id) AS BIGINT) AS cluster
+  FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.id
+)
+SELECT CAST(min(vec_id) AS BIGINT) AS vec_id, count(*) AS cluster_size
+FROM clustered GROUP BY cluster
+ORDER BY vec_id
+"""
