@@ -87,3 +87,61 @@ def compact_clustered(
         max_records_per_file=target_rows_per_file,
     )
     return n_rows
+
+
+def persist_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned parquet layout (``write.partitionBy``):
+    one directory per partition value. Complements the row-group
+    clustering above at the COARSER granularity — a filter on a
+    partition column prunes whole DIRECTORIES at planning time
+    (``PartitionFilters`` in the scan, zero files listed for excluded
+    values), before row-group stats are even consulted. The standard
+    time-partitioning discipline for a 100 TB event table: partition
+    by date (bounded cardinality), cluster within partitions by the
+    hot filter key. Keep partition cardinality bounded — a
+    high-cardinality partition column creates millions of tiny
+    directories and kills the file index."""
+    if not partition_cols:
+        raise ValueError("partition_cols must name at least one column")
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def persist_bucketed(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    key: str,
+    n_buckets: int = 16,
+) -> None:
+    """Write ``df`` as a Spark-native bucketed+sorted table on ``key``
+    — the SMB (sort-merge-bucket) building block. TWO tables written
+    with the SAME bucket count on their join keys co-locate: the join
+    needs no Exchange and no Sort on either side (asserted in
+    tests/test_layout.py). At 100 TB this turns the recurring
+    fact⋈fact join (documents ⋈ embeddings, corpus ⋈ codes) from a
+    full double shuffle into a per-bucket merge — the bucketing cost
+    is paid once at write time."""
+    (
+        df.repartition(n_buckets, key)
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .option("path", path)
+        .saveAsTable(table_name)
+    )
+
+
+def bucketed_equi_join(spark, table_a: str, table_b: str, key_a: str, key_b: str):
+    """Join two :func:`persist_bucketed` tables on their bucket keys.
+    Declarative — Catalyst recognizes both sides' bucket layout
+    satisfies the join distribution and plans a shuffle-free SMJ."""
+    from pyspark.sql import functions as F
+
+    a = spark.table(table_a)
+    b = spark.table(table_b)
+    return a.join(b, F.col(key_a) == F.col(key_b))

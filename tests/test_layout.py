@@ -107,3 +107,68 @@ def test_compaction_rewrites_small_files(spark, sf_dir, tmp_path):
     for lang in langs:
         hits = sum(1 for mn, mx in ranges if mn <= lang <= mx)
         assert hits <= 2, f"lang={lang} hits {hits} row groups post-compaction"
+
+
+def test_partitioned_write_prunes_directories(spark, sf_dir, tmp_path):
+    """persist_partitioned: a filter on the partition column must (1)
+    appear as a PartitionFilters entry in the scan (directory-level
+    pruning at planning time, before row groups are consulted), (2)
+    return exactly the same rows as the unpartitioned read, and (3)
+    the layout on disk is one directory per value."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.layout import persist_partitioned
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    part_dir = str(tmp_path / "by_lang")
+    persist_partitioned(docs.filter(F.col("lang").isNotNull()), part_dir, ["lang"])
+
+    langs = sorted(
+        r["lang"] for r in docs.select("lang").distinct().collect() if r["lang"]
+    )
+    on_disk = sorted(
+        e.split("=", 1)[1] for e in os.listdir(part_dir) if e.startswith("lang=")
+    )
+    assert on_disk == langs, "one directory per partition value"
+
+    scan = spark.read.parquet(part_dir).filter(F.col("lang") == langs[0])
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and f"isnotnull(lang" in plan, plan
+    # the partition predicate must be IN PartitionFilters (planning-time
+    # directory pruning), not only a data filter
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "lang" in pf and langs[0] in pf, f"partition filter not pushed: {pf}"
+
+    want = {r["doc_id"] for r in docs.filter(F.col("lang") == langs[0]).collect()}
+    got = {r["doc_id"] for r in scan.collect()}
+    assert got == want
+
+
+def test_bucketed_pair_join_is_shuffle_and_sort_free(spark, sf_dir, tmp_path):
+    """SMB co-location: documents and embeddings written bucketed on
+    their join keys with the same bucket count must join with ZERO
+    Exchange (broadcast disabled to make the claim honest) — the
+    recurring fact⋈fact join at 100 TB rides the write-time layout."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.layout import (
+        bucketed_equi_join,
+        persist_bucketed,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    persist_bucketed(docs, "t_docs_b", str(tmp_path / "docs_b"), "doc_id", n_buckets=8)
+    persist_bucketed(emb, "t_emb_b", str(tmp_path / "emb_b"), "vec_id", n_buckets=8)
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = bucketed_equi_join(spark, "t_docs_b", "t_emb_b", "doc_id", "vec_id")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan, plan
+            assert "Exchange" not in plan, f"bucketed pair join must not shuffle:\n{plan}"
+            n = joined.count()
+            want = docs.join(emb, docs.doc_id == emb.vec_id).count()
+            assert n == want and n > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_docs_b")
+        spark.sql("DROP TABLE IF EXISTS t_emb_b")
