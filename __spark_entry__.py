@@ -223,6 +223,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_session_funnel": _wrap(A.q_session_funnel),  # sessionized signup->purchase conversion funnel
         "q_token_budget": _wrap(L.q_token_budget),  # greedy-by-quality per-lang token-budget selection
         "q_semantic_dedup": _wrap(L.q_semantic_dedup),  # SemDeDup: embedding-cosine transitive groups, one survivor each
+        "q_knn_ivfpq": _wrap(L.q_knn_ivfpq),  # IVF-PQ: cell-pruned ADC scan (rows-only; recall + degeneration pytest)
     }
 
 

@@ -393,6 +393,30 @@ def stream_throughput(spark, sf_dir: str) -> dict:
             view = read_view(spark, out_dir)
             return 0 if view is None else view.count()
 
+        def start_hh(ckpt, out):
+            from pulsar_elasticsearch_sync_rs_spark.streaming.heavy_hitters import (
+                heavy_hitters_stream,
+            )
+
+            src = read_events_stream(spark, src_dir)
+            toks = src.select(
+                F.explode(
+                    F.split(F.lower(F.col("value")), r'[\s",:{}]+')
+                ).alias("token")
+            ).filter(F.col("token") != "")
+
+            def sink(batch_df, batch_id):
+                batch_df.write.mode("append").parquet(out)
+
+            return (
+                heavy_hitters_stream(toks, n_buckets=8, capacity=32)
+                .writeStream.outputMode("update")
+                .foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+
         etl = run_lane("etl", start_etl, msgs_from_output=True)
         return {
             **etl,  # BENCH_r2/r3-compatible top-level ETL figures
@@ -402,6 +426,7 @@ def stream_throughput(spark, sf_dir: str) -> dict:
             "counters": run_lane("counters", start_counters),
             "interval_join": run_lane("interval_join", start_ijoin),
             "mview": run_lane("mview", start_mview, count_output=mview_outputs),
+            "heavy_hitters": run_lane("heavy_hitters", start_hh),
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -337,3 +337,156 @@ def pq_search(
             F.round("sim", 6).alias("cosine_sim"),
         )
     )
+
+
+def knn_cosine_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    m: int = 16,
+    ksub: int = 64,
+    nlist: int = 8,
+    nprobe: int = 4,
+    refine: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ (Jégou et al. 2011 §V: inverted file + product codes) —
+    the composition that actually runs at 100 TB: the IVF coarse
+    quantizer prunes the scan to the ``nprobe`` cells nearest each
+    query, and PQ/ADC ranks only those cells' 16-byte codes. The scan
+    cost drops to ~nprobe/nlist of the PQ-only lane while recall stays
+    within the probe radius (pytest-pinned vs brute force).
+
+    Spark shape: codes carry their cell_id; the ADC scan filters each
+    Arrow batch to the rows whose cell is probed by SOME query, then
+    masks per query — one mapInPandas pass, no per-cell jobs. With the
+    codes table persisted partitioned/clustered BY cell_id
+    (operators/layout.py), the probe filter becomes partition pruning
+    and the scan literally skips the unprobed cells' files."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.ivf import build_ivf_index
+
+    assigned, centers = build_ivf_index(
+        corpus, vec_col, nlist=nlist, seed=seed, id_col=id_col
+    )
+    codebooks = train_pq_codebooks(
+        corpus, id_col=id_col, vec_col=vec_col, m=m, ksub=ksub, seed=seed
+    )
+    enc = make_pq_encode_udf(codebooks)
+    codes = assigned.select(
+        F.col(id_col), F.col("cell_id"), enc(F.col(vec_col)).alias("codes")
+    )
+
+    q_rows = queries.select(F.col(query_id), F.col("query_vec")).collect()
+    if not q_rows:
+        raise ValueError("knn_cosine_ivfpq: empty query set")
+    Q = np.array([r["query_vec"] for r in q_rows], dtype=np.float64)
+    n_q, dim = Q.shape
+    # nprobe nearest coarse cells per query (driver-side: Q is bounded)
+    d2 = (
+        (Q * Q).sum(axis=1, keepdims=True)
+        - 2.0 * (Q @ centers.T)
+        + (centers * centers).sum(axis=1)
+    )
+    probe = np.argsort(d2, axis=1)[:, :nprobe]  # (n_q, nprobe)
+    probed_any = sorted({int(c) for row in probe for c in row})
+    probe_sets = [set(int(c) for c in row) for row in probe]
+
+    m_, ksub_, dsub = codebooks.shape
+    luts = np.einsum("qjd,jcd->qjc", Q.reshape(n_q, m_, dsub), codebooks)
+    cnorm2 = (codebooks * codebooks).sum(axis=2)
+    q_norms = np.linalg.norm(Q, axis=1)
+    n_cand = k * refine
+    cand_schema = T.StructType(
+        [
+            T.StructField("query_ix", T.IntegerType()),
+            T.StructField(id_col, corpus.schema[id_col].dataType),
+            T.StructField("adc_sim", T.DoubleType()),
+        ]
+    )
+
+    def scan_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best_ids = [[] for _ in range(n_q)]
+        best_sims = [[] for _ in range(n_q)]
+        j_ix = np.arange(m_)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            ids = pdf[id_col].to_numpy()
+            cells = pdf["cell_id"].to_numpy()
+            approx_norm = np.sqrt(cnorm2[j_ix[None, :], C].sum(axis=1))
+            den = np.where(approx_norm == 0, 1.0, approx_norm)
+            for q in range(n_q):
+                mask = np.fromiter(
+                    (int(c) in probe_sets[q] for c in cells), bool, len(cells)
+                )
+                if not mask.any():
+                    continue
+                dots = luts[q][j_ix[None, :], C[mask]].sum(axis=1)
+                sims = dots / (q_norms[q] * den[mask])
+                ids_m = ids[mask]
+                top = (
+                    np.argpartition(-sims, n_cand - 1)[:n_cand]
+                    if len(sims) > n_cand
+                    else np.arange(len(sims))
+                )
+                best_ids[q].append(ids_m[top])
+                best_sims[q].append(sims[top])
+        out_q, out_id, out_sim = [], [], []
+        for q in range(n_q):
+            if not best_ids[q]:
+                continue
+            ids_all = np.concatenate(best_ids[q])
+            sims_all = np.concatenate(best_sims[q])
+            top = (
+                np.argpartition(-sims_all, n_cand - 1)[:n_cand]
+                if len(sims_all) > n_cand
+                else np.arange(len(sims_all))
+            )
+            out_q.extend([q] * len(top))
+            out_id.extend(ids_all[top].tolist())
+            out_sim.extend(sims_all[top].tolist())
+        yield pd.DataFrame({"query_ix": out_q, id_col: out_id, "adc_sim": out_sim})
+
+    # the union-of-probes filter prunes BEFORE the Python scan — with a
+    # cell-partitioned codes table this is directory-level pruning
+    pruned = codes.filter(F.col("cell_id").isin(probed_any))
+    local_cands = pruned.mapInPandas(scan_partition, cand_schema)
+    w_adc = Window.partitionBy("query_ix").orderBy(
+        F.col("adc_sim").desc(), F.col(id_col).asc()
+    )
+    cands = (
+        local_cands.withColumn("__r", F.row_number().over(w_adc))
+        .filter(F.col("__r") <= n_cand)
+        .drop("__r", "adc_sim")
+    )
+    q_schema = T.StructType(
+        [
+            T.StructField("query_ix", T.IntegerType()),
+            T.StructField("q_id", queries.schema[query_id].dataType),
+            T.StructField("query_vec", queries.schema["query_vec"].dataType),
+        ]
+    )
+    qdf = queries.sparkSession.createDataFrame(
+        [(int(i), r[query_id], r["query_vec"]) for i, r in enumerate(q_rows)], q_schema
+    )
+    exact = (
+        cands.join(corpus.select(id_col, vec_col), id_col)
+        .join(F.broadcast(qdf), "query_ix")
+        .filter(F.col(id_col) != F.col("q_id"))
+        .withColumn("sim", cosine(F.col("query_vec"), F.col(vec_col)))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col(id_col).asc())
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("q_id").alias(query_id),
+            F.col(id_col).alias("neighbor_id"),
+            F.col("rank"),
+            F.round("sim", 6).alias("cosine_sim"),
+        )
+    )

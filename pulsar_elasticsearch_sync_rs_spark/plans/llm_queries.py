@@ -2114,3 +2114,20 @@ SELECT CAST(min(vec_id) AS BIGINT) AS vec_id, count(*) AS cluster_size
 FROM clustered GROUP BY cluster
 ORDER BY vec_id
 """
+
+
+def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed top-5 (operators/pq.py knn_cosine_ivfpq): coarse
+    cells prune the scan to nprobe/nlist of the corpus, ADC ranks only
+    the probed cells' 16-byte codes, exact re-rank on candidates.
+    K-means is iterative → rows-only driver check; pytest pins recall
+    vs brute force and exact degeneration to plain PQ at nprobe=nlist."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.pq import knn_cosine_ivfpq
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return knn_cosine_ivfpq(
+        emb, queries, k=5, nlist=8, nprobe=4, m=16, ksub=64, refine=8
+    )

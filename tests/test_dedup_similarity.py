@@ -963,3 +963,44 @@ def test_pq_persisted_index_no_reencode(spark, sf_dir, tmpdir):
     got_i = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in inline.collect()}
     got_p = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in persisted.collect()}
     assert got_i == got_p and got_i
+
+
+def test_knn_ivfpq_recall_and_pruning(spark, sf_dir):
+    """IVF-PQ composition: (1) recall vs exact brute force ≥0.7 at
+    nprobe=4/nlist=8 (the probe radius, not the codes, is the recall
+    limiter — same bound family as the plain IVF lane); (2) raising
+    nprobe to nlist recovers the PQ-only lane's answer set exactly
+    (cell pruning is the ONLY approximation added on top of PQ)."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.pq import (
+        knn_cosine_ivfpq,
+        knn_cosine_pq,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_cosine_bruteforce(emb, queries, k=5).collect()
+    }
+    ivfpq = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_cosine_ivfpq(
+            emb, queries, k=5, nlist=8, nprobe=4, m=16, ksub=64, refine=8
+        ).collect()
+    }
+    recall = len(exact & ivfpq) / len(exact)
+    assert recall >= 0.7, f"IVF-PQ recall {recall:.2f}"
+
+    full_probe = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_cosine_ivfpq(
+            emb, queries, k=5, nlist=8, nprobe=8, m=16, ksub=64, refine=8
+        ).collect()
+    }
+    pq_only = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_cosine_pq(emb, queries, k=5, m=16, ksub=64, refine=8).collect()
+    }
+    assert full_probe == pq_only, "nprobe=nlist must degenerate to plain PQ"

@@ -23,7 +23,7 @@ TABLES = (
 
 # ANN lanes train a quantizer; an empty corpus is a caller error by
 # design (operators/ivf.py bounded_training_sample guard)
-EXPECTED_RAISE = {"q_knn_ivf", "q_knn_pq", "q_embed_neardup_ivf"}
+EXPECTED_RAISE = {"q_knn_ivf", "q_knn_pq", "q_knn_ivfpq", "q_embed_neardup_ivf"}
 
 
 @pytest.fixture(scope="module")

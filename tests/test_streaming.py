@@ -760,3 +760,96 @@ def test_materialized_view_maintenance(spark, sf_dir, tmpdir):
         for r in read_view(spark, state_dir).collect()
     }
     assert got2 == expected, "restart double-counted the replayed batch"
+
+
+def test_stream_heavy_hitters_misra_gries(spark, sf_dir, tmpdir):
+    """Streaming Misra–Gries across REAL micro-batch boundaries (one
+    file per trigger): (1) state carries between batches — the final
+    per-bucket summaries reflect the whole stream; (2) the classic
+    guarantees hold vs exact batch counts: every estimate
+    UNDERestimates by at most N_bucket/(capacity+1), and every token
+    above that bucket threshold is present (no false negatives);
+    (3) the global top-5 tokens all survive."""
+    import os
+
+    from pulsar_elasticsearch_sync_rs_spark.functions.text import ws_tokens
+    from pulsar_elasticsearch_sync_rs_spark.sources.batch import read_table
+    from pulsar_elasticsearch_sync_rs_spark.streaming.heavy_hitters import (
+        heavy_hitters_stream,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(ws_tokens(F.lower(F.col("text")))).alias("token")
+    )
+    src_dir = os.path.join(tmpdir, "tok_src")
+    # several files -> several micro-batches with maxFilesPerTrigger=1
+    toks.repartition(4).write.parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema("doc_id long, token string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    out_dir = os.path.join(tmpdir, "hh_out")
+    n_buckets, capacity = 4, 24
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        heavy_hitters_stream(stream, n_buckets=n_buckets, capacity=capacity)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(tmpdir, "hh_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    emitted = spark.read.parquet(out_dir)
+    # latest summary per bucket = the one with that bucket's max n_seen
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("bucket").orderBy(F.col("n_seen").desc())
+    final = (
+        emitted.withColumn("rk", F.dense_rank().over(w))
+        .filter(F.col("rk") == 1)
+        .select("bucket", "token", "est_count", "n_seen")
+        .collect()
+    )
+    assert final, "no summaries emitted"
+    by_bucket_n = {}
+    est = {}
+    for r in final:
+        est[r["token"]] = r["est_count"]
+        by_bucket_n[r["bucket"]] = r["n_seen"]
+    assert len(by_bucket_n) == n_buckets
+
+    true_counts = {
+        r["token"]: r["n"]
+        for r in toks.groupBy("token").agg(F.count("*").alias("n")).collect()
+    }
+    bucket_of = {
+        r["token"]: r["b"]
+        for r in toks.select(
+            "token",
+            F.pmod(F.xxhash64(F.col("token").cast("string")), F.lit(n_buckets))
+            .cast("int")
+            .alias("b"),
+        )
+        .distinct()
+        .collect()
+    }
+    # per-bucket stream sizes must sum to the whole stream (state carried)
+    assert sum(by_bucket_n.values()) == toks.count()
+
+    for tok, e in est.items():
+        bound = by_bucket_n[bucket_of[tok]] / (capacity + 1)
+        assert e <= true_counts[tok] <= e + bound, (tok, e, true_counts[tok], bound)
+    for tok, n in true_counts.items():
+        thresh = by_bucket_n[bucket_of[tok]] / (capacity + 1)
+        if n > thresh:
+            assert tok in est, f"false negative above threshold: {tok} ({n} > {thresh})"
+
+    top5 = sorted(true_counts, key=lambda t: -true_counts[t])[:5]
+    assert all(t in est for t in top5), (top5, sorted(est)[:10])
