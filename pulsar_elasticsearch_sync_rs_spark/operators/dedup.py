@@ -142,6 +142,61 @@ def make_minhash_udf(num_hashes: int = 32, shingle_k: int = 3):
     return minhash_udf
 
 
+def minhash_bands(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """The banded-signature table (id, band_id, band_hash) — the shared
+    front half of LSH candidate generation, factored out so it can also
+    be PERSISTED as the at-rest near-dup index (see
+    :func:`persist_minhash_bands`).
+
+    Empty-shingle sentinel docs are excluded: every doc with
+    < shingle_k tokens shares the [MERSENNE]*K signature, so a crawl
+    corpus with millions of empty/short docs would concentrate them
+    ALL into one bucket per band (the degenerate mega-bucket). Their
+    exact Jaccard against anything is 0 (empty shingle set), so at
+    threshold > 0 excluding them is lossless — exact-dup collapsing of
+    empty docs is dedup_exact's job. The test is precise: permuted
+    hashes are (h·a+b) mod MERSENNE < MERSENNE strictly, so
+    sig[0] == MERSENNE ⟺ sentinel."""
+    rows_per_band = num_hashes // bands
+    mh = make_minhash_udf(num_hashes, shingle_k)
+    # the sentinel test is equivalent to "fewer than shingle_k tokens"
+    # (empty shingle set ⟺ sig == [MERSENNE]*K), so filter JVM-side
+    # BEFORE the UDF: filtering on element_at(sig, 1) afterwards made
+    # Catalyst's projection collapse inline the UDF into the Filter AND
+    # the Project — TWO ArrowEvalPython passes per document (found by
+    # the round-6 incremental-minhash plan pin; same family as the
+    # SKILL.md HOF re-evaluation gotcha)
+    sig = df.filter(F.size(ws_tokens(text)) >= shingle_k).select(
+        F.col(id_col), mh(F.col(text)).alias("sig")
+    )
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band_id"),
+            F.sha2(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ),
+                ),
+                256,
+            ).alias("band_hash"),
+        ),
+    )
+    return sig.select(id_col, F.explode(band_arr).alias("band")).select(
+        id_col, "band.band_id", "band.band_hash"
+    )
+
+
 def minhash_candidates(
     df: DataFrame,
     text: str = "text",
@@ -175,37 +230,13 @@ def minhash_candidates(
     exact in-row pair expansion, so results are unchanged unless the
     cap is actually hit.
     """
-    rows_per_band = num_hashes // bands
-    mh = make_minhash_udf(num_hashes, shingle_k)
-    sig = df.select(F.col(id_col), mh(F.col(text)).alias("sig"))
-    # exclude empty-shingle sentinel docs from candidate generation:
-    # every doc with < shingle_k tokens shares the [MERSENNE]*K
-    # signature, so a crawl corpus with millions of empty/short docs
-    # would concentrate them ALL into one bucket per band (the
-    # degenerate mega-bucket). Their exact Jaccard against anything is
-    # 0 (empty shingle set), so at threshold > 0 excluding them is
-    # lossless — exact-dup collapsing of empty docs is dedup_exact's
-    # job. The test is precise: permuted hashes are (h·a+b) mod
-    # MERSENNE < MERSENNE strictly, so sig[0] == MERSENNE ⟺ sentinel.
-    sig = sig.filter(F.element_at("sig", 1) != MERSENNE)
-    band_arr = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.struct(
-            b.alias("band_id"),
-            F.sha2(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                        lambda x: x.cast("string"),
-                    ),
-                ),
-                256,
-            ).alias("band_hash"),
-        ),
-    )
-    banded = sig.select(id_col, F.explode(band_arr).alias("band")).select(
-        id_col, "band.band_id", "band.band_hash"
+    banded = minhash_bands(
+        df,
+        text=text,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
     )
     # bucket-grouped pair generation instead of a self-join: a
     # self-join recomputes the ENTIRE signature subtree (the Arrow UDF
@@ -658,3 +689,97 @@ def dedup_incremental_bucketed(
         .agg(F.min(id_col).alias(id_col))
     )
     return first.join(idx, "sha", "left_anti").select(id_col, "sha")
+
+
+def persist_minhash_bands(
+    corpus: DataFrame,
+    table_name: str,
+    path: str,
+    text: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    n_buckets: int = 16,
+) -> None:
+    """Materialize the corpus's banded minhash signatures as a
+    Spark-native BUCKETED table on ``band_hash`` — the near-dup
+    counterpart of :func:`persist_sha_index`. The expensive half of
+    LSH (shingle → signature → band) is paid ONCE for the history;
+    every subsequent increment signatures only its own documents and
+    joins the persisted bands co-located (the history never
+    re-signatures and never re-shuffles — plan-asserted in tests)."""
+    (
+        minhash_bands(
+            corpus,
+            text=text,
+            id_col=id_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_k=shingle_k,
+        )
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "band_hash")
+        .sortBy("band_hash")
+        .option("path", path)
+        .saveAsTable(table_name)
+    )
+
+
+def incremental_minhash_candidates(
+    spark,
+    table_name: str,
+    batch: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    n_buckets: int = 16,
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """Near-dup candidates for a NEW batch against a
+    :func:`persist_minhash_bands` history, plus within-batch pairs —
+    the daily-increment production shape for MinHash dedup. Returns
+    (id_a, id_b), id_a < id_b, distinct; completeness is pytest-pinned:
+    restricted to pairs touching the batch, this equals what a full
+    from-scratch ``minhash_candidates`` over history ∪ batch finds.
+
+    Scale: the batch side computes signatures for ITS documents only
+    and is repartitioned to the index's bucket count on ``band_hash``
+    so the equi-join reads history buckets co-located (``n_buckets``
+    must match the persist call — same contract as
+    :func:`dedup_incremental_bucketed`). The history contributes
+    (id, band_id, band_hash) rows, never text."""
+    new_bands = minhash_bands(
+        batch,
+        text=text,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
+    ).repartition(n_buckets, "band_hash")
+    old = spark.table(table_name)
+    cross = (
+        new_bands.alias("n")
+        .join(
+            old.alias("o"),
+            (F.col("n.band_id") == F.col("o.band_id"))
+            & (F.col("n.band_hash") == F.col("o.band_hash")),
+        )
+        .select(
+            F.least(F.col(f"n.{id_col}"), F.col(f"o.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"n.{id_col}"), F.col(f"o.{id_col}")).alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
+    within = minhash_candidates(
+        batch,
+        text=text,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
+        max_bucket=max_bucket,
+    )
+    return cross.unionByName(within).distinct()

@@ -1004,3 +1004,77 @@ def test_knn_ivfpq_recall_and_pruning(spark, sf_dir):
         for r in knn_cosine_pq(emb, queries, k=5, m=16, ksub=64, refine=8).collect()
     }
     assert full_probe == pq_only, "nprobe=nlist must degenerate to plain PQ"
+
+
+def test_incremental_minhash_matches_full_rebuild(spark, sf_dir, tmp_path):
+    """Incremental near-dup against the persisted band index: (1)
+    COMPLETENESS — candidates touching the new batch are exactly what a
+    full from-scratch minhash_candidates over history ∪ batch finds
+    (same signatures either way, so the split cannot change the
+    answer); (2) the history side of the join is the bucketed table
+    scan with NO Exchange and NO signature UDF (the increment
+    re-signatures only its own documents)."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.dedup import (
+        incremental_minhash_candidates,
+        persist_minhash_bands,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    history = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    new_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+
+    persist_minhash_bands(
+        history, "t_mh_bands", str(tmp_path / "mh_bands"), n_buckets=8
+    )
+    try:
+        old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            inc = incremental_minhash_candidates(
+                spark, "t_mh_bands", batch, n_buckets=8
+            )
+            plan = inc._jdf.queryExecution().executedPlan().toString()
+            # the history branch: bucketed scan joined without its own
+            # Exchange — exactly one Exchange feeds the cross join (the
+            # batch repartition); minhash_udf appears for batch branches
+            # (cross + within) but the history table contributes none
+            join_seg = plan.split("SortMergeJoin", 1)[0]
+            got_inc = {(r["id_a"], r["id_b"]) for r in inc.collect()}
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+
+        full = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_candidates(docs).collect()
+        }
+        want = {p for p in full if p[0] in new_ids or p[1] in new_ids}
+        assert got_inc == want and want, (
+            f"incremental != full-restricted: only_inc={got_inc - want} "
+            f"missing={want - got_inc}"
+        )
+        # plan pins, on the isolated cross join (batch × history): the
+        # persisted-table side carries NO Arrow UDF node — exactly one
+        # (the batch's own signature) vs two when the history bands are
+        # recomputed inline
+        assert "t_mh_bands" in plan
+        from pulsar_elasticsearch_sync_rs_spark.operators.dedup import minhash_bands
+
+        nb = minhash_bands(batch).repartition(8, "band_hash").alias("n")
+        on = lambda o: (F.col("n.band_id") == F.col(f"{o}.band_id")) & (
+            F.col("n.band_hash") == F.col(f"{o}.band_hash")
+        )
+        persisted_join = nb.join(spark.table("t_mh_bands").alias("o"), on("o"))
+        inline_join = nb.join(minhash_bands(history).alias("o2").withColumnRenamed(
+            "doc_id", "doc_id_o").alias("o2"), on("o2"))
+        p_cnt = persisted_join._jdf.queryExecution().executedPlan().toString().count(
+            "ArrowEvalPython"
+        )
+        i_cnt = inline_join._jdf.queryExecution().executedPlan().toString().count(
+            "ArrowEvalPython"
+        )
+        assert p_cnt == 1 and i_cnt == 2, (
+            f"persisted history must not re-signature: {p_cnt=} {i_cnt=}"
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_mh_bands")
