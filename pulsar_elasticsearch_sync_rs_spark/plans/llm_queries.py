@@ -2131,3 +2131,39 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_cosine_ivfpq(
         emb, queries, k=5, nlist=8, nprobe=4, m=16, ksub=64, refine=8
     )
+
+
+def q_dedup_minhash_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup — minhash twin of q_dedup_incremental: the
+    new batch (upper half of doc_ids) signatures only itself and joins
+    the existing corpus's banded signatures for cross candidates, plus
+    within-batch LSH. Rows-only (crc32 minhash has no DuckDB twin);
+    completeness vs a full rebuild and the persisted-index plan
+    (history never re-signatures, co-located buckets) are pytest-pinned
+    in tests/test_dedup_similarity.py."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.dedup import (
+        minhash_bands,
+        minhash_candidates,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    split_at = docs.agg(
+        F.floor(F.max("doc_id") / 2).cast("bigint").alias("m")
+    ).collect()[0]["m"]
+    history = docs.filter(F.col("doc_id") <= split_at)
+    batch = docs.filter(F.col("doc_id") > split_at)
+    nb = minhash_bands(batch).alias("n")
+    ob = minhash_bands(history).alias("o")
+    cross = (
+        nb.join(
+            ob,
+            (F.col("n.band_id") == F.col("o.band_id"))
+            & (F.col("n.band_hash") == F.col("o.band_hash")),
+        )
+        .select(
+            F.least(F.col("n.doc_id"), F.col("o.doc_id")).alias("id_a"),
+            F.greatest(F.col("n.doc_id"), F.col("o.doc_id")).alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
+    return cross.unionByName(minhash_candidates(batch)).distinct()
