@@ -94,10 +94,16 @@ def decontaminate(
 
 def _guarded(grams: DataFrame, max_broadcast_grams: int):
     """Apply the broadcast hint iff the measured gram count fits.
-    Returns ``(possibly-hinted grams, n_grams)``. The count is cheap —
-    it runs over the already-deduped bench gram set — and it is the
-    difference between "fast path" and "driver OOM" at scale."""
+    Returns ``(possibly-hinted grams, n_grams)``. The gram set is
+    cached around the count so the downstream join reuses the counted
+    result instead of re-running the bench explode+distinct; in the
+    broadcast regime the cache is ≤ ``max_broadcast_grams`` short
+    strings by construction. In the fallback regime the cache is
+    dropped — a too-big-to-broadcast set is too big to pin in memory
+    too, and the shuffle join recomputes it distributed."""
+    grams = grams.persist()
     n_grams = grams.count()
     if n_grams <= max_broadcast_grams:
         return F.broadcast(grams), n_grams
+    grams.unpersist()
     return grams, n_grams

@@ -741,9 +741,12 @@ def incremental_minhash_candidates(
     """Near-dup candidates for a NEW batch against a
     :func:`persist_minhash_bands` history, plus within-batch pairs —
     the daily-increment production shape for MinHash dedup. Returns
-    (id_a, id_b), id_a < id_b, distinct; completeness is pytest-pinned:
-    restricted to pairs touching the batch, this equals what a full
-    from-scratch ``minhash_candidates`` over history ∪ batch finds.
+    (id_a, id_b), id_a < id_b, distinct. Below the ``max_bucket`` cap,
+    completeness is pytest-pinned: restricted to pairs touching the
+    batch, this equals what a full from-scratch ``minhash_candidates``
+    over history ∪ batch finds. Above the cap the cross join degrades
+    like the batch operator does (see :func:`cross_band_candidates`):
+    connectivity-preserving star pairs, O(batch members) output.
 
     Scale: the batch side computes signatures for ITS documents only
     and is repartitioned to the index's bucket count on ``band_hash``
@@ -759,19 +762,8 @@ def incremental_minhash_candidates(
         bands=bands,
         shingle_k=shingle_k,
     ).repartition(n_buckets, "band_hash")
-    old = spark.table(table_name)
-    cross = (
-        new_bands.alias("n")
-        .join(
-            old.alias("o"),
-            (F.col("n.band_id") == F.col("o.band_id"))
-            & (F.col("n.band_hash") == F.col("o.band_hash")),
-        )
-        .select(
-            F.least(F.col(f"n.{id_col}"), F.col(f"o.{id_col}")).alias("id_a"),
-            F.greatest(F.col(f"n.{id_col}"), F.col(f"o.{id_col}")).alias("id_b"),
-        )
-        .filter(F.col("id_a") != F.col("id_b"))
+    cross = cross_band_candidates(
+        new_bands, spark.table(table_name), id_col=id_col, max_bucket=max_bucket
     )
     within = minhash_candidates(
         batch,
@@ -783,3 +775,52 @@ def incremental_minhash_candidates(
         max_bucket=max_bucket,
     )
     return cross.unionByName(within).distinct()
+
+
+def cross_band_candidates(
+    new_bands: DataFrame,
+    old_bands: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """Batch×history candidate pairs from two banded-signature tables
+    (shared by the persisted-index and inline lanes). Per (band_id,
+    band_hash) bucket, the HISTORY side's size decides the regime:
+
+    - ``k_old ≤ max_bucket`` — exact cross pairs (the parity regime);
+    - ``k_old > max_bucket`` — a history mega-bucket (the crawl
+      boilerplate cluster); enumerating batch×history pairs there is
+      the quadratic blowup the batch operator's guard exists to
+      prevent. Degrade to STAR pairs: each batch member pairs with the
+      bucket's history hub (min history id) only — O(batch members)
+      rows. That preserves exactly what incremental dedup needs (every
+      new doc connects to the existing cluster; history members were
+      already clustered when THEY were ingested) and gives up only the
+      redundant per-member fan-out.
+
+    The history stats (count, hub) are one aggregation over
+    (band_id, band_hash, id) rows — never text — and ride the same
+    bucket co-location as the join itself."""
+    keys = ["band_id", "band_hash"]
+    o_stats = old_bands.groupBy(*keys).agg(
+        F.count("*").alias("__k_o"), F.min(id_col).alias("__hub_o")
+    )
+    nb = new_bands.alias("n").join(o_stats, keys)
+    small_pairs = (
+        nb.filter(F.col("__k_o") <= max_bucket)
+        .join(old_bands.alias("o"), keys)
+        .select(
+            F.least(F.col(f"n.{id_col}"), F.col(f"o.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"n.{id_col}"), F.col(f"o.{id_col}")).alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
+    mega_pairs = (
+        nb.filter(F.col("__k_o") > max_bucket)
+        .select(
+            F.least(F.col(f"n.{id_col}"), F.col("__hub_o")).alias("id_a"),
+            F.greatest(F.col(f"n.{id_col}"), F.col("__hub_o")).alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
+    return small_pairs.unionByName(mega_pairs)

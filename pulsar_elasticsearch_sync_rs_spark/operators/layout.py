@@ -139,9 +139,10 @@ def persist_bucketed(
 def bucketed_equi_join(spark, table_a: str, table_b: str, key_a: str, key_b: str):
     """Join two :func:`persist_bucketed` tables on their bucket keys.
     Declarative — Catalyst recognizes both sides' bucket layout
-    satisfies the join distribution and plans a shuffle-free SMJ."""
-    from pyspark.sql import functions as F
-
+    satisfies the join distribution and plans a shuffle-free SMJ.
+    The condition binds each key to ITS table, so same-named keys on
+    both sides (the common corpus ⋈ codes case) don't trip the
+    analyzer's ambiguous-reference check."""
     a = spark.table(table_a)
     b = spark.table(table_b)
-    return a.join(b, F.col(key_a) == F.col(key_b))
+    return a.join(b, a[key_a] == b[key_b])

@@ -229,14 +229,50 @@ def pq_search(
     refine: int = 8,
 ) -> DataFrame:
     """ADC scan + exact re-rank over an already-encoded codes table —
-    the shared engine behind the inline and persisted entries."""
+    the shared engine behind the inline, persisted, and IVF-PQ
+    entries (the latter adds a cell-probe mask)."""
+    return _adc_scan_and_rerank(
+        codes,
+        codebooks,
+        corpus,
+        queries,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id=query_id,
+        refine=refine,
+        probe_bool=None,
+    )
+
+
+def _adc_scan_and_rerank(
+    codes: DataFrame,
+    codebooks: np.ndarray,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id: str,
+    refine: int,
+    probe_bool,
+    q_rows=None,
+) -> DataFrame:
+    """One implementation of ADC scan → global top-C → exact re-rank.
+    ``probe_bool`` is None (scan every row for every query) or an
+    (n_q, nlist) boolean lookup — then ``codes`` must carry a
+    ``cell_id`` column and each query ranks only rows whose cell it
+    probes (``mask = probe_bool[q, cells]``, fully vectorized — cells
+    are bounded ints, so the lookup is one fancy-index, no per-row
+    Python)."""
     m, _ksub, _dsub = codebooks.shape
 
     # queries are a bounded set by contract (the other KNN lanes
     # broadcast them); their ADC tables are tiny: Q × m × ksub doubles
-    q_rows = queries.select(F.col(query_id), F.col("query_vec")).collect()
+    if q_rows is None:
+        q_rows = queries.select(F.col(query_id), F.col("query_vec")).collect()
     if not q_rows:
-        raise ValueError("knn_cosine_pq: empty query set")
+        raise ValueError("pq search: empty query set")
     q_ids = [r[query_id] for r in q_rows]
     Q = np.array([r["query_vec"] for r in q_rows], dtype=np.float64)
     n_q, dim = Q.shape
@@ -258,23 +294,33 @@ def pq_search(
         # running per-partition top-n_cand per query across batches
         best_ids = [[] for _ in range(n_q)]
         best_sims = [[] for _ in range(n_q)]
+        j_ix = np.arange(m)
         for pdf in batches:
             if pdf.empty:
                 continue
             C = np.array(pdf["codes"].tolist(), dtype=np.int64)  # (n, m)
             ids = pdf[id_col].to_numpy()
-            j_ix = np.arange(m)
+            cells = pdf["cell_id"].to_numpy() if probe_bool is not None else None
             approx_norm = np.sqrt(cnorm2[j_ix[None, :], C].sum(axis=1))  # (n,)
             den = np.where(approx_norm == 0, 1.0, approx_norm)
             for q in range(n_q):
-                dots = luts[q][j_ix[None, :], C].sum(axis=1)  # (n,)
-                sims = dots / (q_norms[q] * den)
+                if probe_bool is not None:
+                    mask = probe_bool[q, cells]
+                    if not mask.any():
+                        continue
+                    dots = luts[q][j_ix[None, :], C[mask]].sum(axis=1)
+                    sims = dots / (q_norms[q] * den[mask])
+                    ids_q = ids[mask]
+                else:
+                    dots = luts[q][j_ix[None, :], C].sum(axis=1)  # (n,)
+                    sims = dots / (q_norms[q] * den)
+                    ids_q = ids
                 top = (
                     np.argpartition(-sims, n_cand - 1)[:n_cand]
                     if len(sims) > n_cand
                     else np.arange(len(sims))
                 )
-                best_ids[q].append(ids[top])
+                best_ids[q].append(ids_q[top])
                 best_sims[q].append(sims[top])
         out_q, out_id, out_sim = [], [], []
         for q in range(n_q):
@@ -358,14 +404,15 @@ def knn_cosine_ivfpq(
     quantizer prunes the scan to the ``nprobe`` cells nearest each
     query, and PQ/ADC ranks only those cells' 16-byte codes. The scan
     cost drops to ~nprobe/nlist of the PQ-only lane while recall stays
-    within the probe radius (pytest-pinned vs brute force).
+    within the probe radius (pytest-pinned vs brute force, and exact
+    degeneration to plain PQ at nprobe=nlist).
 
-    Spark shape: codes carry their cell_id; the ADC scan filters each
-    Arrow batch to the rows whose cell is probed by SOME query, then
-    masks per query — one mapInPandas pass, no per-cell jobs. With the
-    codes table persisted partitioned/clustered BY cell_id
-    (operators/layout.py), the probe filter becomes partition pruning
-    and the scan literally skips the unprobed cells' files."""
+    Spark shape: codes carry their cell_id; the union-of-probes filter
+    prunes BEFORE the Python scan (with a cell-partitioned codes table
+    — operators/layout.py — it becomes directory pruning), then each
+    query masks to ITS probed cells inside the one shared
+    ``mapInPandas`` ADC engine (a vectorized (n_q, nlist) boolean
+    lookup, no per-row Python)."""
     from pulsar_elasticsearch_sync_rs_spark.operators.ivf import build_ivf_index
 
     assigned, centers = build_ivf_index(
@@ -383,7 +430,7 @@ def knn_cosine_ivfpq(
     if not q_rows:
         raise ValueError("knn_cosine_ivfpq: empty query set")
     Q = np.array([r["query_vec"] for r in q_rows], dtype=np.float64)
-    n_q, dim = Q.shape
+    n_q = len(Q)
     # nprobe nearest coarse cells per query (driver-side: Q is bounded)
     d2 = (
         (Q * Q).sum(axis=1, keepdims=True)
@@ -391,102 +438,21 @@ def knn_cosine_ivfpq(
         + (centers * centers).sum(axis=1)
     )
     probe = np.argsort(d2, axis=1)[:, :nprobe]  # (n_q, nprobe)
-    probed_any = sorted({int(c) for row in probe for c in row})
-    probe_sets = [set(int(c) for c in row) for row in probe]
+    probe_bool = np.zeros((n_q, len(centers)), dtype=bool)
+    probe_bool[np.arange(n_q)[:, None], probe] = True
+    probed_any = sorted(int(c) for c in np.unique(probe))
 
-    m_, ksub_, dsub = codebooks.shape
-    luts = np.einsum("qjd,jcd->qjc", Q.reshape(n_q, m_, dsub), codebooks)
-    cnorm2 = (codebooks * codebooks).sum(axis=2)
-    q_norms = np.linalg.norm(Q, axis=1)
-    n_cand = k * refine
-    cand_schema = T.StructType(
-        [
-            T.StructField("query_ix", T.IntegerType()),
-            T.StructField(id_col, corpus.schema[id_col].dataType),
-            T.StructField("adc_sim", T.DoubleType()),
-        ]
-    )
-
-    def scan_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        best_ids = [[] for _ in range(n_q)]
-        best_sims = [[] for _ in range(n_q)]
-        j_ix = np.arange(m_)
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            C = np.array(pdf["codes"].tolist(), dtype=np.int64)
-            ids = pdf[id_col].to_numpy()
-            cells = pdf["cell_id"].to_numpy()
-            approx_norm = np.sqrt(cnorm2[j_ix[None, :], C].sum(axis=1))
-            den = np.where(approx_norm == 0, 1.0, approx_norm)
-            for q in range(n_q):
-                mask = np.fromiter(
-                    (int(c) in probe_sets[q] for c in cells), bool, len(cells)
-                )
-                if not mask.any():
-                    continue
-                dots = luts[q][j_ix[None, :], C[mask]].sum(axis=1)
-                sims = dots / (q_norms[q] * den[mask])
-                ids_m = ids[mask]
-                top = (
-                    np.argpartition(-sims, n_cand - 1)[:n_cand]
-                    if len(sims) > n_cand
-                    else np.arange(len(sims))
-                )
-                best_ids[q].append(ids_m[top])
-                best_sims[q].append(sims[top])
-        out_q, out_id, out_sim = [], [], []
-        for q in range(n_q):
-            if not best_ids[q]:
-                continue
-            ids_all = np.concatenate(best_ids[q])
-            sims_all = np.concatenate(best_sims[q])
-            top = (
-                np.argpartition(-sims_all, n_cand - 1)[:n_cand]
-                if len(sims_all) > n_cand
-                else np.arange(len(sims_all))
-            )
-            out_q.extend([q] * len(top))
-            out_id.extend(ids_all[top].tolist())
-            out_sim.extend(sims_all[top].tolist())
-        yield pd.DataFrame({"query_ix": out_q, id_col: out_id, "adc_sim": out_sim})
-
-    # the union-of-probes filter prunes BEFORE the Python scan — with a
-    # cell-partitioned codes table this is directory-level pruning
     pruned = codes.filter(F.col("cell_id").isin(probed_any))
-    local_cands = pruned.mapInPandas(scan_partition, cand_schema)
-    w_adc = Window.partitionBy("query_ix").orderBy(
-        F.col("adc_sim").desc(), F.col(id_col).asc()
-    )
-    cands = (
-        local_cands.withColumn("__r", F.row_number().over(w_adc))
-        .filter(F.col("__r") <= n_cand)
-        .drop("__r", "adc_sim")
-    )
-    q_schema = T.StructType(
-        [
-            T.StructField("query_ix", T.IntegerType()),
-            T.StructField("q_id", queries.schema[query_id].dataType),
-            T.StructField("query_vec", queries.schema["query_vec"].dataType),
-        ]
-    )
-    qdf = queries.sparkSession.createDataFrame(
-        [(int(i), r[query_id], r["query_vec"]) for i, r in enumerate(q_rows)], q_schema
-    )
-    exact = (
-        cands.join(corpus.select(id_col, vec_col), id_col)
-        .join(F.broadcast(qdf), "query_ix")
-        .filter(F.col(id_col) != F.col("q_id"))
-        .withColumn("sim", cosine(F.col("query_vec"), F.col(vec_col)))
-    )
-    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col(id_col).asc())
-    return (
-        exact.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("q_id").alias(query_id),
-            F.col(id_col).alias("neighbor_id"),
-            F.col("rank"),
-            F.round("sim", 6).alias("cosine_sim"),
-        )
+    return _adc_scan_and_rerank(
+        pruned,
+        codebooks,
+        corpus,
+        queries,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id=query_id,
+        refine=refine,
+        probe_bool=probe_bool,
+        q_rows=q_rows,
     )

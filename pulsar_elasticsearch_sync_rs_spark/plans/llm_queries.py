@@ -2142,6 +2142,7 @@ def q_dedup_minhash_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     (history never re-signatures, co-located buckets) are pytest-pinned
     in tests/test_dedup_similarity.py."""
     from pulsar_elasticsearch_sync_rs_spark.operators.dedup import (
+        cross_band_candidates,
         minhash_bands,
         minhash_candidates,
     )
@@ -2152,18 +2153,5 @@ def q_dedup_minhash_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0]["m"]
     history = docs.filter(F.col("doc_id") <= split_at)
     batch = docs.filter(F.col("doc_id") > split_at)
-    nb = minhash_bands(batch).alias("n")
-    ob = minhash_bands(history).alias("o")
-    cross = (
-        nb.join(
-            ob,
-            (F.col("n.band_id") == F.col("o.band_id"))
-            & (F.col("n.band_hash") == F.col("o.band_hash")),
-        )
-        .select(
-            F.least(F.col("n.doc_id"), F.col("o.doc_id")).alias("id_a"),
-            F.greatest(F.col("n.doc_id"), F.col("o.doc_id")).alias("id_b"),
-        )
-        .filter(F.col("id_a") != F.col("id_b"))
-    )
+    cross = cross_band_candidates(minhash_bands(batch), minhash_bands(history))
     return cross.unionByName(minhash_candidates(batch)).distinct()

@@ -14,9 +14,13 @@ threshold), and each kept estimate underestimates by at most
 N_bucket/(capacity+1).
 
 After every micro-batch each updated group emits its full summary
-(output mode "update"); downstream keeps the latest (bucket, token)
-row — a tiny, bounded view that is the streaming answer to "what are
-the hot keys right now" without unbounded per-token state.
+(output mode "update"). Downstream must keep the latest FULL summary
+per BUCKET (the rows with that bucket's max ``n_seen``), NOT the
+latest row per (bucket, token): a counter decremented out of the
+summary emits no tombstone, so a per-token "latest" view would retain
+evicted tokens forever and grow unboundedly. The per-bucket view is
+the bounded O(n_buckets · capacity) answer to "what are the hot keys
+right now" — see tests/test_streaming.py for the canonical read.
 """
 
 from __future__ import annotations

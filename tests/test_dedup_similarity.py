@@ -1035,11 +1035,6 @@ def test_incremental_minhash_matches_full_rebuild(spark, sf_dir, tmp_path):
                 spark, "t_mh_bands", batch, n_buckets=8
             )
             plan = inc._jdf.queryExecution().executedPlan().toString()
-            # the history branch: bucketed scan joined without its own
-            # Exchange — exactly one Exchange feeds the cross join (the
-            # batch repartition); minhash_udf appears for batch branches
-            # (cross + within) but the history table contributes none
-            join_seg = plan.split("SortMergeJoin", 1)[0]
             got_inc = {(r["id_a"], r["id_b"]) for r in inc.collect()}
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
@@ -1078,3 +1073,41 @@ def test_incremental_minhash_matches_full_rebuild(spark, sf_dir, tmp_path):
         )
     finally:
         spark.sql("DROP TABLE IF EXISTS t_mh_bands")
+
+
+def test_cross_band_mega_bucket_degrades_to_star(spark):
+    """The incremental cross join's mega-bucket guard: a history band
+    bucket bigger than max_bucket must NOT enumerate batch×history
+    pairs (the crawl-boilerplate quadratic blowup); it emits exactly
+    one (history hub, batch member) star pair per batch member.
+    Below the cap the exact cross pairs are unchanged."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.dedup import (
+        cross_band_candidates,
+        minhash_bands,
+    )
+
+    boiler = "same boilerplate text repeated across the whole crawl today"
+    other = "a completely different document about engines and physics"
+    hist_rows = [Row(doc_id=i, text=boiler) for i in range(100, 150)]  # 50 clones
+    hist_rows += [Row(doc_id=i, text=other) for i in range(150, 153)]  # small bucket
+    batch_rows = [Row(doc_id=i, text=boiler) for i in range(200, 205)]
+    batch_rows += [Row(doc_id=210, text=other)]
+    hist = minhash_bands(spark.createDataFrame(hist_rows))
+    batch = minhash_bands(spark.createDataFrame(batch_rows))
+
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in cross_band_candidates(batch, hist, max_bucket=20).distinct().collect()
+    }
+    # mega bucket (50 history clones > 20): each batch clone pairs with
+    # the hub (min history id = 100) ONLY
+    mega_pairs = {p for p in capped if p[1] >= 200 and p[0] < 150 and p[1] < 210}
+    assert mega_pairs == {(100, i) for i in range(200, 205)}, mega_pairs
+    # small bucket (3 history docs): full cross — every (hist, batch) pair
+    assert {(i, 210) for i in range(150, 153)} <= capped
+    # uncapped: the boilerplate cluster enumerates all 50×5 cross pairs
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in cross_band_candidates(batch, hist, max_bucket=1024).distinct().collect()
+    }
+    assert {(h, b) for h in range(100, 150) for b in range(200, 205)} <= uncapped

@@ -167,8 +167,24 @@ def test_bucketed_pair_join_is_shuffle_and_sort_free(spark, sf_dir, tmp_path):
             n = joined.count()
             want = docs.join(emb, docs.doc_id == emb.vec_id).count()
             assert n == want and n > 0
+
+            # SAME-named join keys (the corpus ⋈ codes case): the
+            # condition must bind per table, not trip the analyzer's
+            # ambiguous-reference check
+            persist_bucketed(
+                emb.withColumnRenamed("vec_id", "doc_id"),
+                "t_emb_same",
+                str(tmp_path / "emb_same"),
+                "doc_id",
+                n_buckets=8,
+            )
+            same = bucketed_equi_join(spark, "t_docs_b", "t_emb_same", "doc_id", "doc_id")
+            plan2 = same._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan2
+            assert same.count() == want
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     finally:
         spark.sql("DROP TABLE IF EXISTS t_docs_b")
         spark.sql("DROP TABLE IF EXISTS t_emb_b")
+        spark.sql("DROP TABLE IF EXISTS t_emb_same")
