@@ -456,3 +456,95 @@ def knn_cosine_ivfpq(
         probe_bool=probe_bool,
         q_rows=q_rows,
     )
+
+
+def persist_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 16,
+    ksub: int = 64,
+    nlist: int = 8,
+    seed: int = 42,
+):
+    """The at-rest form of IVF-PQ — the 100 TB ANN layout: codes
+    written PARTITIONED BY cell_id (operators/layout.py's directory
+    pruning applied to ANN), so a search's union-of-probes filter
+    prunes whole cell directories at planning time and the scan never
+    lists the unprobed cells' files. Coarse centers + codebooks (tiny)
+    sit beside the codes. Returns (centers, codebooks)."""
+    import os
+
+    from pulsar_elasticsearch_sync_rs_spark.operators.ivf import build_ivf_index
+
+    assigned, centers = build_ivf_index(
+        corpus, vec_col, nlist=nlist, seed=seed, id_col=id_col
+    )
+    codebooks = train_pq_codebooks(
+        corpus, id_col=id_col, vec_col=vec_col, m=m, ksub=ksub, seed=seed
+    )
+    enc = make_pq_encode_udf(codebooks)
+    (
+        assigned.select(F.col(id_col), F.col("cell_id"), enc(F.col(vec_col)).alias("codes"))
+        .write.mode("overwrite")
+        .partitionBy("cell_id")
+        .parquet(os.path.join(path, "codes"))
+    )
+    os.makedirs(path, exist_ok=True)
+    np.save(os.path.join(path, "centers.npy"), centers)
+    np.save(os.path.join(path, "codebooks.npy"), codebooks)
+    return centers, codebooks
+
+
+def knn_cosine_ivfpq_persisted(
+    spark,
+    path: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    nprobe: int = 4,
+    refine: int = 8,
+) -> DataFrame:
+    """Search a :func:`persist_ivfpq_index` artifact: no training, no
+    encoding (plan-asserted) — the probe filter lands in the scan's
+    PartitionFilters, so only the probed cells' directories are read;
+    the corpus is touched only by the exact re-rank's candidate join."""
+    import os
+
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    centers = np.load(os.path.join(path, "centers.npy"))
+    codebooks = np.load(os.path.join(path, "codebooks.npy"))
+
+    q_rows = queries.select(F.col(query_id), F.col("query_vec")).collect()
+    if not q_rows:
+        raise ValueError("knn_cosine_ivfpq_persisted: empty query set")
+    Q = np.array([r["query_vec"] for r in q_rows], dtype=np.float64)
+    n_q = len(Q)
+    d2 = (
+        (Q * Q).sum(axis=1, keepdims=True)
+        - 2.0 * (Q @ centers.T)
+        + (centers * centers).sum(axis=1)
+    )
+    probe = np.argsort(d2, axis=1)[:, :nprobe]
+    probe_bool = np.zeros((n_q, len(centers)), dtype=bool)
+    probe_bool[np.arange(n_q)[:, None], probe] = True
+    probed_any = sorted(int(c) for c in np.unique(probe))
+
+    pruned = codes.filter(F.col("cell_id").isin(probed_any))
+    return _adc_scan_and_rerank(
+        pruned,
+        codebooks,
+        corpus,
+        queries,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id=query_id,
+        refine=refine,
+        probe_bool=probe_bool,
+        q_rows=q_rows,
+    )

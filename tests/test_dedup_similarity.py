@@ -1111,3 +1111,43 @@ def test_cross_band_mega_bucket_degrades_to_star(spark):
         for r in cross_band_candidates(batch, hist, max_bucket=1024).distinct().collect()
     }
     assert {(h, b) for h in range(100, 150) for b in range(200, 205)} <= uncapped
+
+
+def test_ivfpq_persisted_partition_pruning(spark, sf_dir, tmpdir):
+    """persist_ivfpq_index → knn_cosine_ivfpq_persisted: (1) results
+    IDENTICAL to the inline IVF-PQ lane (same seeds → same centers and
+    codebooks); (2) the probe filter lands in the scan's
+    PartitionFilters (directory-level cell pruning) and the plan has
+    NO encode UDF; (3) the codes directory is laid out one dir per
+    cell."""
+    import os
+
+    from pulsar_elasticsearch_sync_rs_spark.operators.pq import (
+        knn_cosine_ivfpq,
+        knn_cosine_ivfpq_persisted,
+        persist_ivfpq_index,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    path = os.path.join(tmpdir, "ivfpq")
+    centers, books = persist_ivfpq_index(emb, path, nlist=8, m=16, ksub=64)
+    cell_dirs = [e for e in os.listdir(os.path.join(path, "codes")) if e.startswith("cell_id=")]
+    assert len(cell_dirs) == 8, cell_dirs
+
+    persisted = knn_cosine_ivfpq_persisted(
+        spark, path, emb, queries, k=5, nprobe=4, refine=8
+    )
+    plan = persisted._jdf.queryExecution().executedPlan().toString()
+    assert "encode(" not in plan, "persisted search must not re-encode"
+    pf = plan.split("PartitionFilters: [", 1)
+    assert len(pf) == 2 and "cell_id" in pf[1].split("]", 1)[0], (
+        f"probe filter must prune cell directories:\n{plan[:2000]}"
+    )
+
+    inline = knn_cosine_ivfpq(emb, queries, k=5, nlist=8, nprobe=4, m=16, ksub=64, refine=8)
+    got_p = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in persisted.collect()}
+    got_i = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in inline.collect()}
+    assert got_p == got_i and got_p
