@@ -853,3 +853,42 @@ def test_stream_heavy_hitters_misra_gries(spark, sf_dir, tmpdir):
 
     top5 = sorted(true_counts, key=lambda t: -true_counts[t])[:5]
     assert all(t in est for t in top5), (top5, sorted(est)[:10])
+
+
+def test_stream_decontamination_matches_batch(spark, sf_dir, tmpdir):
+    """Streaming decontamination (stream-static join at ingestion):
+    documents streamed in several micro-batches against a static
+    benchmark table produce EXACTLY the batch operator's clean set,
+    and bench docs themselves never enter the stream's input (they are
+    the static side)."""
+    import os
+
+    from pulsar_elasticsearch_sync_rs_spark.operators.decontaminate import (
+        decontaminate,
+    )
+    from pulsar_elasticsearch_sync_rs_spark.sources.batch import read_table
+    from pulsar_elasticsearch_sync_rs_spark.streaming.decontam import (
+        decontaminate_stream,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+
+    src_dir = os.path.join(tmpdir, "dc_src")
+    corpus.repartition(3).write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    out_dir = os.path.join(tmpdir, "dc_out")
+    q = decontaminate_stream(
+        stream, bench, out_dir, os.path.join(tmpdir, "dc_ckpt"),
+        n=3, available_now=True,
+    )
+    q.awaitTermination(180)
+
+    got = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    want = {r["doc_id"] for r in decontaminate(corpus, bench, n=3).collect()}
+    assert got == want and got, f"stream clean set != batch: {len(got)} vs {len(want)}"
