@@ -225,7 +225,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semantic_dedup": _wrap(L.q_semantic_dedup),  # SemDeDup: embedding-cosine transitive groups, one survivor each
         "q_knn_ivfpq": _wrap(L.q_knn_ivfpq),  # IVF-PQ: cell-pruned ADC scan (rows-only; recall + degeneration pytest)
         "q_dedup_minhash_incr": _wrap(L.q_dedup_minhash_incr),  # incremental near-dup vs corpus bands (rows-only; rebuild-parity pytest)
-        "q_approx_distinct": _wrap(A.q_approx_distinct),  # HLL++ distinct sketch beside exact (rows-only; error-bound pytest)
+        "q_semantic_dedup_ivf": _wrap(L.q_semantic_dedup_ivf),  # SemDeDup scale path: IVF-cell blocking (rows-only; planted-twin pytest)
     }
 
 

@@ -824,3 +824,68 @@ def cross_band_candidates(
         .filter(F.col("id_a") != F.col("id_b"))
     )
     return small_pairs.unionByName(mega_pairs)
+
+
+def semantic_dedup_ivf(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    nprobe: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """The SCALE path of semantic dedup (SemDeDup, Abbas et al. 2023):
+    blocking by IVF cell instead of a label column — the paper's own
+    recipe (compare only within k-means clusters). Each vector is
+    assigned to its ``nprobe`` nearest coarse cells (multi-probe, so
+    near-dups straddling a cell boundary still meet in the neighbour
+    cell); pairs = exact cosine within a shared cell at ≥ threshold.
+    Returns (survivor ``id_col``, cluster_size) — min-id survivor per
+    transitive duplicate group, singletons size 1.
+
+    Scale shape: the quantizer trains on the bounded driver sample;
+    cell assignment is one Arrow pass; the pair join moves
+    (cell_id, id, vector) within cells only — cell size
+    (corpus/nlist × nprobe) is the knob that keeps the within-cell
+    verify bounded as the corpus grows; components move (long, long)
+    edges; text/vectors never cross the wire again after the join."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.components import dedup_clusters
+    from pulsar_elasticsearch_sync_rs_spark.operators.ivf import (
+        make_cell_probe_udf,
+        train_coarse_quantizer,
+    )
+    from pulsar_elasticsearch_sync_rs_spark.operators.similarity import cosine
+
+    centers = train_coarse_quantizer(
+        emb, id_col=id_col, vec_col=vec_col, nlist=nlist, seed=seed
+    )
+    probe = make_cell_probe_udf(centers, nprobe=nprobe)
+    cells = emb.select(
+        id_col, vec_col, F.explode(probe(F.col(vec_col))).alias("cell_id")
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cell_id") == F.col("b.cell_id"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b")
+        .distinct()  # multi-probe can pair the same ids in two cells
+    )
+    clustered = dedup_clusters(emb, pairs, id_col=id_col)
+    return (
+        clustered.groupBy("cluster")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count("*").cast("bigint").alias("cluster_size"),
+        )
+        .select(id_col, "cluster_size")
+    )

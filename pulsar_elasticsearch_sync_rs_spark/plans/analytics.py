@@ -1306,35 +1306,3 @@ FROM per_sess
 GROUP BY user_id ORDER BY user_id
 """
 
-
-def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct counting (round 6) — the sketch twin of
-    q_distinct_users: per event type, ``approx_count_distinct`` over
-    user_id beside the exact count, relative error rendered. The HLL
-    register array is FIXED-size mergeable state (map-side partials
-    combine at O(registers), never buffering the id set) — at 100 TB
-    the exact distinct must shuffle every distinct id once, the sketch
-    shuffles a few KB per group.
-
-    Rows-only by nature (HLL internals are engine-specific — Spark's
-    HLL++ and DuckDB's sketch would disagree in the last percent);
-    pytest pins |approx − exact| / exact ≤ 3·rsd per group."""
-    ev = read_table(spark, sf_dir, "events")
-    rsd = 0.02
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", rsd).alias("approx_users"),
-            F.countDistinct("user_id").alias("exact_users"),
-        )
-        .select(
-            "event_type",
-            "approx_users",
-            "exact_users",
-            F.round(
-                F.abs(F.col("approx_users") - F.col("exact_users"))
-                / F.col("exact_users"),
-                6,
-            ).alias("rel_err"),
-        )
-    )

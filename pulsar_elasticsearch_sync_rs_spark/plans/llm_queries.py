@@ -2155,3 +2155,14 @@ def q_dedup_minhash_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(F.col("doc_id") > split_at)
     cross = cross_band_candidates(minhash_bands(batch), minhash_bands(history))
     return cross.unionByName(minhash_candidates(batch)).distinct()
+
+
+def q_semantic_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path of q_semantic_dedup — IVF-cell blocking instead of
+    the label column (the SemDeDup paper's own within-k-means-cluster
+    recipe). K-means is iterative → rows-only; planted-twin collapse,
+    survivor rule, and size-partition invariants are pytest-pinned."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.dedup import semantic_dedup_ivf
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_ivf(emb, threshold=0.35, nlist=8, nprobe=2)

@@ -1151,3 +1151,31 @@ def test_ivfpq_persisted_partition_pruning(spark, sf_dir, tmpdir):
     got_p = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in persisted.collect()}
     got_i = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in inline.collect()}
     assert got_p == got_i and got_p
+
+
+def test_semantic_dedup_ivf_planted_twins(spark, sf_dir):
+    """IVF-cell-blocked semantic dedup (the SemDeDup scale path): on a
+    corpus with PLANTED near-identical vector pairs, (1) every planted
+    twin collapses into its partner's cluster (multi-probe catches
+    boundary straddlers), (2) survivors are min-id, (3) sizes account
+    for every vector exactly once."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.dedup import semantic_dedup_ivf
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    # plant twins: copies of vectors 0..4 with a tiny deterministic
+    # perturbation (cosine ≈ 1 to the original)
+    base = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x * F.lit(1.0) + F.lit(1e-4)
+        ).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(base)
+
+    out = semantic_dedup_ivf(corpus, threshold=0.999, nlist=8, nprobe=2)
+    rows = {r["vec_id"]: r["cluster_size"] for r in out.collect()}
+    assert sum(rows.values()) == n + 5, "sizes must partition the corpus"
+    for i in range(5):
+        assert rows.get(i) is not None and rows[i] >= 2, f"twin of {i} not collapsed"
+        assert (i + 100000) not in rows, "survivor must be the min id"

@@ -23,7 +23,13 @@ TABLES = (
 
 # ANN lanes train a quantizer; an empty corpus is a caller error by
 # design (operators/ivf.py bounded_training_sample guard)
-EXPECTED_RAISE = {"q_knn_ivf", "q_knn_pq", "q_knn_ivfpq", "q_embed_neardup_ivf"}
+EXPECTED_RAISE = {
+    "q_knn_ivf",
+    "q_knn_pq",
+    "q_knn_ivfpq",
+    "q_embed_neardup_ivf",
+    "q_semantic_dedup_ivf",
+}
 
 
 @pytest.fixture(scope="module")
