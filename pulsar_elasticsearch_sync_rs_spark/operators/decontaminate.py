@@ -92,18 +92,27 @@ def decontaminate(
     return corpus.join(hit_ids, id_col, "left_anti")
 
 
-def _guarded(grams: DataFrame, max_broadcast_grams: int):
+def _guarded(grams: DataFrame, max_broadcast_grams: int, keep_cached: bool = False):
     """Apply the broadcast hint iff the measured gram count fits.
-    Returns ``(possibly-hinted grams, n_grams)``. The gram set is
-    cached around the count so the downstream join reuses the counted
-    result instead of re-running the bench explode+distinct; in the
-    broadcast regime the cache is ≤ ``max_broadcast_grams`` short
-    strings by construction. In the fallback regime the cache is
-    dropped — a too-big-to-broadcast set is too big to pin in memory
-    too, and the shuffle join recomputes it distributed."""
+    Returns ``(possibly-hinted grams, n_grams)``.
+
+    ``keep_cached`` decides the cache lifetime in the broadcast
+    regime. The streaming lane passes ``True``: the gram set is probed
+    by EVERY micro-batch for the query's lifetime, so pinning the
+    counted result (≤ ``max_broadcast_grams`` short strings by
+    construction) is the point. Batch callers keep the default
+    ``False``: the cache is released right after the guard's count, so
+    a one-shot ``contamination_hits``/``decontaminate`` call leaks
+    nothing — the broadcast build re-runs the bench explode+distinct
+    once, a narrow job over the (by-definition-small-here) bench
+    table. In the fallback regime the cache is always dropped — a
+    too-big-to-broadcast set is too big to pin in memory too, and the
+    shuffle join recomputes it distributed."""
     grams = grams.persist()
     n_grams = grams.count()
     if n_grams <= max_broadcast_grams:
+        if not keep_cached:
+            grams.unpersist()
         return F.broadcast(grams), n_grams
     grams.unpersist()
     return grams, n_grams

@@ -238,14 +238,27 @@ def minhash_candidates(
         bands=bands,
         shingle_k=shingle_k,
     )
-    # bucket-grouped pair generation instead of a self-join: a
-    # self-join recomputes the ENTIRE signature subtree (the Arrow UDF
-    # pass over every document) once per join side — Catalyst does not
-    # share subtrees across join branches. Grouping materializes each
-    # bucket's id list once (one signature pass, ONE shuffle on the
-    # short uniform band key) and expands the within-bucket pairs
-    # in-row with two explodes. The window's count/min share that same
-    # hash partitioning, so sizing the buckets adds no extra Exchange.
+    return candidates_from_bands(banded, id_col=id_col, max_bucket=max_bucket)
+
+
+def candidates_from_bands(
+    banded: DataFrame, id_col: str = "doc_id", max_bucket: int = 1024
+) -> DataFrame:
+    """Within-table candidate pairs from an already-banded signature
+    table — the back half of :func:`minhash_candidates`, factored out
+    so callers holding a bands DataFrame (the incremental lane's
+    already-computed batch bands, or a loaded persisted index) can
+    generate pairs WITHOUT re-running the signature UDF.
+
+    Bucket-grouped pair generation instead of a self-join: a
+    self-join recomputes the ENTIRE signature subtree (the Arrow UDF
+    pass over every document) once per join side — Catalyst does not
+    share subtrees across join branches. Grouping materializes each
+    bucket's id list once (one signature pass, ONE shuffle on the
+    short uniform band key) and expands the within-bucket pairs
+    in-row with two explodes. The window's count/min share that same
+    hash partitioning, so sizing the buckets adds no extra Exchange.
+    """
     w = Window.partitionBy("band_id", "band_hash")
     sized = banded.withColumn("__k", F.count(F.lit(1)).over(w)).withColumn(
         "__hub", F.min(id_col).over(w)
@@ -748,32 +761,35 @@ def incremental_minhash_candidates(
     like the batch operator does (see :func:`cross_band_candidates`):
     connectivity-preserving star pairs, O(batch members) output.
 
-    Scale: the batch side computes signatures for ITS documents only
-    and is repartitioned to the index's bucket count on ``band_hash``
-    so the equi-join reads history buckets co-located (``n_buckets``
-    must match the persist call — same contract as
+    Scale: the batch side computes signatures for ITS documents only —
+    and exactly ONCE: the banded batch is persisted (bounded:
+    batch_rows × bands short rows) and feeds BOTH the cross join and
+    the within-batch pass via :func:`candidates_from_bands`, so the
+    signature UDF subtree is not duplicated across the union's
+    branches (the same double-evaluation family round 6 fixed inside
+    minhash_bands). The cache is batch-sized, and Spark's
+    ContextCleaner reclaims it once the result goes out of scope. The
+    batch bands are repartitioned to the index's bucket count on
+    ``band_hash`` so the equi-join reads history buckets co-located
+    (``n_buckets`` must match the persist call — same contract as
     :func:`dedup_incremental_bucketed`). The history contributes
     (id, band_id, band_hash) rows, never text."""
-    new_bands = minhash_bands(
-        batch,
-        text=text,
-        id_col=id_col,
-        num_hashes=num_hashes,
-        bands=bands,
-        shingle_k=shingle_k,
-    ).repartition(n_buckets, "band_hash")
+    new_bands = (
+        minhash_bands(
+            batch,
+            text=text,
+            id_col=id_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_k=shingle_k,
+        )
+        .repartition(n_buckets, "band_hash")
+        .persist()
+    )
     cross = cross_band_candidates(
         new_bands, spark.table(table_name), id_col=id_col, max_bucket=max_bucket
     )
-    within = minhash_candidates(
-        batch,
-        text=text,
-        id_col=id_col,
-        num_hashes=num_hashes,
-        bands=bands,
-        shingle_k=shingle_k,
-        max_bucket=max_bucket,
-    )
+    within = candidates_from_bands(new_bands, id_col=id_col, max_bucket=max_bucket)
     return cross.unionByName(within).distinct()
 
 
@@ -861,9 +877,16 @@ def semantic_dedup_ivf(
         emb, id_col=id_col, vec_col=vec_col, nlist=nlist, seed=seed
     )
     probe = make_cell_probe_udf(centers, nprobe=nprobe)
+    # persist the assignment before the self-join: Catalyst does not
+    # share subtrees across join branches, so without the cache the
+    # cell-probe Arrow UDF (and the explode) would re-run over the FULL
+    # corpus once per side — the anti-pattern candidates_from_bands'
+    # comment warns about. The cached table is (id, vector, cell) ×
+    # nprobe — corpus-scaled, hence MEMORY_AND_DISK; ContextCleaner
+    # reclaims it when the result goes out of scope.
     cells = emb.select(
         id_col, vec_col, F.explode(probe(F.col(vec_col))).alias("cell_id")
-    )
+    ).persist()
     a, b = cells.alias("a"), cells.alias("b")
     pairs = (
         a.join(

@@ -99,6 +99,35 @@ def make_pq_encode_udf(codebooks: np.ndarray):
     return encode
 
 
+def _save_ndarray(spark, path: str, arr: np.ndarray) -> None:
+    """Persist a SMALL numpy array (codebooks / coarse centers) as a
+    one-file parquet table through the Spark writer, so the whole index
+    artifact lives on the same filesystem as the codes table for ANY
+    Hadoop-addressable ``path`` (s3a://, hdfs://, …). A driver-local
+    ``np.save`` would silently split the artifact across filesystems
+    for non-local paths and the loader could never read it back."""
+    flat = arr.reshape(arr.shape[0], -1)
+    rows = [
+        (int(i), [int(s) for s in arr.shape], [float(x) for x in flat[i]])
+        for i in range(arr.shape[0])
+    ]
+    (
+        spark.createDataFrame(rows, "row_id INT, shape ARRAY<INT>, vals ARRAY<DOUBLE>")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def _load_ndarray(spark, path: str) -> np.ndarray:
+    """Inverse of :func:`_save_ndarray` — a bounded driver read
+    (m·ksub·dsub / nlist·d floats, kilobytes by construction)."""
+    rows = spark.read.parquet(path).orderBy("row_id").collect()
+    shape = tuple(rows[0]["shape"])
+    flat = np.array([r["vals"] for r in rows], dtype=np.float64)
+    return flat.reshape(shape)
+
+
 def encode_pq(
     corpus: DataFrame,
     codebooks: np.ndarray,
@@ -128,17 +157,18 @@ def persist_pq_index(
     re-runs the encode UDF (plan-asserted in tests) — at 100 TB the
     codes table is the only thing a query scans; re-encoding per query
     would re-read the full embeddings every time. Returns the trained
-    (m, ksub, dsub) codebooks."""
-    import os
+    (m, ksub, dsub) codebooks. The codebooks sidecar is written through
+    the Spark writer too (see :func:`_save_ndarray`), so the artifact
+    is one coherent directory on whatever filesystem ``path`` names."""
+    import posixpath
 
     codebooks = train_pq_codebooks(
         corpus, id_col=id_col, vec_col=vec_col, m=m, ksub=ksub, seed=seed
     )
     encode_pq(corpus, codebooks, id_col=id_col, vec_col=vec_col).write.mode(
         "overwrite"
-    ).parquet(os.path.join(path, "codes"))
-    os.makedirs(path, exist_ok=True)
-    np.save(os.path.join(path, "codebooks.npy"), codebooks)
+    ).parquet(posixpath.join(path, "codes"))
+    _save_ndarray(corpus.sparkSession, posixpath.join(path, "codebooks"), codebooks)
     return codebooks
 
 
@@ -146,10 +176,10 @@ def load_pq_index(spark, path: str):
     """Read back a persisted PQ artifact → (codes DataFrame, codebooks).
     The codebooks are tiny (m·ksub·dsub floats); the codes table stays
     distributed."""
-    import os
+    import posixpath
 
-    codes = spark.read.parquet(os.path.join(path, "codes"))
-    codebooks = np.load(os.path.join(path, "codebooks.npy"))
+    codes = spark.read.parquet(posixpath.join(path, "codes"))
+    codebooks = _load_ndarray(spark, posixpath.join(path, "codebooks"))
     return codes, codebooks
 
 
@@ -473,8 +503,10 @@ def persist_ivfpq_index(
     pruning applied to ANN), so a search's union-of-probes filter
     prunes whole cell directories at planning time and the scan never
     lists the unprobed cells' files. Coarse centers + codebooks (tiny)
-    sit beside the codes. Returns (centers, codebooks)."""
-    import os
+    sit beside the codes — written through the Spark writer so the
+    artifact is coherent on any Hadoop filesystem (:func:`_save_ndarray`).
+    Returns (centers, codebooks)."""
+    import posixpath
 
     from pulsar_elasticsearch_sync_rs_spark.operators.ivf import build_ivf_index
 
@@ -489,11 +521,11 @@ def persist_ivfpq_index(
         assigned.select(F.col(id_col), F.col("cell_id"), enc(F.col(vec_col)).alias("codes"))
         .write.mode("overwrite")
         .partitionBy("cell_id")
-        .parquet(os.path.join(path, "codes"))
+        .parquet(posixpath.join(path, "codes"))
     )
-    os.makedirs(path, exist_ok=True)
-    np.save(os.path.join(path, "centers.npy"), centers)
-    np.save(os.path.join(path, "codebooks.npy"), codebooks)
+    spark = corpus.sparkSession
+    _save_ndarray(spark, posixpath.join(path, "centers"), centers)
+    _save_ndarray(spark, posixpath.join(path, "codebooks"), codebooks)
     return centers, codebooks
 
 
@@ -513,11 +545,11 @@ def knn_cosine_ivfpq_persisted(
     encoding (plan-asserted) — the probe filter lands in the scan's
     PartitionFilters, so only the probed cells' directories are read;
     the corpus is touched only by the exact re-rank's candidate join."""
-    import os
+    import posixpath
 
-    codes = spark.read.parquet(os.path.join(path, "codes"))
-    centers = np.load(os.path.join(path, "centers.npy"))
-    codebooks = np.load(os.path.join(path, "codebooks.npy"))
+    codes = spark.read.parquet(posixpath.join(path, "codes"))
+    centers = _load_ndarray(spark, posixpath.join(path, "centers"))
+    codebooks = _load_ndarray(spark, posixpath.join(path, "codebooks"))
 
     q_rows = queries.select(F.col(query_id), F.col("query_vec")).collect()
     if not q_rows:

@@ -1117,8 +1117,15 @@ def equidepth_histogram(
       combine map-side, memory is O(accuracy) per group regardless of
       data volume.
 
-    Both regimes keep the same plan shape: per-key edge agg →
-    broadcast back → (key, bin) count. Two tiny shuffles total.
+    Both regimes keep the same plan shape: per-key edge agg → join
+    back → (key, bin) count. Two tiny shuffles total. The join-back
+    hint follows the regime: exact mode is contractually few-groups,
+    so the one-row-per-key edge table gets an explicit
+    ``F.broadcast``; sketch mode exists precisely because groups may
+    be MANY, and force-broadcasting a many-key edge table is the
+    driver/executor OOM the regime is meant to avoid — there the hint
+    is omitted and Catalyst/AQE picks broadcast vs shuffle from the
+    measured edge-table size.
     """
     if exact:
         edges = df.groupBy(key_col).agg(
@@ -1141,7 +1148,9 @@ def equidepth_histogram(
                 F.col("qs")[2].cast("double").alias("q3"),
             )
         )
-    binned = df.join(F.broadcast(edges), key_col).withColumn(
+    if exact:
+        edges = F.broadcast(edges)
+    binned = df.join(edges, key_col).withColumn(
         "bin",
         F.when(F.col(value_col) <= F.col("q1"), F.lit(0))
         .when(F.col(value_col) <= F.col("q2"), F.lit(1))

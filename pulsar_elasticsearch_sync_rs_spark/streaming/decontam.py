@@ -42,7 +42,11 @@ def decontaminate_stream(
     Returns the StreamingQuery. Checkpointed foreachBatch ⇒
     at-least-once into the parquet sink; the filter itself is
     deterministic, so replays rewrite identical rows."""
-    grams, _ = _guarded(bench_gram_set(bench, n, text_col), max_broadcast_grams)
+    # keep_cached: the gram set is probed by every micro-batch for the
+    # query's lifetime — the one caller the guard's cache exists for
+    grams, _ = _guarded(
+        bench_gram_set(bench, n, text_col), max_broadcast_grams, keep_cached=True
+    )
 
     def clean_batch(batch_df: DataFrame, batch_id: int) -> None:
         hit_ids = (

@@ -1053,6 +1053,12 @@ def test_incremental_minhash_matches_full_rebuild(spark, sf_dir, tmp_path):
         # (the batch's own signature) vs two when the history bands are
         # recomputed inline
         assert "t_mh_bands" in plan
+        # the incremental lane persists its batch bands (one signature
+        # pass feeding both union branches); drop that cache so the
+        # hand-built comparison joins below don't get plan-matched into
+        # InMemoryTableScans (whose printed child plan would inflate
+        # the Arrow-node string counts)
+        spark.catalog.clearCache()
         from pulsar_elasticsearch_sync_rs_spark.operators.dedup import minhash_bands
 
         nb = minhash_bands(batch).repartition(8, "band_hash").alias("n")
