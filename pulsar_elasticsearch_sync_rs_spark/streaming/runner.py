@@ -15,10 +15,12 @@ Reference mappings:
   count arm;
 - X1 bounded channel backpressure (``src/main.rs:61``) → source
   admission limits + Spark's internal backpressure;
-- S3 watchdog/consumer-recreate (``src/pulsar.rs:193-221``) → the
-  streaming query restart policy + checkpoint recovery (stronger:
-  offsets survive restarts, unlike the reference's non-durable
-  Latest-position subscription, ``src/pulsar.rs:114-119``);
+- S3 watchdog/consumer-recreate (``src/pulsar.rs:193-221``) →
+  ``streaming/supervisor.run_supervised``: bounded backed-off failure
+  restarts + watch-driven clean recreation, both resuming from the
+  checkpoint (stronger: offsets survive restarts, unlike the
+  reference's non-durable Latest-position subscription,
+  ``src/pulsar.rs:114-119``);
 - delivery semantics: reference is at-most-once (ack-before-process);
   checkpointed foreachBatch is at-least-once — documented divergence
   (SURVEY.md §1.4), strictly stronger.

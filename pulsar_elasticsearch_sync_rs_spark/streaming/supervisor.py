@@ -1,0 +1,120 @@
+"""Streaming-query supervisor — the ACTIVE half of the reference's
+topic watchdog (S3).
+
+The reference runs a watchdog task that polls broker topology once per
+second and signals the main loop to RECREATE the consumer when the
+topic→broker map changes (``src/pulsar.rs:193-221``, recreate branch
+``pulsar.rs:306-318``); transport-level failures are retried with a
+10 ms–5 s exponential backoff up to a bounded attempt count
+(``pulsar.rs:86-94``). In Structured Streaming the broker topology is
+the connector's concern, but the *supervision contract* — keep the
+query alive across failures, recreate it on an external signal, give
+up after a bounded number of attempts — is the deployment half a
+long-running ingestion job actually needs, and it maps onto restarting
+the StreamingQuery from its checkpoint:
+
+- **failure restart**: ``awaitTermination`` raising
+  ``StreamingQueryException`` ≙ the reference's consumer error path;
+  the supervisor restarts the query from the SAME checkpoint after an
+  exponential backoff (same 10 ms→5 s envelope), at most
+  ``max_restarts`` times. Because every sink lane is either idempotent
+  (mview batch-id guard, per-batch overwrite) or at-least-once by
+  documented contract, a checkpointed restart loses nothing and — for
+  the idempotent sinks — duplicates nothing (e2e pytest).
+- **watch recreation**: an optional ``watch()`` callable polled every
+  ``poll_interval_ms`` while the query runs ≙ the 1 Hz topology poll;
+  when it returns True the query is STOPPED cleanly and recreated
+  (checkpoint resume), mirroring the reference's recreate-on-change.
+  Recreations are not failures and don't consume the restart budget or
+  back off (the reference recreates immediately too).
+
+Both counters surface in the metrics registry
+(``query_restarts_total`` / ``query_recreations_total`` labeled by
+query name), next to the reference's Prometheus counters (G3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from collections.abc import Callable
+
+from pyspark.errors import StreamingQueryException
+
+
+@dataclasses.dataclass
+class SupervisedRun:
+    """Outcome of :func:`run_supervised` once the query finally
+    terminates cleanly: how many failure restarts and watch-driven
+    recreations it took."""
+
+    restarts: int
+    recreations: int
+
+
+def run_supervised(
+    start_query: Callable[[], "StreamingQuery"],
+    max_restarts: int = 3,
+    backoff_initial_ms: int = 10,
+    backoff_max_ms: int = 5000,
+    watch: Callable[[], bool] | None = None,
+    poll_interval_ms: int = 1000,
+    max_recreations: int | None = None,
+    registry=None,
+    name: str = "query",
+) -> SupervisedRun:
+    """Run ``start_query()`` to completion, restarting it from its
+    checkpoint on failure (bounded, backed off) and recreating it when
+    ``watch()`` fires — the reference's watchdog/retry posture
+    (``src/pulsar.rs:193-221,306-318,86-94``) as a Spark restart policy.
+
+    ``start_query`` must build AND start a fresh ``StreamingQuery``
+    each call, with a stable ``checkpointLocation`` — that is what
+    makes a restart a *resume* rather than a reprocess. The factory is
+    the analog of the reference's consumer-recreation closure.
+
+    Raises the final ``StreamingQueryException`` once ``max_restarts``
+    failure restarts are exhausted (the reference's bounded retry
+    count); returns a :class:`SupervisedRun` when the query terminates
+    cleanly (``stop()`` from another thread, or ``availableNow``
+    draining the source). ``max_recreations`` (default unbounded, like
+    the reference's watchdog) guards against a pathological ``watch``
+    that always fires."""
+    restarts = 0
+    recreations = 0
+    backoff_ms = backoff_initial_ms
+    while True:
+        query = start_query()
+        try:
+            if watch is None:
+                query.awaitTermination()
+                return SupervisedRun(restarts=restarts, recreations=recreations)
+            while True:
+                if query.awaitTermination(poll_interval_ms / 1000.0):
+                    return SupervisedRun(restarts=restarts, recreations=recreations)
+                if watch():
+                    break
+            # clean stop + resume-from-checkpoint ≙ consumer recreation;
+            # if the query failed in the window between the poll and the
+            # stop, awaitTermination re-raises and the failure path below
+            # takes over instead
+            query.stop()
+            query.awaitTermination()
+            recreations += 1
+            if registry is not None:
+                registry.inc("query_recreations_total", 1.0, query=name)
+            if max_recreations is not None and recreations > max_recreations:
+                raise RuntimeError(
+                    f"supervised query {name!r}: watch() fired more than "
+                    f"{max_recreations} times — refusing to recreate forever"
+                )
+            continue
+        except StreamingQueryException:
+            if restarts >= max_restarts:
+                raise
+            restarts += 1
+            if registry is not None:
+                registry.inc("query_restarts_total", 1.0, query=name)
+            time.sleep(backoff_ms / 1000.0)
+            backoff_ms = min(backoff_ms * 2, backoff_max_ms)
+            continue

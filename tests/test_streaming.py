@@ -892,3 +892,182 @@ def test_stream_decontamination_matches_batch(spark, sf_dir, tmpdir):
     got = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
     want = {r["doc_id"] for r in decontaminate(corpus, bench, n=3).collect()}
     assert got == want and got, f"stream clean set != batch: {len(got)} vs {len(want)}"
+
+
+def _split_events_files(spark, sf_dir, src_dir, n_files=4):
+    """events → n_files parquet files so maxFilesPerTrigger=1 yields
+    n_files micro-batches."""
+    from pulsar_elasticsearch_sync_rs_spark.sources.batch import read_table
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    for i in range(n_files):
+        ev.filter(F.col("event_id") % n_files == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+    return ev
+
+
+def _idempotent_batch_sink(out_dir, fault_path=None, fault_batch=1, per_batch_sleep=0.0):
+    """foreachBatch sink: per-batch OVERWRITE into out/batch=<id> — the
+    standard idempotent recipe, so a replayed batch rewrites identical
+    data instead of duplicating. The optional fault fires ONCE, AFTER
+    the write (the worst case: sink I/O done, offsets not yet
+    committed)."""
+    import time as _t
+
+    def sink(batch_df, batch_id):
+        if per_batch_sleep:
+            _t.sleep(per_batch_sleep)
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+        if (
+            fault_path is not None
+            and batch_id == fault_batch
+            and not os.path.exists(fault_path)
+        ):
+            with open(fault_path, "w", encoding="utf-8") as fh:
+                fh.write("fired")
+            raise RuntimeError("injected one-shot sink failure")
+
+    return sink
+
+
+def test_supervisor_restarts_after_failure_no_loss_no_dup(spark, sf_dir, tmpdir):
+    """S3's active half (reference src/pulsar.rs:193-221,306-318,86-94):
+    a one-shot failure injected AFTER batch 1's sink write kills the
+    query; run_supervised restarts it from the same checkpoint, the
+    failed batch replays onto the idempotent sink, and the final output
+    equals the no-failure run exactly — no loss, no duplication. The
+    restart is counted in the metrics registry."""
+    from pulsar_elasticsearch_sync_rs_spark.streaming.supervisor import run_supervised
+
+    src_dir = os.path.join(tmpdir, "src")
+    ev = _split_events_files(spark, sf_dir, src_dir, n_files=4)
+    out_dir = os.path.join(tmpdir, "out")
+    ckpt = os.path.join(tmpdir, "ckpt_sup")
+    fault = os.path.join(tmpdir, "fault_flag")
+    registry = MetricsRegistry()
+
+    def start_query():
+        stream = (
+            spark.readStream.schema("event_id long, event_type string, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        return (
+            stream.writeStream.foreachBatch(
+                _idempotent_batch_sink(out_dir, fault_path=fault, fault_batch=1)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    run = run_supervised(
+        start_query,
+        max_restarts=3,
+        backoff_initial_ms=10,
+        registry=registry,
+        name="sup_e2e",
+    )
+    assert run.restarts == 1 and run.recreations == 0
+    assert registry.get("query_restarts_total", query="sup_e2e") == 1.0
+    assert os.path.exists(fault), "the injected fault never fired"
+
+    got = spark.read.parquet(out_dir)
+    assert got.count() == ev.count(), "restart lost or duplicated rows"
+    assert {r["event_id"] for r in got.select("event_id").collect()} == {
+        r["event_id"] for r in ev.select("event_id").collect()
+    }
+
+
+def test_supervisor_watch_recreates_query(spark, sf_dir, tmpdir):
+    """The watchdog arm: watch() firing once stops the query cleanly
+    and recreates it from the checkpoint (the reference's
+    recreate-consumer-on-topology-change); the run still drains every
+    record exactly once and recreations (not restarts) are counted."""
+    from pulsar_elasticsearch_sync_rs_spark.streaming.supervisor import run_supervised
+
+    src_dir = os.path.join(tmpdir, "src")
+    ev = _split_events_files(spark, sf_dir, src_dir, n_files=6)
+    out_dir = os.path.join(tmpdir, "out")
+    ckpt = os.path.join(tmpdir, "ckpt_watch")
+    registry = MetricsRegistry()
+    fired = {"n": 0}
+
+    def watch() -> bool:
+        # fire exactly once, on the first poll — the topology-change
+        # signal arriving while the query is mid-stream
+        fired["n"] += 1
+        return fired["n"] == 1
+
+    def start_query():
+        stream = (
+            spark.readStream.schema("event_id long, event_type string, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        return (
+            stream.writeStream.foreachBatch(
+                _idempotent_batch_sink(out_dir, per_batch_sleep=0.25)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    run = run_supervised(
+        start_query,
+        max_restarts=0,  # any failure would raise — recreation must not count
+        watch=watch,
+        poll_interval_ms=100,
+        registry=registry,
+        name="sup_watch",
+    )
+    assert run.recreations == 1 and run.restarts == 0
+    assert registry.get("query_recreations_total", query="sup_watch") == 1.0
+    got = spark.read.parquet(out_dir)
+    assert got.count() == ev.count()
+    assert {r["event_id"] for r in got.select("event_id").collect()} == {
+        r["event_id"] for r in ev.select("event_id").collect()
+    }
+
+
+def test_supervisor_restart_budget_exhausted(spark, sf_dir, tmpdir):
+    """A persistent failure exhausts max_restarts and re-raises — the
+    reference's bounded-retry give-up, not an infinite crash loop."""
+    from pyspark.errors import StreamingQueryException
+
+    from pulsar_elasticsearch_sync_rs_spark.streaming.supervisor import run_supervised
+
+    src_dir = os.path.join(tmpdir, "src")
+    _split_events_files(spark, sf_dir, src_dir, n_files=1)
+    ckpt = os.path.join(tmpdir, "ckpt_budget")
+    registry = MetricsRegistry()
+
+    def always_fails(batch_df, batch_id):
+        raise RuntimeError("permanent sink failure")
+
+    def start_query():
+        stream = spark.readStream.schema(
+            "event_id long, event_type string, value double"
+        ).parquet(src_dir)
+        return (
+            stream.writeStream.foreachBatch(always_fails)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    with pytest.raises(StreamingQueryException):
+        run_supervised(
+            start_query,
+            max_restarts=2,
+            backoff_initial_ms=1,
+            registry=registry,
+            name="sup_budget",
+        )
+    assert registry.get("query_restarts_total", query="sup_budget") == 2.0
