@@ -226,6 +226,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_ivfpq": _wrap(L.q_knn_ivfpq),  # IVF-PQ: cell-pruned ADC scan (rows-only; recall + degeneration pytest)
         "q_dedup_minhash_incr": _wrap(L.q_dedup_minhash_incr),  # incremental near-dup vs corpus bands (rows-only; rebuild-parity pytest)
         "q_semantic_dedup_ivf": _wrap(L.q_semantic_dedup_ivf),  # SemDeDup scale path: IVF-cell blocking (rows-only; planted-twin pytest)
+        "q_substring_dedup": _wrap(L.q_substring_dedup),  # substring dedup APPLIED: keep-first 20-gram excision (Lee et al.)
     }
 
 
@@ -267,4 +268,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "q_session_funnel": A.ORACLE_SESSION_FUNNEL,
         "q_token_budget": L.ORACLE_TOKEN_BUDGET,
         "q_semantic_dedup": L.ORACLE_SEMANTIC_DEDUP,
+        "q_substring_dedup": L.ORACLE_SUBSTRING_DEDUP,
     }

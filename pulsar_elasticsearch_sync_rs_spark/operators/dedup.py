@@ -912,3 +912,108 @@ def semantic_dedup_ivf(
         )
         .select(id_col, "cluster_size")
     )
+
+
+def repeated_span_cuts(
+    docs: DataFrame,
+    k: int = 20,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The CUT LIST of substring dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better" —
+    public literature): token spans to excise so that each repeated
+    k-gram survives only at its globally-FIRST occurrence. Differs
+    from the detection lane (q_repeated_spans) exactly there: the
+    detector marks EVERY occurrence of a ≥2-count gram; the cutter
+    spares the first (ordered by (id, pos) — deterministic) so one
+    copy of the duplicated passage remains in the corpus, which is
+    the paper's dedup rule. Returns (id_col, begin_tok, end_tok) —
+    maximal merged spans, token offsets, the same lineage shape as
+    packing's.
+
+    Scale: grams shuffle as 32-hex md5 keys (never k-token strings);
+    rank + count share ONE (gh) window partitioning; the island merge
+    is one per-doc window. Nothing quadratic, no text movement."""
+    from pulsar_elasticsearch_sync_rs_spark.functions.text import word_kgrams
+
+    grams = docs.select(
+        id_col, F.posexplode(word_kgrams(text, k)).alias("pos", "g")
+    ).select(id_col, "pos", F.md5("g").alias("gh"))
+    w_rank = Window.partitionBy("gh").orderBy(id_col, "pos")
+    ranked = grams.select(
+        id_col,
+        "pos",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count("*").over(Window.partitionBy("gh")).alias("c"),
+    )
+    cutpos = ranked.filter((F.col("c") >= 2) & (F.col("rn") >= 2)).select(
+        id_col, "pos"
+    )
+    # islands window (shared with the detection lane): a new span
+    # starts only when the gap to the previous cut exceeds the gram
+    # length — [p, p+k) intervals that overlap or abut merge
+    w = Window.partitionBy(id_col).orderBy("pos")
+    new_island = F.when(F.col("pos") - F.lag("pos", 1).over(w) > k, 1).otherwise(0)
+    islands = cutpos.withColumn(
+        "grp", F.sum(new_island).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        islands.groupBy(id_col, "grp")
+        .agg(
+            F.min("pos").cast("bigint").alias("begin_tok"),
+            (F.max("pos") + k).cast("bigint").alias("end_tok"),
+        )
+        .drop("grp")
+    )
+
+
+def apply_repeated_span_cuts(
+    docs: DataFrame,
+    k: int = 20,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """APPLY the substring-dedup cut list: emit the deduplicated
+    corpus — every ≥2-occurrence k-gram span excised except its first
+    occurrence (keep-first; see :func:`repeated_span_cuts`). Output:
+    ``(id_col, text_clean, n_tok_before, n_tok_after)`` for every
+    input document (uncut docs pass through with their token-joined
+    text; a fully-cut doc yields ``''``). ``text_clean`` is the kept
+    tokens joined by single spaces — the token-level formulation, so
+    original inter-token whitespace is normalized (the tokens ARE the
+    corpus as every downstream consumer here sees it).
+
+    Scale: the cut list aggregates to ONE row per cut document (an
+    array of (b, e) structs — bounded by doc length); the corpus joins
+    it on the id and the excision itself is a per-row JVM filter over
+    the token array (no explode of the corpus tokens, no second text
+    shuffle). Cut docs are typically a small fraction, so AQE will
+    usually broadcast the span side."""
+    spans = repeated_span_cuts(docs, k=k, text=text, id_col=id_col)
+    sp = spans.groupBy(id_col).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col("begin_tok").alias("b"), F.col("end_tok").alias("e"))
+            )
+        ).alias("sp")
+    )
+    base = docs.join(sp, id_col, "left").select(
+        id_col, ws_tokens(text).alias("toks"), "sp"
+    )
+    # coalesce(…, True): uncut docs have sp = NULL from the left join,
+    # and exists(NULL, …) is NULL, which a bare filter would treat as
+    # "drop this token" — i.e. silently empty every clean document
+    kept = F.filter(
+        F.col("toks"),
+        lambda t, i: F.coalesce(
+            ~F.exists(F.col("sp"), lambda s: (i >= s["b"]) & (i < s["e"])),
+            F.lit(True),
+        ),
+    )
+    return base.select(
+        id_col,
+        F.concat_ws(" ", kept).alias("text_clean"),
+        F.size("toks").cast("bigint").alias("n_tok_before"),
+        F.size(kept).cast("bigint").alias("n_tok_after"),
+    )

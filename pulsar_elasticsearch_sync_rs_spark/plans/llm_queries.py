@@ -2166,3 +2166,84 @@ def q_semantic_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     return semantic_dedup_ivf(emb, threshold=0.35, nlist=8, nprobe=2)
+
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring dedup APPLIED (Lee et al. 2021): the corpus with every
+    ≥2-occurrence 20-gram span excised except its globally-first
+    occurrence (keep-first), per-doc token accounting alongside. This
+    is the missing back half of q_repeated_spans, which only DETECTS
+    the cut list — here the cuts land and the deduplicated corpus is
+    the output. Docs too short to gram (or never cut) pass through
+    with token-joined text and n_tok_after == n_tok_before.
+
+    Plan shape (operators/dedup.apply_repeated_span_cuts): md5 grams →
+    one (gh) window for keep-first rank + count → per-doc island merge
+    → one span-array row per cut doc joined back → per-row JVM token
+    filter. The corpus text crosses the wire once (the span join);
+    everything else moves 32-hex keys and (id, pos) pairs."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.dedup import (
+        apply_repeated_span_cuts,
+    )
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    return apply_repeated_span_cuts(docs, k=20).orderBy("doc_id")
+
+
+ORACLE_SUBSTRING_DEDUP = r"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'), t -> t <> '') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, i - 1 AS pos, md5(array_to_string(t[i:i+19], ' ')) AS gh
+  FROM toks, unnest(generate_series(1, len(t) - 19)) AS u(i)
+  WHERE len(t) >= 20
+), ranked AS (
+  SELECT doc_id, pos,
+    row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn,
+    count(*) OVER (PARTITION BY gh) AS c
+  FROM grams
+), cutpos AS (
+  SELECT doc_id, pos FROM ranked WHERE c >= 2 AND rn >= 2
+), flagged AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 20
+         THEN 1 ELSE 0 END AS ni
+  FROM cutpos
+), islands AS (
+  SELECT doc_id, pos,
+    sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM flagged
+), spans AS (
+  SELECT doc_id, min(pos) AS b, max(pos) + 20 AS e FROM islands GROUP BY doc_id, grp
+), tok_rows AS (
+  SELECT doc_id, i - 1 AS pos, t[i] AS tok
+  FROM toks, unnest(generate_series(1, len(t))) AS u(i)
+), cut_tok AS (
+  SELECT DISTINCT tr.doc_id, tr.pos
+  FROM tok_rows tr JOIN spans s
+    ON tr.doc_id = s.doc_id AND tr.pos >= s.b AND tr.pos < s.e
+), kept AS (
+  SELECT tr.doc_id, tr.pos, tr.tok
+  FROM tok_rows tr LEFT JOIN cut_tok c
+    ON tr.doc_id = c.doc_id AND tr.pos = c.pos
+  WHERE c.pos IS NULL
+), rebuilt AS (
+  SELECT doc_id, array_to_string(list(tok ORDER BY pos), ' ') AS text_clean,
+         CAST(count(*) AS BIGINT) AS n_tok_after
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(r.text_clean, '') AS text_clean,
+  CAST(len(t.t) AS BIGINT) AS n_tok_before,
+  coalesce(r.n_tok_after, 0) AS n_tok_after
+FROM documents d
+JOIN toks t USING (doc_id)
+LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY d.doc_id
+"""

@@ -1185,3 +1185,70 @@ def test_semantic_dedup_ivf_planted_twins(spark, sf_dir):
     for i in range(5):
         assert rows.get(i) is not None and rows[i] >= 2, f"twin of {i} not collapsed"
         assert (i + 100000) not in rows, "survivor must be the min id"
+
+
+def test_substring_dedup_applies_cuts_keep_first(spark):
+    """apply_repeated_span_cuts (Lee et al. substring dedup, APPLIED):
+    the shared ≥k-token passage survives only in its globally-first
+    (doc_id, pos) occurrence; every later copy is excised exactly;
+    uncut docs pass through with n_tok_after == n_tok_before; and the
+    fixed point holds — re-running span detection on the cleaned
+    corpus finds ZERO spans."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.dedup import (
+        apply_repeated_span_cuts,
+        repeated_span_cuts,
+    )
+
+    k = 20
+    passage = " ".join(f"shared{i}" for i in range(25))  # 25-token dup passage
+    a_pre = " ".join(f"apre{i}" for i in range(4))
+    a_suf = " ".join(f"asuf{i}" for i in range(3))
+    b_pre = " ".join(f"bpre{i}" for i in range(7))
+    b_suf = " ".join(f"bsuf{i}" for i in range(2))
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"{a_pre} {passage} {a_suf}"),
+            Row(doc_id=2, text=f"{b_pre} {passage} {b_suf}"),
+            Row(doc_id=3, text="tiny unique doc"),  # < k tokens: never grams
+        ]
+    )
+    out = {r["doc_id"]: r for r in apply_repeated_span_cuts(docs, k=k).collect()}
+    assert set(out) == {1, 2, 3}
+    # doc 1 is the first occurrence: untouched
+    assert out[1]["text_clean"] == f"{a_pre} {passage} {a_suf}"
+    assert out[1]["n_tok_after"] == out[1]["n_tok_before"] == 4 + 25 + 3
+    # doc 2 loses exactly the 25-token passage, seam joins pre+suf
+    assert out[2]["text_clean"] == f"{b_pre} {b_suf}"
+    assert (out[2]["n_tok_before"], out[2]["n_tok_after"]) == (7 + 25 + 2, 9)
+    # doc 3 passes through
+    assert out[3]["text_clean"] == "tiny unique doc"
+    assert out[3]["n_tok_after"] == out[3]["n_tok_before"] == 3
+
+    # fixed point: the cleaned corpus has no repeated k-gram left
+    cleaned = apply_repeated_span_cuts(docs, k=k).select(
+        "doc_id", F.col("text_clean").alias("text")
+    )
+    assert repeated_span_cuts(cleaned, k=k).count() == 0
+
+
+def test_substring_dedup_fixture_fixed_point(spark, sf_dir):
+    """On the real documents fixture: token mass is conserved
+    (n_tok_after ≤ n_tok_before, equality iff never cut), every doc_id
+    survives, and re-running detection on the cleaned output finds
+    zero spans (keep-first leaves each formerly-duplicated gram with
+    exactly one occurrence)."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.dedup import (
+        apply_repeated_span_cuts,
+        repeated_span_cuts,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_in = docs.count()
+    out = apply_repeated_span_cuts(docs, k=20).cache()
+    try:
+        assert out.count() == n_in
+        assert out.filter(F.col("n_tok_after") > F.col("n_tok_before")).count() == 0
+        cleaned = out.select("doc_id", F.col("text_clean").alias("text"))
+        assert repeated_span_cuts(cleaned, k=20).count() == 0
+    finally:
+        out.unpersist()
