@@ -526,6 +526,16 @@ def persist_ivfpq_index(
     spark = corpus.sparkSession
     _save_ndarray(spark, posixpath.join(path, "centers"), centers)
     _save_ndarray(spark, posixpath.join(path, "codebooks"), codebooks)
+    # training-time quantization-error baseline (stats sidecar): the
+    # yardstick append_to_ivfpq_index's drift check compares against.
+    # Same bounded deterministic sample the codebooks trained on — one
+    # more driver-side numpy pass, no distributed job.
+    X = bounded_training_sample(corpus, id_col, vec_col)
+    _save_ndarray(
+        spark,
+        posixpath.join(path, "stats"),
+        np.array([[_pq_relative_error(X, codebooks)]]),
+    )
     return centers, codebooks
 
 
@@ -580,3 +590,120 @@ def knn_cosine_ivfpq_persisted(
         probe_bool=probe_bool,
         q_rows=q_rows,
     )
+
+
+def _pq_relative_error(X: np.ndarray, codebooks: np.ndarray) -> float:
+    """Mean relative L2 quantization error of ``X`` under the given
+    codebooks: ||x − recon(x)|| / ||x|| averaged over rows, where
+    recon replaces each subvector by its nearest sub-centroid. The
+    drift signal for :func:`append_to_ivfpq_index` — a batch drawn
+    from the training distribution reconstructs about as well as the
+    training sample did; a shifted distribution doesn't."""
+    m, _ksub, dsub = codebooks.shape
+    recon = np.empty_like(X)
+    for j in range(m):
+        sub = X[:, j * dsub : (j + 1) * dsub]
+        C = codebooks[j]
+        d = (
+            (sub * sub).sum(axis=1, keepdims=True)
+            - 2.0 * (sub @ C.T)
+            + (C * C).sum(axis=1)
+        )
+        recon[:, j * dsub : (j + 1) * dsub] = C[d.argmin(axis=1)]
+    num = np.linalg.norm(X - recon, axis=1)
+    den = np.maximum(np.linalg.norm(X, axis=1), 1e-12)
+    return float((num / den).mean())
+
+
+def append_to_ivfpq_index(
+    spark,
+    batch: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qerr_ratio_threshold: float = 1.5,
+    skew_threshold: float = 4.0,
+) -> dict:
+    """Incremental IVF-PQ maintenance: add a batch of embeddings to a
+    :func:`persist_ivfpq_index` artifact WITHOUT retraining — assign
+    each batch vector to its coarse cell and PQ-encode it with the
+    FROZEN quantizer/codebooks read from the artifact, then APPEND the
+    new code rows into the existing ``cell_id=…`` directory layout
+    (the Faiss add-vs-train split: ``index.add()`` never moves
+    centroids). Searches over the artifact see the union immediately;
+    the probe filter still prunes whole cell directories.
+
+    At 100 TB this is the only sane maintenance path: a retrain means
+    re-encoding the full corpus (a complete rewrite of the codes
+    table), while an append touches exactly the new rows. The returned
+    drift report says when the frozen quantizer has decayed enough to
+    SCHEDULE that retrain:
+
+    - ``qerr_ratio``: mean relative quantization error of a bounded
+      deterministic sample of the batch vs the training-time baseline
+      persisted beside the codebooks (``stats`` sidecar). A batch from
+      the training distribution reconstructs comparably (ratio ≈ 1);
+      drift inflates it.
+    - ``cell_skew``: max/mean of per-cell code counts after the
+      append — computed by scanning ONLY the partition column of the
+      codes table (column pruning: no data pages read). A hot cell
+      degrades probe-pruning toward a full scan.
+    - ``needs_retrain``: either signal past its threshold.
+
+    Id uniqueness across appends is the caller's contract (same as
+    Faiss ``add_with_ids``). Returns the report dict."""
+    import posixpath
+
+    from pulsar_elasticsearch_sync_rs_spark.operators.ivf import (
+        bounded_training_sample,
+        make_cell_probe_udf,
+    )
+
+    centers = _load_ndarray(spark, posixpath.join(path, "centers"))
+    codebooks = _load_ndarray(spark, posixpath.join(path, "codebooks"))
+
+    probe1 = make_cell_probe_udf(centers, nprobe=1)
+    enc = make_pq_encode_udf(codebooks)
+    n_appended = batch.count()
+    (
+        batch.select(
+            F.col(id_col),
+            F.element_at(probe1(F.col(vec_col)), 1).alias("cell_id"),
+            enc(F.col(vec_col)).alias("codes"),
+        )
+        .write.mode("append")
+        .partitionBy("cell_id")
+        .parquet(posixpath.join(path, "codes"))
+    )
+
+    # drift signals (bounded driver compute + a partition-column-only scan)
+    Xb = bounded_training_sample(batch, id_col, vec_col)
+    batch_qerr = _pq_relative_error(Xb, codebooks)
+    try:
+        baseline_qerr = float(
+            _load_ndarray(spark, posixpath.join(path, "stats"))[0, 0]
+        )
+    except Exception:
+        baseline_qerr = None  # pre-stats artifact: skew signal only
+    counts = [
+        r["n"]
+        for r in spark.read.parquet(posixpath.join(path, "codes"))
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    cell_skew = float(max(counts) / (sum(counts) / len(counts)))
+    qerr_ratio = (
+        batch_qerr / max(baseline_qerr, 1e-12) if baseline_qerr is not None else None
+    )
+    return {
+        "n_appended": n_appended,
+        "batch_qerr": batch_qerr,
+        "baseline_qerr": baseline_qerr,
+        "qerr_ratio": qerr_ratio,
+        "cell_skew": cell_skew,
+        "needs_retrain": bool(
+            (qerr_ratio is not None and qerr_ratio > qerr_ratio_threshold)
+            or cell_skew > skew_threshold
+        ),
+    }

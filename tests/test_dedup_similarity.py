@@ -1252,3 +1252,87 @@ def test_substring_dedup_fixture_fixed_point(spark, sf_dir):
         assert repeated_span_cuts(cleaned, k=20).count() == 0
     finally:
         out.unpersist()
+
+
+def test_ivfpq_append_parity_frozen_no_retrain(spark, sf_dir, tmpdir, monkeypatch):
+    """append_to_ivfpq_index: (1) NO-RETRAIN pin — every training
+    entry point (coarse k-means, codebook training) is monkeypatched
+    to raise, and the append still succeeds; (2) centers/codebooks are
+    byte-identical after the append (frozen quantizer); (3) search
+    over the appended index matches brute-force recall within ε of a
+    full retrain+re-encode on the union; (4) an in-distribution batch
+    does NOT flag retrain, an out-of-distribution batch DOES (drift
+    check)."""
+    import os
+
+    import numpy as np
+
+    import pulsar_elasticsearch_sync_rs_spark.operators.ivf as ivfmod
+    import pulsar_elasticsearch_sync_rs_spark.operators.pq as pqmod
+    from pulsar_elasticsearch_sync_rs_spark.operators.pq import (
+        _load_ndarray,
+        append_to_ivfpq_index,
+        knn_cosine_ivfpq_persisted,
+        persist_ivfpq_index,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    n_base, n_batch = base.count(), batch.count()
+    path = os.path.join(tmpdir, "appended")
+    rebuilt = os.path.join(tmpdir, "rebuilt")
+    persist_ivfpq_index(base, path, nlist=8)
+    persist_ivfpq_index(emb, rebuilt, nlist=8)  # retrain twin (needs real training)
+    c0 = _load_ndarray(spark, os.path.join(path, "centers"))
+    b0 = _load_ndarray(spark, os.path.join(path, "codebooks"))
+
+    def boom(*a, **k):  # noqa: ANN002
+        raise AssertionError("append must not retrain")
+
+    monkeypatch.setattr(pqmod, "train_pq_codebooks", boom)
+    monkeypatch.setattr(ivfmod, "train_coarse_quantizer", boom)
+    monkeypatch.setattr(ivfmod, "lloyd_kmeans", boom)
+    report = append_to_ivfpq_index(spark, batch, path)
+    assert report["n_appended"] == n_batch
+    assert report["qerr_ratio"] is not None and report["qerr_ratio"] < 1.5
+    assert report["needs_retrain"] is False
+
+    # frozen artifacts
+    assert np.array_equal(c0, _load_ndarray(spark, os.path.join(path, "centers")))
+    assert np.array_equal(b0, _load_ndarray(spark, os.path.join(path, "codebooks")))
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    assert codes.count() == n_base + n_batch
+
+    # parity: appended-index search ≡ rebuilt-index search, recall-wise
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_cosine_bruteforce(emb, queries, k=5).collect()
+    }
+
+    def recall(p):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in knn_cosine_ivfpq_persisted(
+                spark, p, emb, queries, k=5, nprobe=4, refine=8
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r_app, r_reb = recall(path), recall(rebuilt)
+    assert r_app >= r_reb - 0.1, (r_app, r_reb)
+    assert r_app >= 0.8, r_app
+
+    # drift: an out-of-distribution batch must schedule the retrain
+    ood = emb.filter(F.col("vec_id") % 5 == 1).select(
+        (F.col("vec_id") + 900000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(7.5) + F.lit(2.0)).alias(
+            "embedding"
+        ),
+    )
+    report2 = append_to_ivfpq_index(spark, ood, path)
+    assert report2["qerr_ratio"] > 1.5 or report2["cell_skew"] > 4.0
+    assert report2["needs_retrain"] is True
