@@ -215,7 +215,8 @@ def stream_throughput(spark, sf_dir: str) -> dict:
         n_input = spark.read.parquet(src_dir).count()
 
         def run_lane(
-            name: str, start_query, msgs_from_output: bool = False, count_output=None
+            name: str, start_query, msgs_from_output: bool = False, count_output=None,
+            n_input_override: int | None = None,
         ) -> dict:
             # same protocol as the batch queries: ONE untimed warm-up
             # run (pays state-store init, sink codegen, Python-worker
@@ -242,7 +243,9 @@ def stream_throughput(spark, sf_dir: str) -> dict:
             # r3 recorded — identical to input only while nothing dead-
             # letters); aggregating lanes report input msgs/s since their
             # output grain differs (sessions, deduped rows)
-            n_msgs = n_out if msgs_from_output else n_input
+            n_msgs = n_out if msgs_from_output else (
+                n_input if n_input_override is None else n_input_override
+            )
             rate = round(n_msgs / wall)
             print(
                 f"# stream/{name}: {n_msgs} msgs in {wall:.3f}s = {rate} msgs/s"
@@ -417,6 +420,43 @@ def stream_throughput(spark, sf_dir: str) -> dict:
                 .start()
             )
 
+        # curation ingestion lane: documents (not events) through the
+        # end-to-end foreachBatch curation job — gate → decontam →
+        # within-batch + accumulated-index dedup → parquet land. 4 input
+        # files / maxFilesPerTrigger=2 → 2 micro-batches, so the
+        # cross-batch sha-index anti-join path is on the clock.
+        docs_src = os.path.join(tmp, "docs_src")
+        (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .repartition(4)
+            .write.parquet(docs_src)
+        )
+        n_docs = spark.read.parquet(docs_src).count()
+        docs_schema = spark.read.parquet(docs_src).schema
+
+        def start_curation(ckpt, out):
+            from pulsar_elasticsearch_sync_rs_spark.streaming.curation import (
+                run_curation_ingest,
+            )
+
+            stream = (
+                spark.readStream.schema(docs_schema)
+                .option("maxFilesPerTrigger", 2)
+                .parquet(docs_src)
+            )
+            bench_docs = spark.read.parquet(docs_src).filter(
+                F.col("doc_id") % 97 == 0
+            )
+            return run_curation_ingest(
+                stream,
+                bench_docs,
+                out,
+                f"{ckpt}_sha",
+                ckpt,
+                n=5,
+                available_now=True,
+            )
+
         etl = run_lane("etl", start_etl, msgs_from_output=True)
         return {
             **etl,  # BENCH_r2/r3-compatible top-level ETL figures
@@ -427,6 +467,9 @@ def stream_throughput(spark, sf_dir: str) -> dict:
             "interval_join": run_lane("interval_join", start_ijoin),
             "mview": run_lane("mview", start_mview, count_output=mview_outputs),
             "heavy_hitters": run_lane("heavy_hitters", start_hh),
+            "curation": run_lane(
+                "curation", start_curation, n_input_override=n_docs
+            ),
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

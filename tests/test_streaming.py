@@ -1071,3 +1071,185 @@ def test_supervisor_restart_budget_exhausted(spark, sf_dir, tmpdir):
             name="sup_budget",
         )
     assert registry.get("query_restarts_total", query="sup_budget") == 2.0
+
+
+def _curation_batch_prefix(corpus, bench, n=5):
+    """The batch q_llm_pipeline prefix (gate → decontaminate → min-id
+    exact dedup) the streaming ingest must reproduce — same helpers,
+    same thresholds, so the two can never drift."""
+    from pulsar_elasticsearch_sync_rs_spark.functions.text import (
+        quality_score,
+        repetition_signals,
+    )
+    from pulsar_elasticsearch_sync_rs_spark.operators.decontaminate import (
+        decontaminate,
+    )
+
+    _, dup_word_frac, top_bigram_frac = repetition_signals("text")
+    gated = corpus.filter(
+        (quality_score("text") >= 0.65)
+        & (dup_word_frac <= 0.6)
+        & (top_bigram_frac <= 0.1)
+    )
+    clean = decontaminate(gated, bench, n=n)
+    surv_ids = (
+        clean.select(F.sha2("text", 256).alias("sha"), "doc_id")
+        .groupBy("sha")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return clean.join(surv_ids, "doc_id", "left_semi")
+
+
+def test_curation_ingest_stream_matches_batch_pipeline(spark, sf_dir, tmpdir):
+    """The streaming end-to-end curation ingestion (ONE foreachBatch:
+    gate → decontam → within-batch dedup → accumulated-sha-index dedup
+    → sink) over doc_id-ordered micro-batches produces EXACTLY the
+    batch pipeline prefix's survivor set — including duplicates planted
+    ACROSS micro-batches, which only the accumulated index can catch —
+    and the bulk transport sees one indexed action per admitted doc."""
+    import time
+
+    from pulsar_elasticsearch_sync_rs_spark.sources.batch import read_table
+    from pulsar_elasticsearch_sync_rs_spark.streaming.curation import (
+        run_curation_ingest,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    max_id = corpus.agg(F.max("doc_id")).first()[0]
+
+    # plant cross-batch duplicates: clone the text of 5 docs that
+    # SURVIVE the batch prefix under fresh high doc_ids, so they arrive
+    # in the LAST micro-batch and must be rejected by the sha index
+    expected = _curation_batch_prefix(corpus, bench).persist()
+    originals = expected.orderBy("doc_id").limit(5)
+    clones = originals.select(
+        (F.col("doc_id") + max_id + 1).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+    full = corpus.unionByName(clones)
+
+    # 3 doc_id-ordered files → 3 ordered micro-batches (file source
+    # admits oldest-modified first; sleep keeps mtimes distinct)
+    src_dir = os.path.join(tmpdir, "cur_src")
+    cuts = [max_id // 3, 2 * max_id // 3]
+    parts = [
+        full.filter(F.col("doc_id") <= cuts[0]),
+        full.filter((F.col("doc_id") > cuts[0]) & (F.col("doc_id") <= cuts[1])),
+        full.filter(F.col("doc_id") > cuts[1]),  # includes the clones
+    ]
+    for p in parts:
+        p.coalesce(1).write.mode("append").parquet(src_dir)
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    out_dir = os.path.join(tmpdir, "cur_out")
+    sha_dir = os.path.join(tmpdir, "cur_sha")
+    sink_dir = os.path.join(tmpdir, "cur_es")
+    registry = MetricsRegistry()
+    q = run_curation_ingest(
+        stream,
+        bench,
+        out_dir,
+        sha_dir,
+        os.path.join(tmpdir, "cur_ckpt"),
+        transport=ParquetBulkTransport(sink_dir),
+        n=5,
+        available_now=True,
+        registry=registry,
+    )
+    q.awaitTermination(300)
+
+    got = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    want = {r["doc_id"] for r in expected.collect()}
+    clone_ids = {r["doc_id"] for r in clones.collect()}
+    expected.unpersist()
+    assert got == want and got, (len(got), len(want))
+    assert not (got & clone_ids), "cross-batch duplicate admitted"
+
+    # one micro-batch per file; sha index mirrors the admitted set
+    batches = {d for d in os.listdir(out_dir) if d.startswith("batch=")}
+    assert len(batches) == 3, batches
+    sha_ids = {r["doc_id"] for r in spark.read.parquet(sha_dir).collect()}
+    assert sha_ids == want
+
+    # bulk transport: one action per admitted doc, routed by lang index
+    indexed = spark.read.parquet(sink_dir)
+    assert indexed.count() == len(want)
+    assert {r["index"] for r in indexed.select("index").distinct().collect()} <= {
+        f"docs-{r['lang']}"
+        for r in docs.select("lang").distinct().collect()
+    } | {"docs-unknown"}
+
+    # stage counters tie out: input = admitted + every drop bucket
+    n_in = registry.get("curation_input")
+    assert n_in == full.count()
+    assert registry.get("curation_admitted") == len(want)
+    assert registry.get("curation_duplicate") >= len(clone_ids)
+    assert n_in == sum(
+        registry.get(k)
+        for k in (
+            "curation_admitted", "curation_gated", "curation_contaminated",
+            "curation_duplicate", "curation_rate_dropped",
+        )
+    )
+
+
+def test_curation_ingest_rate_limit_caps_per_batch(spark, sf_dir, tmpdir):
+    """rate_limits={source: cap} admits at most cap rows of that source
+    PER MICRO-BATCH (flush-window granularity, lowest doc_id first —
+    deterministic), leaving other sources untouched."""
+    from pulsar_elasticsearch_sync_rs_spark.sources.batch import read_table
+    from pulsar_elasticsearch_sync_rs_spark.streaming.curation import (
+        run_curation_ingest,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    src_dir = os.path.join(tmpdir, "rl_src")
+    corpus.coalesce(1).write.parquet(src_dir)  # ONE file → one batch
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .parquet(src_dir)
+    )
+    out_dir = os.path.join(tmpdir, "rl_out")
+    q = run_curation_ingest(
+        stream,
+        bench,
+        out_dir,
+        os.path.join(tmpdir, "rl_sha"),
+        os.path.join(tmpdir, "rl_ckpt"),
+        rate_limits={"src0": 2},
+        available_now=True,
+    )
+    q.awaitTermination(300)
+
+    out = spark.read.parquet(out_dir)
+    uncapped = _curation_batch_prefix(corpus, bench)
+    per_src = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    want_src0 = uncapped.filter(F.col("source") == "src0")
+    assert per_src.get("src0", 0) == min(2, want_src0.count())
+    # kept src0 rows are the LOWEST doc_ids of the uncapped survivors
+    kept = sorted(
+        r["doc_id"] for r in out.filter(F.col("source") == "src0").collect()
+    )
+    want_ids = sorted(r["doc_id"] for r in want_src0.collect())[: len(kept)]
+    assert kept == want_ids
+    # other sources: untouched vs the uncapped batch prefix
+    other = uncapped.filter(F.col("source") != "src0")
+    assert out.filter(F.col("source") != "src0").count() == other.count()
