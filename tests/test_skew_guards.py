@@ -1,0 +1,178 @@
+"""Skew-guard TRIGGER tests — the adversarial distributions the guard
+paths were built for (zipfian hot keys, boilerplate clone clusters;
+see tools/make_skew_fixture.py, which sweeps the full oracle registry
+on the same shapes). The uniform driver fixtures never fire these
+paths, so green results there only prove the guards don't BREAK
+answers; these tests prove the guards actually ENGAGE — asserted on
+row counters and plan shape, not just final results."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+BOILER = (
+    "breaking news subscribe to our newsletter for the latest updates "
+    "terms of service apply all rights reserved contact us for details "
+    "cookie policy privacy statement follow us on every platform now"
+)
+
+
+@pytest.fixture(scope="module")
+def clone_docs(spark, sf_dir):
+    """sf0.001 documents with every 3rd doc's text replaced by ONE
+    shared boilerplate passage — the crawl pathology that floods a
+    minhash band bucket (a ~167-doc identical cluster)."""
+    from pulsar_elasticsearch_sync_rs_spark.sources.batch import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 3 == 0, F.lit(BOILER)).otherwise(F.col("text")),
+    ).persist()
+    cluster = sorted(
+        r["doc_id"] for r in out.filter(F.col("text") == BOILER).collect()
+    )
+    yield out, cluster
+    out.unpersist()
+
+
+def test_mega_bucket_star_guard_engages_on_clone_cluster(spark, clone_docs):
+    """With the clone cluster larger than max_bucket, every one of its
+    band buckets must take the STAR path: exactly (k-1) hub→member
+    pairs for the cluster instead of the k(k-1)/2 all-pairs expansion
+    — the O(k²)→O(k) row counter IS the guard's engagement proof —
+    while transitive connectivity (what downstream cluster dedup
+    consumes) is fully preserved."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.components import (
+        connected_components,
+    )
+    from pulsar_elasticsearch_sync_rs_spark.operators.dedup import (
+        minhash_candidates,
+    )
+
+    docs, cluster = clone_docs
+    k = len(cluster)
+    assert k > 100  # the fixture shape this test exists for
+
+    guarded = minhash_candidates(docs, max_bucket=50).persist()
+    in_cluster = set(cluster)
+    cpairs = [
+        (r["id_a"], r["id_b"])
+        for r in guarded.collect()
+        if r["id_a"] in in_cluster and r["id_b"] in in_cluster
+    ]
+    hub = cluster[0]
+    # star shape: one spoke per non-hub member, nothing spoke-to-spoke
+    assert len(cpairs) == k - 1
+    assert all(a == hub for a, _ in cpairs)
+    assert {b for _, b in cpairs} == in_cluster - {hub}
+
+    # guard OFF (cap above k): the same cluster explodes all-pairs —
+    # the quadratic row count the guard exists to prevent
+    unguarded = minhash_candidates(docs, max_bucket=10**6)
+    n_unguarded = (
+        unguarded.filter(
+            F.col("id_a").isin(cluster) & F.col("id_b").isin(cluster)
+        ).count()
+    )
+    assert n_unguarded == k * (k - 1) // 2
+    assert len(cpairs) < n_unguarded / 50  # O(k) vs O(k²), concretely
+
+    # connectivity preserved: the star pairs still yield ONE component
+    # containing the whole cluster
+    comp = connected_components(guarded)
+    labels = {
+        r["component"]
+        for r in comp.filter(F.col("id").isin(cluster)).collect()
+    }
+    assert labels == {hub}
+    guarded.unpersist()
+
+
+@pytest.fixture(scope="module")
+def zipf_events(spark, sf_dir):
+    """sf0.001 events with a hot user owning ~40% of all rows
+    (deterministic remap — the zipf head make_skew_fixture.py draws)."""
+    from pulsar_elasticsearch_sync_rs_spark.sources.batch import read_table
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    hot = F.pmod(F.col("event_id") * 2654435761, F.lit(100)) < 40
+    out = ev.withColumn(
+        "user_id", F.when(hot, F.lit(7)).otherwise(F.col("user_id"))
+    ).persist()
+    yield out
+    out.unpersist()
+
+
+def test_salted_agg_spreads_hot_key_and_matches_direct(spark, zipf_events):
+    """Under a 40%-hot key, the salted aggregation must (a) return the
+    direct groupBy's exact answer and (b) actually SPREAD the hot key:
+    its pre-aggregate grain carries all n_salts partials for the hot
+    key, and the executed plan shows the extra (key, salt) exchange
+    stage the spread rides on."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.skew import (
+        _salt_expr,
+        salted_count,
+    )
+
+    ev = zipf_events
+    n_salts = 8
+    res = salted_count(ev, "user_id", "event_id", n_salts=n_salts)
+    direct = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    got = {r["user_id"]: r["n_records"] for r in res.collect()}
+    assert got == direct
+    n_hot = direct[7]
+    assert n_hot >= 0.3 * sum(direct.values())  # the skew is real
+
+    # trigger proof 1 (row counter): the operator's own salt expression
+    # fans the hot key's rows across ALL n_salts partial groups — the
+    # single pinned reducer becomes n_salts reducers
+    spread = (
+        ev.filter(F.col("user_id") == 7)
+        .select(_salt_expr("event_id", n_salts).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert spread == n_salts
+
+    # trigger proof 2 (plan shape): two aggregation exchanges — the
+    # first hash-partitioned on (user_id, __salt), the final on user_id
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan
+    assert plan.count("hashpartitioning(user_id") >= 2
+
+
+def test_salted_join_joins_on_salted_key_under_skew(spark, zipf_events):
+    """salted_join under the zipf fact side: result set identical to
+    the plain join, and the physical join key includes the salt (the
+    hot key's rows land on n_salts join partitions, the dim row riding
+    replicated) — asserted on the executed plan, not just output."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.skew import salted_join
+
+    fact = zipf_events
+    dim = (
+        fact.select("user_id")
+        .distinct()
+        .withColumn("segment", F.concat(F.lit("seg"), F.col("user_id") % 5))
+    )
+    joined = salted_join(fact, dim, "user_id", salt_from="event_id", n_salts=8)
+    direct = fact.join(dim, "user_id")
+    assert joined.count() == direct.count()
+    got = {
+        (r["event_id"], r["segment"])
+        for r in joined.select("event_id", "segment").collect()
+    }
+    want = {
+        (r["event_id"], r["segment"])
+        for r in direct.select("event_id", "segment").collect()
+    }
+    assert got == want
+
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan, "join did not execute on the salted key"
