@@ -65,10 +65,81 @@ HEADLINE = [
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
 
+# Plan-shape pins (SF-independent invariants): wall time is host-noisy
+# (the yardsticks prove 3-9× swings), so regressions like the round-4
+# double Arrow evaluation of the minhash kernel are pinned on PLAN
+# SHAPE instead — an extra ArrowEvalPython/MapInPandas node or a
+# shuffle appearing in a pinned-shuffle-free lane fails the bench run
+# loudly no matter what the clock says. Counts are max Python-crossing
+# nodes in the executed plan (0 = pure JVM lane).
+PLAN_PINS: dict[str, dict] = {
+    "q_filter_regex": {"arrow_max": 0, "shuffle_free": True},
+    "q_text_stats": {"arrow_max": 0},
+    "q_token_count": {"arrow_max": 0},
+    "q_repetition_filter": {"arrow_max": 0, "shuffle_free": True},
+    "q_etl_chain": {"arrow_max": 0},
+    "q_decontaminate": {"arrow_max": 0},
+    "q_dedup_exact": {"arrow_max": 0},
+    # exactly ONE signature pass (the round-6 fix) + one verify kernel
+    "q_dedup_minhash_verified": {"arrow_max": 2},
+    "q_knn_cosine": {"arrow_max": 1},
+    "q_llm_pipeline": {"arrow_max": 1},  # the packing kernel only
+}
+
+ARROW_NODES = (
+    "ArrowEvalPython",
+    "MapInPandas",
+    "FlatMapGroupsInPandas",
+    "AggregateInPandas",
+    "FlatMapGroupsInPandasWithState",
+    "BatchEvalPython",  # row-at-a-time UDF: must never appear at all
+)
+
+
+def _shuffle_totals(spark) -> tuple[int, int]:
+    """(read_bytes, write_bytes) summed over all completed stages, from
+    the Spark status REST API (the UI is enabled for the bench session
+    with a raised retainedStages so totals are monotone)."""
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+    try:
+        raw = urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app_id}/stages?status=complete",
+            timeout=10,
+        ).read()
+        stages = json.loads(raw)
+    except Exception:
+        return (0, 0)
+    return (
+        sum(s.get("shuffleReadBytes", 0) for s in stages),
+        sum(s.get("shuffleWriteBytes", 0) for s in stages),
+    )
+
+
+def _plan_profile(df) -> dict:
+    """Executed-plan profile AFTER the action ran (AQE final plan):
+    Python-crossing node count per kind + total."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    counts = {k: plan.count(k) for k in ARROW_NODES}
+    return {"arrow_nodes": sum(counts.values()), **{k: v for k, v in counts.items() if v}}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    spark = get_spark(app_name="bench", cpus=cpus)
+    spark = get_spark(
+        app_name="bench",
+        cpus=cpus,
+        # status API on for the per-query shuffle-bytes profile; raised
+        # stage retention keeps the cumulative totals monotone across
+        # the ~2k stages a full bench run submits
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.retainedStages": "100000",
+        },
+    )
     qs = {**entrymod.queries(), **entrymod.extra_queries()}
 
     # warm up the JVM, parquet footer cache, and the Python/Arrow UDF
@@ -92,18 +163,44 @@ def main() -> None:
     )
 
     timings: dict[str, float] = {}
+    plans: dict[str, dict] = {}
+    violations: list[str] = []
     for name in HEADLINE:
         fn = qs[name]
         fn(spark, sf_dir).count()  # untimed warm-up rep
         reps = []
+        sh0 = _shuffle_totals(spark)
         for _ in range(REPS):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
             reps.append(time.perf_counter() - t0)
+        sh1 = _shuffle_totals(spark)
         timings[name] = round(min(reps), 3)
+        prof = _plan_profile(df)
+        # per-run shuffle bytes: identical across reps (deterministic
+        # plan), so the rep-loop delta / REPS is one run's traffic
+        prof["shuffle_read_mb"] = round((sh1[0] - sh0[0]) / REPS / 1e6, 3)
+        prof["shuffle_write_mb"] = round((sh1[1] - sh0[1]) / REPS / 1e6, 3)
+        plans[name] = prof
+        pin = PLAN_PINS.get(name)
+        if pin:
+            if prof["arrow_nodes"] > pin.get("arrow_max", 10**9):
+                violations.append(
+                    f"{name}: {prof['arrow_nodes']} Python-crossing plan nodes"
+                    f" > pinned max {pin['arrow_max']}"
+                )
+            if pin.get("shuffle_free") and prof["shuffle_write_mb"] > 0.0:
+                violations.append(
+                    f"{name}: pinned shuffle-free but wrote"
+                    f" {prof['shuffle_write_mb']} MB of shuffle"
+                )
+        if prof.get("BatchEvalPython"):
+            violations.append(f"{name}: row-at-a-time Python UDF in the plan")
         print(
-            f"# {name}: best {timings[name]:.3f}s of {[round(r, 3) for r in reps]} ({n} rows)",
+            f"# {name}: best {timings[name]:.3f}s of {[round(r, 3) for r in reps]} ({n} rows)"
+            f" [arrow={prof['arrow_nodes']}"
+            f" shuffle={prof['shuffle_read_mb']}/{prof['shuffle_write_mb']}MB]",
             file=sys.stderr,
         )
 
@@ -117,12 +214,20 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "plans": plans,
+                "plan_violations": violations,
                 "stream": stream,
                 "yardsticks": yardsticks(spark),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
     )
+    if violations:
+        # fail LOUD after emitting the JSON record: a plan-shape
+        # regression must never ride a green bench on a noisy host
+        for v in violations:
+            print(f"# PLAN PIN VIOLATED: {v}", file=sys.stderr)
+        sys.exit(1)
 
 
 def yardsticks(spark) -> dict:

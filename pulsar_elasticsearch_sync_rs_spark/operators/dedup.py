@@ -263,6 +263,17 @@ def candidates_from_bands(
     sized = banded.withColumn("__k", F.count(F.lit(1)).over(w)).withColumn(
         "__hub", F.min(id_col).over(w)
     )
+    # ONE signature pass for both consumers: the small-bucket groupBy
+    # branch and the mega-bucket star branch below would otherwise each
+    # re-derive the whole banded subtree — Catalyst shares no subtrees
+    # across union branches, and the Python-UDF exchanges don't
+    # canonicalize equal so ReuseExchange can't kick in either — i.e.
+    # the signature UDF over the FULL corpus once per branch (caught by
+    # the bench plan pin, round 7). The checkpoint materializes only
+    # the skinny (id, band_id, band_hash, k, hub) rows the window
+    # exchange already shuffled; text never enters it. Same pattern as
+    # packing's prefix scan and the components iteration.
+    sized = sized.localCheckpoint(eager=True)
     small_pairs = (
         sized.filter((F.col("__k") > 1) & (F.col("__k") <= max_bucket))
         .groupBy("band_id", "band_hash")
@@ -487,6 +498,16 @@ def dedup_minhash_verified(
             union = len(sa | sb)
             out.append(len(sa & sb) / union if union else 0.0)
         return pd.Series(out)
+
+    # the threshold filter is a predicate on the UDF's OUTPUT with no
+    # input-derivable equivalent, so the round-6 "derive predicates
+    # from UDF inputs" rule can't apply; predicate pushdown would
+    # otherwise clone the UDF into the Filter AND the Project (two
+    # Arrow passes over every candidate pair — caught by the bench
+    # plan pin, round 7). asNondeterministic() forbids Catalyst from
+    # duplicating or pushing past it: the kernel is pure, the marker
+    # is purely an evaluate-once fence.
+    jaccard_udf = jaccard_udf.asNondeterministic()
 
     return (
         cand.join(t.withColumnRenamed(id_col, "id_a").withColumnRenamed("__t", "__ta"), "id_a")

@@ -695,9 +695,15 @@ def test_minhash_mega_bucket_is_bounded(spark):
     ids_seen = {i for p in mega_side for i in p}
     assert ids_seen == set(range(n))
     # the two-regime union must not re-run the signature UDF pass per
-    # branch: the band-key Exchange is shared via exchange reuse
+    # branch. ReuseExchange used to carry this on in-memory inputs but
+    # never fired on the parquet lane (Python-UDF exchanges don't
+    # canonicalize equal there — caught by the round-7 bench plan pin);
+    # candidates_from_bands now materializes the sized band table once
+    # (localCheckpoint), so BOTH branches scan the same RDD and the
+    # signature UDF appears in NEITHER branch of the executed plan.
     final = pairs._jdf.queryExecution().executedPlan().toString()
-    assert "ReusedExchange" in final, final
+    assert "ArrowEvalPython" not in final, final
+    assert final.count("Scan ExistingRDD") >= 2, final
 
 
 def test_minhash_cap_not_hit_is_identical(spark):
