@@ -65,6 +65,17 @@ def exclusive_prefix_sum(
     see module docstring). ``order_col`` must be unique."""
     spark = df.sparkSession
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # the totals pass below collects ONE row per partition — O(n_part)
+    # driver memory, fine at any sane setting but a misconfigured
+    # millions-of-shuffle-partitions session would turn it into a
+    # driver-side flood; fail fast with the remedy instead
+    if n_part > 1_000_000:
+        raise ValueError(
+            f"exclusive_prefix_sum collects one total per partition; "
+            f"{n_part} partitions would collect {n_part} rows on the driver "
+            "- pass num_partitions explicitly (scan width is independent "
+            "of spark.sql.shuffle.partitions)"
+        )
     part = df.repartitionByRange(n_part, order_col).withColumn(
         "__pid", F.spark_partition_id()
     )

@@ -448,3 +448,42 @@ def test_equidepth_histogram_exact_and_sketch_paths(spark, sf_dir):
     sk = {(t, b): n for t, b, n in rows_sketch}
     for t, b, n in rows_exact:
         assert abs(n - sk.get((t, b), 0)) <= 0.05 * totals[t], (t, b, n, sk.get((t, b)))
+
+
+def test_pii_redaction_planted(spark):
+    """Redaction semantics on planted cases: order matters (an email
+    with a numeric-IP domain is ONE <EMAIL>, not an <IP> inside a
+    half-redacted address), counts are per redacted type, multiple
+    matches all replaced, and clean text passes through byte-identical."""
+    from pulsar_elasticsearch_sync_rs_spark.functions.text import (
+        pii_counts,
+        redact_pii,
+    )
+
+    rows = [
+        Row(i=0, t="mail a.b_c+x@sub.example.org and d@e.io twice"),
+        Row(i=1, t="login from 192.168.0.1 then 10.0.0.254 done"),
+        Row(i=2, t="call 555-867-5309 or 800-555-0100 now"),
+        Row(i=3, t="numeric domain user@10.0.0.1 falls to the ip pass"),
+        Row(i=4, t="no pii here just words 1234 and 12.5 percent"),
+        Row(i=5, t="mixed x@y.com at 8.8.8.8 tel 555-123-4567"),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        r["i"]: r
+        for r in df.select(
+            "i", redact_pii("t").alias("red"), *pii_counts("t")
+        ).collect()
+    }
+    assert got[0]["red"] == "mail <EMAIL> and <EMAIL> twice"
+    assert (got[0]["n_email"], got[0]["n_ip"], got[0]["n_phone"]) == (2, 0, 0)
+    assert got[1]["red"] == "login from <IP> then <IP> done"
+    assert got[1]["n_ip"] == 2
+    assert got[2]["red"] == "call <PHONE> or <PHONE> now"
+    assert got[2]["n_phone"] == 2
+    # a numeric host is NOT a valid email (alphabetic TLD required);
+    # the email pass leaves it and the ip pass takes the host
+    assert got[3]["red"] == "numeric domain user@<IP> falls to the ip pass"
+    assert (got[3]["n_email"], got[3]["n_ip"]) == (0, 1)
+    assert got[4]["red"] == rows[4].t  # untouched
+    assert got[5]["red"] == "mixed <EMAIL> at <IP> tel <PHONE>"
