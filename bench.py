@@ -74,16 +74,30 @@ REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 # nodes in the executed plan (0 = pure JVM lane).
 PLAN_PINS: dict[str, dict] = {
     "q_filter_regex": {"arrow_max": 0, "shuffle_free": True},
+    "q_group_counts": {"arrow_max": 0},
+    "q_rate_limit": {"arrow_max": 0},
+    "q_etl_chain": {"arrow_max": 0},
+    "q_tpch_pricing": {"arrow_max": 0},
+    "q_tpch_join_topk": {"arrow_max": 0},
+    "q_region_revenue": {"arrow_max": 0},
+    "q_window_running": {"arrow_max": 0},
+    "q_sessionize": {"arrow_max": 0},
+    "q_asof_join": {"arrow_max": 0},
+    "q_dedup_exact": {"arrow_max": 0},
+    "q_corpus_curation": {"arrow_max": 0},
     "q_text_stats": {"arrow_max": 0},
     "q_token_count": {"arrow_max": 0},
     "q_repetition_filter": {"arrow_max": 0, "shuffle_free": True},
-    "q_etl_chain": {"arrow_max": 0},
     "q_decontaminate": {"arrow_max": 0},
-    "q_dedup_exact": {"arrow_max": 0},
-    # exactly ONE signature pass (the round-6 fix) + one verify kernel
-    "q_dedup_minhash_verified": {"arrow_max": 2},
+    "q_range_join": {"arrow_max": 0},
+    "q_time_bucket_rollup": {"arrow_max": 0},
+    # signature pass rides the candidates_from_bands checkpoint job
+    # (one pass by construction); the visible node is the verify kernel
+    "q_dedup_minhash_verified": {"arrow_max": 1},
     "q_knn_cosine": {"arrow_max": 1},
-    "q_llm_pipeline": {"arrow_max": 1},  # the packing kernel only
+    "q_embed_neardup_ivf": {"arrow_max": 2},  # assign + within-cell cosine
+    "q_knn_pq": {"arrow_max": 3},  # train/encode + probe ADC + re-rank
+    "q_llm_pipeline": {"arrow_max": 1},  # at most the packing kernel
 }
 
 ARROW_NODES = (

@@ -1253,3 +1253,92 @@ def test_curation_ingest_rate_limit_caps_per_batch(spark, sf_dir, tmpdir):
     # other sources: untouched vs the uncapped batch prefix
     other = uncapped.filter(F.col("source") != "src0")
     assert out.filter(F.col("source") != "src0").count() == other.count()
+
+
+def test_supervised_curation_ingest_survives_sink_failure(spark, sf_dir, tmpdir):
+    """The two S-pieces composed: run_curation_ingest driven by
+    run_supervised. A one-shot transport failure AFTER batch 1's data
+    writes (worst case: output landed, offsets uncommitted) kills the
+    query; the supervisor restarts it from the checkpoint; the replayed
+    batch's per-batch overwrites — and the sha-index read that prunes
+    the replayed batch's own slice — keep the run idempotent: final
+    corpus ≡ the batch pipeline prefix, the bulk sink holds exactly one
+    action per admitted doc, and the restart counter reads 1."""
+    import time
+
+    from pulsar_elasticsearch_sync_rs_spark.sources.batch import read_table
+    from pulsar_elasticsearch_sync_rs_spark.streaming.curation import (
+        run_curation_ingest,
+    )
+    from pulsar_elasticsearch_sync_rs_spark.streaming.supervisor import (
+        run_supervised,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    max_id = corpus.agg(F.max("doc_id")).first()[0]
+    src_dir = os.path.join(tmpdir, "sc_src")
+    cuts = [max_id // 3, 2 * max_id // 3]
+    for lo, hi in ((None, cuts[0]), (cuts[0], cuts[1]), (cuts[1], None)):
+        part = corpus
+        if lo is not None:
+            part = part.filter(F.col("doc_id") > lo)
+        if hi is not None:
+            part = part.filter(F.col("doc_id") <= hi)
+        part.coalesce(1).write.mode("append").parquet(src_dir)
+        time.sleep(1.1)
+
+    sink_dir = os.path.join(tmpdir, "sc_es")
+    fault_path = os.path.join(tmpdir, "sc_fault")
+
+    class OneShotFailingTransport:
+        """Idempotent per-batch-overwrite sink that dies ONCE on batch 1
+        after its write completed."""
+
+        def write(self, batch_df, batch_id):
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(sink_dir, f"batch={batch_id}")
+            )
+            if batch_id == 1 and not os.path.exists(fault_path):
+                with open(fault_path, "w", encoding="utf-8") as fh:
+                    fh.write("fired")
+                raise RuntimeError("injected one-shot transport failure")
+
+    out_dir = os.path.join(tmpdir, "sc_out")
+    sha_dir = os.path.join(tmpdir, "sc_sha")
+    registry = MetricsRegistry()
+
+    def start():
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, text string, lang string, source string, n_chars long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        return run_curation_ingest(
+            stream,
+            bench,
+            out_dir,
+            sha_dir,
+            os.path.join(tmpdir, "sc_ckpt"),
+            transport=OneShotFailingTransport(),
+            n=5,
+            available_now=True,
+        )
+
+    run = run_supervised(
+        start, max_restarts=3, backoff_initial_ms=10,
+        registry=registry, name="curation",
+    )
+    assert run.restarts == 1 and os.path.exists(fault_path)
+    assert registry.get("query_restarts_total", query="curation") == 1.0
+
+    got = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    want = {
+        r["doc_id"] for r in _curation_batch_prefix(corpus, bench).collect()
+    }
+    assert got == want and got
+    # bulk sink: exactly one action per admitted doc across the replay
+    assert spark.read.parquet(sink_dir).count() == len(want)
