@@ -868,9 +868,10 @@ def semantic_dedup_ivf(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    nlist: int = 16,
+    nlist: int | None = 16,
     nprobe: int = 2,
     seed: int = 42,
+    target_cell: int = 256,
 ) -> DataFrame:
     """The SCALE path of semantic dedup (SemDeDup, Abbas et al. 2023):
     blocking by IVF cell instead of a label column — the paper's own
@@ -886,14 +887,20 @@ def semantic_dedup_ivf(
     (cell_id, id, vector) within cells only — cell size
     (corpus/nlist × nprobe) is the knob that keeps the within-cell
     verify bounded as the corpus grows; components move (long, long)
-    edges; text/vectors never cross the wire again after the join."""
+    edges; text/vectors never cross the wire again after the join.
+
+    ``nlist=None`` auto-scales the cell count to ceil(n/target_cell)
+    (min 8): a FIXED nlist makes the within-cell all-pairs term grow
+    as (n/nlist)² — measured super-linear on the sf1→sf10 decade
+    (SCALE.md round 7) — while bounded cells keep it ~linear. Pass an
+    explicit nlist only when the cell geometry itself is under test."""
     from pulsar_elasticsearch_sync_rs_spark.operators.components import dedup_clusters
     from pulsar_elasticsearch_sync_rs_spark.operators.ivf import (
         make_cell_probe_udf,
         train_coarse_quantizer,
     )
-    from pulsar_elasticsearch_sync_rs_spark.operators.similarity import cosine
-
+    if nlist is None:
+        nlist = max(8, -(-emb.count() // target_cell))
     centers = train_coarse_quantizer(
         emb, id_col=id_col, vec_col=vec_col, nlist=nlist, seed=seed
     )
@@ -909,6 +916,14 @@ def semantic_dedup_ivf(
         id_col, vec_col, F.explode(probe(F.col(vec_col))).alias("cell_id")
     ).persist()
     a, b = cells.alias("a"), cells.alias("b")
+    # evaluate-once fence on the pair kernel: the threshold filter is a
+    # predicate on the UDF's output, so pushdown would clone the cosine
+    # into Filter AND Project — two Arrow passes over every within-cell
+    # pair, the dominant cost of the whole operator (same class as the
+    # verify-jaccard double-eval the bench plan pin caught, round 7)
+    from pulsar_elasticsearch_sync_rs_spark.operators.similarity import cosine_udf
+
+    sim_once = cosine_udf.asNondeterministic()
     pairs = (
         a.join(
             b,
@@ -918,7 +933,7 @@ def semantic_dedup_ivf(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("sim"),
+            sim_once(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b")
