@@ -921,9 +921,10 @@ def semantic_dedup_ivf(
     # into Filter AND Project — two Arrow passes over every within-cell
     # pair, the dominant cost of the whole operator (same class as the
     # verify-jaccard double-eval the bench plan pin caught, round 7)
-    from pulsar_elasticsearch_sync_rs_spark.operators.similarity import cosine_udf
+    from pulsar_elasticsearch_sync_rs_spark.operators.similarity import (
+        cosine_once as sim_once,
+    )
 
-    sim_once = cosine_udf.asNondeterministic()
     pairs = (
         a.join(
             b,

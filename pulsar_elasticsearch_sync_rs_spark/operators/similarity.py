@@ -52,8 +52,7 @@ def l2_norm(a: Column) -> Column:
 
 # --- vectorized kernels (the hot path) ----------------------------------
 
-@F.pandas_udf(T.DoubleType())
-def cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+def _cosine_np(a: pd.Series, b: pd.Series) -> pd.Series:
     """Cosine similarity per row, vectorized: one numpy matmul-ish pass
     per Arrow batch (float64 accumulation)."""
     am = np.array(a.tolist(), dtype=np.float64)
@@ -62,6 +61,18 @@ def cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     den = np.linalg.norm(am, axis=1) * np.linalg.norm(bm, axis=1)
     out = np.where(den > 0, num / np.where(den == 0, 1.0, den), 0.0)
     return pd.Series(out)
+
+
+cosine_udf = F.pandas_udf(_cosine_np, T.DoubleType())
+
+# evaluate-once twin for pair-verify lanes that FILTER on the output:
+# predicate pushdown clones a deterministic UDF into Filter AND Project
+# (two Arrow passes over every candidate pair); the nondeterministic
+# marker is purely an evaluate-once fence — the kernel is pure. It MUST
+# be its own instance: PySpark's wrapper.asNondeterministic() mutates
+# the shared underlying UDF (measured — deriving from cosine_udf would
+# silently turn every knn lane nondeterministic too).
+cosine_once = F.pandas_udf(_cosine_np, T.DoubleType()).asNondeterministic()
 
 
 @F.pandas_udf(T.DoubleType())
@@ -237,7 +248,9 @@ def embedding_near_dup(
     )
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
-    sim = cosine(F.col("__va"), F.col("__vb"))
+    # cosine_once: the threshold filter below is on the UDF's output —
+    # the deterministic kernel would be cloned into Filter AND Project
+    sim = cosine_once(F.col("__va"), F.col("__vb"))
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")

@@ -35,7 +35,7 @@ from pulsar_elasticsearch_sync_rs_spark.operators.multimodal import (
     synthesize_wav_corpus,
 )
 from pulsar_elasticsearch_sync_rs_spark.operators.similarity import (
-    cosine,
+    cosine_once,
     embedding_near_dup,
     knn_cosine_bruteforce,
     knn_cosine_lsh,
@@ -408,7 +408,9 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = a.join(
         b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id"))
     )
-    sim = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    # cosine_once: the threshold filter is on the UDF output — fence
+    # keeps the pair kernel to one Arrow pass (see similarity.py)
+    sim = cosine_once(F.col("a.embedding"), F.col("b.embedding"))
     return (
         pairs.select(
             F.col("a.vec_id").alias("id_a"),
@@ -2058,7 +2060,8 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     a, b = emb.alias("a"), emb.alias("b")
-    sim = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    # cosine_once: threshold filter on the UDF output — one Arrow pass
+    sim = cosine_once(F.col("a.embedding"), F.col("b.embedding"))
     pairs = (
         a.join(
             b,
