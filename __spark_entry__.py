@@ -227,7 +227,6 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_minhash_incr": _wrap(L.q_dedup_minhash_incr),  # incremental near-dup vs corpus bands (rows-only; rebuild-parity pytest)
         "q_semantic_dedup_ivf": _wrap(L.q_semantic_dedup_ivf),  # SemDeDup scale path: IVF-cell blocking (rows-only; planted-twin pytest)
         "q_substring_dedup": _wrap(L.q_substring_dedup),  # substring dedup APPLIED: keep-first 20-gram excision (Lee et al.)
-        "q_pii_redact": _wrap(L.q_pii_redact),  # PII scrubbing: email/IP/phone redaction with per-doc accounting
     }
 
 
@@ -270,5 +269,4 @@ def extra_oracle_sql() -> dict[str, str]:
         "q_token_budget": L.ORACLE_TOKEN_BUDGET,
         "q_semantic_dedup": L.ORACLE_SEMANTIC_DEDUP,
         "q_substring_dedup": L.ORACLE_SUBSTRING_DEDUP,
-        "q_pii_redact": L.ORACLE_PII_REDACT,
     }

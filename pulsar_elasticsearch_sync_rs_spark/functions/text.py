@@ -300,39 +300,3 @@ def py_word_shingles(text: str | None, k: int) -> set[str]:
         return set()
     return {" ".join(toks[i : i + k]) for i in range(n)}
 
-
-# PII redaction — the scrubbing pass a training corpus runs before
-# release. Pattern list is ordered and the ORDER IS SEMANTICS: emails
-# are redacted first so an address's dotted host is consumed as part
-# of ONE <EMAIL> match; what the email pass leaves (e.g. the numeric
-# host of user@10.0.0.1, which is not a valid email — the TLD must be
-# alphabetic) falls through to the IP pass. Counts are taken on the
-# progressively redacted text for the same reason. Every pattern uses
-# only constructs Java regex and RE2 (DuckDB) interpret identically,
-# so the lane is oracle-checkable.
-PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
-    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
-    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
-)
-
-
-def redact_pii(text: Column | str) -> Column:
-    """The text with every PII match replaced by its type token —
-    pure JVM regexp_replace chain, zero shuffle, codegen-friendly."""
-    c = F.col(text) if isinstance(text, str) else text
-    for _, pat, tok in PII_PATTERNS:
-        c = F.regexp_replace(c, pat, tok)
-    return c
-
-
-def pii_counts(text: Column | str) -> list[Column]:
-    """Per-type match counts (``n_email``, ``n_ip``, ``n_phone``),
-    each counted AFTER the earlier patterns were redacted — exactly
-    what :func:`redact_pii` replaces."""
-    c = F.col(text) if isinstance(text, str) else text
-    out = []
-    for name, pat, tok in PII_PATTERNS:
-        out.append(F.regexp_count(c, F.lit(pat)).cast("bigint").alias(f"n_{name}"))
-        c = F.regexp_replace(c, pat, tok)
-    return out

@@ -451,39 +451,50 @@ def test_equidepth_histogram_exact_and_sketch_paths(spark, sf_dir):
 
 
 def test_pii_redaction_planted(spark):
-    """Redaction semantics on planted cases: order matters (an email
-    with a numeric-IP domain is ONE <EMAIL>, not an <IP> inside a
-    half-redacted address), counts are per redacted type, multiple
-    matches all replaced, and clean text passes through byte-identical."""
+    """Planted-case pins for the PII scrub helpers q_pii_scrub rides
+    (the lane itself is oracle-checked on synthesized footers; this
+    pins the per-pattern semantics on hand-written text): application
+    order email→SSN→phone→IPv4, multiple matches all replaced, a
+    numeric mail host is NOT an email (alphabetic TLD required — the
+    IPv4 pass takes it), and PII-free text passes through untouched."""
     from pulsar_elasticsearch_sync_rs_spark.functions.text import (
-        pii_counts,
+        pii_count,
         redact_pii,
     )
 
     rows = [
         Row(i=0, t="mail a.b_c+x@sub.example.org and d@e.io twice"),
         Row(i=1, t="login from 192.168.0.1 then 10.0.0.254 done"),
-        Row(i=2, t="call 555-867-5309 or 800-555-0100 now"),
-        Row(i=3, t="numeric domain user@10.0.0.1 falls to the ip pass"),
-        Row(i=4, t="no pii here just words 1234 and 12.5 percent"),
-        Row(i=5, t="mixed x@y.com at 8.8.8.8 tel 555-123-4567"),
+        Row(i=2, t="call 555-867-5309 or 800.555.0100 now"),
+        Row(i=3, t="ssn 123-45-6789 on file"),
+        Row(i=4, t="numeric domain user@10.0.0.1 falls to the ip pass"),
+        Row(i=5, t="no pii here just words 1234 and 12.5 percent"),
+        Row(i=6, t="mixed x@y.com at 8.8.8.8 tel 555-123-4567"),
     ]
     df = spark.createDataFrame(rows)
     got = {
         r["i"]: r
         for r in df.select(
-            "i", redact_pii("t").alias("red"), *pii_counts("t")
+            "i",
+            redact_pii("t").alias("red"),
+            pii_count("t", "email").alias("n_email"),
+            pii_count("t", "ssn").alias("n_ssn"),
+            pii_count("t", "phone").alias("n_phone"),
+            pii_count("t", "ipv4").alias("n_ip"),
         ).collect()
     }
     assert got[0]["red"] == "mail <EMAIL> and <EMAIL> twice"
     assert (got[0]["n_email"], got[0]["n_ip"], got[0]["n_phone"]) == (2, 0, 0)
     assert got[1]["red"] == "login from <IP> then <IP> done"
     assert got[1]["n_ip"] == 2
+    # both separators of the phone class; an SSN is 3-2-4, not matched
     assert got[2]["red"] == "call <PHONE> or <PHONE> now"
-    assert got[2]["n_phone"] == 2
+    assert (got[2]["n_phone"], got[2]["n_ssn"]) == (2, 0)
+    assert got[3]["red"] == "ssn <SSN> on file"
+    assert (got[3]["n_ssn"], got[3]["n_phone"]) == (1, 0)
     # a numeric host is NOT a valid email (alphabetic TLD required);
-    # the email pass leaves it and the ip pass takes the host
-    assert got[3]["red"] == "numeric domain user@<IP> falls to the ip pass"
-    assert (got[3]["n_email"], got[3]["n_ip"]) == (0, 1)
-    assert got[4]["red"] == rows[4].t  # untouched
-    assert got[5]["red"] == "mixed <EMAIL> at <IP> tel <PHONE>"
+    # the email pass leaves it and the ipv4 pass takes the host
+    assert got[4]["red"] == "numeric domain user@<IP> falls to the ip pass"
+    assert (got[4]["n_email"], got[4]["n_ip"]) == (0, 1)
+    assert got[5]["red"] == rows[5].t  # untouched
+    assert got[6]["red"] == "mixed <EMAIL> at <IP> tel <PHONE>"
