@@ -2254,92 +2254,3 @@ JOIN toks t USING (doc_id)
 LEFT JOIN rebuilt r USING (doc_id)
 ORDER BY d.doc_id
 """
-
-
-def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrubbing — the redaction pass a corpus runs before release
-    (emails → <EMAIL>, IPv4 → <IP>, phone numbers → <PHONE>), with
-    per-doc match accounting. The synthetic fixture contains no real
-    PII, so the query PLANTS deterministic PII in two thirds of the
-    docs as part of the plan (the oracle plants identically): doc_id
-    ≡ 0 (mod 3) gains an email, ≡ 1 (mod 3) an IP and a phone. Output
-    is (doc_id, n_email, n_ip, n_phone, redacted_md5, n_chars_red) —
-    the md5 pins the exact redacted text without hauling it around.
-
-    Plan: one narrow projection of regexp chains, zero shuffle, whole
-    plan codegen (no Python). At 100 TB this is the cheapest kind of
-    pass there is — a map over the corpus scan."""
-    from pulsar_elasticsearch_sync_rs_spark.functions.text import (
-        pii_counts,
-        redact_pii,
-    )
-
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    did = F.col("doc_id")
-    enriched = (
-        F.when(
-            did % 3 == 0,
-            F.concat(
-                F.col("text"),
-                F.lit(" contact user"),
-                did.cast("string"),
-                F.lit("@example.com now"),
-            ),
-        )
-        .when(
-            did % 3 == 1,
-            F.concat(
-                F.col("text"),
-                F.lit(" from 10."),
-                (did % 256).cast("string"),
-                F.lit(".0.1 and 555-867-"),
-                F.lpad((did % 10000).cast("string"), 4, "0"),
-            ),
-        )
-        .otherwise(F.col("text"))
-    )
-    red = redact_pii(enriched)
-    return docs.select(
-        "doc_id",
-        *pii_counts(enriched),
-        F.md5(red).alias("redacted_md5"),
-        F.length(red).cast("bigint").alias("n_chars_red"),
-    )
-
-
-ORACLE_PII_REDACT = r"""
-WITH enr AS (
-  SELECT doc_id,
-    CASE WHEN doc_id % 3 = 0
-           THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
-                || '@example.com now'
-         WHEN doc_id % 3 = 1
-           THEN text || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
-                || '.0.1 and 555-867-'
-                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-         ELSE text END AS t
-  FROM documents
-), s1 AS (
-  SELECT doc_id,
-    CAST(len(regexp_extract_all(t,
-      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
-    regexp_replace(t,
-      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
-  FROM enr
-), s2 AS (
-  SELECT doc_id, n_email,
-    CAST(len(regexp_extract_all(t1,
-      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
-    regexp_replace(t1,
-      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2
-  FROM s1
-), s3 AS (
-  SELECT doc_id, n_email, n_ip,
-    CAST(len(regexp_extract_all(t2, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
-    regexp_replace(t2, '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS t3
-  FROM s2
-)
-SELECT doc_id, n_email, n_ip, n_phone, md5(t3) AS redacted_md5,
-  CAST(length(t3) AS BIGINT) AS n_chars_red
-FROM s3
-"""
