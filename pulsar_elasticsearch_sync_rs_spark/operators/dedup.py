@@ -883,11 +883,13 @@ def semantic_dedup_ivf(
     transitive duplicate group, singletons size 1.
 
     Scale shape: the quantizer trains on the bounded driver sample;
-    cell assignment is one Arrow pass; the pair join moves
-    (cell_id, id, vector) within cells only — cell size
-    (corpus/nlist × nprobe) is the knob that keeps the within-cell
-    verify bounded as the corpus grows; components move (long, long)
-    edges; text/vectors never cross the wire again after the join.
+    cell assignment is one Arrow pass; the verify is a PER-CELL GRAM
+    MATRIX — each cell's (id, vector) rows shuffle once on cell_id and
+    a blocked numpy matmul scores every within-cell pair in C, so the
+    pair count never materializes as rows; cell size (corpus/nlist ×
+    nprobe) is the knob that keeps the per-cell slab bounded as the
+    corpus grows; components move (long, long) edges; vectors never
+    cross the wire again after the cell shuffle.
 
     ``nlist=None`` auto-scales the cell count to ceil(n/target_cell)
     (min 8): a FIXED nlist makes the within-cell all-pairs term grow
@@ -905,39 +907,53 @@ def semantic_dedup_ivf(
         emb, id_col=id_col, vec_col=vec_col, nlist=nlist, seed=seed
     )
     probe = make_cell_probe_udf(centers, nprobe=nprobe)
-    # persist the assignment before the self-join: Catalyst does not
-    # share subtrees across join branches, so without the cache the
-    # cell-probe Arrow UDF (and the explode) would re-run over the FULL
-    # corpus once per side — the anti-pattern candidates_from_bands'
-    # comment warns about. The cached table is (id, vector, cell) ×
-    # nprobe — corpus-scaled, hence MEMORY_AND_DISK; ContextCleaner
-    # reclaims it when the result goes out of scope.
     cells = emb.select(
         id_col, vec_col, F.explode(probe(F.col(vec_col))).alias("cell_id")
-    ).persist()
-    a, b = cells.alias("a"), cells.alias("b")
-    # evaluate-once fence on the pair kernel: the threshold filter is a
-    # predicate on the UDF's output, so pushdown would clone the cosine
-    # into Filter AND Project — two Arrow passes over every within-cell
-    # pair, the dominant cost of the whole operator (same class as the
-    # verify-jaccard double-eval the bench plan pin caught, round 7)
-    from pulsar_elasticsearch_sync_rs_spark.operators.similarity import (
-        cosine_once as sim_once,
     )
 
+    # within-cell verify as a PER-CELL GRAM MATRIX (applyInPandas), not
+    # a self-join: the join shape shuffles every cell's vectors twice
+    # and pays the Arrow pair kernel one ROW per candidate pair —
+    # measured 53 s of the old lane's 70 s at sf10 (SCALE.md round 7).
+    # Here each cell's members cross the wire ONCE (one shuffle on
+    # cell_id), a blocked float64 matmul scores all pairs of the cell
+    # in C, and only the surviving (id_a, id_b) edges come back. Block
+    # rows bound the gram slab at block×cell even when k-means hands
+    # back an oversized cell. Single consumer of the probe UDF — the
+    # old self-join's persist (and its lifetime) is gone too.
+    import numpy as np
+    import pandas as pd
+
+    thr = float(threshold)
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)[order]
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        mn = m / norms[:, None]
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        block = 1024
+        for i0 in range(0, n, block):
+            s = mn[i0 : i0 + block] @ mn.T
+            rows, cols = np.nonzero(s >= thr)
+            rows = rows + i0
+            keep = cols > rows  # strict upper triangle: id_a < id_b
+            out_a.append(ids[rows[keep]])
+            out_b.append(ids[cols[keep]])
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        )
+
     pairs = (
-        a.join(
-            b,
-            (F.col("a.cell_id") == F.col("b.cell_id"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            sim_once(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("sim"),
-        )
-        .filter(F.col("sim") >= threshold)
-        .select("id_a", "id_b")
+        cells.groupBy("cell_id")
+        .applyInPandas(cell_pairs, schema="id_a long, id_b long")
         .distinct()  # multi-probe can pair the same ids in two cells
     )
     clustered = dedup_clusters(emb, pairs, id_col=id_col)

@@ -1,0 +1,69 @@
+"""Deep-decade cost-curve probe (SCALE.md protocol): time the lanes
+whose growth actually matters — the minhash family, IVF semantic
+dedup, IVF-PQ search, sequence packing, and the end-to-end curation
+pipeline — on two fixtures a decade apart (default /tmp/sf1 →
+/tmp/sf10, built by make_scale_decade.py with the documents,embeddings
+subset) and print the per-lane growth ratio.
+
+Protocol: one untimed warm-up, then best-of-N per lane per fixture —
+identical to bench.py. Lanes here read ONLY documents/embeddings, so
+the partial sf10 fixture suffices.
+
+Run:  python tools/bench_decade.py [SMALL_DIR] [BIG_DIR] [REPS]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+from pulsar_elasticsearch_sync_rs_spark.session import get_spark
+
+LANES = [
+    "q_dedup_minhash_verified",
+    "q_dedup_minhash_incr",
+    "q_semantic_dedup_ivf",
+    "q_knn_ivfpq",
+    "q_seq_pack",
+    "q_llm_pipeline",
+]
+
+
+def main() -> None:
+    small = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+    big = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf10"
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    spark = get_spark(app_name="bench_decade", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    qs = {**entrymod.queries(), **entrymod.extra_queries()}
+
+    out: dict[str, dict] = {}
+    for sf_dir in (small, big):
+        for t in ("documents", "embeddings"):
+            spark.read.parquet(f"{sf_dir}/{t}.parquet").count()  # warm page cache
+        for name in LANES:
+            fn = qs[name]
+            fn(spark, sf_dir).count()  # untimed warm-up
+            walls = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                n = fn(spark, sf_dir).count()
+                walls.append(time.perf_counter() - t0)
+            best = round(min(walls), 3)
+            out.setdefault(name, {})[sf_dir] = best
+            print(
+                f"# {sf_dir} {name}: best {best:.3f}s of {[round(w,3) for w in walls]} ({n} rows)",
+                file=sys.stderr,
+            )
+
+    for name, d in out.items():
+        d["growth"] = round(d[big] / d[small], 2)
+    print(json.dumps({"small": small, "big": big, "lanes": out}))
+
+
+if __name__ == "__main__":
+    main()

@@ -26,8 +26,15 @@ Construction (deterministic, seed-free except where noted):
   R_EMB× (default 4× — the ratio the driver's own sf0.01→sf0.1 decade
   used), labels drawn uniformly from the existing label set.
 
-Run:  python tools/make_scale_decade.py [SRC_DIR] [DST_DIR] [R]
-      (defaults: /root/testdata/sf0.1 /tmp/sf1 10)
+Run:  python tools/make_scale_decade.py [SRC_DIR] [DST_DIR] [R] [TABLES] [SHIFT]
+      (defaults: /root/testdata/sf0.1 /tmp/sf1 10 all 10000000)
+      sf10 text/vector decade: python tools/make_scale_decade.py \
+          /tmp/sf1 /tmp/sf10 10 documents,embeddings 1000000000
+
+TABLES: optional comma-separated subset (e.g. ``documents,embeddings``)
+for deep-decade probes of the text/vector lanes only — building the
+full relational pack at sf10 (60M lineitem rows) buys nothing for
+those cost curves.
 """
 
 from __future__ import annotations
@@ -42,7 +49,9 @@ from pyspark.sql import functions as F
 from pulsar_elasticsearch_sync_rs_spark.session import get_spark
 
 # key spaces: shift must clear the max key at the SOURCE sf; 10M clears
-# every sf≤1 fixture with room
+# every sf≤1 DRIVER fixture with room. When the SOURCE is itself a
+# decade output (sf1 → sf10), its keys already reach reps·SHIFT — pass
+# a larger SHIFT (5th arg) that clears them, or replicas collide.
 SHIFT = 10_000_000
 R_EMB = 4
 
@@ -51,8 +60,15 @@ def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
+    global SHIFT
+    if len(sys.argv) > 5:
+        SHIFT = int(sys.argv[5])
     spark = get_spark(app_name="make_scale_decade", cpus=16)
     os.makedirs(dst, exist_ok=True)
+
+    def wanted(name: str) -> bool:
+        return only is None or name in only
 
     def rd(name):
         return spark.read.parquet(f"{src}/{name}.parquet")
@@ -77,17 +93,24 @@ def main() -> None:
             out = out.unionByName(p)
         return out
 
-    wr(rd("region"), "region", 1)
-    wr(rd("nation"), "nation", 1)
-    wr(replicate(rd("customer"), ["c_custkey"]), "customer")
-    wr(replicate(rd("supplier"), ["s_suppkey"]), "supplier", 2)
-    wr(replicate(rd("part"), ["p_partkey"]), "part", 2)
-    wr(replicate(rd("orders"), ["o_orderkey", "o_custkey"]), "orders")
-    wr(
-        replicate(rd("lineitem"), ["l_orderkey", "l_partkey", "l_suppkey"]),
-        "lineitem",
-        16,
-    )
+    if wanted("region"):
+        wr(rd("region"), "region", 1)
+    if wanted("nation"):
+        wr(rd("nation"), "nation", 1)
+    if wanted("customer"):
+        wr(replicate(rd("customer"), ["c_custkey"]), "customer")
+    if wanted("supplier"):
+        wr(replicate(rd("supplier"), ["s_suppkey"]), "supplier", 2)
+    if wanted("part"):
+        wr(replicate(rd("part"), ["p_partkey"]), "part", 2)
+    if wanted("orders"):
+        wr(replicate(rd("orders"), ["o_orderkey", "o_custkey"]), "orders")
+    if wanted("lineitem"):
+        wr(
+            replicate(rd("lineitem"), ["l_orderkey", "l_partkey", "l_suppkey"]),
+            "lineitem",
+            16,
+        )
 
     def mutate_events(d, i):
         if i == 0:
@@ -107,7 +130,8 @@ def main() -> None:
             ),
         )
 
-    wr(replicate(rd("events"), ["event_id", "user_id"], mutate_events), "events")
+    if wanted("events"):
+        wr(replicate(rd("events"), ["event_id", "user_id"], mutate_events), "events")
 
     def mutate_docs(d, i):
         if i == 0:
@@ -117,7 +141,12 @@ def main() -> None:
             "text", F.regexp_replace("text", r"(\S+)", r"$1_%d" % i)
         ).withColumn("n_chars", F.length("text"))
 
-    wr(replicate(rd("documents"), ["doc_id"], mutate_docs), "documents")
+    if wanted("documents"):
+        wr(replicate(rd("documents"), ["doc_id"], mutate_docs), "documents")
+
+    if not wanted("embeddings"):
+        print(f"# decade fixture written to {dst} (R={reps}, tables={sorted(only)})")
+        return
 
     emb = rd("embeddings")
     n_emb = emb.count()
