@@ -57,6 +57,10 @@ HEADLINE = [
     # (bucket-binning rewrite) and the one-pass two-grain rollup
     "q_range_join",
     "q_time_bucket_rollup",
+    # round-7 heavy additions: applied substring dedup (Lee et al.
+    # excision) and the gram-matrix IVF semantic dedup
+    "q_substring_dedup",
+    "q_semantic_dedup_ivf",
 ]
 
 # per-query protocol: ONE untimed warm-up execution (pays plan codegen,
@@ -98,6 +102,10 @@ PLAN_PINS: dict[str, dict] = {
     "q_embed_neardup_ivf": {"arrow_max": 2},  # assign + within-cell cosine
     "q_knn_pq": {"arrow_max": 3},  # train/encode + probe ADC + re-rank
     "q_llm_pipeline": {"arrow_max": 1},  # at most the packing kernel
+    "q_substring_dedup": {"arrow_max": 0},  # md5 grams + windows, pure JVM
+    # probe/gram kernels run inside the components checkpoints; the
+    # terminal plan must stay JVM-only
+    "q_semantic_dedup_ivf": {"arrow_max": 0},
 }
 
 ARROW_NODES = (
