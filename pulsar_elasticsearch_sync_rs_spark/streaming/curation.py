@@ -1,9 +1,13 @@
 """Streaming end-to-end curation ingestion — the reference's topology
-(consume → filter → transform → rate-limit → bulk sink, SURVEY.md §2)
-carrying the LLM curation operators instead of the log-ETL chain: ONE
-checkpointed ``foreachBatch`` job that gates, decontaminates, dedups
-(within-batch AND against everything already ingested), rate-limits
-and lands each arriving micro-batch of documents.
+(consume → filter → transform → rate-limit → bulk sink; reference
+``src/main.rs:27-77`` wiring ``consume_loop`` →
+``sink_elasticsearch_loop``, transform chain ``src/pulsar.rs:227-318``,
+buffered bulk sink ``src/es.rs:109-191``, per-app limiter
+``src/ratelimiter.rs``) carrying the LLM curation operators instead of
+the log-ETL chain: ONE checkpointed ``foreachBatch`` job that gates,
+decontaminates, dedups (within-batch AND against everything already
+ingested), rate-limits and lands each arriving micro-batch of
+documents.
 
 This composes pieces that are individually tested elsewhere —
 ``functions.text.quality_score`` / ``repetition_signals`` (gate),
