@@ -57,10 +57,14 @@ HEADLINE = [
     # (bucket-binning rewrite) and the one-pass two-grain rollup
     "q_range_join",
     "q_time_bucket_rollup",
-    # round-7 heavy additions: applied substring dedup (Lee et al.
-    # excision) and the gram-matrix IVF semantic dedup
+    # round-7 heavy addition: applied substring dedup (Lee et al.
+    # excision). The gram-matrix IVF semantic dedup lane is NOT here:
+    # at fixture scale its wall is ~all fixed overhead (quantizer
+    # training + the components iteration's checkpoint jobs), so a
+    # headline entry would measure constants, not throughput — its
+    # cost curve is pinned by the sf1→sf10 decade table (SCALE.md)
+    # and tools/bench_decade.py instead.
     "q_substring_dedup",
-    "q_semantic_dedup_ivf",
 ]
 
 # per-query protocol: ONE untimed warm-up execution (pays plan codegen,
@@ -103,9 +107,6 @@ PLAN_PINS: dict[str, dict] = {
     "q_knn_pq": {"arrow_max": 3},  # train/encode + probe ADC + re-rank
     "q_llm_pipeline": {"arrow_max": 1},  # at most the packing kernel
     "q_substring_dedup": {"arrow_max": 0},  # md5 grams + windows, pure JVM
-    # probe/gram kernels run inside the components checkpoints; the
-    # terminal plan must stay JVM-only
-    "q_semantic_dedup_ivf": {"arrow_max": 0},
 }
 
 ARROW_NODES = (
