@@ -146,6 +146,10 @@ def _plan_profile(df) -> dict:
     Python-crossing node count per kind + total."""
     plan = df._jdf.queryExecution().executedPlan().toString()
     counts = {k: plan.count(k) for k in ARROW_NODES}
+    # substring counting: every FlatMapGroupsInPandasWithState also
+    # matches the FlatMapGroupsInPandas prefix — subtract so a stateful
+    # node isn't double-counted into arrow_nodes
+    counts["FlatMapGroupsInPandas"] -= counts["FlatMapGroupsInPandasWithState"]
     return {"arrow_nodes": sum(counts.values()), **{k: v for k, v in counts.items() if v}}
 
 
@@ -203,8 +207,9 @@ def main() -> None:
         prof = _plan_profile(df)
         # per-run shuffle bytes: identical across reps (deterministic
         # plan), so the rep-loop delta / REPS is one run's traffic
+        shuffle_write_bytes = sh1[1] - sh0[1]
         prof["shuffle_read_mb"] = round((sh1[0] - sh0[0]) / REPS / 1e6, 3)
-        prof["shuffle_write_mb"] = round((sh1[1] - sh0[1]) / REPS / 1e6, 3)
+        prof["shuffle_write_mb"] = round(shuffle_write_bytes / REPS / 1e6, 3)
         plans[name] = prof
         pin = PLAN_PINS.get(name)
         if pin:
@@ -213,11 +218,22 @@ def main() -> None:
                     f"{name}: {prof['arrow_nodes']} Python-crossing plan nodes"
                     f" > pinned max {pin['arrow_max']}"
                 )
-            if pin.get("shuffle_free") and prof["shuffle_write_mb"] > 0.0:
-                violations.append(
-                    f"{name}: pinned shuffle-free but wrote"
-                    f" {prof['shuffle_write_mb']} MB of shuffle"
-                )
+            # raw bytes, not the rounded MB figure — a few hundred
+            # bytes of real shuffle per rep rounds to 0.000 MB and
+            # would slip the pin. The timed reps go through .count(),
+            # whose final aggregation is itself a tiny (~59 B) shuffle,
+            # so the zero-shuffle check runs the bare plan once through
+            # a noop write (no aggregation stage) and requires EXACTLY
+            # zero bytes.
+            if pin.get("shuffle_free"):
+                nz0 = _shuffle_totals(spark)
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                nz1 = _shuffle_totals(spark)
+                if nz1[1] - nz0[1] > 0:
+                    violations.append(
+                        f"{name}: pinned shuffle-free but the bare plan wrote"
+                        f" {nz1[1] - nz0[1]} shuffle bytes"
+                    )
         if prof.get("BatchEvalPython"):
             violations.append(f"{name}: row-at-a-time Python UDF in the plan")
         print(

@@ -269,11 +269,16 @@ def candidates_from_bands(
     # across union branches, and the Python-UDF exchanges don't
     # canonicalize equal so ReuseExchange can't kick in either — i.e.
     # the signature UDF over the FULL corpus once per branch (caught by
-    # the bench plan pin, round 7). The checkpoint materializes only
-    # the skinny (id, band_id, band_hash, k, hub) rows the window
-    # exchange already shuffled; text never enters it. Same pattern as
-    # packing's prefix scan and the components iteration.
-    sized = sized.localCheckpoint(eager=True)
+    # the bench plan pin, round 7). Both branches read the SAME
+    # checkpointed RDD, so one job materializes it. LAZY (eager=False):
+    # building the DataFrame (explain, conditional pipelines) must not
+    # run the signature job as a construction side effect. The
+    # checkpoint stores only the skinny (id, band_id, band_hash, k,
+    # hub) rows the window exchange already shuffled; text never
+    # enters it. Executor-local storage trade (lineage truncation on
+    # executor loss) is the same one packing's prefix scan and the
+    # components iteration already accept.
+    sized = sized.localCheckpoint(eager=False)
     small_pairs = (
         sized.filter((F.col("__k") > 1) & (F.col("__k") <= max_bucket))
         .groupBy("band_id", "band_hash")
@@ -925,11 +930,15 @@ def semantic_dedup_ivf(
     import pandas as pd
 
     thr = float(threshold)
+    # pair schema follows the input id type — the operator's id_col
+    # contract is generic (string uuids work), not int64-only
+    id_dt = emb.schema[id_col].dataType.simpleString()
 
     def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
         if n < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+            empty = pdf[id_col].iloc[:0]
+            return pd.DataFrame({"id_a": empty, "id_b": empty})
         ids = pdf[id_col].to_numpy()
         order = np.argsort(ids)
         ids = ids[order]
@@ -953,7 +962,7 @@ def semantic_dedup_ivf(
 
     pairs = (
         cells.groupBy("cell_id")
-        .applyInPandas(cell_pairs, schema="id_a long, id_b long")
+        .applyInPandas(cell_pairs, schema=f"id_a {id_dt}, id_b {id_dt}")
         .distinct()  # multi-probe can pair the same ids in two cells
     )
     clustered = dedup_clusters(emb, pairs, id_col=id_col)
@@ -1064,9 +1073,15 @@ def apply_repeated_span_cuts(
             F.lit(True),
         ),
     )
+    # materialize `kept` ONCE: referencing the expression in two output
+    # columns would inline the O(n_tokens × n_spans) exists-filter
+    # twice per row (the same duplication discipline as cosine_once);
+    # an intermediate select makes the two consumers read an attribute
     return base.select(
+        id_col, "toks", kept.alias("__kept")
+    ).select(
         id_col,
-        F.concat_ws(" ", kept).alias("text_clean"),
+        F.concat_ws(" ", "__kept").alias("text_clean"),
         F.size("toks").cast("bigint").alias("n_tok_before"),
-        F.size(kept).cast("bigint").alias("n_tok_after"),
+        F.size("__kept").cast("bigint").alias("n_tok_after"),
     )

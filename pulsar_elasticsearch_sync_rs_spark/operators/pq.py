@@ -665,6 +665,19 @@ def append_to_ivfpq_index(
     probe1 = make_cell_probe_udf(centers, nprobe=1)
     enc = make_pq_encode_udf(codebooks)
     n_appended = batch.count()
+    if n_appended == 0:
+        # nothing to append (an availableNow drain can hand an empty
+        # batch): short-circuit instead of letting the drift math
+        # average an empty sample into NaN — NaN compares False against
+        # every threshold, silently disabling the retrain signal
+        return {
+            "n_appended": 0,
+            "batch_qerr": None,
+            "baseline_qerr": None,
+            "qerr_ratio": None,
+            "cell_skew": None,
+            "needs_retrain": False,
+        }
     (
         batch.select(
             F.col(id_col),

@@ -118,9 +118,34 @@ def run_curation_ingest(
     _gated / _contaminated / _duplicate / _rate_dropped / _admitted —
     opt-in because exact stage counts cost one extra pass per stage.
     """
+    # replay-safety guard: every write this job makes is a per-batch
+    # overwrite, but the TRANSPORT is caller-supplied — an id-less ES
+    # transport or an append-mode parquet transport would duplicate
+    # every indexed action when a checkpointed restart replays a batch,
+    # silently voiding the module's idempotency contract. Refuse the
+    # two known-unsafe shapes up front.
+    if transport is not None:
+        from pulsar_elasticsearch_sync_rs_spark.streaming.sink import (
+            ParquetBulkTransport,
+        )
+
+        if getattr(transport, "id_col", "absent") is None:
+            raise ValueError(
+                "run_curation_ingest: EsBulkTransport without id_col would "
+                "duplicate documents when a replayed micro-batch re-indexes "
+                "(auto-generated _ids) - construct it with id_col='sha'"
+            )
+        if type(transport) is ParquetBulkTransport:
+            raise ValueError(
+                "run_curation_ingest: ParquetBulkTransport appends, so a "
+                "replayed micro-batch duplicates its rows - use "
+                "IdempotentParquetBulkTransport (per-batch overwrite)"
+            )
+
     grams, _ = _guarded(
         bench_gram_set(bench, n, text_col), max_broadcast_grams, keep_cached=True
     )
+    counted_batches: set[int] = set()
     _, dup_word_frac, top_bigram_frac = repetition_signals(text_col)
     gate_pred = (
         (quality_score(text_col) >= quality_min)
@@ -131,7 +156,14 @@ def run_curation_ingest(
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         counts: dict[str, int] = {}
-        if registry is not None:
+        # counters are incremented once per batch_id: an in-process
+        # supervisor restart replays the failed batch through this
+        # same closure, and re-counting it would inflate every stage
+        # counter and break the input == sum(drop buckets) + admitted
+        # tie-out (a cross-process restart starts a fresh registry, so
+        # nothing is double-counted there either)
+        count_this_batch = registry is not None and batch_id not in counted_batches
+        if count_this_batch:
             batch_df = batch_df.persist()
             counts["curation_input"] = batch_df.count()
 
@@ -182,7 +214,7 @@ def run_curation_ingest(
         # admitted feeds ≥2 writes (+ counters) — persist once
         admitted = admitted.persist()
         try:
-            if registry is not None:
+            if count_this_batch:
                 counts["curation_gated"] = counts["curation_input"] - gated.count()
                 n_clean = clean.count()
                 counts["curation_contaminated"] = (
@@ -195,6 +227,7 @@ def run_curation_ingest(
                 counts["curation_admitted"] = n_admitted
                 for k, v in counts.items():
                     registry.inc(k, v)
+                counted_batches.add(batch_id)
 
             admitted.drop("__sha").write.mode("overwrite").parquet(
                 os.path.join(out_dir, f"batch={batch_id}")
@@ -215,7 +248,7 @@ def run_curation_ingest(
                 transport.write(indexed, batch_id)
         finally:
             admitted.unpersist()
-            if registry is not None:
+            if count_this_batch:
                 batch_df.unpersist()
 
     writer = stream_docs.writeStream.foreachBatch(ingest_batch).option(

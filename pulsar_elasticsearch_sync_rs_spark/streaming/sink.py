@@ -36,7 +36,10 @@ from pyspark.sql import DataFrame
 class ParquetBulkTransport:
     """Test sink: write each micro-batch to parquet partitioned by the
     routing column — the observable equivalent of per-index bulk
-    indexing."""
+    indexing. APPEND semantics: a replayed micro-batch duplicates its
+    rows, mirroring an id-less ES bulk (auto-ids duplicate on retry).
+    For a job that may be restarted/replayed, use
+    :class:`IdempotentParquetBulkTransport`."""
 
     path: str
     index_col: str = "index"
@@ -46,6 +49,28 @@ class ParquetBulkTransport:
             batch_df.write.mode("append")
             .partitionBy(self.index_col)
             .parquet(self.path)
+        )
+
+
+@dataclass
+class IdempotentParquetBulkTransport:
+    """Replay-safe parquet sink: each micro-batch OVERWRITES its own
+    ``.../batch=<id>`` slice, so an at-least-once replay rewrites
+    identical files instead of appending duplicates — the parquet
+    analog of ``EsBulkTransport(id_col=...)``'s overwrite-by-id. Read
+    the whole dataset back with one ``spark.read.parquet(path)``
+    (``batch`` becomes a partition column)."""
+
+    path: str
+    index_col: str = "index"
+
+    def write(self, batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        (
+            batch_df.write.mode("overwrite")
+            .partitionBy(self.index_col)
+            .parquet(os.path.join(self.path, f"batch={batch_id}"))
         )
 
 

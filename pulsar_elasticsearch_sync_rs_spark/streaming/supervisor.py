@@ -62,6 +62,7 @@ def run_supervised(
     max_recreations: int | None = None,
     registry=None,
     name: str = "query",
+    healthy_reset_ms: int | None = 60_000,
 ) -> SupervisedRun:
     """Run ``start_query()`` to completion, restarting it from its
     checkpoint on failure (bounded, backed off) and recreating it when
@@ -79,11 +80,21 @@ def run_supervised(
     cleanly (``stop()`` from another thread, or ``availableNow``
     draining the source). ``max_recreations`` (default unbounded, like
     the reference's watchdog) guards against a pathological ``watch``
-    that always fires."""
+    that always fires.
+
+    The restart budget is PER INCIDENT, not per lifetime: a query that
+    ran healthily for ``healthy_reset_ms`` before failing gets a fresh
+    budget and the backoff resets to its initial value — the
+    reference's retry policy likewise resets once a reconnect succeeds
+    (``pulsar.rs:86-94``). A lifetime budget would guarantee
+    abandonment of any long-running job after max_restarts transient
+    failures EVER. Pass ``healthy_reset_ms=None`` for the strict
+    lifetime-budget behavior."""
     restarts = 0
     recreations = 0
     backoff_ms = backoff_initial_ms
     while True:
+        attempt_started = time.monotonic()
         query = start_query()
         try:
             if watch is None:
@@ -110,6 +121,14 @@ def run_supervised(
                 )
             continue
         except StreamingQueryException:
+            if (
+                healthy_reset_ms is not None
+                and (time.monotonic() - attempt_started) * 1000.0 >= healthy_reset_ms
+            ):
+                # a long healthy run before this failure = a NEW
+                # incident: fresh budget, backoff re-armed
+                restarts = 0
+                backoff_ms = backoff_initial_ms
             if restarts >= max_restarts:
                 raise
             restarts += 1

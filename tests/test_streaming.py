@@ -1151,6 +1151,10 @@ def test_curation_ingest_stream_matches_batch_pipeline(spark, sf_dir, tmpdir):
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
     )
+    from pulsar_elasticsearch_sync_rs_spark.streaming.sink import (
+        IdempotentParquetBulkTransport,
+    )
+
     out_dir = os.path.join(tmpdir, "cur_out")
     sha_dir = os.path.join(tmpdir, "cur_sha")
     sink_dir = os.path.join(tmpdir, "cur_es")
@@ -1161,7 +1165,7 @@ def test_curation_ingest_stream_matches_batch_pipeline(spark, sf_dir, tmpdir):
         out_dir,
         sha_dir,
         os.path.join(tmpdir, "cur_ckpt"),
-        transport=ParquetBulkTransport(sink_dir),
+        transport=IdempotentParquetBulkTransport(sink_dir),
         n=5,
         available_now=True,
         registry=registry,
@@ -1342,3 +1346,111 @@ def test_supervised_curation_ingest_survives_sink_failure(spark, sf_dir, tmpdir)
     assert got == want and got
     # bulk sink: exactly one action per admitted doc across the replay
     assert spark.read.parquet(sink_dir).count() == len(want)
+
+
+def test_curation_ingest_rejects_replay_unsafe_transports(spark, sf_dir, tmpdir):
+    """The ingest job's writes are per-batch overwrites, but a
+    caller-supplied transport can still duplicate on replay: an append
+    parquet transport or an id-less ES transport must be refused up
+    front with the remedy in the message."""
+    from pulsar_elasticsearch_sync_rs_spark.sources.batch import read_table
+    from pulsar_elasticsearch_sync_rs_spark.streaming.curation import (
+        run_curation_ingest,
+    )
+    from pulsar_elasticsearch_sync_rs_spark.streaming.sink import EsBulkTransport
+
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    src = os.path.join(tmpdir, "never_read")
+    os.makedirs(src)
+    stream = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).parquet(src)
+
+    with pytest.raises(ValueError, match="IdempotentParquetBulkTransport"):
+        run_curation_ingest(
+            stream, bench, os.path.join(tmpdir, "o"), os.path.join(tmpdir, "s"),
+            os.path.join(tmpdir, "c"),
+            transport=ParquetBulkTransport(os.path.join(tmpdir, "t")),
+        )
+    with pytest.raises(ValueError, match="id_col='sha'"):
+        run_curation_ingest(
+            stream, bench, os.path.join(tmpdir, "o"), os.path.join(tmpdir, "s"),
+            os.path.join(tmpdir, "c"),
+            transport=EsBulkTransport("http://localhost:9"),
+        )
+
+
+def test_supervisor_budget_is_per_incident(spark, sf_dir, tmpdir):
+    """A query that ran healthily before failing gets a FRESH restart
+    budget (the reference's retry policy resets once a reconnect
+    succeeds, src/pulsar.rs:86-94): two failures separated by healthy
+    runtime both recover under max_restarts=1, where a lifetime budget
+    would abandon the job on the second."""
+    src_dir = os.path.join(tmpdir, "pi_src")
+    _split_events_files(spark, sf_dir, src_dir, n_files=2)
+    ckpt = os.path.join(tmpdir, "pi_ckpt")
+    out = os.path.join(tmpdir, "pi_out")
+    faults = [os.path.join(tmpdir, "pi_f1"), os.path.join(tmpdir, "pi_f2")]
+
+    def sink(batch_df, batch_id):
+        import time as _t
+
+        _t.sleep(0.4)  # stretch each attempt past healthy_reset_ms
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out, f"batch={batch_id}")
+        )
+        for f in faults:
+            if not os.path.exists(f):
+                with open(f, "w", encoding="utf-8") as fh:
+                    fh.write("fired")
+                raise RuntimeError("injected failure " + f)
+
+    def start_query():
+        stream = spark.readStream.schema(
+            "event_id long, event_type string, value double"
+        ).option("maxFilesPerTrigger", 1).parquet(src_dir)
+        return (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    from pulsar_elasticsearch_sync_rs_spark.streaming.supervisor import (
+        run_supervised,
+    )
+
+    run = run_supervised(
+        start_query, max_restarts=1, backoff_initial_ms=1,
+        healthy_reset_ms=200, name="per_incident",
+    )
+    # both faults fired, each consumed a fresh single-restart budget
+    assert all(os.path.exists(f) for f in faults)
+    assert run.restarts <= 1  # budget was reset between incidents
+    got = spark.read.parquet(out)
+    want = spark.read.parquet(src_dir)
+    assert got.count() == want.count()
+
+
+def test_ivfpq_append_empty_batch_short_circuits(spark, tmpdir):
+    """An empty maintenance batch must not NaN the drift report (NaN
+    compares False against every threshold and silently disables the
+    retrain signal) — it short-circuits with needs_retrain=False."""
+    import numpy as np
+
+    from pulsar_elasticsearch_sync_rs_spark.operators.pq import (
+        append_to_ivfpq_index,
+        persist_ivfpq_index,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [(int(i), rng.normal(size=16).astype(float).tolist()) for i in range(64)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = os.path.join(tmpdir, "ivfpq_e")
+    persist_ivfpq_index(emb, path, nlist=4, m=4, ksub=8)
+
+    report = append_to_ivfpq_index(spark, emb.limit(0), path)
+    assert report["n_appended"] == 0
+    assert report["needs_retrain"] is False
+    assert report["qerr_ratio"] is None and report["cell_skew"] is None
