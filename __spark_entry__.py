@@ -227,6 +227,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_minhash_incr": _wrap(L.q_dedup_minhash_incr),  # incremental near-dup vs corpus bands (rows-only; rebuild-parity pytest)
         "q_semantic_dedup_ivf": _wrap(L.q_semantic_dedup_ivf),  # SemDeDup scale path: IVF-cell blocking (rows-only; planted-twin pytest)
         "q_substring_dedup": _wrap(L.q_substring_dedup),  # substring dedup APPLIED: keep-first 20-gram excision (Lee et al.)
+        "q_chunk_overlap": _wrap(L.q_chunk_overlap),  # sliding-window chunking: overlapping token windows with lineage
     }
 
 
@@ -269,4 +270,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "q_token_budget": L.ORACLE_TOKEN_BUDGET,
         "q_semantic_dedup": L.ORACLE_SEMANTIC_DEDUP,
         "q_substring_dedup": L.ORACLE_SUBSTRING_DEDUP,
+        "q_chunk_overlap": L.ORACLE_CHUNK_OVERLAP,
     }

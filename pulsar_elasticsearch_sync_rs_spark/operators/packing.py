@@ -50,7 +50,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from pulsar_elasticsearch_sync_rs_spark.functions.text import token_count_ws
+from pulsar_elasticsearch_sync_rs_spark.functions.text import (
+    token_count_ws,
+    ws_tokens,
+)
 
 
 def exclusive_prefix_sum(
@@ -154,4 +157,58 @@ def pack_sequences(
         F.least(F.col("n_toks"), (F.col("seq_id") + 1) * seq_len - F.col("start_off"))
         .cast("bigint")
         .alias("end_tok"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_len: int = 128,
+    stride: int = 96,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window document chunking — the RAG/eval-prep twin of
+    :func:`pack_sequences`: instead of concatenating docs into fixed
+    tiles, each document is cut into OVERLAPPING token windows
+    (``chunk_len`` tokens every ``stride``; overlap = chunk_len −
+    stride) with full token lineage, the standard shape for context
+    windows that must not split an answer across a hard boundary.
+
+    Returns (``id_col``, chunk_id, begin_tok, end_tok, n_tok_chunk,
+    text_chunk): chunk k covers tokens [k·stride, min(k·stride +
+    chunk_len, n)); windows start while k·stride < n, so the final
+    window may be short but no window is empty; zero-token docs emit
+    nothing.
+
+    Scale shape: tokenize → explode the window starts → slice the
+    token array per window — all JVM expressions inside one narrow
+    projection, ZERO shuffle at any corpus size (each doc's chunks are
+    computed where the doc lives). Compare the packer, which needs the
+    global prefix scan; chunking is embarrassingly parallel."""
+    if stride <= 0 or chunk_len <= 0:
+        raise ValueError(f"chunk_len and stride must be positive, got {chunk_len=} {stride=}")
+    toks = ws_tokens(F.col(text))
+    base = df.select(F.col(id_col), toks.alias("__toks")).withColumn(
+        "__n", F.size("__toks")
+    )
+    # guard the sequence: n == 0 would make sequence(0, -1, stride)
+    # run DOWNWARD (SKILL.md gotcha) — zero-token docs emit no chunks
+    starts = base.filter(F.col("__n") > 0).select(
+        id_col,
+        "__toks",
+        "__n",
+        F.explode(
+            F.sequence(F.lit(0), F.col("__n") - 1, F.lit(stride))
+        ).alias("__b"),
+    )
+    end = F.least(F.col("__b") + chunk_len, F.col("__n"))
+    return starts.select(
+        F.col(id_col),
+        F.expr(f"__b div {stride}").cast("bigint").alias("chunk_id"),
+        F.col("__b").cast("bigint").alias("begin_tok"),
+        end.cast("bigint").alias("end_tok"),
+        (end - F.col("__b")).cast("bigint").alias("n_tok_chunk"),
+        F.concat_ws(
+            " ", F.slice("__toks", F.col("__b") + 1, end - F.col("__b"))
+        ).alias("text_chunk"),
     )

@@ -2254,3 +2254,35 @@ JOIN toks t USING (doc_id)
 LEFT JOIN rebuilt r USING (doc_id)
 ORDER BY d.doc_id
 """
+
+
+def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (128-token windows every 96 — the
+    RAG/eval context-window prep; operators/packing.chunk_documents):
+    overlapping chunks with token lineage and the chunk text itself,
+    so the oracle hash pins the exact slice boundaries. Zero shuffle —
+    tokenize/explode/slice inside one narrow projection."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.packing import chunk_documents
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(docs, chunk_len=128, stride=96)
+
+
+ORACLE_CHUNK_OVERLAP = r"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'), t -> t <> '') AS t
+  FROM documents
+), starts AS (
+  SELECT doc_id, t, len(t) AS n, u.b AS b
+  FROM toks, unnest(generate_series(0, len(t) - 1, 96)) AS u(b)
+  WHERE len(t) > 0
+)
+SELECT doc_id,
+  CAST(b // 96 AS BIGINT) AS chunk_id,
+  CAST(b AS BIGINT) AS begin_tok,
+  CAST(least(b + 128, n) AS BIGINT) AS end_tok,
+  CAST(least(b + 128, n) - b AS BIGINT) AS n_tok_chunk,
+  array_to_string(t[b + 1:least(b + 128, n)], ' ') AS text_chunk
+FROM starts
+"""

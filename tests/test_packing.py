@@ -99,3 +99,36 @@ def test_exclusive_prefix_sum_is_order_correct(spark):
 def test_pack_empty_corpus(spark):
     df = spark.createDataFrame([], "doc_id long, text string")
     assert pack_sequences(df, seq_len=8).count() == 0
+
+
+def test_chunk_documents_overlap_semantics(spark):
+    """Sliding-window chunking pins: window starts every stride while
+    start < n, last window short but never empty, overlap text equals
+    the shared token range, zero-token docs emit nothing."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.packing import chunk_documents
+
+    toks = [f"t{i}" for i in range(10)]
+    rows = [
+        (1, " ".join(toks)),   # 10 tokens: chunks at 0,4,8 (len 5, stride 4)
+        (2, "a b c"),           # shorter than chunk_len: ONE full-doc chunk
+        (3, ""),                # zero tokens: no chunks
+        (4, " ".join(f"x{i}" for i in range(8))),  # exact 2*stride: starts 0,4
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, chunk_len=5, stride=4)
+    got = {
+        (r["doc_id"], r["chunk_id"]): r
+        for r in out.collect()
+    }
+    assert {k[0] for k in got} == {1, 2, 4}  # doc 3 absent
+    # doc 1: starts 0,4,8; ends 5,9,10
+    d1 = [got[(1, c)] for c in (0, 1, 2)]
+    assert [(r["begin_tok"], r["end_tok"]) for r in d1] == [(0, 5), (4, 9), (8, 10)]
+    assert d1[0]["text_chunk"] == "t0 t1 t2 t3 t4"
+    assert d1[1]["text_chunk"] == "t4 t5 t6 t7 t8"
+    # the overlap (chunk_len - stride = 1 token) is literally shared
+    assert d1[0]["text_chunk"].split()[-1] == d1[1]["text_chunk"].split()[0]
+    assert d1[2]["text_chunk"] == "t8 t9" and d1[2]["n_tok_chunk"] == 2
+    # short doc: one chunk, whole doc
+    assert got[(2, 0)]["text_chunk"] == "a b c" and got[(2, 0)]["end_tok"] == 3
+    assert (4, 2) not in got  # start 8 == n: no empty window
