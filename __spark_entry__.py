@@ -228,6 +228,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semantic_dedup_ivf": _wrap(L.q_semantic_dedup_ivf),  # SemDeDup scale path: IVF-cell blocking (rows-only; planted-twin pytest)
         "q_substring_dedup": _wrap(L.q_substring_dedup),  # substring dedup APPLIED: keep-first 20-gram excision (Lee et al.)
         "q_chunk_overlap": _wrap(L.q_chunk_overlap),  # sliding-window chunking: overlapping token windows with lineage
+        "q_bigram_logprob": _wrap(L.q_bigram_logprob),  # interpolated bigram LM scoring (CCNet-step past the unigram lane)
     }
 
 
@@ -271,4 +272,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "q_semantic_dedup": L.ORACLE_SEMANTIC_DEDUP,
         "q_substring_dedup": L.ORACLE_SUBSTRING_DEDUP,
         "q_chunk_overlap": L.ORACLE_CHUNK_OVERLAP,
+        "q_bigram_logprob": L.ORACLE_BIGRAM_LOGPROB,
     }

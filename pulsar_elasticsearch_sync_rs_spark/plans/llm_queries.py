@@ -2286,3 +2286,115 @@ SELECT doc_id,
   array_to_string(t[b + 1:least(b + 128, n)], ' ') AS text_chunk
 FROM starts
 """
+
+
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM scoring — the next step up from
+    q_unigram_logprob toward the CCNet perplexity filter: each doc's
+    mean token log-probability under p(w|v) = λ·p₂(w|v) + (1−λ)·p₁(w)
+    with λ=0.7, both models trained on the corpus itself. The first
+    token of a doc has no history and is scored by the unigram alone;
+    an unseen bigram backs off through the interpolation (p₂ term 0).
+    History counts use the unigram count c(v) — the closed-form choice
+    that keeps the lane oracle-checkable (a KenLM-style discount is
+    iterative).
+
+    Scale shape: the (prev, cur) stream is built per row from two
+    shifted slices of the token array (one narrow projection — the
+    word_kgrams zip trick, no self-join), then one (w) agg and one
+    (prev, w) agg build the two models (vocab/bigram tables ≪ corpus;
+    Catalyst sizes the joins), two joins score the stream, one
+    (doc_id) agg averages. Nothing unpartitioned, nothing collected."""
+    lam = 0.7
+    docs = read_table(spark, sf_dir, "documents")
+    arr = (
+        docs.select("doc_id", ws_tokens(F.lower("text")).alias("t"))
+        .withColumn("n", F.size("t"))
+        .filter(F.col("n") > 0)
+        .select(
+            "doc_id",
+            F.col("t").alias("w_arr"),
+            F.concat(
+                F.array(F.lit(None).cast("string")),
+                F.slice("t", 1, F.col("n") - 1),
+            ).alias("p_arr"),
+        )
+    )
+    tok = arr.select(
+        "doc_id", F.explode(F.arrays_zip("w_arr", "p_arr")).alias("z")
+    ).select("doc_id", F.col("z.w_arr").alias("w"), F.col("z.p_arr").alias("prev"))
+
+    uni = tok.groupBy("w").agg(F.count("*").alias("c1"))
+    total = uni.agg(F.sum("c1").alias("total"))
+    p1 = uni.crossJoin(F.broadcast(total)).select(
+        "w", (F.col("c1").cast("double") / F.col("total").cast("double")).alias("p1"),
+        "c1",
+    )
+    big = (
+        tok.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "w")
+        .agg(F.count("*").alias("c2"))
+    )
+
+    scored = (
+        tok.join(p1, "w")
+        .join(
+            p1.select(F.col("w").alias("prev"), F.col("c1").alias("c_prev")),
+            "prev",
+            "left",
+        )
+        .join(big, ["prev", "w"], "left")
+        .select(
+            "doc_id",
+            F.when(F.col("prev").isNull(), F.log("p1"))
+            .otherwise(
+                F.log(
+                    F.lit(lam)
+                    * F.coalesce(
+                        F.col("c2").cast("double") / F.col("c_prev").cast("double"),
+                        F.lit(0.0),
+                    )
+                    + F.lit(1.0 - lam) * F.col("p1")
+                )
+            )
+            .alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_toks"),
+        F.round(F.avg("lp"), 6).alias("mean_logprob"),
+    )
+
+
+ORACLE_BIGRAM_LOGPROB = r"""
+WITH arr AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+'), t -> t <> '') AS t
+  FROM documents
+), tok AS (
+  SELECT doc_id, t[i] AS w,
+    CASE WHEN i = 1 THEN NULL ELSE t[i - 1] END AS prev
+  FROM arr, unnest(generate_series(1, len(t))) AS u(i)
+  WHERE len(t) > 0
+), uni AS (
+  SELECT w, count(*) AS c1 FROM tok GROUP BY w
+), p1 AS (
+  SELECT w, c1,
+    CAST(c1 AS DOUBLE) / (SELECT CAST(CAST(sum(c1) AS VARCHAR) AS DOUBLE) FROM uni) AS p1
+  FROM uni
+), big AS (
+  SELECT prev, w, count(*) AS c2 FROM tok WHERE prev IS NOT NULL GROUP BY prev, w
+), scored AS (
+  SELECT t.doc_id,
+    CASE WHEN t.prev IS NULL THEN ln(u.p1)
+         ELSE ln(0.7 * coalesce(CAST(b.c2 AS DOUBLE) / CAST(pu.c1 AS DOUBLE), 0.0)
+                 + 0.3 * u.p1)
+    END AS lp
+  FROM tok t
+  JOIN p1 u USING (w)
+  LEFT JOIN uni pu ON pu.w = t.prev
+  LEFT JOIN big b ON b.prev = t.prev AND b.w = t.w
+)
+SELECT doc_id, count(*) AS n_toks, round(avg(lp), 6) AS mean_logprob
+FROM scored GROUP BY doc_id
+"""

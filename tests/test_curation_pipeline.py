@@ -67,3 +67,31 @@ def test_pipeline_packing_tiles_exactly(spark, sf_dir):
         assert parts[0][1] == 0, f"doc {d} does not start at offset 0"
         for (s1, _, e1), (s2, b2, _) in zip(parts, parts[1:]):
             assert s2 == s1 + 1 and b2 == e1, f"doc {d} fragments not contiguous"
+
+
+def test_bigram_logprob_model_semantics(spark, tmpdir):
+    """Interpolated-bigram pins on a planted corpus: a document made of
+    corpus-frequent bigrams outscores one pairing the SAME unigrams in
+    never-seen orders (the signal the unigram lane cannot produce), and
+    a single-token doc is scored by the unigram alone."""
+    import math
+
+    from pulsar_elasticsearch_sync_rs_spark.plans.llm_queries import (
+        q_bigram_logprob,
+    )
+
+    rows = [
+        (1, "the cat sat"), (2, "the cat sat"), (3, "the cat sat"),
+        (4, "sat the cat"),   # same unigrams, unseen bigram order
+        (5, "the"),           # no history: unigram-only
+    ]
+    sf = tmpdir
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{sf}/documents.parquet")
+    got = {r["doc_id"]: r for r in q_bigram_logprob(spark, sf).collect()}
+    assert got[1]["mean_logprob"] == got[2]["mean_logprob"] == got[3]["mean_logprob"]
+    assert got[1]["mean_logprob"] > got[4]["mean_logprob"]
+    # doc 5: exactly ln(p1('the')) = ln(5/13) — 'the' occurs 5× in 13 tokens
+    assert got[5]["n_toks"] == 1
+    assert abs(got[5]["mean_logprob"] - round(math.log(5 / 13), 6)) < 1e-9
