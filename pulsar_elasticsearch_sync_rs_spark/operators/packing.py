@@ -176,8 +176,13 @@ def chunk_documents(
 
     Returns (``id_col``, chunk_id, begin_tok, end_tok, n_tok_chunk,
     text_chunk): chunk k covers tokens [k·stride, min(k·stride +
-    chunk_len, n)); windows start while k·stride < n, so the final
-    window may be short but no window is empty; zero-token docs emit
+    chunk_len, n)). Windows start while k·stride < n AND the previous
+    window did not already reach the end of the doc — a trailing
+    window whose tokens are all inside its predecessor is a verbatim
+    suffix duplicate (it would bloat a RAG index with repeated text),
+    so it is not emitted; the final kept window may be short but is
+    never empty and always carries ≥1 new token (except chunk 0,
+    which always exists for a non-empty doc). Zero-token docs emit
     nothing.
 
     Scale shape: tokenize → explode the window starts → slice the
@@ -192,19 +197,27 @@ def chunk_documents(
         "__n", F.size("__toks")
     )
     # guard the sequence: n == 0 would make sequence(0, -1, stride)
-    # run DOWNWARD (SKILL.md gotcha) — zero-token docs emit no chunks
+    # run DOWNWARD (SKILL.md gotcha) — zero-token docs emit no chunks.
+    # posexplode: the position in the start sequence IS the chunk id
+    # (pos k ⇔ start k·stride) — no re-derivation.
     starts = base.filter(F.col("__n") > 0).select(
         id_col,
         "__toks",
         "__n",
-        F.explode(
+        F.posexplode(
             F.sequence(F.lit(0), F.col("__n") - 1, F.lit(stride))
-        ).alias("__b"),
+        ).alias("chunk_id", "__b"),
+    ).filter(
+        # drop trailing windows fully contained in their predecessor:
+        # keep chunk 0 always, later chunks only while the previous
+        # window (start − stride, length chunk_len) fell short of n
+        (F.col("__b") == 0)
+        | (F.col("__b") - stride + chunk_len < F.col("__n"))
     )
     end = F.least(F.col("__b") + chunk_len, F.col("__n"))
     return starts.select(
         F.col(id_col),
-        F.expr(f"__b div {stride}").cast("bigint").alias("chunk_id"),
+        F.col("chunk_id").cast("bigint"),
         F.col("__b").cast("bigint").alias("begin_tok"),
         end.cast("bigint").alias("end_tok"),
         (end - F.col("__b")).cast("bigint").alias("n_tok_chunk"),

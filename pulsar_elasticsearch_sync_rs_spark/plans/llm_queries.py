@@ -2277,6 +2277,7 @@ WITH toks AS (
   SELECT doc_id, t, len(t) AS n, u.b AS b
   FROM toks, unnest(generate_series(0, len(t) - 1, 96)) AS u(b)
   WHERE len(t) > 0
+    AND (u.b = 0 OR u.b - 96 + 128 < len(t))  -- drop contained trailing windows
 )
 SELECT doc_id,
   CAST(b // 96 AS BIGINT) AS chunk_id,
@@ -2293,8 +2294,12 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_unigram_logprob toward the CCNet perplexity filter: each doc's
     mean token log-probability under p(w|v) = λ·p₂(w|v) + (1−λ)·p₁(w)
     with λ=0.7, both models trained on the corpus itself. The first
-    token of a doc has no history and is scored by the unigram alone;
-    an unseen bigram backs off through the interpolation (p₂ term 0).
+    token of a doc has no history and is scored by the unigram alone.
+    Because the model is self-trained, every scored bigram was seen at
+    least once (its own occurrence) — the p₂=0 backoff arm is live
+    only when this lane is repurposed to score a held-out split
+    against another corpus's counts; the interpolation (and the
+    coalesce guarding the left join) keeps that extension sound.
     History counts use the unigram count c(v) — the closed-form choice
     that keeps the lane oracle-checkable (a KenLM-style discount is
     iterative).
@@ -2354,7 +2359,12 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("c2").cast("double") / F.col("c_prev").cast("double"),
                         F.lit(0.0),
                     )
-                    + F.lit(1.0 - lam) * F.col("p1")
+                    # literal 0.3, NOT 1.0 - lam: Python's 1.0 - 0.7 is
+                    # 0.30000000000000004 (1 ulp above the double the
+                    # oracle's SQL literal 0.3 parses to) — a sub-ulp
+                    # engine divergence that round(.,6) hides until a
+                    # doc's mean lands on a rounding boundary
+                    + F.lit(0.3) * F.col("p1")
                 )
             )
             .alias("lp"),

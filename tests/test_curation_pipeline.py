@@ -72,8 +72,10 @@ def test_pipeline_packing_tiles_exactly(spark, sf_dir):
 def test_bigram_logprob_model_semantics(spark, tmpdir):
     """Interpolated-bigram pins on a planted corpus: a document made of
     corpus-frequent bigrams outscores one pairing the SAME unigrams in
-    never-seen orders (the signal the unigram lane cannot produce), and
-    a single-token doc is scored by the unigram alone."""
+    rare orders — doc 4's bigrams occur once (its own occurrence; the
+    model is self-trained so nothing is truly unseen) vs doc 1-3's
+    thrice — the order signal the unigram lane cannot produce; a
+    single-token doc is scored by the unigram alone."""
     import math
 
     from pulsar_elasticsearch_sync_rs_spark.plans.llm_queries import (
@@ -82,7 +84,7 @@ def test_bigram_logprob_model_semantics(spark, tmpdir):
 
     rows = [
         (1, "the cat sat"), (2, "the cat sat"), (3, "the cat sat"),
-        (4, "sat the cat"),   # same unigrams, unseen bigram order
+        (4, "sat the cat"),   # same unigrams, once-seen (rare) bigram order
         (5, "the"),           # no history: unigram-only
     ]
     sf = tmpdir

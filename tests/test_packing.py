@@ -113,6 +113,8 @@ def test_chunk_documents_overlap_semantics(spark):
         (2, "a b c"),           # shorter than chunk_len: ONE full-doc chunk
         (3, ""),                # zero tokens: no chunks
         (4, " ".join(f"x{i}" for i in range(8))),  # exact 2*stride: starts 0,4
+        (5, "y0 y1 y2 y3 y4"),  # n == chunk_len: start 4 would be a pure
+                                # suffix of chunk 0 — must NOT be emitted
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = chunk_documents(df, chunk_len=5, stride=4)
@@ -120,7 +122,7 @@ def test_chunk_documents_overlap_semantics(spark):
         (r["doc_id"], r["chunk_id"]): r
         for r in out.collect()
     }
-    assert {k[0] for k in got} == {1, 2, 4}  # doc 3 absent
+    assert {k[0] for k in got} == {1, 2, 4, 5}  # doc 3 absent
     # doc 1: starts 0,4,8; ends 5,9,10
     d1 = [got[(1, c)] for c in (0, 1, 2)]
     assert [(r["begin_tok"], r["end_tok"]) for r in d1] == [(0, 5), (4, 9), (8, 10)]
@@ -132,3 +134,7 @@ def test_chunk_documents_overlap_semantics(spark):
     # short doc: one chunk, whole doc
     assert got[(2, 0)]["text_chunk"] == "a b c" and got[(2, 0)]["end_tok"] == 3
     assert (4, 2) not in got  # start 8 == n: no empty window
+    # containment rule: chunk 0 already covers all 5 tokens of doc 5,
+    # so the start-4 window (a verbatim suffix) is suppressed
+    assert got[(5, 0)]["text_chunk"] == "y0 y1 y2 y3 y4"
+    assert (5, 1) not in got
