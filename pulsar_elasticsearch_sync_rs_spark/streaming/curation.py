@@ -16,12 +16,19 @@ broadcast guard), the min-id exact-dedup survivor rule of
 ``plans.llm_queries.q_llm_pipeline``, and the bulk-transport sink of
 ``streaming/sink.py`` — into the shape a real ingest deployment runs.
 
-Cross-batch dedup state is the ACCUMULATED SHA INDEX: every admitted
-batch appends its (sha, doc_id) pairs under ``sha_dir``; the next
-batch anti-joins its hashes against that directory. Only 40-byte hash
-rows persist and shuffle — arriving text never crosses the wire for
-dedup (same posture as ``persist_sha_index``; at 100 TB point
-``sha_dir`` at the bucketed corpus index the batch dedup maintains).
+Cross-batch dedup state is the ACCUMULATED SHA INDEX — a Spark-native
+BUCKETED table (``bucketBy(n_buckets, sha)``, partitioned by
+``batch``) at ``sha_dir``, the streaming twin of
+``operators.dedup.persist_sha_index``: every admitted batch lands its
+(sha, doc_id) pairs as one ``batch=<id>`` partition written in bucket
+layout, and the next batch's anti-join reads the history CO-LOCATED —
+the increment repartitions its (bounded, per-batch) rows to the bucket
+count while the accumulated history, which grows without bound, never
+re-shuffles (plan-pinned in tests, same invariant as
+``test_incremental_dedup_bucketed_history_never_shuffles``). At 100 TB
+the history side is the scale term; paying a shuffle proportional to
+the micro-batch instead of the corpus is the difference between a
+constant-cost trigger and one that degrades linearly with ingest age.
 
 Idempotency: checkpointed foreachBatch is at-least-once, so every
 write is a per-batch OVERWRITE into ``.../batch=<id>`` — a replayed
@@ -42,6 +49,7 @@ is the standard streaming first-wins divergence, same as
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 from pyspark.sql import DataFrame
@@ -58,18 +66,73 @@ from ..operators.decontaminate import (
 SHA_INDEX_SCHEMA = "sha string, doc_id long"
 
 
-def _read_sha_index(spark, sha_dir: str, exclude_batch: int):
-    """The accumulated index as of THIS batch: every prior batch's
-    slice, minus the slice a replay of ``exclude_batch`` would be
-    rewriting. The ``batch=<id>`` directories are read as a PARTITION
-    column (FS-agnostic — no driver-side directory walk), so the
-    exclusion is a partition filter pruned at planning time and a
-    replayed batch never anti-joins against its own first attempt."""
+def _sha_table_name(sha_dir: str) -> str:
+    """Deterministic catalog name for the bucketed sha index rooted at
+    ``sha_dir`` — bucket metadata lives in the metastore, so the index
+    must be a named table; deriving the name from the path keeps
+    concurrent jobs with distinct state dirs from colliding."""
+    return "curation_sha_" + hashlib.md5(sha_dir.encode()).hexdigest()[:12]
+
+
+def prior_sha_anti_join(
+    spark,
+    sha_table: str,
+    batch_hashed: DataFrame,
+    exclude_batch: int,
+    n_buckets: int,
+) -> DataFrame:
+    """Anti-join this batch's hashed rows (column ``__sha``) against
+    the accumulated index, minus the ``batch=<exclude_batch>``
+    partition a replay would be rewriting (a partition filter, pruned
+    at planning time — a replayed batch never anti-joins its own first
+    attempt). The batch side is pinned to the index's bucket count so
+    the history scan satisfies the join distribution AS WRITTEN:
+    exactly one Exchange (the increment) and none above the table scan
+    — the plan shape ``test_curation_sha_history_never_shuffles``
+    machine-checks. Factored out of the foreachBatch closure precisely
+    so that pin can be asserted on a batch plan."""
+    prior = (
+        spark.table(sha_table)
+        .filter(F.col("batch") != exclude_batch)
+        .select(F.col("sha").alias("__sha"))
+    )
+    return batch_hashed.repartition(n_buckets, "__sha").join(
+        prior, "__sha", "left_anti"
+    )
+
+
+def _write_sha_slice(
+    pairs: DataFrame, sha_table: str, sha_dir: str, batch_id: int, n_buckets: int
+) -> None:
+    """Land this batch's (sha, doc_id) pairs as the ``batch=<id>``
+    partition of the bucketed index. First write creates the table
+    (``partitionBy(batch) + bucketBy(sha) + sortBy(sha)``); every
+    later batch is a dynamic-partition-overwrite ``insertInto`` that
+    replaces ONLY its own slice — a replayed micro-batch rewrites
+    identical files instead of appending duplicates, preserving the
+    module's idempotency contract under the bucketed layout."""
+    spark = pairs.sparkSession
+    data = pairs.select(
+        "sha", "doc_id", F.lit(batch_id).cast("int").alias("batch")
+    ).repartition(n_buckets, "sha")
+    if not spark.catalog.tableExists(sha_table):
+        (
+            data.write.mode("overwrite")
+            .partitionBy("batch")
+            .bucketBy(n_buckets, "sha")
+            .sortBy("sha")
+            .option("path", sha_dir)
+            .saveAsTable(sha_table)
+        )
+        return
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        idx = spark.read.schema(SHA_INDEX_SCHEMA).parquet(sha_dir)
-    except Exception:  # first batch: nothing ingested yet
-        return None
-    return idx.filter(F.col("batch") != exclude_batch).select("sha")
+        # insertInto is positional: (sha, doc_id, batch) matches the
+        # create-time column order above
+        data.write.mode("overwrite").insertInto(sha_table)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def run_curation_ingest(
@@ -90,6 +153,8 @@ def run_curation_ingest(
     max_broadcast_grams: int = DEFAULT_MAX_BROADCAST_GRAMS,
     available_now: bool = False,
     registry=None,
+    sha_table: str | None = None,
+    n_buckets: int = 16,
 ):
     """Start the curation ingestion stream; returns the StreamingQuery.
 
@@ -117,6 +182,19 @@ def run_curation_ingest(
     ``registry`` (optional) gets per-stage counters: curation_input /
     _gated / _contaminated / _duplicate / _rate_dropped / _admitted —
     opt-in because exact stage counts cost one extra pass per stage.
+    Counters are REPLAY-SAFE across in-process restarts (including the
+    ``run_supervised`` composition, which rebuilds this closure per
+    restart): a durable per-batch marker under
+    ``checkpoint_dir/counted/`` records that a batch's counters were
+    applied, and increments happen only after the batch's writes
+    succeed — so a replayed batch is never double-counted and a
+    half-written batch contributes nothing until its successful
+    attempt. (A cross-process restart starts a fresh registry; the
+    markers then keep replayed batches out of the new registry too, so
+    its counters cover exactly the batches committed on its watch.)
+
+    ``sha_table`` / ``n_buckets``: catalog name (default: derived from
+    ``sha_dir``) and bucket count of the accumulated sha index table.
     """
     # replay-safety guard: every write this job makes is a per-batch
     # overwrite, but the TRANSPORT is caller-supplied — an id-less ES
@@ -145,7 +223,9 @@ def run_curation_ingest(
     grams, _ = _guarded(
         bench_gram_set(bench, n, text_col), max_broadcast_grams, keep_cached=True
     )
-    counted_batches: set[int] = set()
+    table = sha_table or _sha_table_name(sha_dir)
+    marker_dir = os.path.join(checkpoint_dir, "counted")
+    counted_batches: set[int] = set()  # fast path; markers are the truth
     _, dup_word_frac, top_bigram_frac = repetition_signals(text_col)
     gate_pred = (
         (quality_score(text_col) >= quality_min)
@@ -156,13 +236,17 @@ def run_curation_ingest(
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         counts: dict[str, int] = {}
-        # counters are incremented once per batch_id: an in-process
-        # supervisor restart replays the failed batch through this
-        # same closure, and re-counting it would inflate every stage
-        # counter and break the input == sum(drop buckets) + admitted
-        # tie-out (a cross-process restart starts a fresh registry, so
-        # nothing is double-counted there either)
-        count_this_batch = registry is not None and batch_id not in counted_batches
+        # counters apply once per batch_id even across in-process
+        # restarts that REBUILD this closure (run_supervised calls the
+        # caller's start_query per restart, so the in-memory set alone
+        # is not restart-safe): the durable marker written after a
+        # successful count-and-commit is checked first
+        marker = os.path.join(marker_dir, f"batch-{batch_id}")
+        count_this_batch = (
+            registry is not None
+            and batch_id not in counted_batches
+            and not os.path.exists(marker)
+        )
         if count_this_batch:
             batch_df = batch_df.persist()
             counts["curation_input"] = batch_df.count()
@@ -190,11 +274,12 @@ def run_curation_ingest(
         )
         deduped = hashed.join(surv_ids, id_col, "left_semi")
 
-        # cross-batch: anti-join the accumulated index (hashes only)
-        prior = _read_sha_index(spark, sha_dir, exclude_batch=batch_id)
-        if prior is not None:
-            deduped = deduped.join(
-                prior.withColumnRenamed("sha", "__sha"), "__sha", "left_anti"
+        # cross-batch: anti-join the accumulated BUCKETED index — the
+        # batch side repartitions to the bucket count (bounded, per-
+        # batch cost); the unbounded history never re-shuffles
+        if spark.catalog.tableExists(table):
+            deduped = prior_sha_anti_join(
+                spark, table, deduped, exclude_batch=batch_id, n_buckets=n_buckets
             )
 
         if rate_limits:
@@ -225,17 +310,18 @@ def run_curation_ingest(
                 counts["curation_duplicate"] = n_clean - n_deduped
                 counts["curation_rate_dropped"] = n_deduped - n_admitted
                 counts["curation_admitted"] = n_admitted
-                for k, v in counts.items():
-                    registry.inc(k, v)
-                counted_batches.add(batch_id)
 
             admitted.drop("__sha").write.mode("overwrite").parquet(
                 os.path.join(out_dir, f"batch={batch_id}")
             )
-            admitted.select(
-                F.col("__sha").alias("sha"), F.col(id_col).alias("doc_id")
-            ).write.mode("overwrite").parquet(
-                os.path.join(sha_dir, f"batch={batch_id}")
+            _write_sha_slice(
+                admitted.select(
+                    F.col("__sha").alias("sha"), F.col(id_col).alias("doc_id")
+                ),
+                table,
+                sha_dir,
+                batch_id,
+                n_buckets,
             )
             if transport is not None:
                 indexed = admitted.select(
@@ -246,6 +332,18 @@ def run_curation_ingest(
                     F.col("__sha").alias("sha"),
                 )
                 transport.write(indexed, batch_id)
+
+            if count_this_batch:
+                # commit counters only after every write landed: a
+                # batch that fails mid-write contributes nothing until
+                # its successful attempt, and the marker keeps any
+                # later replay (same process or not) from re-counting
+                for k, v in counts.items():
+                    registry.inc(k, v)
+                counted_batches.add(batch_id)
+                os.makedirs(marker_dir, exist_ok=True)
+                with open(marker, "w") as fh:
+                    fh.write(repr(counts))
         finally:
             admitted.unpersist()
             if count_this_batch:
