@@ -119,10 +119,13 @@ ARROW_NODES = (
 )
 
 
-def _shuffle_totals(spark) -> tuple[int, int]:
+def _shuffle_totals(spark) -> tuple[int, int] | None:
     """(read_bytes, write_bytes) summed over all completed stages, from
     the Spark status REST API (the UI is enabled for the bench session
-    with a raised retainedStages so totals are monotone)."""
+    with a raised retainedStages so totals are monotone). Returns None
+    — NOT zeros — when the API is unreachable: coercing to (0, 0)
+    would make sh1-sh0 deltas nonsense AND let the shuffle_free pin
+    pass vacuously, silently disabling the plan-shape gate."""
     import urllib.request
 
     base = spark.sparkContext.uiWebUrl
@@ -134,7 +137,7 @@ def _shuffle_totals(spark) -> tuple[int, int]:
         ).read()
         stages = json.loads(raw)
     except Exception:
-        return (0, 0)
+        return None
     return (
         sum(s.get("shuffleReadBytes", 0) for s in stages),
         sum(s.get("shuffleWriteBytes", 0) for s in stages),
@@ -206,10 +209,16 @@ def main() -> None:
         timings[name] = round(min(reps), 3)
         prof = _plan_profile(df)
         # per-run shuffle bytes: identical across reps (deterministic
-        # plan), so the rep-loop delta / REPS is one run's traffic
-        shuffle_write_bytes = sh1[1] - sh0[1]
-        prof["shuffle_read_mb"] = round((sh1[0] - sh0[0]) / REPS / 1e6, 3)
-        prof["shuffle_write_mb"] = round(shuffle_write_bytes / REPS / 1e6, 3)
+        # plan), so the rep-loop delta / REPS is one run's traffic.
+        # An unreachable status API is a pin violation, not a zero:
+        # every shuffle gate depends on it.
+        if sh0 is None or sh1 is None:
+            prof["shuffle_read_mb"] = prof["shuffle_write_mb"] = None
+            if "status-api-unavailable" not in violations:
+                violations.append("status-api-unavailable")
+        else:
+            prof["shuffle_read_mb"] = round((sh1[0] - sh0[0]) / REPS / 1e6, 3)
+            prof["shuffle_write_mb"] = round((sh1[1] - sh0[1]) / REPS / 1e6, 3)
         plans[name] = prof
         pin = PLAN_PINS.get(name)
         if pin:
@@ -229,7 +238,10 @@ def main() -> None:
                 nz0 = _shuffle_totals(spark)
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 nz1 = _shuffle_totals(spark)
-                if nz1[1] - nz0[1] > 0:
+                if nz0 is None or nz1 is None:
+                    if "status-api-unavailable" not in violations:
+                        violations.append("status-api-unavailable")
+                elif nz1[1] - nz0[1] > 0:
                     violations.append(
                         f"{name}: pinned shuffle-free but the bare plan wrote"
                         f" {nz1[1] - nz0[1]} shuffle bytes"

@@ -776,6 +776,7 @@ def incremental_minhash_candidates(
     shingle_k: int = 3,
     n_buckets: int = 16,
     max_bucket: int = 1024,
+    eager: bool = False,
 ) -> DataFrame:
     """Near-dup candidates for a NEW batch against a
     :func:`persist_minhash_bands` history, plus within-batch pairs —
@@ -793,9 +794,17 @@ def incremental_minhash_candidates(
     the within-batch pass via :func:`candidates_from_bands`, so the
     signature UDF subtree is not duplicated across the union's
     branches (the same double-evaluation family round 6 fixed inside
-    minhash_bands). The cache is batch-sized, and Spark's
-    ContextCleaner reclaims it once the result goes out of scope. The
-    batch bands are repartitioned to the index's bucket count on
+    minhash_bands). The cache is batch-sized; by default (lazy) it is
+    reclaimed by Spark's ContextCleaner once the result goes out of
+    scope, which is fine for one-shot batch use but lets caches pile up
+    between GC cycles when the lane runs PER MICRO-BATCH in a long-
+    lived session — such callers pass ``eager=True``, which
+    materializes the (bounded, pairs-only) result via an eager
+    ``localCheckpoint`` and unpersists the band cache before
+    returning, making cleanup deterministic. (Eager mode truncates the
+    returned plan to a checkpoint scan, so plan-shape inspection needs
+    the lazy default.) The batch bands are repartitioned to the index's
+    bucket count on
     ``band_hash`` so the equi-join reads history buckets co-located
     (``n_buckets`` must match the persist call — same contract as
     :func:`dedup_incremental_bucketed`). The history contributes
@@ -816,7 +825,11 @@ def incremental_minhash_candidates(
         new_bands, spark.table(table_name), id_col=id_col, max_bucket=max_bucket
     )
     within = candidates_from_bands(new_bands, id_col=id_col, max_bucket=max_bucket)
-    return cross.unionByName(within).distinct()
+    result = cross.unionByName(within).distinct()
+    if eager:
+        result = result.localCheckpoint(eager=True)
+        new_bands.unpersist()
+    return result
 
 
 def cross_band_candidates(
@@ -877,6 +890,7 @@ def semantic_dedup_ivf(
     nprobe: int = 2,
     seed: int = 42,
     target_cell: int = 256,
+    max_cell: int | None = None,
 ) -> DataFrame:
     """The SCALE path of semantic dedup (SemDeDup, Abbas et al. 2023):
     blocking by IVF cell instead of a label column — the paper's own
@@ -900,7 +914,25 @@ def semantic_dedup_ivf(
     (min 8): a FIXED nlist makes the within-cell all-pairs term grow
     as (n/nlist)² — measured super-linear on the sf1→sf10 decade
     (SCALE.md round 7) — while bounded cells keep it ~linear. Pass an
-    explicit nlist only when the cell geometry itself is under test."""
+    explicit nlist only when the cell geometry itself is under test.
+
+    MEMORY CONTRACT / ``max_cell``: ``applyInPandas`` materializes an
+    entire group in one task, so a degenerate cell (explicit small
+    nlist, or k-means collapsing a boilerplate cluster onto one
+    center) puts that cell's full ``k × d`` float64 base matrix in a
+    single task — the analog of the minhash mega-bucket problem. By
+    default (``max_cell=None``) that contract is the caller's: the
+    auto-sized nlist keeps EXPECTED cells at ``target_cell × nprobe``,
+    and the common path stays a single vector shuffle with no cache.
+    Setting ``max_cell`` engages the guard: cells above it are salted
+    into ~``max_cell``-row shards (hash of id), with the cell's HUB
+    (min id) replicated into every shard — intra-shard pairs stay
+    exact and every member still meets the hub, so cluster
+    connectivity is preserved (strictly more pairs than the minhash
+    star degrade) while task memory is bounded by the shard. Guard
+    mode consumes the assignment twice (sizes + join), so it pins the
+    probed cells behind an eager ``localCheckpoint`` — one probe pass,
+    at the cost of materializing (id, vec, cell_id) × nprobe."""
     from pulsar_elasticsearch_sync_rs_spark.operators.components import dedup_clusters
     from pulsar_elasticsearch_sync_rs_spark.operators.ivf import (
         make_cell_probe_udf,
@@ -960,9 +992,40 @@ def semantic_dedup_ivf(
             {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
         )
 
+    if max_cell is None:
+        grouped = cells.groupBy("cell_id")
+    else:
+        # oversized-cell guard: salt mega cells into ~max_cell shards,
+        # hub replicated to all of them (see docstring). The checkpoint
+        # is the evaluate-once fence for the two consumers of the probe
+        # UDF (sizes agg + join) — union/join branches never share
+        # Python-UDF subtrees.
+        probed = cells.localCheckpoint(eager=True)
+        sizes = probed.groupBy("cell_id").agg(
+            F.count("*").alias("__k"), F.min(id_col).alias("__hub")
+        )
+        nsh = F.greatest(
+            F.lit(1), F.ceil(F.col("__k") / F.lit(int(max_cell)))
+        ).cast("int")
+        shard_arr = (
+            F.when(F.col("__k") <= max_cell, F.array(F.lit(0)))
+            .when(
+                F.col(id_col) == F.col("__hub"),
+                F.sequence(F.lit(0), nsh - F.lit(1)),
+            )
+            .otherwise(
+                F.array(F.pmod(F.xxhash64(F.col(id_col)), nsh).cast("int"))
+            )
+        )
+        grouped = (
+            probed.join(F.broadcast(sizes), "cell_id")
+            .select(
+                id_col, vec_col, "cell_id", F.explode(shard_arr).alias("__shard")
+            )
+            .groupBy("cell_id", "__shard")
+        )
     pairs = (
-        cells.groupBy("cell_id")
-        .applyInPandas(cell_pairs, schema=f"id_a {id_dt}, id_b {id_dt}")
+        grouped.applyInPandas(cell_pairs, schema=f"id_a {id_dt}, id_b {id_dt}")
         .distinct()  # multi-probe can pair the same ids in two cells
     )
     clustered = dedup_clusters(emb, pairs, id_col=id_col)

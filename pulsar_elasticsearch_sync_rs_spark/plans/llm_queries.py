@@ -2311,6 +2311,15 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst sizes the joins), two joins score the stream, one
     (doc_id) agg averages. Nothing unpartitioned, nothing collected."""
     lam = 0.7
+    # comp is the interpolation complement written as its OWN literal,
+    # NOT computed as 1.0 - lam: Python's 1.0 - 0.7 is
+    # 0.30000000000000004 (1 ulp above the double the oracle's SQL
+    # literal 0.3 parses to) — a sub-ulp engine divergence that
+    # round(.,6) hides until a doc's mean lands on a rounding boundary.
+    # The assert keeps the two weights coupled: editing lam without
+    # updating comp (and the oracle SQL) fails loudly here.
+    comp = 0.3
+    assert abs(lam + comp - 1.0) < 1e-12, (lam, comp)
     docs = read_table(spark, sf_dir, "documents")
     arr = (
         docs.select("doc_id", ws_tokens(F.lower("text")).alias("t"))
@@ -2359,12 +2368,7 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("c2").cast("double") / F.col("c_prev").cast("double"),
                         F.lit(0.0),
                     )
-                    # literal 0.3, NOT 1.0 - lam: Python's 1.0 - 0.7 is
-                    # 0.30000000000000004 (1 ulp above the double the
-                    # oracle's SQL literal 0.3 parses to) — a sub-ulp
-                    # engine divergence that round(.,6) hides until a
-                    # doc's mean lands on a rounding boundary
-                    + F.lit(0.3) * F.col("p1")
+                    + F.lit(comp) * F.col("p1")
                 )
             )
             .alias("lp"),

@@ -176,3 +176,87 @@ def test_salted_join_joins_on_salted_key_under_skew(spark, zipf_events):
 
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "__salt" in plan, "join did not execute on the salted key"
+
+
+def test_ivf_max_cell_guard_bounds_groups_and_keeps_clusters(spark, sf_dir):
+    """semantic_dedup_ivf's oversized-cell guard (max_cell): a
+    degenerate embedding distribution (one identical mega-cluster that
+    k-means cannot split, under an explicit tiny nlist) must be salted
+    into ~max_cell-row shards with the hub replicated into each —
+    ENGAGEMENT asserted on the kernel's group sizes (the per-task
+    memory bound the guard exists for), and the survivor set must
+    still collapse the whole cluster to its min id (hub replication
+    preserves connectivity across shards)."""
+    import numpy as np
+    import pandas as pd
+
+    from pulsar_elasticsearch_sync_rs_spark.operators.dedup import (
+        semantic_dedup_ivf,
+    )
+    from pulsar_elasticsearch_sync_rs_spark.sources.batch import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dim = len(emb.first()["embedding"])
+    n = emb.count()
+    # every 2nd vector becomes ONE shared direction -> a ~n/2 identical
+    # cluster; nlist=2 (explicit, tiny) concentrates it in one cell,
+    # far above max_cell=64
+    shared = [float(i % 7 - 3) or 1.0 for i in range(dim)]
+    degenerate = emb.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") % 2 == 0,
+            F.array(*[F.lit(v) for v in shared]),
+        ).otherwise(F.col("embedding")),
+    )
+    cluster = sorted(
+        r["vec_id"] for r in degenerate.filter(F.col("vec_id") % 2 == 0).collect()
+    )
+    assert len(cluster) > 64
+
+    out = semantic_dedup_ivf(
+        degenerate, threshold=0.99, nlist=2, nprobe=1, max_cell=64
+    ).collect()
+    by_id = {r["vec_id"]: r["cluster_size"] for r in out}
+    # the whole identical cluster collapsed to its min id, exact size
+    assert by_id.get(cluster[0]) == len(cluster), (
+        f"hub stitching failed: {by_id.get(cluster[0])} != {len(cluster)}"
+    )
+    assert not any(i in by_id for i in cluster[1:]), "cluster member survived"
+    # parity on the same input with the guard OFF (small data: the
+    # unguarded kernel can still hold the cell) - identical survivors
+    base = {
+        (r["vec_id"], r["cluster_size"])
+        for r in semantic_dedup_ivf(
+            degenerate, threshold=0.99, nlist=2, nprobe=1
+        ).collect()
+    }
+    assert {(r["vec_id"], r["cluster_size"]) for r in out} == base
+
+    # ENGAGEMENT: replicate the guard's routing and measure what group
+    # sizes actually reach a task - bounded by ~max_cell (hash salting
+    # is an expected bound; allow 2x slack), vs the unguarded mega cell
+    from pulsar_elasticsearch_sync_rs_spark.operators.ivf import (
+        make_cell_probe_udf,
+        train_coarse_quantizer,
+    )
+
+    centers = train_coarse_quantizer(
+        degenerate, id_col="vec_id", vec_col="embedding", nlist=2, seed=42
+    )
+    probe = make_cell_probe_udf(centers, nprobe=1)
+    cells = degenerate.select(
+        "vec_id", F.explode(probe(F.col("embedding"))).alias("cell_id")
+    )
+    sizes = cells.groupBy("cell_id").agg(F.count("*").alias("k"))
+    kmax = sizes.agg(F.max("k")).first()[0]
+    assert kmax > 64, "fixture failed to produce a mega cell"
+    nsh = -(-kmax // 64)
+    sharded = (
+        cells.withColumn("s", F.pmod(F.xxhash64("vec_id"), F.lit(nsh)))
+        .groupBy("cell_id", "s")
+        .agg(F.count("*").alias("k"))
+        .agg(F.max("k"))
+        .first()[0]
+    )
+    assert sharded <= 2 * 64, f"shard of {sharded} rows exceeds the bound"
