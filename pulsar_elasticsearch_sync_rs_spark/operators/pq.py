@@ -36,6 +36,10 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
+from pulsar_elasticsearch_sync_rs_spark.operators.similarity import (
+    DEFAULT_MAX_QUERIES,
+    collect_bounded,
+)
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -194,6 +198,7 @@ def knn_cosine_pq(
     ksub: int = 64,
     refine: int = 8,
     seed: int = 42,
+    max_queries: int = DEFAULT_MAX_QUERIES,
 ) -> DataFrame:
     """Approximate top-k by cosine: ADC scan over PQ codes → top
     (k·refine) candidates per query → exact cosine re-rank on the
@@ -215,6 +220,7 @@ def knn_cosine_pq(
         vec_col=vec_col,
         query_id=query_id,
         refine=refine,
+        max_queries=max_queries,
     )
 
 
@@ -228,6 +234,7 @@ def knn_cosine_pq_persisted(
     vec_col: str = "embedding",
     query_id: str = "query_id",
     refine: int = 8,
+    max_queries: int = DEFAULT_MAX_QUERIES,
 ) -> DataFrame:
     """Search against a :func:`persist_pq_index` artifact: the plan
     scans the persisted codes table (no encode UDF stage — asserted in
@@ -244,6 +251,7 @@ def knn_cosine_pq_persisted(
         vec_col=vec_col,
         query_id=query_id,
         refine=refine,
+        max_queries=max_queries,
     )
 
 
@@ -257,6 +265,7 @@ def pq_search(
     vec_col: str = "embedding",
     query_id: str = "query_id",
     refine: int = 8,
+    max_queries: int | None = None,
 ) -> DataFrame:
     """ADC scan + exact re-rank over an already-encoded codes table —
     the shared engine behind the inline, persisted, and IVF-PQ
@@ -272,6 +281,7 @@ def pq_search(
         query_id=query_id,
         refine=refine,
         probe_bool=None,
+        max_queries=max_queries,
     )
 
 
@@ -287,6 +297,7 @@ def _adc_scan_and_rerank(
     refine: int,
     probe_bool,
     q_rows=None,
+    max_queries: int | None = None,
 ) -> DataFrame:
     """One implementation of ADC scan → global top-C → exact re-rank.
     ``probe_bool`` is None (scan every row for every query) or an
@@ -300,7 +311,11 @@ def _adc_scan_and_rerank(
     # queries are a bounded set by contract (the other KNN lanes
     # broadcast them); their ADC tables are tiny: Q × m × ksub doubles
     if q_rows is None:
-        q_rows = queries.select(F.col(query_id), F.col("query_vec")).collect()
+        q_rows = collect_bounded(
+            queries.select(F.col(query_id), F.col("query_vec")),
+            max_queries or DEFAULT_MAX_QUERIES,
+            "pq search",
+        )
     if not q_rows:
         raise ValueError("pq search: empty query set")
     q_ids = [r[query_id] for r in q_rows]
@@ -428,6 +443,7 @@ def knn_cosine_ivfpq(
     nprobe: int = 4,
     refine: int = 8,
     seed: int = 42,
+    max_queries: int = DEFAULT_MAX_QUERIES,
 ) -> DataFrame:
     """IVF-PQ (Jégou et al. 2011 §V: inverted file + product codes) —
     the composition that actually runs at 100 TB: the IVF coarse
@@ -456,7 +472,11 @@ def knn_cosine_ivfpq(
         F.col(id_col), F.col("cell_id"), enc(F.col(vec_col)).alias("codes")
     )
 
-    q_rows = queries.select(F.col(query_id), F.col("query_vec")).collect()
+    q_rows = collect_bounded(
+        queries.select(F.col(query_id), F.col("query_vec")),
+        max_queries,
+        "knn_cosine_ivfpq",
+    )
     if not q_rows:
         raise ValueError("knn_cosine_ivfpq: empty query set")
     Q = np.array([r["query_vec"] for r in q_rows], dtype=np.float64)
@@ -550,6 +570,7 @@ def knn_cosine_ivfpq_persisted(
     query_id: str = "query_id",
     nprobe: int = 4,
     refine: int = 8,
+    max_queries: int = DEFAULT_MAX_QUERIES,
 ) -> DataFrame:
     """Search a :func:`persist_ivfpq_index` artifact: no training, no
     encoding (plan-asserted) — the probe filter lands in the scan's
@@ -561,7 +582,11 @@ def knn_cosine_ivfpq_persisted(
     centers = _load_ndarray(spark, posixpath.join(path, "centers"))
     codebooks = _load_ndarray(spark, posixpath.join(path, "codebooks"))
 
-    q_rows = queries.select(F.col(query_id), F.col("query_vec")).collect()
+    q_rows = collect_bounded(
+        queries.select(F.col(query_id), F.col("query_vec")),
+        max_queries,
+        "knn_cosine_ivfpq_persisted",
+    )
     if not q_rows:
         raise ValueError("knn_cosine_ivfpq_persisted: empty query set")
     Q = np.array([r["query_vec"] for r in q_rows], dtype=np.float64)

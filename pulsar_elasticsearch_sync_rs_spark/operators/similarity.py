@@ -101,6 +101,48 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[flo
     return planes
 
 
+DEFAULT_MAX_QUERIES = 4096
+
+
+def collect_bounded(df: DataFrame, max_rows: int, what: str) -> list:
+    """Driver-side collect guarded by a fail-fast bound — the
+    decontaminate ``_guarded`` posture applied to the KNN lanes'
+    "queries are a bounded set" contract. Reads ``max_rows + 1`` rows
+    through a limit (ONE job, no extra counting pass; the distributed
+    plans the caller returns are untouched) and raises before the
+    driver materializes an unbounded set: at 100 TB a "query set" that
+    is accidentally a corpus must die with a named contract, not an
+    executor-sized driver OOM or an opaque broadcast failure."""
+    rows = df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"{what}: query set exceeds the bounded-collect contract "
+            f"(max_queries={max_rows}): the KNN lanes collect/broadcast "
+            "the query side by design - split the query set into "
+            "bounded chunks, or raise max_queries if the driver and the "
+            "per-query state (ADC LUTs are n_q x m x ksub doubles) can "
+            "hold it"
+        )
+    return rows
+
+
+def ensure_bounded_queries(
+    queries: DataFrame, max_queries: int, what: str
+) -> None:
+    """Fail-fast twin of :func:`collect_bounded` for lanes that
+    BROADCAST the query set instead of collecting it: one tiny
+    limit-bounded probe job (reads at most ``max_queries + 1``
+    single-column rows), then the caller's plan proceeds unchanged."""
+    n = queries.select(F.lit(1).alias("one")).limit(max_queries + 1).count()
+    if n > max_queries:
+        raise ValueError(
+            f"{what}: query set exceeds the bounded-broadcast contract "
+            f"(max_queries={max_queries}) - split the query set into "
+            "bounded chunks, or raise max_queries if every executor can "
+            "hold the broadcast"
+        )
+
+
 def knn_cosine_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -108,9 +150,11 @@ def knn_cosine_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id: str = "query_id",
+    max_queries: int = DEFAULT_MAX_QUERIES,
 ) -> DataFrame:
     """Exact top-k by cosine for each query vector. Broadcast the query
     set; one corpus scan; per-query window rank. Self-matches excluded."""
+    ensure_bounded_queries(queries, max_queries, "knn_cosine_bruteforce")
     q = queries.select(F.col(query_id), F.col("query_vec"))
     joined = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(F.broadcast(q))
     sim = joined.withColumn("sim", cosine(F.col("query_vec"), F.col(vec_col))).filter(
@@ -139,6 +183,7 @@ def knn_cosine_lsh(
     n_planes: int = 8,
     dim: int = 64,
     n_tables: int = 4,
+    max_queries: int = DEFAULT_MAX_QUERIES,
 ) -> DataFrame:
     """Approximate top-k: multi-table sign-LSH pruning, then exact
     cosine rank within the candidate union. The corpus is bucketed once
@@ -151,6 +196,7 @@ def knn_cosine_lsh(
     Bucket ids are table-qualified inside the kernel (``id +
     t·2^planes``) so a single ``arrays_overlap`` expresses "collides
     in ≥1 table" without cross-table false matches."""
+    ensure_bounded_queries(queries, max_queries, "knn_cosine_lsh")
     udf = make_multi_table_bucket_udf(dim, n_planes, n_tables, seed=42, qualify=True)
     c = corpus.select(F.col(id_col), F.col(vec_col)).withColumn(
         "__bk", udf(F.col(vec_col))

@@ -1342,3 +1342,36 @@ def test_ivfpq_append_parity_frozen_no_retrain(spark, sf_dir, tmpdir, monkeypatc
     report2 = append_to_ivfpq_index(spark, ood, path)
     assert report2["qerr_ratio"] > 1.5 or report2["cell_skew"] > 4.0
     assert report2["needs_retrain"] is True
+
+
+def test_bounded_query_contract_fails_fast_over_bound(spark, sf_dir):
+    """The KNN lanes collect/broadcast the query side "bounded by
+    contract" - the guard turns a contract breach into a named
+    ValueError BEFORE the driver materializes anything unbounded
+    (instead of an OOM or opaque broadcast failure at 100 TB), and
+    under the bound the lanes are untouched (the recall/parity tests
+    all run through the guarded paths with defaults)."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.pq import (
+        knn_cosine_ivfpq,
+        knn_cosine_pq,
+    )
+    from pulsar_elasticsearch_sync_rs_spark.operators.similarity import (
+        knn_cosine_bruteforce,
+        knn_cosine_lsh,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.limit(5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    for fn in (knn_cosine_bruteforce, knn_cosine_lsh):
+        with pytest.raises(ValueError, match="max_queries=3"):
+            fn(emb, queries, k=2, max_queries=3)
+    with pytest.raises(ValueError, match="max_queries=3"):
+        knn_cosine_ivfpq(emb, queries, k=2, max_queries=3)
+    with pytest.raises(ValueError, match="max_queries=3"):
+        knn_cosine_pq(emb, queries, k=2, max_queries=3).count()
+
+    # at the bound (not over): the guard admits exactly max_queries
+    out = knn_cosine_bruteforce(emb, queries, k=2, max_queries=5)
+    assert out.select("query_id").distinct().count() == 5
