@@ -1533,3 +1533,56 @@ def test_ivfpq_append_empty_batch_short_circuits(spark, tmpdir):
     assert report["n_appended"] == 0
     assert report["needs_retrain"] is False
     assert report["qerr_ratio"] is None and report["cell_skew"] is None
+
+
+def test_metrics_http_server_serves_exposition_and_stops(spark):
+    """K4 live: MetricsHttpServer bound on an ephemeral port serves the
+    registry's Prometheus exposition at /metrics (200, labeled
+    families, text/plain content type), 404s every other path, and
+    stops cleanly releasing the socket - the server loop itself under
+    test, not just the render function."""
+    import socket
+    import urllib.error
+    import urllib.request
+
+    from pulsar_elasticsearch_sync_rs_spark.streaming.side_outputs import (
+        MetricsHttpServer,
+    )
+
+    registry = MetricsRegistry()
+    registry.inc("sync_rs_total", 41.0, topic="app-log")
+    registry.inc("sync_rs_total", 1.0, topic="app-log")
+    registry.inc("query_restarts_total", 2.0, query="curation")
+
+    srv = MetricsHttpServer(registry, host="127.0.0.1", port=0).start()
+    try:
+        port = srv.port
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/metrics", timeout=10
+        ) as resp:
+            assert resp.status == 200
+            assert resp.headers["Content-Type"].startswith("text/plain")
+            body = resp.read().decode()
+        assert 'sync_rs_total{topic="app-log"} 42' in body
+        assert 'query_restarts_total{query="curation"} 2' in body
+
+        # live counter: a later scrape sees later increments
+        registry.inc("sync_rs_total", 8.0, topic="app-log")
+        body2 = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/metrics", timeout=10
+        ).read().decode()
+        assert 'sync_rs_total{topic="app-log"} 50' in body2
+
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/elsewhere", timeout=10)
+        assert exc.value.code == 404
+    finally:
+        srv.stop()
+
+    # socket released: a fresh bind on the SAME port succeeds
+    s = socket.socket()
+    s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    s.bind(("127.0.0.1", port))
+    s.close()
+    with pytest.raises((ConnectionError, urllib.error.URLError)):
+        urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics", timeout=2)
