@@ -132,6 +132,27 @@ def _load_ndarray(spark, path: str) -> np.ndarray:
     return flat.reshape(shape)
 
 
+def _resolve_ivfpq_root(path: str) -> str:
+    """The directory the IVF-PQ artifact currently lives in: ``path``
+    itself for a flat :func:`persist_ivfpq_index` build, or
+    ``path/<version>`` once :func:`maintain_ivfpq_index` has retrained
+    and atomically repointed the ``_CURRENT`` marker (the mview
+    versioned-snapshot recipe, streaming/mview.py). Every reader —
+    search, append, drift check — resolves through this, so a retrain
+    is one ``os.replace`` away from being visible and a reader never
+    observes a half-written artifact. Marker probing is a local-fs
+    ``os.path`` check, same deployment envelope as the mview lane."""
+    import os
+
+    marker = os.path.join(path, "_CURRENT")
+    if os.path.exists(marker):
+        with open(marker, encoding="utf-8") as fh:
+            version = fh.read().strip()
+        if version:
+            return os.path.join(path, version)
+    return path
+
+
 def encode_pq(
     corpus: DataFrame,
     codebooks: np.ndarray,
@@ -578,9 +599,10 @@ def knn_cosine_ivfpq_persisted(
     the corpus is touched only by the exact re-rank's candidate join."""
     import posixpath
 
-    codes = spark.read.parquet(posixpath.join(path, "codes"))
-    centers = _load_ndarray(spark, posixpath.join(path, "centers"))
-    codebooks = _load_ndarray(spark, posixpath.join(path, "codebooks"))
+    root = _resolve_ivfpq_root(path)
+    codes = spark.read.parquet(posixpath.join(root, "codes"))
+    centers = _load_ndarray(spark, posixpath.join(root, "centers"))
+    codebooks = _load_ndarray(spark, posixpath.join(root, "codebooks"))
 
     q_rows = collect_bounded(
         queries.select(F.col(query_id), F.col("query_vec")),
@@ -684,8 +706,9 @@ def append_to_ivfpq_index(
         make_cell_probe_udf,
     )
 
-    centers = _load_ndarray(spark, posixpath.join(path, "centers"))
-    codebooks = _load_ndarray(spark, posixpath.join(path, "codebooks"))
+    root = _resolve_ivfpq_root(path)
+    centers = _load_ndarray(spark, posixpath.join(root, "centers"))
+    codebooks = _load_ndarray(spark, posixpath.join(root, "codebooks"))
 
     probe1 = make_cell_probe_udf(centers, nprobe=1)
     enc = make_pq_encode_udf(codebooks)
@@ -711,7 +734,7 @@ def append_to_ivfpq_index(
         )
         .write.mode("append")
         .partitionBy("cell_id")
-        .parquet(posixpath.join(path, "codes"))
+        .parquet(posixpath.join(root, "codes"))
     )
 
     # drift signals (bounded driver compute + a partition-column-only scan)
@@ -719,13 +742,13 @@ def append_to_ivfpq_index(
     batch_qerr = _pq_relative_error(Xb, codebooks)
     try:
         baseline_qerr = float(
-            _load_ndarray(spark, posixpath.join(path, "stats"))[0, 0]
+            _load_ndarray(spark, posixpath.join(root, "stats"))[0, 0]
         )
     except Exception:
         baseline_qerr = None  # pre-stats artifact: skew signal only
     counts = [
         r["n"]
-        for r in spark.read.parquet(posixpath.join(path, "codes"))
+        for r in spark.read.parquet(posixpath.join(root, "codes"))
         .groupBy("cell_id")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
@@ -745,3 +768,63 @@ def append_to_ivfpq_index(
             or cell_skew > skew_threshold
         ),
     }
+
+
+def maintain_ivfpq_index(
+    spark,
+    corpus: DataFrame,
+    path: str,
+    report: dict,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 16,
+    ksub: int = 64,
+    nlist: int = 8,
+    seed: int = 42,
+) -> dict:
+    """Close the drift loop :func:`append_to_ivfpq_index` opens: when
+    the report's ``needs_retrain`` flag fired, retrain the quantizer +
+    codebooks on the CURRENT corpus (original + everything appended —
+    ``corpus`` is the caller's, since the index stores 16-byte codes,
+    not vectors), build the full artifact into a fresh versioned
+    subdirectory, and atomically repoint the ``_CURRENT`` marker (the
+    mview snapshot recipe: readers either see the old complete artifact
+    or the new complete artifact, never a mix — an in-flight search
+    that already resolved the old root keeps reading it consistently).
+
+    The no-drift path is deliberately inert: ``needs_retrain`` False
+    returns without touching ANY file (pytest-pinned byte-identical),
+    so the maintenance loop can run after every append batch with the
+    retrain cost paid only when a signal fires — the Faiss operational
+    split (add per batch, train on schedule) expressed as a pure
+    artifact-directory protocol. Old versions are left for running
+    readers; pruning them is a separate janitor concern once no reader
+    can hold a pre-repoint root (same policy as mview versions).
+
+    Returns the input report extended with ``retrained`` and (when
+    retrained) ``version``."""
+    import os
+
+    if not report.get("needs_retrain"):
+        return {**report, "retrained": False}
+
+    prev = _resolve_ivfpq_root(path)
+    # version counter from the marker lineage: flat root -> v1, vN -> vN+1
+    base = os.path.basename(prev)
+    n_next = int(base[1:]) + 1 if base.startswith("v") and base[1:].isdigit() else 1
+    version = f"v{n_next}"
+    persist_ivfpq_index(
+        corpus,
+        os.path.join(path, version),
+        id_col=id_col,
+        vec_col=vec_col,
+        m=m,
+        ksub=ksub,
+        nlist=nlist,
+        seed=seed,
+    )
+    tmp = os.path.join(path, "_CURRENT.tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(version)
+    os.replace(tmp, os.path.join(path, "_CURRENT"))  # atomic repoint
+    return {**report, "retrained": True, "version": version}

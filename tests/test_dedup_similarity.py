@@ -1375,3 +1375,105 @@ def test_bounded_query_contract_fails_fast_over_bound(spark, sf_dir):
     # at the bound (not over): the guard admits exactly max_queries
     out = knn_cosine_bruteforce(emb, queries, k=2, max_queries=5)
     assert out.select("query_id").distinct().count() == 5
+
+
+def test_ivfpq_maintenance_retrains_on_drift_and_repoints(spark, sf_dir, tmp_path):
+    """The drift loop CLOSED (round-8 brief): an in-distribution append
+    leaves the flag off and maintain_ivfpq_index is then byte-inert on
+    the artifact; an out-of-distribution append fires needs_retrain;
+    maintenance retrains on the current corpus into a versioned subdir
+    and atomically repoints _CURRENT - after which search results are
+    IDENTICAL to a from-scratch rebuild on the same corpus (full
+    parity, not just a recall floor), recall on the OOD queries is
+    restored, and later appends land inside the new version."""
+    import hashlib
+    import os
+    import posixpath
+
+    from pulsar_elasticsearch_sync_rs_spark.operators.pq import (
+        append_to_ivfpq_index,
+        knn_cosine_ivfpq_persisted,
+        maintain_ivfpq_index,
+        persist_ivfpq_index,
+    )
+    from pulsar_elasticsearch_sync_rs_spark.operators.similarity import (
+        knn_cosine_bruteforce,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    half = emb.agg(F.expr("percentile(vec_id, 0.5)")).first()[0]
+    base = emb.filter(F.col("vec_id") <= half)
+    indist = emb.filter(F.col("vec_id") > half)
+    path = str(tmp_path / "ivfpq")
+    persist_ivfpq_index(base, path, nlist=8)
+
+    def snapshot(root):
+        out = {}
+        for dirpath, _dirs, files in os.walk(root):
+            for f in files:
+                p = os.path.join(dirpath, f)
+                with open(p, "rb") as fh:
+                    out[os.path.relpath(p, root)] = hashlib.md5(
+                        fh.read()
+                    ).hexdigest()
+        return out
+
+    # in-distribution append: flag stays off; maintenance is byte-inert
+    rep0 = append_to_ivfpq_index(spark, indist, path)
+    assert not rep0["needs_retrain"], rep0
+    before = snapshot(path)
+    out0 = maintain_ivfpq_index(spark, emb, path, rep0, nlist=8)
+    assert out0["retrained"] is False
+    assert snapshot(path) == before, "no-drift maintenance touched the artifact"
+
+    # OOD batch: same dims, shifted far off the training distribution
+    ood = emb.limit(200).select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(10.0)).alias("embedding"),
+    )
+    rep1 = append_to_ivfpq_index(spark, ood, path)
+    assert rep1["needs_retrain"] and rep1["qerr_ratio"] > 1.5, rep1
+
+    full = emb.unionByName(ood)
+    out1 = maintain_ivfpq_index(spark, full, path, rep1, nlist=8)
+    assert out1["retrained"] is True and out1["version"] == "v1"
+    assert os.path.exists(os.path.join(path, "v1", "codes"))
+
+    # parity: the repointed artifact answers EXACTLY like a fresh
+    # rebuild on the same corpus (deterministic training, same seed)
+    queries = ood.limit(5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = {
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in knn_cosine_ivfpq_persisted(
+            spark, path, full, queries, k=5, nprobe=4
+        ).collect()
+    }
+    fresh_path = str(tmp_path / "ivfpq_fresh")
+    persist_ivfpq_index(full, fresh_path, nlist=8)
+    want = {
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in knn_cosine_ivfpq_persisted(
+            spark, fresh_path, full, queries, k=5, nprobe=4
+        ).collect()
+    }
+    assert got == want and got, "retrained artifact diverges from rebuild"
+
+    # recall restored on the OOD queries vs exact brute force
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_cosine_bruteforce(full, queries, k=5).collect()
+    }
+    approx = {(q, n) for q, _rk, n in got}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"post-retrain recall {recall:.2f}"
+
+    # subsequent appends resolve into the new version's directory
+    more = emb.limit(50).select(
+        (F.col("vec_id") + F.lit(20_000_000)).alias("vec_id"), "embedding"
+    )
+    n_before = spark.read.parquet(posixpath.join(path, "v1", "codes")).count()
+    append_to_ivfpq_index(spark, more, path)
+    n_after = spark.read.parquet(posixpath.join(path, "v1", "codes")).count()
+    assert n_after == n_before + 50
