@@ -109,6 +109,45 @@ PLAN_PINS: dict[str, dict] = {
     "q_substring_dedup": {"arrow_max": 0},  # md5 grams + windows, pure JVM
 }
 
+# Streaming state pins (round 8): the stateful lanes' peak state-store
+# rows, bounded by what the operator SEMANTICS say may be live — a
+# state blowup (e.g. a watermark that stops advancing, or per-event
+# instead of per-key state) fails the bench like an Arrow-node
+# regression does, long before it would OOM a real cluster. Bounds are
+# computed from the input fixture at check time, so they scale with SF.
+def _distinct(spark, src, *cols):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    return spark.read.parquet(src).selectExpr(*cols).distinct().count()
+
+
+STATE_PINS: dict[str, object] = {
+    # ≤ one state row per distinct payload in the horizon
+    "dedup": lambda spark, src: _distinct(spark, src, "value"),
+    # exactly one TAT state row per app key
+    "gcra": lambda spark, src: _distinct(
+        spark, src, "element_at(split(topic, '/'), -1) as app"
+    ),
+    # one state row per space-saving bucket (n_buckets=8 in the lane)
+    "heavy_hitters": lambda spark, src: 8,
+    # ≤ one window state row per (minute, topic_short) × is_debug
+    "counters": lambda spark, src: 2
+    * _distinct(
+        spark,
+        src,
+        "date_trunc('minute', publish_time) as m",
+        "element_at(split(topic, '/'), -1) as t",
+    ),
+    # merged session state: ≤ one live window per user (+ the
+    # watermark-horizon carryover) — one row per user is the semantic
+    # bound once merge-on-insert has run; events arrive time-ordered
+    # in this fixture so no pre-merge fragments survive a batch
+    "sessionize": lambda spark, src: _distinct(spark, src, "user_id"),
+    # symmetric join state ≤ the two buffered sides in full
+    "interval_join": lambda spark, src: _distinct(spark, src, "event_id"),
+}
+
+
 ARROW_NODES = (
     "ArrowEvalPython",
     "MapInPandas",
@@ -255,7 +294,7 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    stream = stream_throughput(spark, sf_dir)
+    stream = stream_throughput(spark, sf_dir, violations)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -315,7 +354,29 @@ def yardsticks(spark) -> dict:
     return r
 
 
-def stream_throughput(spark, sf_dir: str) -> dict:
+def _state_profile(q) -> dict:
+    """Streaming-state profile of a finished query, from its progress
+    history (the stateOperators block the status API exposes per
+    micro-batch): peak state rows and memory across batches, plus the
+    total rows dropped by watermark. This is the streaming twin of the
+    batch plan profile — state growth is the streaming scale killer
+    the wall clock can't see at fixture size."""
+    rows_max = mem_max = dropped = 0
+    for p in q.recentProgress:
+        if isinstance(p, str):
+            p = json.loads(p)
+        ops = p.get("stateOperators") or []
+        rows_max = max(rows_max, sum(o.get("numRowsTotal", 0) for o in ops))
+        mem_max = max(mem_max, sum(o.get("memoryUsedBytes", 0) for o in ops))
+        dropped += sum(o.get("numRowsDroppedByWatermark", 0) for o in ops)
+    return {
+        "state_rows_max": rows_max,
+        "state_mem_mb_max": round(mem_max / 1e6, 3),
+        "rows_dropped_by_watermark": dropped,
+    }
+
+
+def stream_throughput(spark, sf_dir: str, violations: list[str] | None = None) -> dict:
     """STREAMING throughput series (3 lanes so streaming regressions
     are attributable, not one blended figure):
 
@@ -380,6 +441,7 @@ def stream_throughput(spark, sf_dir: str) -> dict:
             # runs — each run on fresh checkpoint/output dirs so
             # availableNow reprocesses the full input every time
             walls = []
+            state = None
             for rep in range(3):
                 ckpt = os.path.join(tmp, f"ckpt_{name}_{rep}")
                 out = os.path.join(tmp, f"out_{name}_{rep}")
@@ -388,6 +450,7 @@ def stream_throughput(spark, sf_dir: str) -> dict:
                 q.awaitTermination(300)
                 if rep > 0:
                     walls.append(_time.perf_counter() - t0)
+                state = _state_profile(q)
             wall = min(walls)
             last_out = os.path.join(tmp, f"out_{name}_2")
             n_out = (
@@ -405,10 +468,24 @@ def stream_throughput(spark, sf_dir: str) -> dict:
             rate = round(n_msgs / wall)
             print(
                 f"# stream/{name}: {n_msgs} msgs in {wall:.3f}s = {rate} msgs/s"
-                f" best of {[round(w, 3) for w in walls]} ({n_out} output rows)",
+                f" best of {[round(w, 3) for w in walls]} ({n_out} output rows)"
+                f" [state_rows={state['state_rows_max']}"
+                f" state_mem={state['state_mem_mb_max']}MB"
+                f" wm_dropped={state['rows_dropped_by_watermark']}]",
                 file=sys.stderr,
             )
-            return {"msgs": n_msgs, "wall_sec": round(wall, 3), "msgs_per_sec": rate}
+            lane = {"msgs": n_msgs, "wall_sec": round(wall, 3), "msgs_per_sec": rate}
+            if state["state_rows_max"] or state["state_mem_mb_max"]:
+                lane["state"] = state
+            bound = STATE_PINS.get(name)
+            if bound is not None and violations is not None:
+                limit = bound(spark, src_dir)
+                if state["state_rows_max"] > limit:
+                    violations.append(
+                        f"stream/{name}: peak state {state['state_rows_max']} rows"
+                        f" > pinned bound {limit}"
+                    )
+            return lane
 
         def start_etl(ckpt, out):
             return run_pipeline_stream(

@@ -767,3 +767,542 @@ def decode_png_features(
             yield pd.DataFrame(rows, columns=[f.name for f in PNG_FEATURE_SCHEMA.fields])
 
     return df.mapInPandas(decode, PNG_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# JPEG (round 8): the fifth real codec, and the first LOSSY one — a
+# baseline sequential JPEG (ITU-T T.81, public spec) encoder + decoder:
+# marker segment walk, DQT/DHT/SOF0/SOS parsing, canonical Huffman
+# decode with byte-stuffing removal, dequantize + inverse zigzag +
+# 2-D IDCT per 8×8 block, MCU assembly with edge cropping, and YCbCr→
+# RGB for 4:4:4 three-component scans. Production image corpora are
+# JPEG, so the multimodal lane's plumbing is exercised on the codec
+# that matters. Entropy/DCT math uses numpy (baked into the env and
+# already the kernel-side substrate of every other operator); the
+# container formats stay stdlib `struct`.
+#
+# Oracle strategy (the lossy-codec twist): a SOLID block has only a DC
+# coefficient, and with the quant table's DC step = 8 the DC quantizes
+# EXACTLY (DC = 8·(v−128)), so solid-gray JPEGs round-trip losslessly
+# and the decoded statistics keep closed forms — the q_media_jpeg lane
+# stays fully hash-checked against DuckDB even though the codec is
+# lossy in general. The general (AC) path is pinned by pytest against
+# an independently computed quantize→dequantize→IDCT reference.
+# ---------------------------------------------------------------------------
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# standard Huffman tables, ITU-T T.81 Annex K.3 (public spec constants)
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length), canonical assignment (T.81 C.2)."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _dct_matrix():
+    import numpy as np
+
+    x = np.arange(8)
+    u = np.arange(8)[:, None]
+    m = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+    m[0] /= np.sqrt(2.0)
+    return m  # orthonormal: S = M s Mᵀ, s = Mᵀ S M
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.acc = (self.acc << (8 - self.n)) | ((1 << (8 - self.n)) - 1)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.n = 0
+        return bytes(self.out)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size, bits) of a DC diff / AC coefficient (T.81 F.1.2.1)."""
+    size = abs(v).bit_length()
+    return size, (v if v >= 0 else v + (1 << size) - 1)
+
+
+def _encode_block(w: _BitWriter, zz: list[int], pred: int, dc_c, ac_c) -> int:
+    size, bits = _magnitude(zz[0] - pred)
+    code, length = dc_c[size]
+    w.write(code, length)
+    if size:
+        w.write(bits, size)
+    run = 0
+    last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+    for i in range(1, last_nz + 1):
+        if zz[i] == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_c[0xF0]  # ZRL
+            w.write(code, length)
+            run -= 16
+        size, bits = _magnitude(zz[i])
+        code, length = ac_c[(run << 4) | size]
+        w.write(code, length)
+        w.write(bits, size)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_c[0x00]  # EOB
+        w.write(code, length)
+    return zz[0]
+
+
+def synth_jpeg(
+    width: int,
+    height: int,
+    luma: int | None = None,
+    pixels=None,
+    q_dc: int = 8,
+    q_ac: int = 16,
+) -> bytes:
+    """Serialize a baseline sequential GRAYSCALE JPEG: solid ``luma``
+    (DC-only blocks — the lossless-round-trip oracle regime) or an
+    explicit H×W uint8 ``pixels`` array (exercises the full AC
+    run-length path). Standard Annex-K Huffman tables; quant table is
+    flat with DC step ``q_dc`` (8 ⇒ solid blocks quantize exactly)."""
+    import struct
+
+    import numpy as np
+
+    if pixels is None:
+        img = np.full((height, width), int(luma), dtype=np.float64)
+    else:
+        img = np.asarray(pixels, dtype=np.float64)
+        height, width = img.shape
+    ph, pw = -(-height // 8) * 8, -(-width // 8) * 8
+    img = np.pad(img, ((0, ph - height), (0, pw - width)), mode="edge")
+
+    qt_zz = [q_dc] + [q_ac] * 63
+    qt_raster = np.empty(64)
+    for i, r in enumerate(_JPEG_ZIGZAG):
+        qt_raster[r] = qt_zz[i]
+    qt_raster = qt_raster.reshape(8, 8)
+
+    M = _dct_matrix()
+    dc_c = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_c = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    w = _BitWriter()
+    pred = 0
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            s = img[by : by + 8, bx : bx + 8] - 128.0
+            S = M @ s @ M.T
+            q = np.rint(S / qt_raster).astype(np.int64)
+            zz = [int(q.flat[r]) for r in _JPEG_ZIGZAG]
+            pred = _encode_block(w, zz, pred, dc_c, ac_c)
+    scan = w.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    dqt = seg(0xFFDB, bytes([0x00]) + bytes(qt_zz))
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]))
+    dht = seg(
+        0xFFC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
+class _BitReader:
+    """Entropy-segment bit reader with 0xFF00 stuffing removal; any
+    other marker inside the scan raises (the encoder emits no restart
+    intervals, and a marker mid-scan in that regime means truncation
+    or corruption — fail loudly, never silently-wrong pixels)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated entropy-coded segment")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data):
+                    raise ValueError("truncated entropy-coded segment")
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1
+                else:
+                    raise ValueError(
+                        f"unexpected marker 0xFF{nxt:02X} inside scan"
+                    )
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def read_bits(self, count: int) -> int:
+        v = 0
+        for _ in range(count):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _huff_decode(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | reader.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in scan")
+
+
+def _extend(v: int, size: int) -> int:
+    return v if size == 0 or v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def parse_jpeg(blob: bytes, max_pixels: int = 1 << 26) -> dict:
+    """Real baseline sequential decode: marker walk (APPn/COM skipped,
+    DQT/DHT/SOF0/SOS parsed), canonical Huffman decode, dequantize +
+    inverse zigzag + IDCT per block, MCU reassembly, crop, per-channel
+    means. Supports 1-component grayscale and 4:4:4 three-component
+    scans (YCbCr→RGB, ITU-R BT.601 as in T.871); progressive /
+    subsampled / restart-interval streams raise ``unsupported`` —
+    explicit contract, never a wrong answer. Truncation and corruption
+    raise. ``max_pixels`` bounds decoder memory per blob (a forged
+    SOF0 header could otherwise declare a 4-billion-pixel canvas)."""
+    import struct
+
+    import numpy as np
+
+    if len(blob) < 2 or blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream (missing SOI)")
+    pos = 2
+    qts: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    sof = None
+    while True:
+        if pos + 4 > len(blob):
+            raise ValueError("truncated marker segment")
+        if blob[pos] != 0xFF:
+            raise ValueError(f"expected marker, got 0x{blob[pos]:02X}")
+        marker = struct.unpack(">H", blob[pos : pos + 2])[0]
+        (length,) = struct.unpack(">H", blob[pos + 2 : pos + 4])
+        body = blob[pos + 4 : pos + 2 + length]
+        if len(body) != length - 2:
+            raise ValueError(f"truncated segment 0x{marker:04X}")
+        if marker == 0xFFDB:  # DQT
+            o = 0
+            while o < len(body):
+                pq, tq = body[o] >> 4, body[o] & 0x0F
+                if pq != 0:
+                    raise ValueError("unsupported: 16-bit quant table")
+                qts[tq] = list(body[o + 1 : o + 65])
+                if len(qts[tq]) != 64:
+                    raise ValueError("truncated quant table")
+                o += 65
+        elif marker == 0xFFC4:  # DHT
+            o = 0
+            while o < len(body):
+                tc, th = body[o] >> 4, body[o] & 0x0F
+                bits = list(body[o + 1 : o + 17])
+                nvals = sum(bits)
+                vals = list(body[o + 17 : o + 17 + nvals])
+                if len(bits) != 16 or len(vals) != nvals:
+                    raise ValueError("truncated Huffman table")
+                table: dict[tuple[int, int], int] = {}
+                code, k = 0, 0
+                for ln in range(1, 17):
+                    for _ in range(bits[ln - 1]):
+                        table[(ln, code)] = vals[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+                o += 17 + nvals
+        elif marker == 0xFFC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise ValueError("unsupported: precision != 8")
+            if nc not in (1, 3):
+                raise ValueError(f"unsupported: {nc} components")
+            comps = []
+            for c in range(nc):
+                cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
+                if samp != 0x11:
+                    raise ValueError("unsupported: chroma subsampling")
+                comps.append((cid, tq))
+            if h * w > max_pixels:
+                raise ValueError(f"image {w}x{h} exceeds max_pixels={max_pixels}")
+            sof = (h, w, comps)
+        elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
+                        0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
+            raise ValueError("unsupported: not baseline sequential (SOF0)")
+        elif marker == 0xFFDD:
+            raise ValueError("unsupported: restart intervals")
+        elif marker == 0xFFDA:  # SOS — entropy data follows
+            if sof is None:
+                raise ValueError("SOS before SOF0")
+            ns = body[0]
+            scan_sel = []
+            for c in range(ns):
+                cs, tdta = body[1 + 2 * c : 3 + 2 * c]
+                scan_sel.append((cs, tdta >> 4, tdta & 0x0F))
+            pos = pos + 2 + length
+            break
+        pos = pos + 2 + length
+
+    h, w, comps = sof
+    if len(scan_sel) != len(comps):
+        raise ValueError("scan/frame component mismatch")
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    M = _dct_matrix()
+    reader = _BitReader(blob, pos)
+    planes = [np.empty((ph, pw)) for _ in comps]
+    preds = [0] * len(comps)
+    qt_raster = []
+    for _cid, tq in comps:
+        if tq not in qts:
+            raise ValueError(f"missing quant table {tq}")
+        qr = np.empty(64)
+        for i, r in enumerate(_JPEG_ZIGZAG):
+            qr[r] = qts[tq][i]
+        qt_raster.append(qr.reshape(8, 8))
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            for ci, (_cs, td, ta) in enumerate(scan_sel):
+                dc_t = huff.get((0, td))
+                ac_t = huff.get((1, ta))
+                if dc_t is None or ac_t is None:
+                    raise ValueError("missing Huffman table for scan")
+                zz = [0] * 64
+                size = _huff_decode(reader, dc_t)
+                diff = _extend(reader.read_bits(size), size) if size else 0
+                preds[ci] += diff
+                zz[0] = preds[ci]
+                i = 1
+                while i < 64:
+                    sym = _huff_decode(reader, ac_t)
+                    if sym == 0x00:  # EOB
+                        break
+                    run, size = sym >> 4, sym & 0x0F
+                    if size == 0:
+                        if run != 15:
+                            raise ValueError("invalid AC symbol")
+                        i += 16  # ZRL
+                        continue
+                    i += run
+                    if i > 63:
+                        raise ValueError("AC run past block end")
+                    zz[i] = _extend(reader.read_bits(size), size)
+                    i += 1
+                S = np.empty(64)
+                for i, r in enumerate(_JPEG_ZIGZAG):
+                    S[r] = zz[i]
+                S = S.reshape(8, 8) * qt_raster[ci]
+                s = M.T @ S @ M + 128.0
+                planes[ci][by : by + 8, bx : bx + 8] = s
+    out = [np.clip(np.rint(p[:h, :w]), 0, 255) for p in planes]
+    n = h * w or 1
+    if len(out) == 1:
+        return {
+            "width": w,
+            "height": h,
+            "n_pixels": h * w,
+            "n_components": 1,
+            "mean_luma": float(out[0].sum() / n),
+        }
+    y, cb, cr = out
+    r = np.clip(np.rint(y + 1.402 * (cr - 128.0)), 0, 255)
+    g = np.clip(np.rint(y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)), 0, 255)
+    b = np.clip(np.rint(y + 1.772 * (cb - 128.0)), 0, 255)
+    return {
+        "width": w,
+        "height": h,
+        "n_pixels": h * w,
+        "n_components": 3,
+        "mean_luma": float(y.sum() / n),
+        "mean_r": float(r.sum() / n),
+        "mean_g": float(g.sum() / n),
+        "mean_b": float(b.sum() / n),
+    }
+
+
+JPEG_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("n_pixels", T.LongType(), False),
+        T.StructField("mean_luma", T.DoubleType(), False),
+    ]
+)
+
+
+def synthesize_jpeg_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic grayscale JPEG corpus: width = 5 + id%13, height =
+    3 + id%10 (non-multiples of 8 — MCU padding and cropping are on
+    the path), solid luma = (7·id + 13) % 256. Solid blocks carry only
+    a DC coefficient and the quant table's DC step is 8, so the lossy
+    codec round-trips these losslessly — closed-form oracle."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [
+                        synth_jpeg(5 + (i % 13), 3 + (i % 10), int((7 * i + 13) % 256))
+                        for i in ids
+                    ],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+    return df.mapInPandas(synth, schema)
+
+
+def decode_jpeg_features(
+    df: DataFrame, payload: str = "payload", media_id: str = "media_id"
+) -> DataFrame:
+    """Arrow-batched ``mapInPandas`` over binary JPEG payloads →
+    decoded dimensions + mean luma. Blobs never shuffle."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[media_id], pdf[payload]):
+                feats = parse_jpeg(bytes(blob))
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": feats["width"],
+                        "height": feats["height"],
+                        "n_pixels": feats["n_pixels"],
+                        "mean_luma": feats["mean_luma"],
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in JPEG_FEATURE_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(decode, JPEG_FEATURE_SCHEMA)
+
+
+def synth_jpeg_color(
+    width: int, height: int, rgb: tuple[int, int, int], q_dc: int = 8, q_ac: int = 16
+) -> bytes:
+    """Three-component 4:4:4 baseline JPEG of a solid RGB color (the
+    decoder's color path under test: interleaved Y/Cb/Cr MCUs, per-
+    component DC predictors, BT.601 conversion). All components share
+    quant table 0 and the Annex-K luma Huffman tables — legal, and it
+    keeps the solid-color DC-exactness argument intact per plane."""
+    import struct
+
+    import numpy as np
+
+    r, g, b = (float(c) for c in rgb)
+    y = round(0.299 * r + 0.587 * g + 0.114 * b)
+    cb = round(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b)
+    cr = round(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b)
+    planes = [min(255, max(0, int(v))) for v in (y, cb, cr)]
+
+    ph, pw = -(-height // 8) * 8, -(-width // 8) * 8
+    qt_zz = [q_dc] + [q_ac] * 63
+    M = _dct_matrix()
+    dc_c = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_c = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    w = _BitWriter()
+    preds = [0, 0, 0]
+    qt_raster = np.empty(64)
+    for i, rr in enumerate(_JPEG_ZIGZAG):
+        qt_raster[rr] = qt_zz[i]
+    qt_raster = qt_raster.reshape(8, 8)
+    for _by in range(0, ph, 8):
+        for _bx in range(0, pw, 8):
+            for ci, v in enumerate(planes):
+                s = np.full((8, 8), float(v)) - 128.0
+                q = np.rint((M @ s @ M.T) / qt_raster).astype(np.int64)
+                zz = [int(q.flat[rr]) for rr in _JPEG_ZIGZAG]
+                preds[ci] = _encode_block(w, zz, preds[ci], dc_c, ac_c)
+    scan = w.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    dqt = seg(0xFFDB, bytes([0x00]) + bytes(qt_zz))
+    sof = seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    dht = seg(
+        0xFFC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"

@@ -1869,6 +1869,47 @@ FROM documents
 """
 
 
+def q_media_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossy-codec decode (the fifth codec — the one production
+    image corpora actually use): synthesize a deterministic baseline
+    sequential GRAYSCALE JPEG per document (non-multiple-of-8 dims, so
+    MCU padding/cropping is exercised), then decode via the full
+    T.81 path — marker walk, canonical Huffman decode with stuffing
+    removal, dequantize + inverse zigzag + IDCT, crop — through
+    Arrow-batched ``mapInPandas`` (operators.multimodal.parse_jpeg).
+    Solid blocks carry only a DC coefficient and the quant table's DC
+    step is 8, so these images round-trip LOSSLESSLY through the lossy
+    codec and the lane stays fully oracle hash-checked; the general AC
+    path is pinned separately in pytest against an independent
+    quantize→dequantize→IDCT reference."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.multimodal import (
+        decode_jpeg_features,
+        synthesize_jpeg_corpus,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    jpgs = synthesize_jpeg_corpus(docs, id_col="doc_id")
+    return decode_jpeg_features(jpgs).select(
+        "media_id",
+        "width",
+        "height",
+        "n_pixels",
+        F.round("mean_luma", 6).alias("mean_luma"),
+    )
+
+
+# closed-form twin of synthesize_jpeg_corpus + parse_jpeg: w = 5+id%13,
+# h = 3+id%10, solid luma — DC-exact quantization cancels the codec.
+ORACLE_MEDIA_JPEG = """
+SELECT doc_id AS media_id,
+  CAST(5 + doc_id % 13 AS INT) AS width,
+  CAST(3 + doc_id % 10 AS INT) AS height,
+  CAST((5 + doc_id % 13) * (3 + doc_id % 10) AS BIGINT) AS n_pixels,
+  CAST((7 * doc_id + 13) % 256 AS DOUBLE) AS mean_luma
+FROM documents
+"""
+
+
 def q_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compression-ratio quality signal — the cheap universal
     boilerplate/noise detector real curation pipelines run: docs whose

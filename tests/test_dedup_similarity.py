@@ -1477,3 +1477,75 @@ def test_ivfpq_maintenance_retrains_on_drift_and_repoints(spark, sf_dir, tmp_pat
     append_to_ivfpq_index(spark, more, path)
     n_after = spark.read.parquet(posixpath.join(path, "v1", "codes")).count()
     assert n_after == n_before + 50
+
+
+def test_jpeg_codec_ac_path_and_failure_modes(spark):
+    """The fifth codec's NON-solid path and its failure contract: a
+    random image's decode must equal an independently computed
+    quantize->dequantize->IDCT reference (isolating the Huffman/
+    zigzag/serialization layer); the color path round-trips a solid
+    RGB through BT.601 exactly; and corruption - truncation, missing
+    SOI, progressive SOF, restart intervals, mid-scan markers - raises
+    a named error, never silently-wrong statistics."""
+    import numpy as np
+
+    from pulsar_elasticsearch_sync_rs_spark.operators.multimodal import (
+        _JPEG_ZIGZAG,
+        _dct_matrix,
+        parse_jpeg,
+        synth_jpeg,
+        synth_jpeg_color,
+    )
+
+    # AC path: decode == reference on a random (non-multiple-of-8) image
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(24, 17)).astype(np.float64)
+    feats = parse_jpeg(synth_jpeg(0, 0, pixels=img))
+    M = _dct_matrix()
+    pad = np.pad(img, ((0, 0), (0, 7)), mode="edge")
+    qt = np.empty(64)
+    for i, r in enumerate([8] + [16] * 63):
+        qt[_JPEG_ZIGZAG[i]] = r
+    qt = qt.reshape(8, 8)
+    rec = np.empty_like(pad)
+    for by in range(0, 24, 8):
+        for bx in range(0, 24, 8):
+            s = pad[by : by + 8, bx : bx + 8] - 128.0
+            q = np.rint((M @ s @ M.T) / qt)
+            rec[by : by + 8, bx : bx + 8] = M.T @ (q * qt) @ M + 128.0
+    ref = np.clip(np.rint(rec[:, :17]), 0, 255)
+    assert abs(feats["mean_luma"] - ref.mean()) < 1e-9
+    assert (feats["width"], feats["height"]) == (17, 24)
+
+    # color path: 3-component 4:4:4 solid decode matches the BT.601
+    # closed form computed with the same rounding
+    f = parse_jpeg(synth_jpeg_color(11, 9, (200, 30, 90)))
+    assert f["n_components"] == 3
+    r, g, b = 200.0, 30.0, 90.0
+    y = round(0.299 * r + 0.587 * g + 0.114 * b)
+    cb = round(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b)
+    cr = round(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b)
+    assert f["mean_r"] == float(np.clip(np.rint(y + 1.402 * (cr - 128)), 0, 255))
+    assert f["mean_g"] == float(
+        np.clip(np.rint(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)), 0, 255)
+    )
+    assert f["mean_b"] == float(np.clip(np.rint(y + 1.772 * (cb - 128)), 0, 255))
+
+    good = synth_jpeg(13, 7, 200)
+    with pytest.raises(ValueError, match="SOI"):
+        parse_jpeg(b"XX" + good[2:])
+    with pytest.raises(ValueError, match="truncated"):
+        parse_jpeg(good[:-12])
+    with pytest.raises(ValueError, match="not baseline"):
+        # rewrite the SOF0 marker byte (FFC0 -> FFC2, progressive)
+        i = good.index(b"\xff\xc0")
+        parse_jpeg(good[:i] + b"\xff\xc2" + good[i + 2 :])
+    with pytest.raises(ValueError, match="restart"):
+        i = good.index(b"\xff\xda")
+        parse_jpeg(good[:i] + b"\xff\xdd\x00\x04\x00\x00" + good[i:])
+    with pytest.raises(ValueError, match="marker"):
+        # plant a bare marker inside the entropy-coded scan
+        i = good.index(b"\xff\xda") + 10
+        parse_jpeg(good[:i] + b"\xff\xc0" + good[i:])
+    with pytest.raises(ValueError, match="max_pixels"):
+        parse_jpeg(synth_jpeg(64, 64, 5), max_pixels=100)

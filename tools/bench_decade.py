@@ -9,7 +9,7 @@ Protocol: one untimed warm-up, then best-of-N per lane per fixture —
 identical to bench.py. Lanes here read ONLY documents/embeddings, so
 the partial sf10 fixture suffices.
 
-Run:  python tools/bench_decade.py [SMALL_DIR] [BIG_DIR] [REPS]
+Run:  python tools/bench_decade.py [SMALL_DIR] [BIG_DIR] [REPS] [text|rel|q_a,q_b]
 """
 
 from __future__ import annotations
@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import __spark_entry__ as entrymod
 from pulsar_elasticsearch_sync_rs_spark.session import get_spark
 
-LANES = [
+TEXT_LANES = [
     "q_dedup_minhash_verified",
     "q_dedup_minhash_incr",
     "q_semantic_dedup_ivf",
@@ -33,19 +33,40 @@ LANES = [
     "q_llm_pipeline",
 ]
 
+# the relational/lineitem-bearing pack (round-8 brief: these had never
+# been timed past sf1) — joins, rollups, windows, the events ETL chain
+REL_LANES = [
+    "q_tpch_pricing",
+    "q_tpch_join_topk",
+    "q_region_revenue",
+    "q_window_running",
+    "q_time_bucket_rollup",
+    "q_asof_join",
+    "q_range_join",
+    "q_etl_chain",
+    "q_sessionize",
+]
+
 
 def main() -> None:
     small = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
     big = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf10"
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    sel = sys.argv[4] if len(sys.argv) > 4 else "text"
+    lanes = (
+        TEXT_LANES if sel == "text"
+        else REL_LANES if sel == "rel"
+        else sel.split(",")
+    )
     spark = get_spark(app_name="bench_decade", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     qs = {**entrymod.queries(), **entrymod.extra_queries()}
 
     out: dict[str, dict] = {}
     for sf_dir in (small, big):
-        for t in ("documents", "embeddings"):
-            spark.read.parquet(f"{sf_dir}/{t}.parquet").count()  # warm page cache
-        for name in LANES:
+        for f in sorted(os.listdir(sf_dir)):  # warm page cache
+            if f.endswith(".parquet"):
+                spark.read.parquet(f"{sf_dir}/{f}").count()
+        for name in lanes:
             fn = qs[name]
             fn(spark, sf_dir).count()  # untimed warm-up
             walls = []
