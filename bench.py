@@ -115,36 +115,28 @@ PLAN_PINS: dict[str, dict] = {
 # instead of per-key state) fails the bench like an Arrow-node
 # regression does, long before it would OOM a real cluster. Bounds are
 # computed from the input fixture at check time, so they scale with SF.
-def _distinct(spark, src, *cols):
-    from pyspark.sql import functions as F  # noqa: F401
-
-    return spark.read.parquet(src).selectExpr(*cols).distinct().count()
-
-
+# Each bound is a callable (ev, n_out) -> max allowed peak state rows,
+# where ev is the normalized batch view of the source events (raw
+# fixture columns event_id/ts->pt/user_id/event_type/value/props; the
+# lane topics derive topic_short == event_type) and n_out the lane's
+# own output rows. Bounds are what the operator SEMANTICS admit:
 STATE_PINS: dict[str, object] = {
     # ≤ one state row per distinct payload in the horizon
-    "dedup": lambda spark, src: _distinct(spark, src, "value"),
+    "dedup": lambda ev, n_out: ev.select("value").distinct().count(),
     # exactly one TAT state row per app key
-    "gcra": lambda spark, src: _distinct(
-        spark, src, "element_at(split(topic, '/'), -1) as app"
-    ),
+    "gcra": lambda ev, n_out: ev.select("event_type").distinct().count(),
     # one state row per space-saving bucket (n_buckets=8 in the lane)
-    "heavy_hitters": lambda spark, src: 8,
+    "heavy_hitters": lambda ev, n_out: 8,
     # ≤ one window state row per (minute, topic_short) × is_debug
-    "counters": lambda spark, src: 2
-    * _distinct(
-        spark,
-        src,
-        "date_trunc('minute', publish_time) as m",
-        "element_at(split(topic, '/'), -1) as t",
-    ),
-    # merged session state: ≤ one live window per user (+ the
-    # watermark-horizon carryover) — one row per user is the semantic
-    # bound once merge-on-insert has run; events arrive time-ordered
-    # in this fixture so no pre-merge fragments survive a batch
-    "sessionize": lambda spark, src: _distinct(spark, src, "user_id"),
-    # symmetric join state ≤ the two buffered sides in full
-    "interval_join": lambda spark, src: _distinct(spark, src, "event_id"),
+    "counters": lambda ev, n_out: 2
+    * ev.selectExpr("date_trunc('minute', pt)", "event_type").distinct().count(),
+    # merged session-window state: every session of the run may still
+    # be live at peak (availableNow advances the watermark only at
+    # batch ends), plus ≤ one in-progress unmerged window per user
+    "sessionize": lambda ev, n_out: n_out
+    + ev.select("user_id").distinct().count(),
+    # symmetric join state ≤ both buffered sides in full
+    "interval_join": lambda ev, n_out: ev.count(),
 }
 
 
@@ -430,6 +422,16 @@ def stream_throughput(spark, sf_dir: str, violations: list[str] | None = None) -
         else:
             shutil.copy(ev_path, src_dir)
         n_input = spark.read.parquet(src_dir).count()
+        # normalized batch view of the source for the state-pin bounds
+        # (nanos-long ts in the driver fixtures; real timestamps in the
+        # decade fixtures)
+        ev_norm = spark.read.parquet(src_dir)
+        if dict(ev_norm.dtypes).get("ts") == "bigint":
+            ev_norm = ev_norm.withColumn(
+                "pt", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        else:
+            ev_norm = ev_norm.withColumn("pt", F.col("ts"))
 
         def run_lane(
             name: str, start_query, msgs_from_output: bool = False, count_output=None,
@@ -479,7 +481,7 @@ def stream_throughput(spark, sf_dir: str, violations: list[str] | None = None) -
                 lane["state"] = state
             bound = STATE_PINS.get(name)
             if bound is not None and violations is not None:
-                limit = bound(spark, src_dir)
+                limit = bound(ev_norm, n_out)
                 if state["state_rows_max"] > limit:
                     violations.append(
                         f"stream/{name}: peak state {state['state_rows_max']} rows"
