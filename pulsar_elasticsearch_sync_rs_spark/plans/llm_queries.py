@@ -1154,10 +1154,28 @@ TRAIN_SPLIT_SALT = 1442695041
 
 def knuth_u32(col, salt: int = 0):
     """((col + salt) * KNUTH_M) mod 2^32 — pure bigint arithmetic, so
-    DuckDB oracles reproduce the exact row set with no RNG. Safe for
-    ids below ~3.4e9 (product must fit int64)."""
+    DuckDB oracles reproduce the exact row set with no RNG.
+
+    Evaluated as a 16-bit SPLIT multiply (M·b mod 2^32 =
+    (M·(b div 2^16) mod 2^32)·2^16 + M·(b mod 2^16), all reduced mod
+    2^32): the naive product overflows int64 for ids ≥ ~3.47e9, which
+    a 100 TB id space crosses routinely — under ANSI mode that was a
+    runtime ARITHMETIC_OVERFLOW the moment Catalyst inferred the
+    predicate onto a raw-id scan (found by the sf10 decade, round 8).
+    Every intermediate here is ≤ ~2.8e14; values are bit-identical to
+    the naive formula for all int64 inputs (the input is first reduced
+    mod 2^32, which the naive product does implicitly). Oracles keep
+    the plain SQL formula — identical in their (≪2^32) id range."""
     base = (F.col(col) if isinstance(col, str) else col) + F.lit(salt)
-    return (base * F.lit(KNUTH_M)) % F.lit(U32)
+    b = F.pmod(base, F.lit(U32))
+    lo = b % F.lit(65536)
+    hi = (b - lo) / F.lit(65536)
+    hi = hi.cast("bigint")
+    return F.pmod(
+        F.pmod(F.lit(KNUTH_M) * hi, F.lit(U32)) * F.lit(65536)
+        + F.lit(KNUTH_M) * lo,
+        F.lit(U32),
+    )
 
 
 def temperature_rates(docs: DataFrame, stratum: str = "lang") -> DataFrame:
@@ -1489,23 +1507,39 @@ def q_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = gated.filter(F.col("doc_id") % 97 != 0)
     clean = decontaminate(base, docs.filter(F.col("doc_id") % 97 == 0), n=5)
 
-    # exact dedup: min-id survivor per sha, via semi-join (ids shuffle, text doesn't)
+    # Stages 3–5 (dedup survivor, mix rates, split) are DECISIONS — a
+    # function of (doc_id, lang, sha) only. Every one of them consumed
+    # the gate+decontaminate chain, and each broadcast build of a
+    # small derived table re-executed its whole subtree (the regex gate
+    # + the shingle-explode contamination probe ran ~6× per call,
+    # ≈45 s of executor time EACH at sf10 — SCALE.md round 8). So: run
+    # the expensive chain exactly ONCE into a SKINNY eager checkpoint
+    # of its keys (~48 B/doc at any scale, never text), make every
+    # decision on that, and recover the surviving text by a cheap
+    # doc_id semi-join against the RAW scan — the packer's main stream
+    # never touches the gate chain at all.
+    keys = clean.select(
+        "doc_id", "lang", F.sha2("text", 256).alias("sha")
+    ).localCheckpoint(eager=True)
+
+    # exact dedup: min-id survivor per sha (q_dedup_exact's rule)
     surv_ids = (
-        clean.select(F.sha2("text", 256).alias("sha"), "doc_id")
-        .groupBy("sha")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+        keys.groupBy("sha").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
     )
-    deduped = clean.join(surv_ids, "doc_id", "left_semi")
+    surv_keys = keys.join(surv_ids, "doc_id", "left_semi")
 
     # domain mix over the surviving corpus — SAME helpers as
     # q_domain_mix, so the composite can never drift from the lane
-    rates = temperature_rates(deduped.filter(F.col("lang").isNotNull()), "lang")
-    mixed = deduped.join(F.broadcast(rates), "lang").filter(mix_keep_predicate())
-
-    # train split (98%) — q_train_split's SALTED stream (independent of
-    # the mix stream above; see TRAIN_SPLIT_SALT)
-    train = mixed.filter(knuth_u32("doc_id", TRAIN_SPLIT_SALT) % F.lit(100) < 98)
+    rates = temperature_rates(surv_keys.filter(F.col("lang").isNotNull()), "lang")
+    mixed_ids = (
+        surv_keys.join(F.broadcast(rates), "lang")
+        .filter(mix_keep_predicate())
+        # train split (98%) — q_train_split's SALTED stream
+        # (independent of the mix stream; see TRAIN_SPLIT_SALT)
+        .filter(knuth_u32("doc_id", TRAIN_SPLIT_SALT) % F.lit(100) < 98)
+        .select("doc_id")
+    )
+    train = docs.join(mixed_ids, "doc_id", "left_semi")
 
     return pack_sequences(train.select("doc_id", "text"), seq_len=256)
 

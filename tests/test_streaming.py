@@ -1586,3 +1586,148 @@ def test_metrics_http_server_serves_exposition_and_stops(spark):
     s.close()
     with pytest.raises((ConnectionError, urllib.error.URLError)):
         urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics", timeout=2)
+
+
+def test_supervised_curation_soak_chaos(spark, sf_dir, tmpdir):
+    """SOAK (round-8 brief): the full deployment composition under
+    repeated chaos - supervised curation ingest over 8 micro-batches
+    with THREE injected incidents (two one-shot transport failures
+    after their batch's data writes, the worst case, plus one
+    watch-driven recreation mid-run) while the Prometheus metrics
+    server serves the same registry. Afterwards: corpus == the batch
+    pipeline prefix exactly, the bulk sink holds exactly one action
+    per admitted doc (no replay duplicates), stage counters tie out
+    counted-once, the supervisor counters read 2 restarts + >=1
+    recreation, and the /metrics endpoint exposes them."""
+    import time
+    import urllib.request
+
+    from pulsar_elasticsearch_sync_rs_spark.sources.batch import read_table
+    from pulsar_elasticsearch_sync_rs_spark.streaming.curation import (
+        run_curation_ingest,
+    )
+    from pulsar_elasticsearch_sync_rs_spark.streaming.side_outputs import (
+        MetricsHttpServer,
+    )
+    from pulsar_elasticsearch_sync_rs_spark.streaming.supervisor import (
+        run_supervised,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    max_id = corpus.agg(F.max("doc_id")).first()[0]
+
+    # 8 doc_id-ordered files -> 8 micro-batches
+    src_dir = os.path.join(tmpdir, "soak_src")
+    n_files = 8
+    step = max_id // n_files + 1
+    for i in range(n_files):
+        part = corpus.filter(
+            (F.col("doc_id") >= i * step) & (F.col("doc_id") < (i + 1) * step)
+        )
+        part.coalesce(1).write.mode("append").parquet(src_dir)
+        time.sleep(1.05)  # distinct mtimes: files admitted oldest-first
+
+    sink_dir = os.path.join(tmpdir, "soak_es")
+    fault_dir = os.path.join(tmpdir, "soak_faults")
+    os.makedirs(fault_dir)
+
+    class ChaosTransport:
+        """Idempotent per-batch-overwrite sink that dies ONCE each on
+        batches 2 and 5, after the write landed."""
+
+        def write(self, batch_df, batch_id):
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(sink_dir, f"batch={batch_id}")
+            )
+            marker = os.path.join(fault_dir, f"fired-{batch_id}")
+            if batch_id in (2, 5) and not os.path.exists(marker):
+                with open(marker, "w", encoding="utf-8") as fh:
+                    fh.write("fired")
+                raise RuntimeError(f"injected chaos failure on batch {batch_id}")
+
+    out_dir = os.path.join(tmpdir, "soak_out")
+    registry = MetricsRegistry()
+    srv = MetricsHttpServer(registry, host="127.0.0.1", port=0).start()
+
+    def start():
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, text string, lang string, source string, n_chars long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        return run_curation_ingest(
+            stream,
+            bench,
+            out_dir,
+            os.path.join(tmpdir, "soak_sha"),
+            os.path.join(tmpdir, "soak_ckpt"),
+            transport=ChaosTransport(),
+            n=5,
+            available_now=True,
+            registry=registry,
+        )
+
+    watch_state = {"fired": False}
+
+    def watch():
+        # one watch-driven recreation once batch 1 has landed
+        if not watch_state["fired"] and os.path.isdir(
+            os.path.join(out_dir, "batch=1")
+        ):
+            watch_state["fired"] = True
+            return True
+        return False
+
+    try:
+        run = run_supervised(
+            start,
+            max_restarts=3,
+            backoff_initial_ms=10,
+            watch=watch,
+            poll_interval_ms=150,
+            registry=registry,
+            name="soak",
+        )
+        assert run.restarts == 2, run
+        assert run.recreations >= 1, run
+        assert os.path.exists(os.path.join(fault_dir, "fired-2"))
+        assert os.path.exists(os.path.join(fault_dir, "fired-5"))
+
+        # corpus == batch prefix, across 8 batches + 3 incidents
+        got = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+        want = {
+            r["doc_id"] for r in _curation_batch_prefix(corpus, bench).collect()
+        }
+        assert got == want and got
+
+        # bulk sink: exactly one action per admitted doc, unique shas
+        indexed = spark.read.parquet(sink_dir)
+        assert indexed.count() == len(want)
+        assert indexed.select("sha").distinct().count() == len(want)
+
+        # counters: counted exactly once despite replays + recreation
+        n_in = registry.get("curation_input")
+        assert n_in == corpus.count()
+        assert registry.get("curation_admitted") == len(want)
+        assert n_in == sum(
+            registry.get(k)
+            for k in (
+                "curation_admitted", "curation_gated", "curation_contaminated",
+                "curation_duplicate", "curation_rate_dropped",
+            )
+        )
+        assert registry.get("query_restarts_total", query="soak") == 2.0
+        assert registry.get("query_recreations_total", query="soak") >= 1.0
+
+        # the metrics server exposes the same counters live
+        body = urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/metrics", timeout=10
+        ).read().decode()
+        assert 'query_restarts_total{query="soak"} 2' in body
+        assert "curation_admitted" in body
+    finally:
+        srv.stop()
