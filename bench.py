@@ -121,8 +121,11 @@ PLAN_PINS: dict[str, dict] = {
 # lane topics derive topic_short == event_type) and n_out the lane's
 # own output rows. Bounds are what the operator SEMANTICS admit:
 STATE_PINS: dict[str, object] = {
-    # ≤ one state row per distinct payload in the horizon
-    "dedup": lambda ev, n_out: ev.select("value").distinct().count(),
+    # ≤ one state row per distinct payload in the horizon — the lane
+    # dedups the streamed `value`, which read_events_stream maps from
+    # the fixture's `props` column (runner.py), NOT the fixture's
+    # numeric `value`
+    "dedup": lambda ev, n_out: ev.select("props").distinct().count(),
     # exactly one TAT state row per app key
     "gcra": lambda ev, n_out: ev.select("event_type").distinct().count(),
     # one state row per space-saving bucket (n_buckets=8 in the lane)
@@ -427,8 +430,11 @@ def stream_throughput(spark, sf_dir: str, violations: list[str] | None = None) -
         # decade fixtures)
         ev_norm = spark.read.parquet(src_dir)
         if dict(ev_norm.dtypes).get("ts") == "bigint":
+            # integral `div`, NOT `/`: ns magnitudes exceed double's
+            # 53-bit mantissa and float division rounds at the µs
+            # level (same rule as sources/batch.py)
             ev_norm = ev_norm.withColumn(
-                "pt", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+                "pt", F.timestamp_micros(F.expr("ts div 1000"))
             )
         else:
             ev_norm = ev_norm.withColumn("pt", F.col("ts"))

@@ -927,12 +927,18 @@ def semantic_dedup_ivf(
     Setting ``max_cell`` engages the guard: cells above it are salted
     into ~``max_cell``-row shards (hash of id), with the cell's HUB
     (min id) replicated into every shard — intra-shard pairs stay
-    exact and every member still meets the hub, so cluster
-    connectivity is preserved (strictly more pairs than the minhash
-    star degrade) while task memory is bounded by the shard. Guard
-    mode consumes the assignment twice (sizes + join), so it pins the
-    probed cells behind an eager ``localCheckpoint`` — one probe pass,
-    at the cost of materializing (id, vec, cell_id) × nprobe."""
+    exact and every member still meets the hub. The DEGRADE CONTRACT
+    is the minhash mega-bucket star's, strictly improved: guaranteed
+    hub→member edges plus exact intra-shard pairs, but an
+    above-threshold pair of two non-hub members hashed to DIFFERENT
+    shards is missed when neither is hub-similar — a mega cell that is
+    one hub-connected near-dup cluster (the realistic boilerplate
+    pathology) still collapses exactly; scattered unrelated near-dup
+    pairs inside a degenerate cell may not. Task memory is bounded by
+    the shard. Guard mode consumes the assignment twice (sizes +
+    join), so it pins the probed cells behind an eager
+    ``localCheckpoint`` — one probe pass, at the cost of materializing
+    (id, vec, cell_id) × nprobe."""
     from pulsar_elasticsearch_sync_rs_spark.operators.components import dedup_clusters
     from pulsar_elasticsearch_sync_rs_spark.operators.ivf import (
         make_cell_probe_udf,

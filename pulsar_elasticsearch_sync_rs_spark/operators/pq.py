@@ -334,7 +334,7 @@ def _adc_scan_and_rerank(
     if q_rows is None:
         q_rows = collect_bounded(
             queries.select(F.col(query_id), F.col("query_vec")),
-            max_queries or DEFAULT_MAX_QUERIES,
+            DEFAULT_MAX_QUERIES if max_queries is None else max_queries,
             "pq search",
         )
     if not q_rows:

@@ -793,10 +793,22 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     calendar table, no cross join; the fill is one ``last(ignorenulls)``
     window per user. Shuffle keys are (user, day) and user."""
     ev = read_table(spark, sf_dir, "events")
+    # mean as exact-decimal sum / count, NOT avg(double): float
+    # summation ORDER differs between Spark's partial aggregation and
+    # DuckDB's sequential scan, and a per-day mean landing on a
+    # round(.,6) boundary flips the oracle hash (surfaced by the
+    # regenerated skew fixture, round 8 — data-dependent, invisible on
+    # the driver fixtures). The decimal sum is order-independent and
+    # exact on both engines; ONE double division each side then agrees
+    # bit-for-bit.
     daily = ev.groupBy(
         "user_id", F.date_trunc("DAY", "ts").alias("day")
     ).agg(
-        F.round(F.avg("value"), 6).alias("mean_value"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean_value"),
         F.count("*").alias("n_events"),
     )
     span = daily.groupBy("user_id").agg(
@@ -819,7 +831,8 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_RESAMPLE_FFILL = """
 WITH daily AS (
   SELECT user_id, date_trunc('day', ts) AS day,
-    round(avg(value), 6) AS mean_value, count(*) AS n_events
+    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_value,
+    count(*) AS n_events
   FROM events GROUP BY user_id, date_trunc('day', ts)
 ), span AS (
   SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id
@@ -846,9 +859,17 @@ def q_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     size; z rounded to 4 dp so the two engines' float summation orders
     cannot flip the hash."""
     ev = read_table(spark, sf_dir, "events")
+    # deterministic daily mean (exact decimal sum / count) — same
+    # rationale as q_resample_ffill; mu/sigma stay float aggregates,
+    # which the 4-dp z rounding absorbs
     daily = ev.groupBy(
         "user_id", F.date_trunc("DAY", "ts").alias("day")
-    ).agg(F.avg("value").alias("mean_value"))
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count("*")
+        ).alias("mean_value")
+    )
     stats = daily.groupBy("user_id").agg(
         F.avg("mean_value").alias("mu"),
         F.stddev_samp("mean_value").alias("sigma"),
@@ -867,7 +888,8 @@ def q_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_DAILY_ANOMALIES = """
 WITH daily AS (
   -- CAST: DuckDB date_trunc('day') yields DATE, Spark yields TIMESTAMP
-  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, avg(value) AS mean_value
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean_value
   FROM events GROUP BY user_id, date_trunc('day', ts)
 ), stats AS (
   SELECT user_id, avg(mean_value) AS mu, stddev_samp(mean_value) AS sigma,

@@ -63,15 +63,40 @@ from ..operators.decontaminate import (
     bench_gram_set,
 )
 
-SHA_INDEX_SCHEMA = "sha string, doc_id long"
-
-
 def _sha_table_name(sha_dir: str) -> str:
     """Deterministic catalog name for the bucketed sha index rooted at
     ``sha_dir`` — bucket metadata lives in the metastore, so the index
     must be a named table; deriving the name from the path keeps
     concurrent jobs with distinct state dirs from colliding."""
     return "curation_sha_" + hashlib.md5(sha_dir.encode()).hexdigest()[:12]
+
+
+def _sha_table_ready(spark, sha_table: str, sha_dir: str, n_buckets: int) -> bool:
+    """Whether the accumulated index EXISTS — decided by filesystem
+    truth, not the catalog alone: the default session catalog is
+    in-memory, so a cross-process restart forgets every saveAsTable
+    registration while ``sha_dir`` still holds the full history. A
+    catalog-only check would then silently skip cross-batch dedup
+    (re-admitting every previously-ingested duplicate) AND route the
+    next write down the CREATE path, clobbering the history. If the
+    directory has data but the catalog doesn't know it, RE-REGISTER
+    the same external bucketed table over the existing files (DDL +
+    partition recovery) and carry on."""
+    if spark.catalog.tableExists(sha_table):
+        return True
+    if not any(
+        e.startswith("batch=")
+        for e in (os.listdir(sha_dir) if os.path.isdir(sha_dir) else ())
+    ):
+        return False
+    spark.sql(
+        f"""CREATE TABLE {sha_table} (sha STRING, doc_id BIGINT, batch INT)
+        USING PARQUET PARTITIONED BY (batch)
+        CLUSTERED BY (sha) SORTED BY (sha) INTO {int(n_buckets)} BUCKETS
+        LOCATION '{sha_dir}'"""
+    )
+    spark.sql(f"MSCK REPAIR TABLE {sha_table}")
+    return True
 
 
 def prior_sha_anti_join(
@@ -107,17 +132,22 @@ def _write_sha_slice(
     """Land this batch's (sha, doc_id) pairs as the ``batch=<id>``
     partition of the bucketed index. First write creates the table
     (``partitionBy(batch) + bucketBy(sha) + sortBy(sha)``); every
-    later batch is a dynamic-partition-overwrite ``insertInto`` that
-    replaces ONLY its own slice — a replayed micro-batch rewrites
-    identical files instead of appending duplicates, preserving the
-    module's idempotency contract under the bucketed layout."""
+    later batch is a STATIC-partition ``INSERT OVERWRITE … PARTITION
+    (batch=<id>)`` — it replaces exactly its own slice with no session
+    conf involved (a ``partitionOverwriteMode`` flip would be
+    session-global and race concurrent writers on a shared session,
+    and the per-writer option is ignored on the catalog-table insert
+    path — both measured). A replayed micro-batch rewrites identical
+    files instead of appending duplicates, preserving the module's
+    idempotency contract under the bucketed layout."""
     spark = pairs.sparkSession
-    data = pairs.select(
-        "sha", "doc_id", F.lit(batch_id).cast("int").alias("batch")
-    ).repartition(n_buckets, "sha")
-    if not spark.catalog.tableExists(sha_table):
+    if not _sha_table_ready(spark, sha_table, sha_dir, n_buckets):
         (
-            data.write.mode("overwrite")
+            pairs.select(
+                "sha", "doc_id", F.lit(batch_id).cast("int").alias("batch")
+            )
+            .repartition(n_buckets, "sha")
+            .write.mode("overwrite")
             .partitionBy("batch")
             .bucketBy(n_buckets, "sha")
             .sortBy("sha")
@@ -125,14 +155,25 @@ def _write_sha_slice(
             .saveAsTable(sha_table)
         )
         return
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # the slice's lineage contains the anti-join that READS this same
+    # table; SQL INSERT OVERWRITE rejects read-your-own-target plans,
+    # so the (bounded, per-batch) slice is materialized first — which
+    # is also the correct failure order: the rows are fixed before the
+    # target partition is touched
+    slice_df = (
+        pairs.select("sha", "doc_id")
+        .repartition(n_buckets, "sha")
+        .localCheckpoint(eager=True)
+    )
+    view = f"{sha_table}_slice"
+    slice_df.createOrReplaceTempView(view)
     try:
-        # insertInto is positional: (sha, doc_id, batch) matches the
-        # create-time column order above
-        data.write.mode("overwrite").insertInto(sha_table)
+        spark.sql(
+            f"INSERT OVERWRITE TABLE {sha_table} PARTITION (batch={int(batch_id)}) "
+            f"SELECT sha, doc_id FROM {view}"
+        )
     finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        spark.catalog.dropTempView(view)
 
 
 def run_curation_ingest(
@@ -192,6 +233,12 @@ def run_curation_ingest(
     attempt. (A cross-process restart starts a fresh registry; the
     markers then keep replayed batches out of the new registry too, so
     its counters cover exactly the batches committed on its watch.)
+    Marker probing is a driver-local ``os.path`` check — the same
+    local-filesystem envelope as the mview ``_CURRENT`` marker; on a
+    remote (hdfs://, s3a://) checkpoint the markers live on the
+    driver's own disk, so restart-safety of COUNTERS (not of data,
+    which is per-batch-overwrite idempotent regardless) spans driver
+    relocations only if that disk does.
 
     ``sha_table`` / ``n_buckets``: catalog name (default: derived from
     ``sha_dir``) and bucket count of the accumulated sha index table.
@@ -276,8 +323,10 @@ def run_curation_ingest(
 
         # cross-batch: anti-join the accumulated BUCKETED index — the
         # batch side repartitions to the bucket count (bounded, per-
-        # batch cost); the unbounded history never re-shuffles
-        if spark.catalog.tableExists(table):
+        # batch cost); the unbounded history never re-shuffles.
+        # _sha_table_ready is filesystem-truth: a cross-process restart
+        # re-registers the surviving history instead of skipping dedup
+        if _sha_table_ready(spark, table, sha_dir, n_buckets):
             deduped = prior_sha_anti_join(
                 spark, table, deduped, exclude_batch=batch_id, n_buckets=n_buckets
             )

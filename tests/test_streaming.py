@@ -1731,3 +1731,76 @@ def test_supervised_curation_soak_chaos(spark, sf_dir, tmpdir):
         assert "curation_admitted" in body
     finally:
         srv.stop()
+
+
+def test_curation_sha_index_survives_catalog_loss(spark, sf_dir, tmpdir):
+    """Cross-PROCESS restart: the session catalog is in-memory, so a
+    new driver forgets the sha table while sha_dir still holds the
+    history. The index check is filesystem-truth - the restarted job
+    must RE-REGISTER the surviving bucketed table (not skip dedup, not
+    clobber the files) and keep rejecting cross-batch duplicates."""
+    import time
+
+    from pulsar_elasticsearch_sync_rs_spark.sources.batch import read_table
+    from pulsar_elasticsearch_sync_rs_spark.streaming.curation import (
+        _sha_table_name,
+        run_curation_ingest,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    max_id = corpus.agg(F.max("doc_id")).first()[0]
+
+    src_dir = os.path.join(tmpdir, "cl_src")
+    out_dir = os.path.join(tmpdir, "cl_out")
+    sha_dir = os.path.join(tmpdir, "cl_sha")
+    ckpt = os.path.join(tmpdir, "cl_ckpt")
+
+    corpus.coalesce(1).write.mode("append").parquet(src_dir)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, text string, lang string, source string, n_chars long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        q = run_curation_ingest(
+            stream, bench, out_dir, sha_dir, ckpt, n=5, available_now=True
+        )
+        q.awaitTermination(300)
+
+    run_once()
+    admitted1 = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    n_sha1 = spark.read.parquet(sha_dir).count()
+    assert admitted1 and n_sha1 == len(admitted1)
+
+    # simulate the new process: external table's catalog entry gone,
+    # files intact
+    table = _sha_table_name(sha_dir)
+    spark.sql(f"DROP TABLE {table}")
+    assert spark.read.parquet(sha_dir).count() == n_sha1, "drop removed data"
+
+    # second arrival: clones of 5 admitted docs under fresh ids - only
+    # the accumulated index can reject them after the restart
+    originals = (
+        spark.read.parquet(out_dir).orderBy("doc_id").limit(5).drop("batch")
+    )
+    clones = originals.select(
+        (F.col("doc_id") + max_id + 1).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+    time.sleep(1.05)
+    clones.coalesce(1).write.mode("append").parquet(src_dir)
+    run_once()
+
+    got = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    clone_ids = {r["doc_id"] for r in clones.collect()}
+    assert got == admitted1, "restart lost or duplicated history"
+    assert not (got & clone_ids), "cross-batch duplicate admitted after restart"
+    # history preserved AND the new batch's (empty) slice coexists
+    sha_ids = {r["doc_id"] for r in spark.read.parquet(sha_dir).collect()}
+    assert sha_ids == admitted1
+    spark.sql(f"DROP TABLE IF EXISTS {table}")

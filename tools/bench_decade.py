@@ -6,8 +6,10 @@ pipeline — on two fixtures a decade apart (default /tmp/sf1 →
 subset) and print the per-lane growth ratio.
 
 Protocol: one untimed warm-up, then best-of-N per lane per fixture —
-identical to bench.py. Lanes here read ONLY documents/embeddings, so
-the partial sf10 fixture suffices.
+identical to bench.py. The default `text` lanes read ONLY
+documents/embeddings (a partial fixture suffices); the `rel` lanes
+read the full relational pack (lineitem/orders/events — build every
+table). The warm-up loop warms whatever parquet the fixture holds.
 
 Run:  python tools/bench_decade.py [SMALL_DIR] [BIG_DIR] [REPS] [text|rel|q_a,q_b]
 """
