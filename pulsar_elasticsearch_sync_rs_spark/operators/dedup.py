@@ -471,6 +471,32 @@ def _ppjoin_docs_and_candidates(
     return docs_sorted, cand
 
 
+def make_jaccard_verify_udf(shingle_k: int):
+    """A FRESH exact-Jaccard pair kernel (text_a, text_b) → jaccard,
+    already fenced evaluate-once. Factory, not module-level: the
+    threshold filter the callers apply is a predicate on the UDF's
+    OUTPUT with no input-derivable equivalent, so predicate pushdown
+    would otherwise clone the kernel into the Filter AND the Project
+    (two Arrow passes per candidate pair — caught by the bench plan
+    pin, round 7); ``asNondeterministic()`` forbids Catalyst from
+    duplicating or pushing past it — AND it MUTATES the shared
+    underlying UDF object, so every call site needs its own instance
+    (round-7 rule; see operators/similarity.cosine_once)."""
+
+    @F.pandas_udf(T.DoubleType())
+    def jaccard_udf(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        from pulsar_elasticsearch_sync_rs_spark.functions.text import py_word_shingles
+
+        out = []
+        for x, y in zip(ta, tb):
+            sa, sb = py_word_shingles(x, shingle_k), py_word_shingles(y, shingle_k)
+            union = len(sa | sb)
+            out.append(len(sa & sb) / union if union else 0.0)
+        return pd.Series(out)
+
+    return jaccard_udf.asNondeterministic()
+
+
 def dedup_minhash_verified(
     df: DataFrame,
     text: str = "text",
@@ -492,27 +518,7 @@ def dedup_minhash_verified(
     # interpreted array_intersect/array_union expressions — this cut
     # the sf0.1 lane from 8.8 s to candidates+ε.
     t = df.select(F.col(id_col), F.col(text).alias("__t"))
-
-    @F.pandas_udf(T.DoubleType())
-    def jaccard_udf(ta: pd.Series, tb: pd.Series) -> pd.Series:
-        from pulsar_elasticsearch_sync_rs_spark.functions.text import py_word_shingles
-
-        out = []
-        for x, y in zip(ta, tb):
-            sa, sb = py_word_shingles(x, shingle_k), py_word_shingles(y, shingle_k)
-            union = len(sa | sb)
-            out.append(len(sa & sb) / union if union else 0.0)
-        return pd.Series(out)
-
-    # the threshold filter is a predicate on the UDF's OUTPUT with no
-    # input-derivable equivalent, so the round-6 "derive predicates
-    # from UDF inputs" rule can't apply; predicate pushdown would
-    # otherwise clone the UDF into the Filter AND the Project (two
-    # Arrow passes over every candidate pair — caught by the bench
-    # plan pin, round 7). asNondeterministic() forbids Catalyst from
-    # duplicating or pushing past it: the kernel is pure, the marker
-    # is purely an evaluate-once fence.
-    jaccard_udf = jaccard_udf.asNondeterministic()
+    jaccard_udf = make_jaccard_verify_udf(shingle_k)
 
     return (
         cand.join(t.withColumnRenamed(id_col, "id_a").withColumnRenamed("__t", "__ta"), "id_a")

@@ -71,32 +71,41 @@ def _sha_table_name(sha_dir: str) -> str:
     return "curation_sha_" + hashlib.md5(sha_dir.encode()).hexdigest()[:12]
 
 
-def _sha_table_ready(spark, sha_table: str, sha_dir: str, n_buckets: int) -> bool:
-    """Whether the accumulated index EXISTS — decided by filesystem
-    truth, not the catalog alone: the default session catalog is
-    in-memory, so a cross-process restart forgets every saveAsTable
-    registration while ``sha_dir`` still holds the full history. A
-    catalog-only check would then silently skip cross-batch dedup
-    (re-admitting every previously-ingested duplicate) AND route the
-    next write down the CREATE path, clobbering the history. If the
-    directory has data but the catalog doesn't know it, RE-REGISTER
-    the same external bucketed table over the existing files (DDL +
-    partition recovery) and carry on."""
-    if spark.catalog.tableExists(sha_table):
+def _bucketed_table_ready(
+    spark, table: str, path: str, n_buckets: int, ddl_cols: str, bucket_col: str
+) -> bool:
+    """Whether an accumulated per-batch bucketed index EXISTS — decided
+    by filesystem truth, not the catalog alone: the default session
+    catalog is in-memory, so a cross-process restart forgets every
+    saveAsTable registration while ``path`` still holds the full
+    history. A catalog-only check would then silently skip cross-batch
+    dedup (re-admitting every previously-ingested duplicate) AND route
+    the next write down the CREATE path, clobbering the history. If
+    the directory has data but the catalog doesn't know it,
+    RE-REGISTER the same external bucketed table over the existing
+    files (DDL + partition recovery) and carry on."""
+    if spark.catalog.tableExists(table):
         return True
     if not any(
         e.startswith("batch=")
-        for e in (os.listdir(sha_dir) if os.path.isdir(sha_dir) else ())
+        for e in (os.listdir(path) if os.path.isdir(path) else ())
     ):
         return False
     spark.sql(
-        f"""CREATE TABLE {sha_table} (sha STRING, doc_id BIGINT, batch INT)
+        f"""CREATE TABLE {table} ({ddl_cols}, batch INT)
         USING PARQUET PARTITIONED BY (batch)
-        CLUSTERED BY (sha) SORTED BY (sha) INTO {int(n_buckets)} BUCKETS
-        LOCATION '{sha_dir}'"""
+        CLUSTERED BY ({bucket_col}) SORTED BY ({bucket_col})
+        INTO {int(n_buckets)} BUCKETS
+        LOCATION '{path}'"""
     )
-    spark.sql(f"MSCK REPAIR TABLE {sha_table}")
+    spark.sql(f"MSCK REPAIR TABLE {table}")
     return True
+
+
+def _sha_table_ready(spark, sha_table: str, sha_dir: str, n_buckets: int) -> bool:
+    return _bucketed_table_ready(
+        spark, sha_table, sha_dir, n_buckets, "sha STRING, doc_id BIGINT", "sha"
+    )
 
 
 def prior_sha_anti_join(
@@ -140,37 +149,58 @@ def _write_sha_slice(
     path — both measured). A replayed micro-batch rewrites identical
     files instead of appending duplicates, preserving the module's
     idempotency contract under the bucketed layout."""
-    spark = pairs.sparkSession
-    if not _sha_table_ready(spark, sha_table, sha_dir, n_buckets):
+    _write_bucketed_slice(
+        pairs,
+        sha_table,
+        sha_dir,
+        batch_id,
+        n_buckets,
+        bucket_col="sha",
+        cols=["sha", "doc_id"],
+        ddl_cols="sha STRING, doc_id BIGINT",
+    )
+
+
+def _write_bucketed_slice(
+    df: DataFrame,
+    table: str,
+    path: str,
+    batch_id: int,
+    n_buckets: int,
+    bucket_col: str,
+    cols: list[str],
+    ddl_cols: str,
+) -> None:
+    """Shared write path of the per-batch bucketed indexes (sha,
+    bands). The slice's lineage typically contains the anti-join that
+    READS this same table; SQL INSERT OVERWRITE rejects
+    read-your-own-target plans, so the (bounded, per-batch) slice is
+    materialized first — which is also the correct failure order: the
+    rows are fixed before the target partition is touched."""
+    spark = df.sparkSession
+    if not _bucketed_table_ready(spark, table, path, n_buckets, ddl_cols, bucket_col):
         (
-            pairs.select(
-                "sha", "doc_id", F.lit(batch_id).cast("int").alias("batch")
-            )
-            .repartition(n_buckets, "sha")
+            df.select(*cols, F.lit(batch_id).cast("int").alias("batch"))
+            .repartition(n_buckets, bucket_col)
             .write.mode("overwrite")
             .partitionBy("batch")
-            .bucketBy(n_buckets, "sha")
-            .sortBy("sha")
-            .option("path", sha_dir)
-            .saveAsTable(sha_table)
+            .bucketBy(n_buckets, bucket_col)
+            .sortBy(bucket_col)
+            .option("path", path)
+            .saveAsTable(table)
         )
         return
-    # the slice's lineage contains the anti-join that READS this same
-    # table; SQL INSERT OVERWRITE rejects read-your-own-target plans,
-    # so the (bounded, per-batch) slice is materialized first — which
-    # is also the correct failure order: the rows are fixed before the
-    # target partition is touched
     slice_df = (
-        pairs.select("sha", "doc_id")
-        .repartition(n_buckets, "sha")
+        df.select(*cols)
+        .repartition(n_buckets, bucket_col)
         .localCheckpoint(eager=True)
     )
-    view = f"{sha_table}_slice"
+    view = f"{table}_slice"
     slice_df.createOrReplaceTempView(view)
     try:
         spark.sql(
-            f"INSERT OVERWRITE TABLE {sha_table} PARTITION (batch={int(batch_id)}) "
-            f"SELECT sha, doc_id FROM {view}"
+            f"INSERT OVERWRITE TABLE {table} PARTITION (batch={int(batch_id)}) "
+            f"SELECT {', '.join(cols)} FROM {view}"
         )
     finally:
         spark.catalog.dropTempView(view)
@@ -196,6 +226,13 @@ def run_curation_ingest(
     registry=None,
     sha_table: str | None = None,
     n_buckets: int = 16,
+    near_dup_threshold: float | None = None,
+    bands_dir: str | None = None,
+    bands_table: str | None = None,
+    nd_num_hashes: int = 32,
+    nd_bands: int = 8,
+    nd_shingle_k: int = 3,
+    nd_max_bucket: int = 1024,
 ):
     """Start the curation ingestion stream; returns the StreamingQuery.
 
@@ -210,6 +247,23 @@ def run_curation_ingest(
       3. DEDUP — min-``id_col`` survivor per content sha within the
          batch, then LEFT ANTI against the accumulated sha index.
          Only (sha, id) pairs shuffle.
+      3b. NEAR-DUP (opt-in: ``near_dup_threshold`` + ``bands_dir``) —
+         MinHash-LSH dedup-on-arrival against everything already
+         ingested: the batch is signatured ONCE (eager skinny
+         checkpoint of its (id, band_id, band_hash) rows), candidates
+         come from within-batch bucket grouping PLUS a co-located join
+         against the ACCUMULATED BAND INDEX (the bucketed-table twin
+         of the sha index: partitionBy(batch) + bucketBy(band_hash) at
+         ``bands_dir``; the unbounded history never re-signatures and
+         never re-shuffles), history mega-buckets degrade to hub pairs
+         (O(batch) rows), and every candidate is VERIFIED with exact
+         ``nd_shingle_k``-gram Jaccard ≥ ``near_dup_threshold`` before
+         it drops anything — the first-arrival twin of
+         ``dedup_minhash_verified``. Within a batch the min-id member
+         of a verified pair survives; against history the arriving doc
+         loses. History texts are read back from the accumulated
+         ``out_dir`` corpus for the verify only (candidate-bounded
+         semi-join — the corpus text never feeds the candidate join).
       4. RATE LIMIT — optional per-``rate_key`` admission cap PER
          MICRO-BATCH (``rate_limits[key]`` rows, lowest ``id_col``
          first — deterministic). Flush-window granularity, same as the
@@ -241,7 +295,12 @@ def run_curation_ingest(
     relocations only if that disk does.
 
     ``sha_table`` / ``n_buckets``: catalog name (default: derived from
-    ``sha_dir``) and bucket count of the accumulated sha index table.
+    ``sha_dir``) and bucket count of the accumulated sha index table;
+    ``bands_table`` likewise for the band index (default: derived from
+    ``bands_dir``). With near-dup on, the counter family gains
+    curation_near_duplicate and admitted docs additionally land their
+    band slice at ``bands_dir/batch=<id>`` (same static-partition
+    INSERT OVERWRITE idempotency as the sha slice).
     """
     # replay-safety guard: every write this job makes is a per-batch
     # overwrite, but the TRANSPORT is caller-supplied — an id-less ES
@@ -267,10 +326,23 @@ def run_curation_ingest(
                 "IdempotentParquetBulkTransport (per-batch overwrite)"
             )
 
+    if near_dup_threshold is not None and bands_dir is None:
+        raise ValueError(
+            "run_curation_ingest: near_dup_threshold needs bands_dir (the "
+            "accumulated band index location)"
+        )
+
     grams, _ = _guarded(
         bench_gram_set(bench, n, text_col), max_broadcast_grams, keep_cached=True
     )
     table = sha_table or _sha_table_name(sha_dir)
+    b_table = bands_table or (
+        "curation_bands_" + hashlib.md5(bands_dir.encode()).hexdigest()[:12]
+        if bands_dir is not None
+        else None
+    )
+    band_ddl = f"band_id INT, band_hash STRING, {id_col} BIGINT"
+
     marker_dir = os.path.join(checkpoint_dir, "counted")
     counted_batches: set[int] = set()  # fast path; markers are the truth
     _, dup_word_frac, top_bigram_frac = repetition_signals(text_col)
@@ -331,19 +403,114 @@ def run_curation_ingest(
                 spark, table, deduped, exclude_batch=batch_id, n_buckets=n_buckets
             )
 
+        # 3b. near-dup (opt-in): LSH candidates within the batch AND
+        # against the accumulated band index, exact-Jaccard verified
+        bands_b = None
+        if near_dup_threshold is not None:
+            from pulsar_elasticsearch_sync_rs_spark.operators.dedup import (
+                candidates_from_bands,
+                make_jaccard_verify_udf,
+                minhash_bands,
+            )
+
+            # ONE signature pass: the skinny banded rows feed the
+            # within-batch grouping, the history join AND the admitted
+            # slice write — eager checkpoint caps that at one job and
+            # truncates the lineage the slice write would otherwise
+            # drag through the band-table read
+            bands_b = minhash_bands(
+                deduped,
+                text=text_col,
+                id_col=id_col,
+                num_hashes=nd_num_hashes,
+                bands=nd_bands,
+                shingle_k=nd_shingle_k,
+            ).localCheckpoint(eager=True)
+            new_t = deduped.select(
+                F.col(id_col).alias("__new"), F.col(text_col).alias("__ta")
+            )
+
+            within = candidates_from_bands(
+                bands_b, id_col=id_col, max_bucket=nd_max_bucket
+            )
+            jac_w = make_jaccard_verify_udf(nd_shingle_k)
+            within_losers = (
+                within.join(
+                    new_t.withColumnRenamed("__new", "id_a"), "id_a"
+                )
+                .join(
+                    new_t.withColumnRenamed("__new", "id_b")
+                    .withColumnRenamed("__ta", "__tb"),
+                    "id_b",
+                )
+                .filter(jac_w("__ta", "__tb") >= near_dup_threshold)
+                .select(F.col("id_b").alias(id_col))
+            )
+            losers = within_losers
+
+            if _bucketed_table_ready(
+                spark, b_table, bands_dir, n_buckets, band_ddl, "band_hash"
+            ):
+                keys = ["band_id", "band_hash"]
+                prior_b = (
+                    spark.table(b_table)
+                    .filter(F.col("batch") != batch_id)
+                    .select(*keys, id_col)
+                )
+                # history bucket stats ride the bucketed layout; a
+                # history mega-bucket (boilerplate cluster) degrades to
+                # its hub — O(batch members) candidate rows, the
+                # cross_band_candidates contract with roles kept
+                stats = prior_b.groupBy(*keys).agg(
+                    F.count(F.lit(1)).alias("__k"),
+                    F.min(id_col).alias("__hub"),
+                )
+                nb = bands_b.repartition(n_buckets, "band_hash").join(stats, keys)
+                small = (
+                    nb.filter(F.col("__k") <= nd_max_bucket)
+                    .join(
+                        prior_b.withColumnRenamed(id_col, "__hist"), keys
+                    )
+                    .select(F.col(id_col).alias("__new"), "__hist")
+                )
+                mega = nb.filter(F.col("__k") > nd_max_bucket).select(
+                    F.col(id_col).alias("__new"), F.col("__hub").alias("__hist")
+                )
+                cross = small.unionByName(mega).distinct()
+                # verify against history TEXT pulled from the landed
+                # corpus — candidate-bounded join, first-arrival wins
+                hist_t = spark.read.parquet(out_dir).select(
+                    F.col(id_col).alias("__hist"),
+                    F.col(text_col).alias("__tb"),
+                )
+                jac_c = make_jaccard_verify_udf(nd_shingle_k)
+                cross_losers = (
+                    cross.join(new_t, "__new")
+                    .join(hist_t, "__hist")
+                    .filter(jac_c("__ta", "__tb") >= near_dup_threshold)
+                    .select(F.col("__new").alias(id_col))
+                )
+                losers = losers.unionByName(cross_losers)
+
+            near_deduped = deduped.join(
+                losers.distinct(), id_col, "left_anti"
+            )
+        else:
+            near_deduped = deduped
+
         if rate_limits:
             w = Window.partitionBy(rate_key).orderBy(F.col(id_col).asc())
             cap = F.lit(None).cast("int")
             for k, v in rate_limits.items():
                 cap = F.when(F.col(rate_key) == k, F.lit(v)).otherwise(cap)
             admitted = (
-                deduped.withColumn("__rn", F.row_number().over(w))
+                near_deduped.withColumn("__rn", F.row_number().over(w))
                 .withColumn("__cap", cap)
                 .filter(F.col("__cap").isNull() | (F.col("__rn") <= F.col("__cap")))
                 .drop("__rn", "__cap")
             )
         else:
-            admitted = deduped
+            admitted = near_deduped
 
         # admitted feeds ≥2 writes (+ counters) — persist once
         admitted = admitted.persist()
@@ -355,9 +522,13 @@ def run_curation_ingest(
                     counts["curation_input"] - counts["curation_gated"] - n_clean
                 )
                 n_admitted = admitted.count()
-                n_deduped = deduped.count() if rate_limits else n_admitted
+                n_near = near_deduped.count() if rate_limits else n_admitted
+                n_deduped = (
+                    deduped.count() if near_dup_threshold is not None else n_near
+                )
                 counts["curation_duplicate"] = n_clean - n_deduped
-                counts["curation_rate_dropped"] = n_deduped - n_admitted
+                counts["curation_near_duplicate"] = n_deduped - n_near
+                counts["curation_rate_dropped"] = n_near - n_admitted
                 counts["curation_admitted"] = n_admitted
 
             admitted.drop("__sha").write.mode("overwrite").parquet(
@@ -372,6 +543,17 @@ def run_curation_ingest(
                 batch_id,
                 n_buckets,
             )
+            if near_dup_threshold is not None:
+                _write_bucketed_slice(
+                    bands_b.join(admitted.select(id_col), id_col, "left_semi"),
+                    b_table,
+                    bands_dir,
+                    batch_id,
+                    n_buckets,
+                    bucket_col="band_hash",
+                    cols=["band_id", "band_hash", id_col],
+                    ddl_cols=band_ddl,
+                )
             if transport is not None:
                 indexed = admitted.select(
                     F.concat(

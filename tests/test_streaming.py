@@ -1804,3 +1804,153 @@ def test_curation_sha_index_survives_catalog_loss(spark, sf_dir, tmpdir):
     sha_ids = {r["doc_id"] for r in spark.read.parquet(sha_dir).collect()}
     assert sha_ids == admitted1
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_curation_ingest_near_dup_against_accumulated_bands(spark, sf_dir, tmpdir):
+    """Opt-in MinHash near-dup dedup-on-arrival: within a batch the
+    min-id member of a verified near-dup group survives; across
+    batches an arriving perturbed copy of an already-ingested doc is
+    dropped by the accumulated BAND index + exact-Jaccard verify
+    (first-arrival wins). Planted twins are single-token perturbations
+    (J >> threshold, different sha - invisible to exact dedup, proven
+    by the near-dup-OFF baseline run admitting all of them), counters
+    gain the near_duplicate bucket and still tie out, and admitted
+    docs land their band slice per batch."""
+    import time
+
+    from pulsar_elasticsearch_sync_rs_spark.functions.text import (
+        quality_score,
+        repetition_signals,
+    )
+    from pulsar_elasticsearch_sync_rs_spark.sources.batch import read_table
+    from pulsar_elasticsearch_sync_rs_spark.streaming.curation import (
+        run_curation_ingest,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    max_id = corpus.agg(F.max("doc_id")).first()[0]
+
+    # donor: a long doc that passes the gate with margin (so one-token
+    # perturbations still pass) AND has no NATURAL near-dup in the
+    # corpus — the synthetic fixture contains genuine templated twins,
+    # and a donor with a smaller-id twin would itself be suppressed
+    from pulsar_elasticsearch_sync_rs_spark.operators.dedup import (
+        dedup_minhash_verified,
+    )
+
+    paired = {
+        i
+        for r in dedup_minhash_verified(corpus, threshold=0.45).collect()
+        for i in (r["id_a"], r["id_b"])
+    }
+    _, dwf, tbf = repetition_signals("text")
+    cut = max_id // 2
+    donor = (
+        corpus.withColumn("q", quality_score("text"))
+        .withColumn("dw", dwf)
+        .withColumn("tb", tbf)
+        .filter(
+            (F.col("n_chars") > 300)
+            & (F.col("q") >= 0.70)
+            & (F.col("dw") <= 0.58)
+            & (F.col("tb") <= 0.08)
+            & ~F.col("doc_id").isin(sorted(paired))
+            # donor must arrive in the FIRST batch: near-dup is
+            # first-arrival-wins, so a later-batch donor would lose to
+            # its own batch-0 perturbation (by design)
+            & (F.col("doc_id") <= cut)
+        )
+        .orderBy("doc_id")
+        .first()
+    )
+    assert donor is not None, "no comfortable donor in fixture"
+
+    def perturb(text, tag):
+        toks = text.split()
+        toks[-1] = tag
+        return " ".join(toks)
+
+    x1, x2, x3 = max_id + 1, max_id + 2, max_id + 3
+    plants01 = spark.createDataFrame(
+        [
+            (x1, perturb(donor["text"], "zalpha"), donor["lang"], donor["source"], 0),
+            (x2, perturb(donor["text"], "zbeta"), donor["lang"], donor["source"], 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).withColumn("n_chars", F.length("text"))
+    plant2 = spark.createDataFrame(
+        [(x3, perturb(donor["text"], "zgamma"), donor["lang"], donor["source"], 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).withColumn("n_chars", F.length("text"))
+
+    parts = [
+        corpus.filter(F.col("doc_id") <= cut).unionByName(plants01),
+        corpus.filter(F.col("doc_id") > cut).unionByName(plant2),
+    ]
+
+    def run(tag, **kw):
+        src = os.path.join(tmpdir, f"{tag}_src")
+        for p in parts:
+            p.coalesce(1).write.mode("append").parquet(src)
+            time.sleep(1.05)
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, text string, lang string, source string, n_chars long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = os.path.join(tmpdir, f"{tag}_out")
+        q = run_curation_ingest(
+            stream,
+            bench,
+            out,
+            os.path.join(tmpdir, f"{tag}_sha"),
+            os.path.join(tmpdir, f"{tag}_ckpt"),
+            n=5,
+            available_now=True,
+            **kw,
+        )
+        q.awaitTermination(300)
+        return {r["doc_id"] for r in spark.read.parquet(out).collect()}
+
+    # baseline: near-dup OFF admits every plant (distinct shas)
+    off = run("ndoff")
+    assert {x1, x2, x3} <= off, "plants blocked before the near-dup stage"
+    assert donor["doc_id"] in off
+
+    registry = MetricsRegistry()
+    bands_dir = os.path.join(tmpdir, "ndon_bands")
+    on = run(
+        "ndon",
+        near_dup_threshold=0.5,
+        bands_dir=bands_dir,
+        registry=registry,
+    )
+    # donor (min id of the within-batch group) survives; both batch-0
+    # perturbations drop within-batch; the batch-1 perturbation drops
+    # against the ACCUMULATED band index
+    assert donor["doc_id"] in on
+    assert not ({x1, x2, x3} & on), "planted near-dup admitted"
+    assert on <= off
+    # every extra drop is near-dup-verified by construction; counters
+    # tie out with the new bucket and count at least the three plants
+    n_in = registry.get("curation_input")
+    assert registry.get("curation_near_duplicate") >= 3
+    assert n_in == sum(
+        registry.get(k)
+        for k in (
+            "curation_admitted", "curation_gated", "curation_contaminated",
+            "curation_duplicate", "curation_near_duplicate",
+            "curation_rate_dropped",
+        )
+    )
+    # band slices: one per batch, admitted ids only (no dropped plant)
+    batches = {d for d in os.listdir(bands_dir) if d.startswith("batch=")}
+    assert batches == {"batch=0", "batch=1"}, batches
+    band_ids = {r["doc_id"] for r in spark.read.parquet(bands_dir).collect()}
+    assert donor["doc_id"] in band_ids
+    assert not ({x1, x2, x3} & band_ids)
+    assert band_ids <= on
