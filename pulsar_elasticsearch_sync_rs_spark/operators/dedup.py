@@ -843,6 +843,7 @@ def cross_band_candidates(
     old_bands: DataFrame,
     id_col: str = "doc_id",
     max_bucket: int = 1024,
+    keep_roles: bool = False,
 ) -> DataFrame:
     """Batch×history candidate pairs from two banded-signature tables
     (shared by the persisted-index and inline lanes). Per (band_id,
@@ -861,28 +862,47 @@ def cross_band_candidates(
 
     The history stats (count, hub) are one aggregation over
     (band_id, band_hash, id) rows — never text — and ride the same
-    bucket co-location as the join itself."""
+    bucket co-location as the join itself.
+
+    ``keep_roles=True`` returns (new_id, old_id) columns instead of the
+    sorted (id_a, id_b) — the streaming dedup-on-arrival consumer needs
+    to know which side ARRIVED (it is the one that loses under
+    first-arrival), and reconstructing the role from sorted pairs is
+    impossible once ids interleave. Same candidates either way; one
+    implementation, one degrade contract. The batch-bands side (``nb``)
+    is persisted internally: the small- and mega-bucket branches are
+    both consumers and would otherwise each recompute the full history
+    aggregation (union branches share no subtrees); it is
+    batch-bounded, and unpersisted once the union is materialized by
+    the caller or reclaimed by the ContextCleaner."""
     keys = ["band_id", "band_hash"]
     o_stats = old_bands.groupBy(*keys).agg(
         F.count("*").alias("__k_o"), F.min(id_col).alias("__hub_o")
     )
-    nb = new_bands.alias("n").join(o_stats, keys)
+    nb = new_bands.alias("n").join(o_stats, keys).persist()
+    new_c, old_c = ("new_id", "old_id") if keep_roles else ("id_a", "id_b")
+
+    def pair(old_col):
+        if keep_roles:
+            return [
+                F.col(f"n.{id_col}").alias(new_c),
+                old_col.alias(old_c),
+            ]
+        return [
+            F.least(F.col(f"n.{id_col}"), old_col).alias("id_a"),
+            F.greatest(F.col(f"n.{id_col}"), old_col).alias("id_b"),
+        ]
+
     small_pairs = (
         nb.filter(F.col("__k_o") <= max_bucket)
         .join(old_bands.alias("o"), keys)
-        .select(
-            F.least(F.col(f"n.{id_col}"), F.col(f"o.{id_col}")).alias("id_a"),
-            F.greatest(F.col(f"n.{id_col}"), F.col(f"o.{id_col}")).alias("id_b"),
-        )
-        .filter(F.col("id_a") != F.col("id_b"))
+        .select(*pair(F.col(f"o.{id_col}")))
+        .filter(F.col(new_c) != F.col(old_c))
     )
     mega_pairs = (
         nb.filter(F.col("__k_o") > max_bucket)
-        .select(
-            F.least(F.col(f"n.{id_col}"), F.col("__hub_o")).alias("id_a"),
-            F.greatest(F.col(f"n.{id_col}"), F.col("__hub_o")).alias("id_b"),
-        )
-        .filter(F.col("id_a") != F.col("id_b"))
+        .select(*pair(F.col("__hub_o")))
+        .filter(F.col(new_c) != F.col(old_c))
     )
     return small_pairs.unionByName(mega_pairs)
 

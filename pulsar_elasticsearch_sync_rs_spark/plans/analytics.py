@@ -793,7 +793,9 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     calendar table, no cross join; the fill is one ``last(ignorenulls)``
     window per user. Shuffle keys are (user, day) and user."""
     ev = read_table(spark, sf_dir, "events")
-    # mean as exact-decimal sum / count, NOT avg(double): float
+    # mean as exact-decimal sum / count(value) (avg's null-skipping
+    # divisor; decimal(30,6) holds any |value| < 1e24), NOT
+    # avg(double): float
     # summation ORDER differs between Spark's partial aggregation and
     # DuckDB's sequential scan, and a per-day mean landing on a
     # round(.,6) boundary flips the oracle hash (surfaced by the
@@ -805,8 +807,8 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.date_trunc("DAY", "ts").alias("day")
     ).agg(
         F.round(
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
-            / F.count("*"),
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double")
+            / F.count("value"),
             6,
         ).alias("mean_value"),
         F.count("*").alias("n_events"),
@@ -831,7 +833,7 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_RESAMPLE_FFILL = """
 WITH daily AS (
   SELECT user_id, date_trunc('day', ts) AS day,
-    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_value,
+    round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / count(value), 6) AS mean_value,
     count(*) AS n_events
   FROM events GROUP BY user_id, date_trunc('day', ts)
 ), span AS (
@@ -866,8 +868,8 @@ def q_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.date_trunc("DAY", "ts").alias("day")
     ).agg(
         (
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
-            / F.count("*")
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double")
+            / F.count("value")
         ).alias("mean_value")
     )
     stats = daily.groupBy("user_id").agg(
@@ -889,7 +891,7 @@ ORACLE_DAILY_ANOMALIES = """
 WITH daily AS (
   -- CAST: DuckDB date_trunc('day') yields DATE, Spark yields TIMESTAMP
   SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean_value
+    CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / count(value) AS mean_value
   FROM events GROUP BY user_id, date_trunc('day', ts)
 ), stats AS (
   SELECT user_id, avg(mean_value) AS mu, stddev_samp(mean_value) AS sigma,

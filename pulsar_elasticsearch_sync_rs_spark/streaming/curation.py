@@ -71,26 +71,80 @@ def _sha_table_name(sha_dir: str) -> str:
     return "curation_sha_" + hashlib.md5(sha_dir.encode()).hexdigest()[:12]
 
 
+def _hadoop_fs(spark, path: str):
+    """(FileSystem, Path) for any Hadoop-addressable URI — the index
+    state checks must see hdfs://, s3a:// and file paths alike;
+    driver-local ``os.path`` silently reports remote paths as absent
+    (which here would mean "skip dedup, then clobber the history")."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
+def _dir_has_batches(spark, path: str) -> bool:
+    fs, hpath = _hadoop_fs(spark, path)
+    if not fs.exists(hpath):
+        return False
+    return any(
+        st.getPath().getName().startswith("batch=")
+        for st in fs.listStatus(hpath)
+    )
+
+
+_SPEC_FILE = "_BUCKET_SPEC"
+
+
+def _write_bucket_spec(spark, path: str, bucket_col: str, n_buckets: int) -> None:
+    fs, hpath = _hadoop_fs(spark, f"{path.rstrip('/')}/{_SPEC_FILE}")
+    out = fs.create(hpath, True)
+    out.write(bytearray(f"{bucket_col}:{int(n_buckets)}".encode("utf-8")))
+    out.close()
+
+
+def _read_bucket_spec(spark, path: str) -> tuple[str, int] | None:
+    fs, hpath = _hadoop_fs(spark, f"{path.rstrip('/')}/{_SPEC_FILE}")
+    if not fs.exists(hpath):
+        return None
+    jvm = spark._jvm
+    reader = jvm.java.io.BufferedReader(jvm.java.io.InputStreamReader(fs.open(hpath)))
+    try:
+        line = reader.readLine() or ""
+    finally:
+        reader.close()
+    col, _, n = line.partition(":")
+    return (col, int(n)) if n.isdigit() else None
+
+
 def _bucketed_table_ready(
     spark, table: str, path: str, n_buckets: int, ddl_cols: str, bucket_col: str
 ) -> bool:
     """Whether an accumulated per-batch bucketed index EXISTS — decided
-    by filesystem truth, not the catalog alone: the default session
-    catalog is in-memory, so a cross-process restart forgets every
-    saveAsTable registration while ``path`` still holds the full
-    history. A catalog-only check would then silently skip cross-batch
-    dedup (re-admitting every previously-ingested duplicate) AND route
-    the next write down the CREATE path, clobbering the history. If
-    the directory has data but the catalog doesn't know it,
-    RE-REGISTER the same external bucketed table over the existing
-    files (DDL + partition recovery) and carry on."""
+    by filesystem truth (Hadoop FS API — remote paths included), not
+    the catalog alone: the default session catalog is in-memory, so a
+    cross-process restart forgets every saveAsTable registration while
+    ``path`` still holds the full history. A catalog-only check would
+    then silently skip cross-batch dedup (re-admitting every
+    previously-ingested duplicate) AND route the next write down the
+    CREATE path, clobbering the history. If the directory has data but
+    the catalog doesn't know it, RE-REGISTER the same external
+    bucketed table over the existing files (DDL + partition recovery)
+    and carry on — validating the caller's bucket config against the
+    ``_BUCKET_SPEC`` sidecar the create wrote: re-registering 16-bucket
+    files as an 8-bucket table would silently break the co-located
+    join the dedup relies on, so a drift is a loud error, never a
+    guess."""
     if spark.catalog.tableExists(table):
         return True
-    if not any(
-        e.startswith("batch=")
-        for e in (os.listdir(path) if os.path.isdir(path) else ())
-    ):
+    if not _dir_has_batches(spark, path):
         return False
+    spec = _read_bucket_spec(spark, path)
+    if spec is not None and spec != (bucket_col, int(n_buckets)):
+        raise ValueError(
+            f"bucketed index at {path} was written as "
+            f"CLUSTERED BY ({spec[0]}) INTO {spec[1]} BUCKETS but this job "
+            f"is configured for ({bucket_col}, {n_buckets}) - restart with "
+            "the original bucket config (or rebuild the index)"
+        )
     spark.sql(
         f"""CREATE TABLE {table} ({ddl_cols}, batch INT)
         USING PARQUET PARTITIONED BY (batch)
@@ -189,6 +243,7 @@ def _write_bucketed_slice(
             .option("path", path)
             .saveAsTable(table)
         )
+        _write_bucket_spec(spark, path, bucket_col, n_buckets)
         return
     slice_df = (
         df.select(*cols)
@@ -409,10 +464,17 @@ def run_curation_ingest(
         if near_dup_threshold is not None:
             from pulsar_elasticsearch_sync_rs_spark.operators.dedup import (
                 candidates_from_bands,
+                cross_band_candidates,
                 make_jaccard_verify_udf,
                 minhash_bands,
             )
 
+            # deduped fans out to BOTH verify text sides, the banded
+            # signature AND the final anti-join — without a cache every
+            # branch re-runs the gate UDF + decontamination join over
+            # the micro-batch; persist once (batch-bounded), released
+            # in the finally below
+            deduped = deduped.persist()
             # ONE signature pass: the skinny banded rows feed the
             # within-batch grouping, the history join AND the admitted
             # slice write — eager checkpoint caps that at one job and
@@ -451,42 +513,45 @@ def run_curation_ingest(
             if _bucketed_table_ready(
                 spark, b_table, bands_dir, n_buckets, band_ddl, "band_hash"
             ):
-                keys = ["band_id", "band_hash"]
                 prior_b = (
                     spark.table(b_table)
                     .filter(F.col("batch") != batch_id)
-                    .select(*keys, id_col)
+                    .select("band_id", "band_hash", id_col)
                 )
-                # history bucket stats ride the bucketed layout; a
-                # history mega-bucket (boilerplate cluster) degrades to
-                # its hub — O(batch members) candidate rows, the
-                # cross_band_candidates contract with roles kept
-                stats = prior_b.groupBy(*keys).agg(
-                    F.count(F.lit(1)).alias("__k"),
-                    F.min(id_col).alias("__hub"),
-                )
-                nb = bands_b.repartition(n_buckets, "band_hash").join(stats, keys)
-                small = (
-                    nb.filter(F.col("__k") <= nd_max_bucket)
-                    .join(
-                        prior_b.withColumnRenamed(id_col, "__hist"), keys
+                # SHARED operator, roles kept: (new_id, old_id) pairs
+                # with the history mega-bucket hub degrade — the one
+                # degrade contract lives in cross_band_candidates
+                cross = (
+                    cross_band_candidates(
+                        bands_b.repartition(n_buckets, "band_hash"),
+                        prior_b,
+                        id_col=id_col,
+                        max_bucket=nd_max_bucket,
+                        keep_roles=True,
                     )
-                    .select(F.col(id_col).alias("__new"), "__hist")
+                    .withColumnRenamed("new_id", "__new")
+                    .withColumnRenamed("old_id", "__hist")
+                    .distinct()
                 )
-                mega = nb.filter(F.col("__k") > nd_max_bucket).select(
-                    F.col(id_col).alias("__new"), F.col("__hub").alias("__hist")
-                )
-                cross = small.unionByName(mega).distinct()
                 # verify against history TEXT pulled from the landed
-                # corpus — candidate-bounded join, first-arrival wins
-                hist_t = spark.read.parquet(out_dir).select(
-                    F.col(id_col).alias("__hist"),
-                    F.col(text_col).alias("__tb"),
+                # corpus. Partition filter excludes the slice a REPLAY
+                # of this batch is about to overwrite: its ids can't be
+                # candidates (prior_b pruned them) but an unpruned scan
+                # would still LIST batch=<id>'s files — which the
+                # corpus overwrite below deletes mid-job. The candidate
+                # side is batch-bounded: broadcast it so the corpus
+                # text is scanned but never shuffled.
+                hist_t = (
+                    spark.read.parquet(out_dir)
+                    .filter(F.col("batch") != batch_id)
+                    .select(
+                        F.col(id_col).alias("__hist"),
+                        F.col(text_col).alias("__tb"),
+                    )
                 )
                 jac_c = make_jaccard_verify_udf(nd_shingle_k)
                 cross_losers = (
-                    cross.join(new_t, "__new")
-                    .join(hist_t, "__hist")
+                    hist_t.join(F.broadcast(cross.join(new_t, "__new")), "__hist")
                     .filter(jac_c("__ta", "__tb") >= near_dup_threshold)
                     .select(F.col("__new").alias(id_col))
                 )
@@ -577,6 +642,8 @@ def run_curation_ingest(
                     fh.write(repr(counts))
         finally:
             admitted.unpersist()
+            if near_dup_threshold is not None:
+                deduped.unpersist()
             if count_this_batch:
                 batch_df.unpersist()
 

@@ -1783,6 +1783,18 @@ def test_curation_sha_index_survives_catalog_loss(spark, sf_dir, tmpdir):
     spark.sql(f"DROP TABLE {table}")
     assert spark.read.parquet(sha_dir).count() == n_sha1, "drop removed data"
 
+    # a restart with a DIFFERENT bucket config must refuse to
+    # re-register (bucket-id file layout would no longer match the
+    # catalog spec the co-located join trusts)
+    from pulsar_elasticsearch_sync_rs_spark.streaming.curation import (
+        _bucketed_table_ready,
+    )
+
+    with pytest.raises(ValueError, match="INTO 16 BUCKETS"):
+        _bucketed_table_ready(
+            spark, table, sha_dir, 8, "sha STRING, doc_id BIGINT", "sha"
+        )
+
     # second arrival: clones of 5 admitted docs under fresh ids - only
     # the accumulated index can reject them after the restart
     originals = (
