@@ -698,6 +698,31 @@ def stream_throughput(spark, sf_dir: str, violations: list[str] | None = None) -
                 available_now=True,
             )
 
+        def start_curation_nd(ckpt, out):
+            from pulsar_elasticsearch_sync_rs_spark.streaming.curation import (
+                run_curation_ingest,
+            )
+
+            stream = (
+                spark.readStream.schema(docs_schema)
+                .option("maxFilesPerTrigger", 2)
+                .parquet(docs_src)
+            )
+            bench_docs = spark.read.parquet(docs_src).filter(
+                F.col("doc_id") % 97 == 0
+            )
+            return run_curation_ingest(
+                stream,
+                bench_docs,
+                out,
+                f"{ckpt}_sha",
+                ckpt,
+                n=5,
+                available_now=True,
+                near_dup_threshold=0.5,
+                bands_dir=f"{ckpt}_bands",
+            )
+
         etl = run_lane("etl", start_etl, msgs_from_output=True)
         return {
             **etl,  # BENCH_r2/r3-compatible top-level ETL figures
@@ -710,6 +735,13 @@ def stream_throughput(spark, sf_dir: str, violations: list[str] | None = None) -
             "heavy_hitters": run_lane("heavy_hitters", start_hh),
             "curation": run_lane(
                 "curation", start_curation, n_input_override=n_docs
+            ),
+            # 10th lane: the curation topology with the near-dup stage
+            # on — per batch: signature pass, within-batch + accumulated
+            # band-index candidates, exact-jaccard verify, band-slice
+            # land. Docs/s at the FULL dedup-on-arrival grain.
+            "curation_nd": run_lane(
+                "curation_nd", start_curation_nd, n_input_override=n_docs
             ),
         }
     finally:
