@@ -698,7 +698,12 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return surv.groupBy("lang_guess").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_toks").alias("total_tokens"),
-        F.round(F.avg("quality"), 4).alias("avg_quality"),
+        # order-independent mean (round-8 oracle rule)
+        F.round(
+            F.sum(F.col("quality").cast("decimal(30,12)")).cast("double")
+            / F.count("quality"),
+            4,
+        ).alias("avg_quality"),
     )
 
 
@@ -889,7 +894,7 @@ WITH toks AS (
 )
 SELECT lang_guess, count(*) AS n_docs,
   CAST(sum(n_toks) AS BIGINT) AS total_tokens,
-  round(avg(quality), 4) AS avg_quality
+  round(CAST(CAST(sum(CAST(quality AS DECIMAL(30,12))) AS VARCHAR) AS DOUBLE) / count(quality), 4) AS avg_quality
 FROM surv GROUP BY lang_guess ORDER BY lang_guess
 """
 
@@ -1666,7 +1671,14 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_toks"),
-            F.round(F.avg("lp"), 6).alias("mean_logprob"),
+            # order-independent mean (round-8 oracle rule; see
+            # q_resample_ffill): exact decimal sum of the addends,
+            # one division
+            F.round(
+                F.sum(F.col("lp").cast("decimal(30,12)")).cast("double")
+                / F.count("lp"),
+                6,
+            ).alias("mean_logprob"),
         )
     )
 
@@ -1681,7 +1693,8 @@ WITH toks AS (
 ), lm AS (
   SELECT term, ln(CAST(c AS DOUBLE) / (SELECT CAST(CAST(sum(c) AS VARCHAR) AS DOUBLE) FROM tf)) AS lp FROM tf
 )
-SELECT t.doc_id, count(*) AS n_toks, round(avg(l.lp), 6) AS mean_logprob
+SELECT t.doc_id, count(*) AS n_toks,
+  round(CAST(CAST(sum(CAST(l.lp AS DECIMAL(30,12))) AS VARCHAR) AS DOUBLE) / count(l.lp), 6) AS mean_logprob
 FROM toks t JOIN lm l USING (term)
 GROUP BY t.doc_id ORDER BY t.doc_id
 """
@@ -1706,7 +1719,12 @@ def q_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_doc.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tok").alias("n_tokens"),
-        F.round(F.avg("q"), 6).alias("mean_quality"),
+        # order-independent mean (round-8 oracle rule)
+        F.round(
+            F.sum(F.col("q").cast("decimal(30,12)")).cast("double")
+            / F.count("q"),
+            6,
+        ).alias("mean_quality"),
         F.round(F.expr("percentile(n_tok, 0.5)"), 6).alias("p50_tokens"),
         (F.count("*") - F.countDistinct("sha")).alias("n_dup_docs"),
     )
@@ -1740,7 +1758,7 @@ WITH toks AS (
   FROM feat
 )
 SELECT lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-  round(avg(q), 6) AS mean_quality,
+  round(CAST(CAST(sum(CAST(q AS DECIMAL(30,12))) AS VARCHAR) AS DOUBLE) / count(q), 6) AS mean_quality,
   round(quantile_cont(n_tok, 0.5), 6) AS p50_tokens,
   CAST(count(*) - count(DISTINCT sha) AS BIGINT) AS n_dup_docs
 FROM per_doc GROUP BY lang ORDER BY lang
@@ -2451,7 +2469,12 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_toks"),
-        F.round(F.avg("lp"), 6).alias("mean_logprob"),
+        # order-independent mean (round-8 oracle rule)
+        F.round(
+            F.sum(F.col("lp").cast("decimal(30,12)")).cast("double")
+            / F.count("lp"),
+            6,
+        ).alias("mean_logprob"),
     )
 
 
@@ -2484,6 +2507,7 @@ WITH arr AS (
   LEFT JOIN uni pu ON pu.w = t.prev
   LEFT JOIN big b ON b.prev = t.prev AND b.w = t.w
 )
-SELECT doc_id, count(*) AS n_toks, round(avg(lp), 6) AS mean_logprob
+SELECT doc_id, count(*) AS n_toks,
+  round(CAST(CAST(sum(CAST(lp AS DECIMAL(30,12))) AS VARCHAR) AS DOUBLE) / count(lp), 6) AS mean_logprob
 FROM scored GROUP BY doc_id
 """
