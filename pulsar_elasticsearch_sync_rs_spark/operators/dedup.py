@@ -870,16 +870,31 @@ def cross_band_candidates(
     first-arrival), and reconstructing the role from sorted pairs is
     impossible once ids interleave. Same candidates either way; one
     implementation, one degrade contract. The batch-bands side (``nb``)
-    is persisted internally: the small- and mega-bucket branches are
-    both consumers and would otherwise each recompute the full history
-    aggregation (union branches share no subtrees); it is
-    batch-bounded, and unpersisted once the union is materialized by
-    the caller or reclaimed by the ContextCleaner."""
+    rides a LAZY ``localCheckpoint``: the small- and mega-bucket
+    branches are both consumers and would otherwise each recompute the
+    full history aggregation (union branches share no subtrees). An
+    RDD-level checkpoint — NOT ``persist()`` — because a per-call
+    ``persist`` registers a CacheManager entry nobody can release (the
+    caller never sees ``nb``), which in the per-micro-batch streaming
+    consumer would leak one cached plan per trigger forever;
+    checkpointed RDDs are reclaimed by the ContextCleaner once the
+    result goes out of scope (same recipe as candidates_from_bands).
+
+    Degrade recall contract for verify-then-drop consumers (the
+    streaming dedup-on-arrival lane): above ``max_bucket`` an arriving
+    doc is verified against the bucket's HUB only, so a true near-dup
+    of a NON-hub member of a mixed mega-bucket can be admitted. For
+    the pathology the cap exists for — boilerplate clusters, whose
+    members are mutually similar — the hub verify catches arrivals;
+    for buckets that are large WITHOUT mutual similarity (band
+    collision en masse, rare at 4-row bands) recall degrades while
+    precision stays exact. ``max_bucket`` prices that trade."""
     keys = ["band_id", "band_hash"]
     o_stats = old_bands.groupBy(*keys).agg(
         F.count("*").alias("__k_o"), F.min(id_col).alias("__hub_o")
     )
-    nb = new_bands.alias("n").join(o_stats, keys).persist()
+    nb = new_bands.alias("n").join(o_stats, keys).localCheckpoint(eager=False)
+    nb = nb.alias("n")
     new_c, old_c = ("new_id", "old_id") if keep_roles else ("id_a", "id_b")
 
     def pair(old_col):

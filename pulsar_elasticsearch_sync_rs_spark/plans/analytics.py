@@ -833,7 +833,7 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_RESAMPLE_FFILL = """
 WITH daily AS (
   SELECT user_id, date_trunc('day', ts) AS day,
-    round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / count(value), 6) AS mean_value,
+    round(CAST(CAST(sum(CAST(value AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) / count(value), 6) AS mean_value,
     count(*) AS n_events
   FROM events GROUP BY user_id, date_trunc('day', ts)
 ), span AS (
@@ -891,7 +891,7 @@ ORACLE_DAILY_ANOMALIES = """
 WITH daily AS (
   -- CAST: DuckDB date_trunc('day') yields DATE, Spark yields TIMESTAMP
   SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-    CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / count(value) AS mean_value
+    CAST(CAST(sum(CAST(value AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) / count(value) AS mean_value
   FROM events GROUP BY user_id, date_trunc('day', ts)
 ), stats AS (
   SELECT user_id, avg(mean_value) AS mu, stddev_samp(mean_value) AS sigma,

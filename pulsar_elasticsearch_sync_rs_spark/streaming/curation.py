@@ -145,6 +145,12 @@ def _bucketed_table_ready(
             f"is configured for ({bucket_col}, {n_buckets}) - restart with "
             "the original bucket config (or rebuild the index)"
         )
+    if spec is None:
+        # pre-spec index (or a create that crashed between saveAsTable
+        # and the spec write): back-fill from the caller's config so
+        # every FUTURE restart is drift-guarded; this one registration
+        # necessarily trusts the caller
+        _write_bucket_spec(spark, path, bucket_col, n_buckets)
     spark.sql(
         f"""CREATE TABLE {table} ({ddl_cols}, batch INT)
         USING PARQUET PARTITIONED BY (batch)
@@ -538,9 +544,13 @@ def run_curation_ingest(
                 # of this batch is about to overwrite: its ids can't be
                 # candidates (prior_b pruned them) but an unpruned scan
                 # would still LIST batch=<id>'s files — which the
-                # corpus overwrite below deletes mid-job. The candidate
-                # side is batch-bounded: broadcast it so the corpus
-                # text is scanned but never shuffled.
+                # corpus overwrite below deletes mid-job. Only the
+                # candidate HISTORY IDS are broadcast (bounded, bare
+                # ids — never pair×text rows, whose fan-out could blow
+                # the 8 GB broadcast limit): the corpus text is scanned
+                # once, semi-reduced to candidate docs, and only that
+                # bounded slice enters the verify join.
+                cand_hist = cross.select("__hist").distinct()
                 hist_t = (
                     spark.read.parquet(out_dir)
                     .filter(F.col("batch") != batch_id)
@@ -548,10 +558,12 @@ def run_curation_ingest(
                         F.col(id_col).alias("__hist"),
                         F.col(text_col).alias("__tb"),
                     )
+                    .join(F.broadcast(cand_hist), "__hist")
                 )
                 jac_c = make_jaccard_verify_udf(nd_shingle_k)
                 cross_losers = (
-                    hist_t.join(F.broadcast(cross.join(new_t, "__new")), "__hist")
+                    cross.join(new_t, "__new")
+                    .join(hist_t, "__hist")
                     .filter(jac_c("__ta", "__tb") >= near_dup_threshold)
                     .select(F.col("__new").alias(id_col))
                 )
