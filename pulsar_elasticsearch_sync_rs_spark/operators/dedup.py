@@ -1046,8 +1046,13 @@ def semantic_dedup_ivf(
         # hub replicated to all of them (see docstring). The checkpoint
         # is the evaluate-once fence for the two consumers of the probe
         # UDF (sizes agg + join) — union/join branches never share
-        # Python-UDF subtrees.
-        probed = cells.localCheckpoint(eager=True)
+        # Python-UDF subtrees. LAZY (eager=False): both consumers still
+        # share the one materialized RDD, but the probe job runs on the
+        # first ACTION — an eager checkpoint would run the full probe
+        # UDF as a DataFrame-construction side effect (even a bare
+        # .explain() would pay it), the exact pitfall
+        # candidates_from_bands avoids.
+        probed = cells.localCheckpoint(eager=False)
         sizes = probed.groupBy("cell_id").agg(
             F.count("*").alias("__k"), F.min(id_col).alias("__hub")
         )

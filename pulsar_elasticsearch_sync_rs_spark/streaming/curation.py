@@ -115,6 +115,41 @@ def _read_bucket_spec(spark, path: str) -> tuple[str, int] | None:
     return (col, int(n)) if n.isdigit() else None
 
 
+def _assert_catalog_entry_matches(
+    spark, table: str, path: str, bucket_col: str, n_buckets: int
+) -> None:
+    """A catalog hit alone is not proof the registered table IS this
+    index: a caller-supplied ``sha_table``/``bands_table`` name reused
+    with a different directory or bucket count would silently read and
+    write the WRONG table — bypassing the ``_BUCKET_SPEC`` sidecar
+    guard entirely (the sidecar is only consulted on the
+    re-registration path). Assert the catalog entry's location and
+    bucket spec against the caller's config; a mismatch is the same
+    loud drift error as the sidecar check, never a guess."""
+    rows = {
+        r.col_name: (r.data_type or "")
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+    }
+    fs, hpath = _hadoop_fs(spark, path)
+    want_loc = str(fs.makeQualified(hpath)).rstrip("/")
+    got_loc = rows.get("Location", "").rstrip("/")
+    got_n = rows.get("Num Buckets", "")
+    got_cols = [
+        c.strip().strip("`")
+        for c in rows.get("Bucket Columns", "").strip("[]").split(",")
+        if c.strip()
+    ]
+    if got_loc != want_loc or got_n != str(int(n_buckets)) or got_cols != [bucket_col]:
+        raise ValueError(
+            f"catalog table {table} is registered at location "
+            f"'{got_loc}' CLUSTERED BY ({', '.join(got_cols)}) INTO "
+            f"{got_n or '?'} BUCKETS but this job is configured for "
+            f"location '{want_loc}' ({bucket_col}, {n_buckets}) - the "
+            "table name is already taken by a different index; use a "
+            "distinct table name (or the original config)"
+        )
+
+
 def _bucketed_table_ready(
     spark, table: str, path: str, n_buckets: int, ddl_cols: str, bucket_col: str
 ) -> bool:
@@ -134,6 +169,7 @@ def _bucketed_table_ready(
     join the dedup relies on, so a drift is a loud error, never a
     guess."""
     if spark.catalog.tableExists(table):
+        _assert_catalog_entry_matches(spark, table, path, bucket_col, n_buckets)
         return True
     if not _dir_has_batches(spark, path):
         return False
@@ -342,10 +378,12 @@ def run_curation_ingest(
     ``run_supervised`` composition, which rebuilds this closure per
     restart): a durable per-batch marker under
     ``checkpoint_dir/counted/`` records that a batch's counters were
-    applied, and increments happen only after the batch's writes
-    succeed — so a replayed batch is never double-counted and a
-    half-written batch contributes nothing until its successful
-    attempt. (A cross-process restart starts a fresh registry; the
+    applied, and the marker-then-increment sequence runs only after the
+    batch's writes succeed — so a replayed batch is never
+    double-counted and a half-written batch contributes nothing until
+    its successful attempt. (The marker lands atomically BEFORE the
+    increments: a crash between the two under-counts that one batch,
+    the direction the never-double-count contract deliberately picks.) (A cross-process restart starts a fresh registry; the
     markers then keep replayed batches out of the new registry too, so
     its counters cover exactly the batches committed on its watch.)
     Marker probing is a driver-local ``os.path`` check — the same
@@ -644,14 +682,22 @@ def run_curation_ingest(
             if count_this_batch:
                 # commit counters only after every write landed: a
                 # batch that fails mid-write contributes nothing until
-                # its successful attempt, and the marker keeps any
-                # later replay (same process or not) from re-counting
+                # its successful attempt. The marker is written FIRST,
+                # atomically (temp + os.replace — a crash mid-write can
+                # never leave a half-marker that parses as counted),
+                # then the counters increment: a crash in between means
+                # the replay sees the marker and skips counting — an
+                # UNDER-count for that batch, which is the side the
+                # "never double-counted" contract picks (inc-first
+                # would let a crash after inc re-count on replay)
+                os.makedirs(marker_dir, exist_ok=True)
+                tmp = marker + ".tmp"
+                with open(tmp, "w") as fh:
+                    fh.write(repr(counts))
+                os.replace(tmp, marker)
                 for k, v in counts.items():
                     registry.inc(k, v)
                 counted_batches.add(batch_id)
-                os.makedirs(marker_dir, exist_ok=True)
-                with open(marker, "w") as fh:
-                    fh.write(repr(counts))
         finally:
             admitted.unpersist()
             if near_dup_threshold is not None:

@@ -1818,6 +1818,50 @@ def test_curation_sha_index_survives_catalog_loss(spark, sf_dir, tmpdir):
     spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_bucketed_index_table_name_collision_is_loud(spark, tmpdir):
+    """A catalog HIT alone is not proof the registered table IS this
+    index: a caller-supplied sha_table/bands_table name reused with a
+    different directory or bucket count must fail loudly instead of
+    silently reading/writing the WRONG table (the _BUCKET_SPEC sidecar
+    only guards the re-registration path; this pins the catalog-hit
+    path)."""
+    from pulsar_elasticsearch_sync_rs_spark.streaming.curation import (
+        _bucketed_table_ready,
+    )
+
+    table = "collision_sha_idx"
+    path_a = os.path.join(tmpdir, "idx_a")
+    path_b = os.path.join(tmpdir, "idx_b")
+    ddl = "sha STRING, doc_id BIGINT"
+    pairs = spark.createDataFrame([("s1", 1)], "sha string, doc_id long")
+    (
+        pairs.withColumn("batch", F.lit(0).cast("int"))
+        .repartition(4, "sha")
+        .write.mode("overwrite")
+        .partitionBy("batch")
+        .bucketBy(4, "sha")
+        .sortBy("sha")
+        .option("path", path_a)
+        .saveAsTable(table)
+    )
+    try:
+        # matching config: the catalog hit is accepted
+        assert _bucketed_table_ready(spark, table, path_a, 4, ddl, "sha")
+        # same name, different directory: loud, never the wrong files
+        with pytest.raises(ValueError, match="already taken"):
+            _bucketed_table_ready(spark, table, path_b, 4, ddl, "sha")
+        # same name + directory, drifted bucket count: loud
+        with pytest.raises(ValueError, match="already taken"):
+            _bucketed_table_ready(spark, table, path_a, 8, ddl, "sha")
+        # drifted bucket column: loud
+        with pytest.raises(ValueError, match="already taken"):
+            _bucketed_table_ready(
+                spark, table, path_a, 4, "doc_id BIGINT, sha STRING", "doc_id"
+            )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_curation_ingest_near_dup_against_accumulated_bands(spark, sf_dir, tmpdir):
     """Opt-in MinHash near-dup dedup-on-arrival: within a batch the
     min-id member of a verified near-dup group survives; across
