@@ -303,6 +303,299 @@ def _write_bucketed_slice(
         spark.catalog.dropTempView(view)
 
 
+_COMPACT_STATE = "_COMPACT_STATE"
+
+
+def _write_compact_state(spark, path: str, slot: int, watermark: int) -> None:
+    """Record the active consolidated slot + fold high-watermark. Land
+    via temp + rename so a crash mid-write can never leave a
+    half-state that parses; the (tiny) delete→rename window where the
+    state is ABSENT degrades to the state-less defensive path below,
+    which is lossless by construction."""
+    fs, dst = _hadoop_fs(spark, f"{path.rstrip('/')}/{_COMPACT_STATE}")
+    _, tmp = _hadoop_fs(spark, f"{path.rstrip('/')}/.{_COMPACT_STATE}.tmp")
+    out = fs.create(tmp, True)
+    out.write(bytearray(f"{int(slot)}:{int(watermark)}".encode("utf-8")))
+    out.close()
+    if fs.exists(dst):
+        fs.delete(dst, False)
+    fs.rename(tmp, dst)
+
+
+def _read_compact_state(spark, path: str) -> tuple[int, int] | None:
+    """(active_slot, watermark) or None — unparseable/absent both read
+    as None (the defensive fold-everything path)."""
+    fs, hpath = _hadoop_fs(spark, f"{path.rstrip('/')}/{_COMPACT_STATE}")
+    if not fs.exists(hpath):
+        return None
+    jvm = spark._jvm
+    reader = jvm.java.io.BufferedReader(jvm.java.io.InputStreamReader(fs.open(hpath)))
+    try:
+        line = reader.readLine() or ""
+    finally:
+        reader.close()
+    slot, _, w = line.partition(":")
+    try:
+        return (int(slot), int(w))
+    except ValueError:
+        return None
+
+
+def _list_partition_ids(spark, path: str) -> dict[int, object]:
+    """{batch_id: hadoop Path} for every batch=<id> directory on the
+    FILESYSTEM — the compactor's truth is the files (catalog entries
+    are derived, and the in-memory catalog forgets across processes)."""
+    fs, root = _hadoop_fs(spark, path)
+    if not fs.exists(root):
+        return {}
+    out: dict[int, object] = {}
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith("batch="):
+            try:
+                out[int(name.split("=", 1)[1])] = st.getPath()
+            except ValueError:
+                continue
+    return out
+
+
+def _count_part_files(spark, path: str, hpath) -> int:
+    fs, _ = _hadoop_fs(spark, path)
+    if not fs.exists(hpath):
+        return 0
+    return sum(
+        1
+        for st in fs.listStatus(hpath)
+        if st.getPath().getName().startswith("part-")
+    )
+
+
+def _drop_slice(spark, table: str, path: str, batch_id: int, hpath) -> None:
+    """Remove a folded slice: catalog partition first (so table reads
+    stop listing it), then the files (external-table DROP PARTITION is
+    metadata-only — without the physical delete an MSCK after a
+    catalog loss would resurrect the folded rows)."""
+    spark.sql(f"ALTER TABLE {table} DROP IF EXISTS PARTITION (batch={int(batch_id)})")
+    fs, _ = _hadoop_fs(spark, path)
+    fs.delete(hpath, True)
+
+
+def compact_index_batches(
+    spark,
+    path: str,
+    *,
+    bucket_col: str,
+    cols: list[str],
+    ddl_cols: str,
+    table: str | None = None,
+    n_buckets: int = 16,
+    retain: int = 1,
+    watermark: int | None = None,
+) -> dict:
+    """Fold closed ``batch=<id>`` partitions of a streaming bucketed
+    index (the sha/bands indexes this module accumulates) into ONE
+    consolidated slice, bounding partition count at ~(1 + retain) and
+    file count at ~``n_buckets`` per consolidated generation — without
+    this, every micro-batch adds a partition ×``n_buckets`` bucket
+    files FOREVER (at a 5 s trigger, ~550k files/day across both
+    indexes), and partition listing, MSCK re-registration after a
+    restart, and scan planning all degrade with partition count long
+    before data volume matters.
+
+    Mechanics. The consolidated slice lives in a NEGATIVE partition id
+    (streaming batch ids are ≥ 0, so the two ranges can never collide);
+    each compaction writes a NEW generation at ``min(present ids) - 1``
+    from a path-based read of the closed slices + the previous
+    generation (the catalog INSERT path rejects any self-read of the
+    target table, even partition-disjoint — measured
+    ``UNSUPPORTED_OVERWRITE.TABLE``; reading the slice DIRECTORIES
+    sidesteps that while the write stays a static-partition INSERT
+    OVERWRITE, so the folded slice is real bucket-file layout under the
+    SAME ``_BUCKET_SPEC`` and the dedup anti-join keeps its co-located,
+    one-Exchange plan). The fold repartitions to the bucket count, so
+    its cost is one shuffle of the (skinny: hashes + ids, never text)
+    index — the amortized price of O(1) partition count.
+
+    Crash safety / idempotency, in write order:
+      1. fold INSERT commits into the fresh slot — a crash before the
+         state write leaves the new slot as an unreferenced duplicate
+         (set-semantics reads stay correct; the next run deletes it via
+         the defensive path and re-folds from the still-present
+         sources);
+      2. ``_COMPACT_STATE`` (active slot + watermark) lands atomically;
+      3. folded sources are dropped (catalog partition, then files) —
+         a crash mid-delete leaves duplicates that the next run's
+         cleanup phase removes WITHOUT reading them (they are ≤ the
+         recorded watermark / non-active negative slots, both known
+         subsets of the active generation).
+    If the state file itself is lost, the defensive path folds
+    EVERYTHING present (all batch dirs and all negative generations)
+    into a fresh slot — duplicates collapse, nothing is lost, because
+    sources are only ever deleted AFTER the state naming their
+    replacement committed.
+
+    Duplicates are harmless throughout because both consumers treat
+    the index as a SET (anti-join membership; band candidates are
+    ``.distinct()``-ed), which is what makes every crash window above
+    converge instead of corrupt.
+
+    Concurrency: run between micro-batches (the ``compact_every`` hook
+    of ``run_curation_ingest`` does exactly that, inside the
+    sequential foreachBatch) or while the stream is stopped. ``retain``
+    newest open batches are never touched, so the one batch a
+    checkpointed restart can replay keeps its own overwritable slice;
+    an explicit ``watermark`` overrides that (``retain=0`` /
+    ``watermark=max`` are for stopped streams only). A reader planned
+    BEFORE a fold commits may list files the delete phase removes —
+    within the single-writer foreachBatch envelope that reader ordering
+    cannot happen.
+
+    Returns a report dict: folded batch ids, previous/new slot, files
+    folded vs slot files after, partitions before/after.
+    """
+    table = table or _sha_table_name(path)
+    if not _bucketed_table_ready(spark, table, path, n_buckets, ddl_cols, bucket_col):
+        return {
+            "folded_batches": [],
+            "slot": None,
+            "watermark": None,
+            "partitions_before": 0,
+            "partitions_after": 0,
+            "files_folded": 0,
+            "slot_files": 0,
+        }
+
+    state = _read_compact_state(spark, path)
+    present = _list_partition_ids(spark, path)
+    parts_before = len(present)
+
+    # phase 0 — cleanup: remove crash leftovers WITHOUT reading them.
+    # With recorded state, anything ≤ watermark or any non-active
+    # negative generation is a folded source whose replacement already
+    # committed. With NO state, nothing is provably folded — delete
+    # nothing, fold everything (defensive superset).
+    if state is not None:
+        active, prev_w = state
+        for b in sorted(present):
+            if (0 <= b <= prev_w) or (b < 0 and b != active):
+                _drop_slice(spark, table, path, b, present[b])
+                del present[b]
+        sources = {b: present[b] for b in present if b < 0}  # the active slot
+    else:
+        active, prev_w = None, -1
+        sources = {b: present[b] for b in present if b < 0}
+
+    open_ids = sorted(b for b in present if b >= 0)
+    if watermark is None:
+        if len(open_ids) <= max(0, int(retain)):
+            return {
+                "folded_batches": [],
+                "slot": active,
+                "watermark": prev_w,
+                "partitions_before": parts_before,
+                "partitions_after": len(present),
+                "files_folded": 0,
+                "slot_files": 0,
+            }
+        keep = int(retain)
+        watermark = open_ids[-(keep + 1)] if keep > 0 else open_ids[-1]
+    closed = {b: present[b] for b in open_ids if b <= int(watermark)}
+    if not closed and len(sources) <= 1:
+        return {
+            "folded_batches": [],
+            "slot": active,
+            "watermark": prev_w,
+            "partitions_before": parts_before,
+            "partitions_after": len(present),
+            "files_folded": 0,
+            "slot_files": 0,
+        }
+
+    new_slot = min(list(present) + [0]) - 1
+    fold = {**closed, **sources}
+    files_folded = sum(_count_part_files(spark, path, p) for p in fold.values())
+    schema = spark.table(table).drop("batch").schema
+    src = (
+        spark.read.schema(schema)
+        .parquet(*[str(p) for p in fold.values()])
+        .select(*cols)
+        .repartition(n_buckets, bucket_col)
+    )
+    view = f"{table}_fold"
+    src.createOrReplaceTempView(view)
+    try:
+        spark.sql(
+            f"INSERT OVERWRITE TABLE {table} PARTITION (batch={new_slot}) "
+            f"SELECT {', '.join(cols)} FROM {view}"
+        )
+    finally:
+        spark.catalog.dropTempView(view)
+
+    new_w = max([int(watermark), prev_w] + list(closed))
+    _write_compact_state(spark, path, new_slot, new_w)
+    for b, p in fold.items():
+        _drop_slice(spark, table, path, b, p)
+
+    fs, root = _hadoop_fs(spark, path)
+    slot_path = spark._jvm.org.apache.hadoop.fs.Path(root, f"batch={new_slot}")
+    return {
+        "folded_batches": sorted(closed),
+        "previous_slot": active,
+        "slot": new_slot,
+        "watermark": new_w,
+        "partitions_before": parts_before,
+        "partitions_after": len(_list_partition_ids(spark, path)),
+        "files_folded": files_folded,
+        "slot_files": _count_part_files(spark, path, slot_path),
+    }
+
+
+def compact_sha_index(
+    spark,
+    sha_dir: str,
+    sha_table: str | None = None,
+    n_buckets: int = 16,
+    retain: int = 1,
+    watermark: int | None = None,
+) -> dict:
+    """``compact_index_batches`` preset for the accumulated sha index."""
+    return compact_index_batches(
+        spark,
+        sha_dir,
+        bucket_col="sha",
+        cols=["sha", "doc_id"],
+        ddl_cols="sha STRING, doc_id BIGINT",
+        table=sha_table or _sha_table_name(sha_dir),
+        n_buckets=n_buckets,
+        retain=retain,
+        watermark=watermark,
+    )
+
+
+def compact_bands_index(
+    spark,
+    bands_dir: str,
+    bands_table: str | None = None,
+    n_buckets: int = 16,
+    id_col: str = "doc_id",
+    retain: int = 1,
+    watermark: int | None = None,
+) -> dict:
+    """``compact_index_batches`` preset for the accumulated band index."""
+    return compact_index_batches(
+        spark,
+        bands_dir,
+        bucket_col="band_hash",
+        cols=["band_id", "band_hash", id_col],
+        ddl_cols=f"band_id INT, band_hash STRING, {id_col} BIGINT",
+        table=bands_table
+        or ("curation_bands_" + hashlib.md5(bands_dir.encode()).hexdigest()[:12]),
+        n_buckets=n_buckets,
+        retain=retain,
+        watermark=watermark,
+    )
+
+
 def run_curation_ingest(
     stream_docs: DataFrame,
     bench: DataFrame,
@@ -330,6 +623,7 @@ def run_curation_ingest(
     nd_bands: int = 8,
     nd_shingle_k: int = 3,
     nd_max_bucket: int = 1024,
+    compact_every: int | None = None,
 ):
     """Start the curation ingestion stream; returns the StreamingQuery.
 
@@ -400,6 +694,17 @@ def run_curation_ingest(
     curation_near_duplicate and admitted docs additionally land their
     band slice at ``bands_dir/batch=<id>`` (same static-partition
     INSERT OVERWRITE idempotency as the sha slice).
+
+    ``compact_every`` (opt-in): every N-th micro-batch, fold the closed
+    slices of the sha index (and the band index when near-dup is on)
+    into one consolidated generation via ``compact_index_batches`` —
+    run INSIDE the sequential foreachBatch, i.e. between batches, the
+    one point where no reader of the folded slices can be in flight.
+    ``retain=1`` keeps the newest slice open so a checkpointed replay
+    still overwrites its own partition. Without this, partition count
+    grows one-per-trigger forever (see ``compact_index_batches``).
+    Compaction is idempotent, so a failure surfacing through the batch
+    (and the supervisor's restart) re-runs it safely.
     """
     # replay-safety guard: every write this job makes is a per-batch
     # overwrite, but the TRANSPORT is caller-supplied — an id-less ES
@@ -704,6 +1009,20 @@ def run_curation_ingest(
                 deduped.unpersist()
             if count_this_batch:
                 batch_df.unpersist()
+
+        # maintenance point: this batch is fully landed and no other
+        # reader of the indexes can be in flight (foreachBatch is
+        # sequential) — fold closed slices before the next one starts
+        if compact_every and batch_id > 0 and batch_id % int(compact_every) == 0:
+            compact_sha_index(spark, sha_dir, sha_table=table, n_buckets=n_buckets)
+            if near_dup_threshold is not None:
+                compact_bands_index(
+                    spark,
+                    bands_dir,
+                    bands_table=b_table,
+                    n_buckets=n_buckets,
+                    id_col=id_col,
+                )
 
     writer = stream_docs.writeStream.foreachBatch(ingest_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -1818,6 +1818,246 @@ def test_curation_sha_index_survives_catalog_loss(spark, sf_dir, tmpdir):
     spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def _sha_index_rows(spark, table):
+    return {
+        (r["sha"], r["doc_id"])
+        for r in spark.table(table).select("sha", "doc_id").collect()
+    }
+
+
+def test_compact_index_batches_bounds_files_and_preserves_dedup(spark, sf_dir, tmpdir):
+    """The streaming indexes grow one batch=<id> partition x n_buckets
+    files per trigger FOREVER; compaction must fold closed slices into
+    one consolidated generation with (a) partition count ~(1+retain),
+    (b) <= n_buckets part files in the consolidated slice, (c) the
+    index's (sha, doc_id) SET byte-identical, and (d) the anti-join's
+    co-located one-Exchange plan intact (same _BUCKET_SPEC)."""
+    from pulsar_elasticsearch_sync_rs_spark.sources.batch import read_table
+    from pulsar_elasticsearch_sync_rs_spark.streaming.curation import (
+        _list_partition_ids,
+        _read_compact_state,
+        _sha_table_name,
+        _write_sha_slice,
+        compact_sha_index,
+        prior_sha_anti_join,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = docs.select(F.sha2(F.col("text"), 256).alias("sha"), F.col("doc_id"))
+    sha_dir = os.path.join(tmpdir, "ci_sha")
+    table = _sha_table_name(sha_dir)
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        for b in range(6):
+            _write_sha_slice(pairs.filter(F.col("doc_id") % 6 == b), table, sha_dir, b, 16)
+        before = _sha_index_rows(spark, table)
+        assert len(_list_partition_ids(spark, sha_dir)) == 6
+
+        rep = compact_sha_index(spark, sha_dir, retain=1)
+        assert rep["folded_batches"] == [0, 1, 2, 3, 4]
+        assert rep["slot"] == -1 and rep["watermark"] == 4
+        assert rep["slot_files"] <= 16, rep
+        parts = _list_partition_ids(spark, sha_dir)
+        assert set(parts) == {-1, 5}, sorted(parts)
+        assert _sha_index_rows(spark, table) == before, "compaction changed the index"
+
+        # dedup results byte-identical: known shas rejected, fresh admitted
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        dup = pairs.filter(F.col("doc_id") < 20).withColumnRenamed("sha", "__sha")
+        out = prior_sha_anti_join(spark, table, dup, exclude_batch=99, n_buckets=16)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1, f"history shuffled post-compact:\n{plan}"
+        assert "Bucketed: true" in plan, plan
+        assert out.count() == 0
+        fresh = spark.range(10).select(
+            F.sha2((F.col("id") + 10_000_000).cast("string"), 256).alias("__sha"),
+            F.col("id").alias("doc_id"),
+        )
+        assert (
+            prior_sha_anti_join(spark, table, fresh, 99, 16).count() == 10
+        )
+
+        # idempotent no-op: nothing newly closed
+        rep2 = compact_sha_index(spark, sha_dir, retain=1)
+        assert rep2["folded_batches"] == []
+        assert set(_list_partition_ids(spark, sha_dir)) == {-1, 5}
+
+        # next generation: new batches fold TOGETHER WITH the previous
+        # consolidated slot; partition count stays bounded
+        for b in (6, 7):
+            _write_sha_slice(pairs.filter(F.col("doc_id") % 6 == b - 6).select(
+                F.concat(F.lit("g2"), F.col("sha")).alias("sha"), "doc_id"
+            ), table, sha_dir, b, 16)
+        before2 = _sha_index_rows(spark, table)
+        rep3 = compact_sha_index(spark, sha_dir, retain=1)
+        assert rep3["folded_batches"] == [5, 6] and rep3["previous_slot"] == -1
+        assert rep3["slot"] == -2 and rep3["slot_files"] <= 16
+        assert set(_list_partition_ids(spark, sha_dir)) == {-2, 7}
+        assert _sha_index_rows(spark, table) == before2
+
+        # defensive state-less path: losing _COMPACT_STATE folds
+        # everything present into a fresh generation, losslessly
+        fs_path = os.path.join(sha_dir, "_COMPACT_STATE")
+        os.remove(fs_path)
+        rep4 = compact_sha_index(spark, sha_dir, retain=0)
+        assert rep4["slot"] == -3
+        assert set(_list_partition_ids(spark, sha_dir)) == {-3}
+        assert _sha_index_rows(spark, table) == before2
+        assert _read_compact_state(spark, sha_dir) == (-3, 7)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_compact_crash_between_state_and_deletes_converges(spark, sf_dir, tmpdir, monkeypatch):
+    """Crash window 3 of the compaction protocol: the new generation +
+    state committed but the folded sources were not yet deleted. Reads
+    in that window see duplicates (harmless: the index is a SET); the
+    NEXT run's cleanup phase must remove the leftovers WITHOUT reading
+    them and converge to the bounded layout with the set unchanged."""
+    from pulsar_elasticsearch_sync_rs_spark.sources.batch import read_table
+    from pulsar_elasticsearch_sync_rs_spark.streaming import curation as cur
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = docs.select(F.sha2(F.col("text"), 256).alias("sha"), F.col("doc_id"))
+    sha_dir = os.path.join(tmpdir, "crash_sha")
+    table = cur._sha_table_name(sha_dir)
+    try:
+        for b in range(4):
+            cur._write_sha_slice(
+                pairs.filter(F.col("doc_id") % 4 == b), table, sha_dir, b, 16
+            )
+        before = _sha_index_rows(spark, table)
+
+        # simulate the crash: deletes never happen this run
+        monkeypatch.setattr(cur, "_drop_slice", lambda *a, **k: None)
+        rep = cur.compact_sha_index(spark, sha_dir, retain=1)
+        assert rep["folded_batches"] == [0, 1, 2]
+        monkeypatch.undo()
+
+        # window state: sources still on disk beside the new generation
+        parts = cur._list_partition_ids(spark, sha_dir)
+        assert set(parts) == {-1, 0, 1, 2, 3}
+        # duplicated rows, but the SET the anti-join consumes is intact
+        assert _sha_index_rows(spark, table) == before
+
+        # recovery run: cleanup drops the provably-folded leftovers
+        rep2 = cur.compact_sha_index(spark, sha_dir, retain=1)
+        assert set(cur._list_partition_ids(spark, sha_dir)) == {-1, 3} or set(
+            cur._list_partition_ids(spark, sha_dir)
+        ) == {-2, 3}
+        assert _sha_index_rows(spark, table) == before
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_replayed_slice_immune_to_partition_overwrite_mode_flip(spark, sf_dir, tmpdir):
+    """Regression pin for the static-partition INSERT OVERWRITE route:
+    the per-batch slice write must replace exactly its own partition —
+    never duplicate, never clobber siblings — REGARDLESS of the
+    session's partitionOverwriteMode, which a concurrent writer on a
+    shared session can flip at any time (the documented race that
+    made the dynamic-mode route unacceptable). Fails loudly if Spark's
+    catalog-insert semantics ever change under us."""
+    from pulsar_elasticsearch_sync_rs_spark.sources.batch import read_table
+    from pulsar_elasticsearch_sync_rs_spark.streaming.curation import (
+        _sha_table_name,
+        _write_sha_slice,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = docs.select(F.sha2(F.col("text"), 256).alias("sha"), F.col("doc_id"))
+    sha_dir = os.path.join(tmpdir, "flip_sha")
+    table = _sha_table_name(sha_dir)
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf_key)
+    try:
+        _write_sha_slice(pairs.filter("doc_id % 3 = 0"), table, sha_dir, 0, 16)
+        _write_sha_slice(pairs.filter("doc_id % 3 = 1"), table, sha_dir, 1, 16)
+        before = _sha_index_rows(spark, table)
+        b0 = {r for r in before}
+        for mode in ("dynamic", "static"):
+            spark.conf.set(conf_key, mode)
+            # replay batch 1 under the flipped conf
+            _write_sha_slice(
+                pairs.filter("doc_id % 3 = 1"), table, sha_dir, 1, 16
+            )
+            assert _sha_index_rows(spark, table) == before, (
+                f"replay under {mode} mode duplicated or clobbered"
+            )
+        assert b0 == before
+    finally:
+        spark.conf.set(conf_key, prev)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_curation_ingest_compact_every_keeps_results_and_bounds_partitions(
+    spark, sf_dir, tmpdir
+):
+    """e2e: the compact_every hook folds the index between micro-batches
+    while the stream keeps rejecting cross-batch duplicates; the final
+    corpus equals the uncompacted run's and the index partition count
+    stays bounded instead of one-per-trigger."""
+    import time
+
+    from pulsar_elasticsearch_sync_rs_spark.sources.batch import read_table
+    from pulsar_elasticsearch_sync_rs_spark.streaming.curation import (
+        _list_partition_ids,
+        _sha_table_name,
+        run_curation_ingest,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter((F.col("doc_id") % 97 != 0) & (F.col("doc_id") < 400))
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+
+    src = os.path.join(tmpdir, "ce_src")
+    outs = {}
+    # five source files: four distinct quarters + one clone file that
+    # duplicates quarter-0 texts under fresh ids (must be rejected by
+    # the COMPACTED index, proving the fold preserved dedup)
+    for i in range(4):
+        corpus.filter(F.col("doc_id") % 4 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.05)
+    clones = corpus.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + max_id + 1).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+    clones.coalesce(1).write.mode("append").parquet(src)
+
+    for variant, compact_every in (("plain", None), ("compact", 2)):
+        out_dir = os.path.join(tmpdir, f"ce_out_{variant}")
+        sha_dir = os.path.join(tmpdir, f"ce_sha_{variant}")
+        ckpt = os.path.join(tmpdir, f"ce_ckpt_{variant}")
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, text string, lang string, source string, n_chars long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = run_curation_ingest(
+            stream, bench, out_dir, sha_dir, ckpt, n=5,
+            available_now=True, compact_every=compact_every,
+        )
+        q.awaitTermination(300)
+        outs[variant] = {
+            "docs": {r["doc_id"] for r in spark.read.parquet(out_dir).collect()},
+            "parts": len(_list_partition_ids(spark, sha_dir)),
+        }
+        spark.sql(f"DROP TABLE IF EXISTS {_sha_table_name(sha_dir)}")
+
+    clone_ids = {r["doc_id"] for r in clones.collect()}
+    assert outs["compact"]["docs"] == outs["plain"]["docs"], "compaction changed results"
+    assert not (outs["compact"]["docs"] & clone_ids), "compacted index admitted a dup"
+    # 5 triggers: plain = one partition per batch; compacted stays bounded
+    assert outs["plain"]["parts"] == 5
+    assert outs["compact"]["parts"] <= 3, outs["compact"]["parts"]
+
+
 def test_bucketed_index_table_name_collision_is_loud(spark, tmpdir):
     """A catalog HIT alone is not proof the registered table IS this
     index: a caller-supplied sha_table/bands_table name reused with a
