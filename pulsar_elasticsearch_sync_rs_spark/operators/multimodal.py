@@ -772,14 +772,18 @@ def decode_png_features(
 # ---------------------------------------------------------------------------
 # JPEG (round 8): the fifth real codec, and the first LOSSY one — a
 # baseline sequential JPEG (ITU-T T.81, public spec) encoder + decoder:
-# marker segment walk, DQT/DHT/SOF0/SOS parsing, canonical Huffman
-# decode with byte-stuffing removal, dequantize + inverse zigzag +
-# 2-D IDCT per 8×8 block, MCU assembly with edge cropping, and YCbCr→
-# RGB for 4:4:4 three-component scans. Production image corpora are
-# JPEG, so the multimodal lane's plumbing is exercised on the codec
-# that matters. Entropy/DCT math uses numpy (baked into the env and
-# already the kernel-side substrate of every other operator); the
-# container formats stay stdlib `struct`.
+# marker segment walk (0xFF fill bytes + standalone markers per T.81
+# B.1.1.2), DQT/DHT/SOF0/DRI/SOS parsing, canonical Huffman decode
+# with byte-stuffing removal, dequantize + inverse zigzag + 2-D IDCT
+# per 8×8 block, MCU assembly with arbitrary integer sampling factors
+# (4:4:4 / 4:2:2 / 4:2:0 / 4:1:1 — replication chroma upsample),
+# restart-interval resync (strict RSTn cycle, DC-predictor resets),
+# edge cropping, and BT.601 YCbCr→RGB. Production image corpora are
+# overwhelmingly 4:2:0 JPEG with DRI markers, so the multimodal lane's
+# plumbing is exercised on the exact structure that matters. Entropy/
+# DCT math uses numpy (baked into the env and already the kernel-side
+# substrate of every other operator); the container formats stay
+# stdlib `struct`.
 #
 # Oracle strategy (the lossy-codec twist): a SOLID block has only a DC
 # coefficient, and with the quant table's DC step = 8 the DC quantizes
@@ -861,6 +865,10 @@ class _BitWriter:
                 self.n = 0
 
     def flush(self) -> bytes:
+        self._align()
+        return bytes(self.out)
+
+    def _align(self) -> None:
         if self.n:
             self.acc = (self.acc << (8 - self.n)) | ((1 << (8 - self.n)) - 1)
             self.out.append(self.acc)
@@ -868,7 +876,12 @@ class _BitWriter:
                 self.out.append(0x00)
             self.acc = 0
             self.n = 0
-        return bytes(self.out)
+
+    def restart(self, m: int) -> None:
+        """Byte-align (1-padding, T.81 F.1.2.3) and emit RSTm — the
+        marker bytes themselves are exempt from stuffing."""
+        self._align()
+        self.out += bytes([0xFF, 0xD0 + (m & 7)])
 
 
 def _magnitude(v: int) -> tuple[int, int]:
@@ -964,10 +977,11 @@ def synth_jpeg(
 
 
 class _BitReader:
-    """Entropy-segment bit reader with 0xFF00 stuffing removal; any
-    other marker inside the scan raises (the encoder emits no restart
-    intervals, and a marker mid-scan in that regime means truncation
-    or corruption — fail loudly, never silently-wrong pixels)."""
+    """Entropy-segment bit reader with 0xFF00 stuffing removal. RSTn
+    markers are consumed only where the DRI interval says one is due
+    (:meth:`expect_restart`); any other marker inside the scan — or a
+    restart in the wrong place — raises (truncation or corruption:
+    fail loudly, never silently-wrong pixels)."""
 
     def __init__(self, data: bytes, pos: int):
         self.data = data
@@ -1002,6 +1016,25 @@ class _BitReader:
             v = (v << 1) | self.read_bit()
         return v
 
+    def expect_restart(self, m: int) -> None:
+        """Consume the RSTm due at a restart-interval boundary: discard
+        the 1-padding bits of the current byte (T.81 F.2.1.3.1 — the
+        partially-read byte holds only pad) and require exactly
+        ``0xFFD0+m`` next; the modulo-8 cycle is checked strictly, so a
+        dropped or duplicated interval is an error, never a silent
+        block shift."""
+        self.n = 0
+        if self.pos + 2 > len(self.data):
+            raise ValueError("truncated scan at restart boundary")
+        got = self.data[self.pos : self.pos + 2]
+        want = bytes([0xFF, 0xD0 + (m & 7)])
+        if got != want:
+            raise ValueError(
+                f"expected RST{m & 7} at restart boundary, got "
+                f"0x{got[0]:02X}{got[1]:02X}"
+            )
+        self.pos += 2
+
 
 def _huff_decode(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
     code, length = 0, 0
@@ -1020,14 +1053,17 @@ def _extend(v: int, size: int) -> int:
 
 def parse_jpeg(blob: bytes, max_pixels: int = 1 << 26) -> dict:
     """Real baseline sequential decode: marker walk (APPn/COM skipped,
-    DQT/DHT/SOF0/SOS parsed), canonical Huffman decode, dequantize +
-    inverse zigzag + IDCT per block, MCU reassembly, crop, per-channel
-    means. Supports 1-component grayscale and 4:4:4 three-component
-    scans (YCbCr→RGB, ITU-R BT.601 as in T.871); progressive /
-    subsampled / restart-interval streams raise ``unsupported`` —
-    explicit contract, never a wrong answer. Truncation and corruption
-    raise. ``max_pixels`` bounds decoder memory per blob (a forged
-    SOF0 header could otherwise declare a 4-billion-pixel canvas)."""
+    0xFF fill bytes and standalone markers per T.81 B.1.1.2 handled,
+    DQT/DHT/SOF0/DRI/SOS parsed), canonical Huffman decode, dequantize
+    + inverse zigzag + IDCT per block, MCU reassembly with arbitrary
+    integer sampling factors (4:4:4, 4:2:2, 4:2:0, 4:1:1 — chroma
+    upsampled by sample replication), restart-interval resync (RSTn
+    cycle checked strictly, DC predictors reset), crop, per-channel
+    means (YCbCr→RGB, ITU-R BT.601 as in T.871). Progressive /
+    arithmetic / multi-scan streams raise ``unsupported`` — explicit
+    contract, never a wrong answer. Truncation and corruption raise.
+    ``max_pixels`` bounds decoder memory per blob (a forged SOF0
+    header could otherwise declare a 4-billion-pixel canvas)."""
     import struct
 
     import numpy as np
@@ -1038,12 +1074,31 @@ def parse_jpeg(blob: bytes, max_pixels: int = 1 << 26) -> dict:
     qts: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     sof = None
+    restart_interval = 0
     while True:
-        if pos + 4 > len(blob):
+        if pos + 2 > len(blob):
             raise ValueError("truncated marker segment")
         if blob[pos] != 0xFF:
             raise ValueError(f"expected marker, got 0x{blob[pos]:02X}")
-        marker = struct.unpack(">H", blob[pos : pos + 2])[0]
+        # legal 0xFF fill bytes may pad between segments (T.81
+        # B.1.1.2): the marker code is the first non-0xFF byte
+        while pos + 1 < len(blob) and blob[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(blob):
+            raise ValueError("truncated marker segment")
+        code = blob[pos + 1]
+        marker = 0xFF00 | code
+        if code == 0x00:
+            raise ValueError("invalid marker 0xFF00 outside entropy-coded data")
+        if code == 0x01 or 0xD0 <= code <= 0xD8:
+            # standalone (length-less) markers: TEM, stray RSTn before
+            # the scan, redundant SOI — skip, never read a length
+            pos += 2
+            continue
+        if marker == 0xFFD9:
+            raise ValueError("EOI before SOS (no image data)")
+        if pos + 4 > len(blob):
+            raise ValueError("truncated marker segment")
         (length,) = struct.unpack(">H", blob[pos + 2 : pos + 4])
         body = blob[pos + 4 : pos + 2 + length]
         if len(body) != length - 2:
@@ -1086,17 +1141,20 @@ def parse_jpeg(blob: bytes, max_pixels: int = 1 << 26) -> dict:
             comps = []
             for c in range(nc):
                 cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
-                if samp != 0x11:
-                    raise ValueError("unsupported: chroma subsampling")
-                comps.append((cid, tq))
+                hs, vs = samp >> 4, samp & 0x0F
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    raise ValueError(f"invalid sampling factor {hs}x{vs}")
+                comps.append((cid, hs, vs, tq))
             if h * w > max_pixels:
                 raise ValueError(f"image {w}x{h} exceeds max_pixels={max_pixels}")
             sof = (h, w, comps)
         elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
                         0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
             raise ValueError("unsupported: not baseline sequential (SOF0)")
-        elif marker == 0xFFDD:
-            raise ValueError("unsupported: restart intervals")
+        elif marker == 0xFFDD:  # DRI — restart every Ri MCUs (0 = off)
+            if len(body) < 2:
+                raise ValueError("truncated DRI segment")
+            (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xFFDA:  # SOS — entropy data follows
             if sof is None:
                 raise ValueError("SOS before SOF0")
@@ -1111,55 +1169,107 @@ def parse_jpeg(blob: bytes, max_pixels: int = 1 << 26) -> dict:
 
     h, w, comps = sof
     if len(scan_sel) != len(comps):
-        raise ValueError("scan/frame component mismatch")
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+        raise ValueError(
+            "unsupported: non-interleaved multi-scan"
+            if len(comps) > 1
+            else "scan/frame component mismatch"
+        )
+    if len(comps) == 1:
+        # a single-component scan is non-interleaved by definition
+        # (T.81 A.2.2): its MCU is one block over the full sample grid,
+        # whatever sampling byte the encoder wrote
+        comps = [(comps[0][0], 1, 1, comps[0][3])]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    for _cid, hs, vs, _tq in comps:
+        if hmax % hs or vmax % vs:
+            raise ValueError("unsupported: non-integer subsampling ratio")
     M = _dct_matrix()
     reader = _BitReader(blob, pos)
-    planes = [np.empty((ph, pw)) for _ in comps]
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    planes = [
+        np.empty((mcus_y * vs * 8, mcus_x * hs * 8)) for _cid, hs, vs, _tq in comps
+    ]
     preds = [0] * len(comps)
     qt_raster = []
-    for _cid, tq in comps:
+    for _cid, _hs, _vs, tq in comps:
         if tq not in qts:
             raise ValueError(f"missing quant table {tq}")
         qr = np.empty(64)
         for i, r in enumerate(_JPEG_ZIGZAG):
             qr[r] = qts[tq][i]
         qt_raster.append(qr.reshape(8, 8))
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            for ci, (_cs, td, ta) in enumerate(scan_sel):
-                dc_t = huff.get((0, td))
-                ac_t = huff.get((1, ta))
-                if dc_t is None or ac_t is None:
-                    raise ValueError("missing Huffman table for scan")
-                zz = [0] * 64
-                size = _huff_decode(reader, dc_t)
-                diff = _extend(reader.read_bits(size), size) if size else 0
-                preds[ci] += diff
-                zz[0] = preds[ci]
-                i = 1
-                while i < 64:
-                    sym = _huff_decode(reader, ac_t)
-                    if sym == 0x00:  # EOB
-                        break
-                    run, size = sym >> 4, sym & 0x0F
-                    if size == 0:
-                        if run != 15:
-                            raise ValueError("invalid AC symbol")
-                        i += 16  # ZRL
-                        continue
-                    i += run
-                    if i > 63:
-                        raise ValueError("AC run past block end")
-                    zz[i] = _extend(reader.read_bits(size), size)
-                    i += 1
-                S = np.empty(64)
-                for i, r in enumerate(_JPEG_ZIGZAG):
-                    S[r] = zz[i]
-                S = S.reshape(8, 8) * qt_raster[ci]
-                s = M.T @ S @ M + 128.0
-                planes[ci][by : by + 8, bx : bx + 8] = s
-    out = [np.clip(np.rint(p[:h, :w]), 0, 255) for p in planes]
+    comp_index = {cid: i for i, (cid, _hs, _vs, _tq) in enumerate(comps)}
+    order = []
+    for cs, td, ta in scan_sel:
+        if cs not in comp_index:
+            raise ValueError("scan references unknown component")
+        dc_t = huff.get((0, td))
+        ac_t = huff.get((1, ta))
+        if dc_t is None or ac_t is None:
+            raise ValueError("missing Huffman table for scan")
+        order.append((comp_index[cs], dc_t, ac_t))
+
+    def decode_block(ci, dc_t, ac_t):
+        zz = [0] * 64
+        size = _huff_decode(reader, dc_t)
+        diff = _extend(reader.read_bits(size), size) if size else 0
+        preds[ci] += diff
+        zz[0] = preds[ci]
+        i = 1
+        while i < 64:
+            sym = _huff_decode(reader, ac_t)
+            if sym == 0x00:  # EOB
+                break
+            run, size = sym >> 4, sym & 0x0F
+            if size == 0:
+                if run != 15:
+                    raise ValueError("invalid AC symbol")
+                i += 16  # ZRL
+                continue
+            i += run
+            if i > 63:
+                raise ValueError("AC run past block end")
+            zz[i] = _extend(reader.read_bits(size), size)
+            i += 1
+        S = np.empty(64)
+        for i, r in enumerate(_JPEG_ZIGZAG):
+            S[r] = zz[i]
+        S = S.reshape(8, 8) * qt_raster[ci]
+        return M.T @ S @ M + 128.0
+
+    mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                reader.expect_restart((mcu // restart_interval - 1) % 8)
+                preds = [0] * len(comps)
+            for ci, dc_t, ac_t in order:
+                _cid, hs, vs, _tq = comps[ci]
+                for vb in range(vs):
+                    for hb in range(hs):
+                        by = (my * vs + vb) * 8
+                        bx = (mx * hs + hb) * 8
+                        planes[ci][by : by + 8, bx : bx + 8] = decode_block(
+                            ci, dc_t, ac_t
+                        )
+            mcu += 1
+
+    out = []
+    for pi, (_cid, hs, vs, _tq) in enumerate(comps):
+        # component sample grid (T.81 A.1.1), rounded THEN replicated:
+        # upsampling copies decoded samples, so solid-color closed
+        # forms survive subsampling exactly
+        cw = (w * hs + hmax - 1) // hmax
+        ch = (h * vs + vmax - 1) // vmax
+        p = np.clip(np.rint(planes[pi][:ch, :cw]), 0, 255)
+        fy, fx = vmax // vs, hmax // hs
+        if fy > 1:
+            p = np.repeat(p, fy, axis=0)
+        if fx > 1:
+            p = np.repeat(p, fx, axis=1)
+        out.append(p[:h, :w])
     n = h * w or 1
     if len(out) == 1:
         return {
@@ -1253,24 +1363,66 @@ def decode_jpeg_features(
 
 
 def synth_jpeg_color(
-    width: int, height: int, rgb: tuple[int, int, int], q_dc: int = 8, q_ac: int = 16
+    width: int,
+    height: int,
+    rgb: tuple[int, int, int],
+    q_dc: int = 8,
+    q_ac: int = 16,
+    sampling: tuple = ((1, 1), (1, 1), (1, 1)),
+    restart_interval: int = 0,
 ) -> bytes:
-    """Three-component 4:4:4 baseline JPEG of a solid RGB color (the
+    """Three-component baseline JPEG of a solid RGB color (the
     decoder's color path under test: interleaved Y/Cb/Cr MCUs, per-
     component DC predictors, BT.601 conversion). All components share
     quant table 0 and the Annex-K luma Huffman tables — legal, and it
-    keeps the solid-color DC-exactness argument intact per plane."""
-    import struct
+    keeps the solid-color DC-exactness argument intact per plane.
 
-    import numpy as np
-
+    ``sampling`` gives (h, v) factors per component — the default is
+    4:4:4; ``((2, 2), (1, 1), (1, 1))`` is the production-standard
+    4:2:0 and ``((2, 1), (1, 1), (1, 1))`` 4:2:2; for a SOLID color
+    chroma subsampling is exact, so the closed-form oracle carries
+    over. ``restart_interval`` > 0 emits a DRI segment and an RSTn
+    (cycling modulo 8) after every that-many MCUs, resetting the DC
+    predictors — the structure virtually every production encoder
+    writes."""
     r, g, b = (float(c) for c in rgb)
     y = round(0.299 * r + 0.587 * g + 0.114 * b)
     cb = round(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b)
     cr = round(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b)
-    planes = [min(255, max(0, int(v))) for v in (y, cb, cr)]
+    planes = tuple(min(255, max(0, int(v))) for v in (y, cb, cr))
+    return synth_jpeg_ycc(
+        width,
+        height,
+        planes,
+        q_dc=q_dc,
+        q_ac=q_ac,
+        sampling=sampling,
+        restart_interval=restart_interval,
+    )
 
-    ph, pw = -(-height // 8) * 8, -(-width // 8) * 8
+
+def synth_jpeg_ycc(
+    width: int,
+    height: int,
+    ycc: tuple[int, int, int],
+    q_dc: int = 8,
+    q_ac: int = 16,
+    sampling: tuple = ((1, 1), (1, 1), (1, 1)),
+    restart_interval: int = 0,
+) -> bytes:
+    """:func:`synth_jpeg_color`'s encoder with the Y/Cb/Cr values given
+    DIRECTLY — the color-corpus generator uses this so its closed-form
+    oracle never has to reproduce the RGB→YCbCr forward rounding, only
+    the decoder's (integer-exact) inverse."""
+    import struct
+
+    import numpy as np
+
+    planes = [min(255, max(0, int(v))) for v in ycc]
+    hmax = max(hs for hs, _ in sampling)
+    vmax = max(vs for _, vs in sampling)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
     qt_zz = [q_dc] + [q_ac] * 63
     M = _dct_matrix()
     dc_c = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
@@ -1281,28 +1433,130 @@ def synth_jpeg_color(
     for i, rr in enumerate(_JPEG_ZIGZAG):
         qt_raster[rr] = qt_zz[i]
     qt_raster = qt_raster.reshape(8, 8)
-    for _by in range(0, ph, 8):
-        for _bx in range(0, pw, 8):
+    mcu = 0
+    for _my in range(mcus_y):
+        for _mx in range(mcus_x):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                w.restart((mcu // restart_interval - 1) % 8)
+                preds = [0, 0, 0]
             for ci, v in enumerate(planes):
                 s = np.full((8, 8), float(v)) - 128.0
                 q = np.rint((M @ s @ M.T) / qt_raster).astype(np.int64)
                 zz = [int(q.flat[rr]) for rr in _JPEG_ZIGZAG]
-                preds[ci] = _encode_block(w, zz, preds[ci], dc_c, ac_c)
+                for _ in range(sampling[ci][0] * sampling[ci][1]):
+                    preds[ci] = _encode_block(w, zz, preds[ci], dc_c, ac_c)
+            mcu += 1
     scan = w.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
 
     dqt = seg(0xFFDB, bytes([0x00]) + bytes(qt_zz))
-    sof = seg(
-        0xFFC0,
-        struct.pack(">BHHB", 8, height, width, 3)
-        + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    sof_comps = b"".join(
+        bytes([cid, (hs << 4) | vs, 0])
+        for cid, (hs, vs) in zip((1, 2, 3), sampling)
     )
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 3) + sof_comps)
     dht = seg(
         0xFFC4,
         bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
         + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
     )
+    dri = (
+        seg(0xFFDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
-    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+    return b"\xff\xd8" + dqt + sof + dht + dri + sos + scan + b"\xff\xd9"
+
+
+JPEG_COLOR_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("n_pixels", T.LongType(), False),
+        T.StructField("n_components", T.IntegerType(), False),
+        T.StructField("mean_luma", T.DoubleType(), False),
+        T.StructField("mean_r", T.DoubleType(), False),
+        T.StructField("mean_g", T.DoubleType(), False),
+        T.StructField("mean_b", T.DoubleType(), False),
+    ]
+)
+
+_JPEG_CORPUS_SAMPLINGS = (
+    ((1, 1), (1, 1), (1, 1)),  # 4:4:4
+    ((2, 1), (1, 1), (1, 1)),  # 4:2:2
+    ((2, 2), (1, 1), (1, 1)),  # 4:2:0 — the production default
+)
+
+
+def synthesize_jpeg_color_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic COLOR JPEG corpus exercising the production-shaped
+    decoder paths: width = 6 + id%11, height = 4 + id%9 (MCU pad/crop
+    on every sampling geometry), solid Y/Cb/Cr = (id%256, (3·id+7)%256,
+    (5·id+11)%256), chroma sampling cycling 4:4:4 / 4:2:2 / 4:2:0 by
+    id%3, restart interval id%4 MCUs (0 = no DRI). Solid planes are
+    DC-exact (quant DC step 8) and replication upsampling copies exact
+    samples, so the decoded means keep closed forms through
+    subsampling AND restarts — the lane stays hash-checked against
+    DuckDB (``ORACLE_MEDIA_JPEG_COLOR``)."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [
+                        synth_jpeg_ycc(
+                            6 + (i % 11),
+                            4 + (i % 9),
+                            (i % 256, (3 * i + 7) % 256, (5 * i + 11) % 256),
+                            sampling=_JPEG_CORPUS_SAMPLINGS[i % 3],
+                            restart_interval=int(i % 4),
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+    return df.mapInPandas(synth, schema)
+
+
+def decode_jpeg_color_features(
+    df: DataFrame, payload: str = "payload", media_id: str = "media_id"
+) -> DataFrame:
+    """Arrow-batched ``mapInPandas`` over binary color JPEG payloads →
+    dimensions + per-channel means. Blobs never shuffle."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[media_id], pdf[payload]):
+                f = parse_jpeg(bytes(blob))
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": f["width"],
+                        "height": f["height"],
+                        "n_pixels": f["n_pixels"],
+                        "n_components": f["n_components"],
+                        "mean_luma": f["mean_luma"],
+                        "mean_r": f["mean_r"],
+                        "mean_g": f["mean_g"],
+                        "mean_b": f["mean_b"],
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in JPEG_COLOR_FEATURE_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(decode, JPEG_COLOR_FEATURE_SCHEMA)

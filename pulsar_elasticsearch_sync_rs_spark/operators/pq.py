@@ -828,3 +828,58 @@ def maintain_ivfpq_index(
         fh.write(version)
     os.replace(tmp, os.path.join(path, "_CURRENT"))  # atomic repoint
     return {**report, "retrained": True, "version": version}
+
+
+_FLAT_MEMBERS = ("codes", "centers", "codebooks", "stats")
+
+
+def prune_ivfpq_versions(path: str, keep: int = 1) -> dict:
+    """The janitor :func:`maintain_ivfpq_index` defers to: every retrain
+    leaves its predecessor's full artifact (codes + centers + codebooks
+    + stats) on disk for in-flight readers, so ``v1..vN`` accumulate
+    forever. Delete every generation except the newest ``keep`` version
+    subdirectories — and NEVER the ``_CURRENT``-reachable root, even at
+    ``keep=0``: a reader that resolved the marker a moment ago must
+    keep reading a complete artifact (run the prune once no reader can
+    still hold a pre-repoint root, the same quiesce rule the
+    maintenance docstring states).
+
+    The pre-``v1`` FLAT generation (artifacts directly in ``path``,
+    from a plain :func:`persist_ivfpq_index` build) is always the
+    OLDEST — once ``_CURRENT`` points at a version, its member dirs are
+    pruned too; while ``_CURRENT`` is absent (never retrained) the flat
+    root IS current and is never touched. Same driver-local ``os.path``
+    envelope as ``_resolve_ivfpq_root``.
+
+    Returns ``{"current", "kept", "deleted"}``."""
+    import os
+    import shutil
+
+    cur_root = os.path.abspath(_resolve_ivfpq_root(path))
+    flat_is_current = cur_root == os.path.abspath(path)
+    versions = sorted(
+        (int(d[1:]), d)
+        for d in os.listdir(path)
+        if d.startswith("v")
+        and d[1:].isdigit()
+        and os.path.isdir(os.path.join(path, d))
+    )
+    retained = {d for _, d in versions[len(versions) - min(len(versions), max(0, int(keep))):]}
+    if not flat_is_current:
+        retained.add(os.path.basename(cur_root))
+    deleted: list[str] = []
+    for _, d in versions:
+        if d not in retained:
+            shutil.rmtree(os.path.join(path, d))
+            deleted.append(d)
+    if not flat_is_current:
+        for member in _FLAT_MEMBERS:
+            p = os.path.join(path, member)
+            if os.path.exists(p):
+                shutil.rmtree(p)
+                deleted.append(member)
+    return {
+        "current": "." if flat_is_current else os.path.basename(cur_root),
+        "kept": sorted(retained),
+        "deleted": deleted,
+    }

@@ -1962,6 +1962,66 @@ FROM documents
 """
 
 
+def q_media_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION-shaped JPEG decode lane: per document a solid
+    COLOR baseline JPEG whose chroma sampling cycles 4:4:4 / 4:2:2 /
+    4:2:0 (id%3) with a restart interval of id%4 MCUs — the structure
+    real camera/web encoders emit (4:2:0 + DRI dominates real corpora),
+    decoded through the full T.81 path: MCU interleave with sampling
+    factors, RSTn resync with DC-predictor resets, replication chroma
+    upsample (T.871), BT.601 YCbCr→RGB. Solid planes are DC-exact and
+    replication copies exact samples, so every per-channel mean keeps a
+    closed form and the lane is fully hash-checked — subsampling and
+    restarts included (reference parity note: the reference pipeline
+    treats payloads as opaque bytes; this lane is part of the
+    driver-mandated multimodal surface, not a reference port)."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.multimodal import (
+        decode_jpeg_color_features,
+        synthesize_jpeg_color_corpus,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    jpgs = synthesize_jpeg_color_corpus(docs, id_col="doc_id")
+    return decode_jpeg_color_features(jpgs).select(
+        "media_id",
+        "width",
+        "height",
+        "n_pixels",
+        "n_components",
+        F.round("mean_luma", 6).alias("mean_luma"),
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
+# closed-form twin of synthesize_jpeg_color_corpus + parse_jpeg: solid
+# Y/Cb/Cr = (id%256, (3id+7)%256, (5id+11)%256) survive subsampling +
+# restarts exactly (DC-exact blocks, replication upsample), so only the
+# decoder's integer inverse transform appears here: round then clamp,
+# per T.871 BT.601. The two id classes whose pre-clamp value lands on
+# an exact .5 (ids≡82,84 mod 256 → 303.5 / −137.5) clamp to 255/0 under
+# either rounding convention, so DuckDB's half-away ROUND matches
+# numpy's banker's rint on every value this corpus can produce
+# (exhaustively checked over the full 256-tuple cycle).
+ORACLE_MEDIA_JPEG_COLOR = """
+SELECT doc_id AS media_id,
+  CAST(6 + doc_id % 11 AS INT) AS width,
+  CAST(4 + doc_id % 9 AS INT) AS height,
+  CAST((6 + doc_id % 11) * (4 + doc_id % 9) AS BIGINT) AS n_pixels,
+  CAST(3 AS INT) AS n_components,
+  CAST(doc_id % 256 AS DOUBLE) AS mean_luma,
+  LEAST(255.0, GREATEST(0.0, ROUND(
+    (doc_id % 256) + 1.402 * ((5 * doc_id + 11) % 256 - 128.0)))) AS mean_r,
+  LEAST(255.0, GREATEST(0.0, ROUND(
+    (doc_id % 256) - 0.344136 * ((3 * doc_id + 7) % 256 - 128.0)
+                   - 0.714136 * ((5 * doc_id + 11) % 256 - 128.0)))) AS mean_g,
+  LEAST(255.0, GREATEST(0.0, ROUND(
+    (doc_id % 256) + 1.772 * ((3 * doc_id + 7) % 256 - 128.0)))) AS mean_b
+FROM documents
+"""
+
+
 def q_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compression-ratio quality signal — the cheap universal
     boilerplate/noise detector real curation pipelines run: docs whose
