@@ -836,27 +836,35 @@ _FLAT_MEMBERS = ("codes", "centers", "codebooks", "stats")
 def prune_ivfpq_versions(path: str, keep: int = 1) -> dict:
     """The janitor :func:`maintain_ivfpq_index` defers to: every retrain
     leaves its predecessor's full artifact (codes + centers + codebooks
-    + stats) on disk for in-flight readers, so ``v1..vN`` accumulate
-    forever. Delete every generation except the newest ``keep`` version
-    subdirectories — and NEVER the ``_CURRENT``-reachable root, even at
-    ``keep=0``: a reader that resolved the marker a moment ago must
-    keep reading a complete artifact (run the prune once no reader can
-    still hold a pre-repoint root, the same quiesce rule the
-    maintenance docstring states).
+    + stats) on disk for in-flight readers, so generations accumulate
+    forever. Delete all but the newest ``keep`` PREDECESSOR generations
+    — generations strictly older than the ``_CURRENT``-reachable root,
+    with the pre-``v1`` FLAT build (artifacts directly in ``path``)
+    counting as the oldest predecessor. ``keep=1`` therefore retains
+    one complete fallback an in-flight reader may still be resolving;
+    ``keep=0`` deletes every predecessor.
 
-    The pre-``v1`` FLAT generation (artifacts directly in ``path``,
-    from a plain :func:`persist_ivfpq_index` build) is always the
-    OLDEST — once ``_CURRENT`` points at a version, its member dirs are
-    pruned too; while ``_CURRENT`` is absent (never retrained) the flat
-    root IS current and is never touched. Same driver-local ``os.path``
-    envelope as ``_resolve_ivfpq_root``.
+    Never touched, at any ``keep``:
+      - the current root itself (a reader that resolved the marker a
+        moment ago must keep reading a complete artifact — run the
+        prune once no reader can still hold a pre-repoint root, the
+        quiesce rule the maintenance docstring states);
+      - versions NEWER than current: a ``v<N+1>`` directory without a
+        repointed marker is a retrain in flight (or its crash residue,
+        which the next retrain overwrites) — deleting it here would
+        race :func:`maintain_ivfpq_index` mid-build;
+      - the flat members while ``_CURRENT`` is absent (the flat root
+        IS current then).
 
+    Same driver-local ``os.path`` envelope as ``_resolve_ivfpq_root``.
     Returns ``{"current", "kept", "deleted"}``."""
     import os
     import shutil
 
     cur_root = os.path.abspath(_resolve_ivfpq_root(path))
     flat_is_current = cur_root == os.path.abspath(path)
+    cur_name = "." if flat_is_current else os.path.basename(cur_root)
+    cur_n = 0 if flat_is_current else int(cur_name[1:])
     versions = sorted(
         (int(d[1:]), d)
         for d in os.listdir(path)
@@ -864,22 +872,27 @@ def prune_ivfpq_versions(path: str, keep: int = 1) -> dict:
         and d[1:].isdigit()
         and os.path.isdir(os.path.join(path, d))
     )
-    retained = {d for _, d in versions[len(versions) - min(len(versions), max(0, int(keep))):]}
-    if not flat_is_current:
-        retained.add(os.path.basename(cur_root))
+    # predecessors, oldest → newest: the flat generation (if it is not
+    # itself current and has artifact members on disk), then v<n<cur>
+    preds: list[str] = []
+    if not flat_is_current and any(
+        os.path.exists(os.path.join(path, m)) for m in _FLAT_MEMBERS
+    ):
+        preds.append(".")
+    preds += [d for n, d in versions if n < cur_n]
+    retained = set(preds[len(preds) - min(len(preds), max(0, int(keep))):])
     deleted: list[str] = []
-    for _, d in versions:
-        if d not in retained:
+    for d in preds:
+        if d in retained:
+            continue
+        if d == ".":
+            for member in _FLAT_MEMBERS:
+                p = os.path.join(path, member)
+                if os.path.exists(p):
+                    shutil.rmtree(p)
+                    deleted.append(member)
+        else:
             shutil.rmtree(os.path.join(path, d))
             deleted.append(d)
-    if not flat_is_current:
-        for member in _FLAT_MEMBERS:
-            p = os.path.join(path, member)
-            if os.path.exists(p):
-                shutil.rmtree(p)
-                deleted.append(member)
-    return {
-        "current": "." if flat_is_current else os.path.basename(cur_root),
-        "kept": sorted(retained),
-        "deleted": deleted,
-    }
+    kept = sorted(retained) + [cur_name] + [d for n, d in versions if n > cur_n]
+    return {"current": cur_name, "kept": kept, "deleted": deleted}

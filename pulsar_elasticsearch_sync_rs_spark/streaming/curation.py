@@ -115,6 +115,9 @@ def _read_bucket_spec(spark, path: str) -> tuple[str, int] | None:
     return (col, int(n)) if n.isdigit() else None
 
 
+_VALIDATED_CATALOG_ENTRIES: set[tuple[str, str, str, int]] = set()
+
+
 def _assert_catalog_entry_matches(
     spark, table: str, path: str, bucket_col: str, n_buckets: int
 ) -> None:
@@ -125,7 +128,16 @@ def _assert_catalog_entry_matches(
     guard entirely (the sidecar is only consulted on the
     re-registration path). Assert the catalog entry's location and
     bucket spec against the caller's config; a mismatch is the same
-    loud drift error as the sidecar check, never a guess."""
+    loud drift error as the sidecar check, never a guess.
+
+    A (table, path, spec) tuple that validated once is cached for the
+    process lifetime: this check sits on the streaming hot path (sha +
+    bands writes and reads, every trigger), and the config it validates
+    cannot drift within a session without going through the same
+    loud-create/loud-register paths."""
+    key = (table, path.rstrip("/"), bucket_col, int(n_buckets))
+    if key in _VALIDATED_CATALOG_ENTRIES:
+        return
     rows = {
         r.col_name: (r.data_type or "")
         for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
@@ -148,6 +160,7 @@ def _assert_catalog_entry_matches(
             "table name is already taken by a different index; use a "
             "distinct table name (or the original config)"
         )
+    _VALIDATED_CATALOG_ENTRIES.add(key)
 
 
 def _bucketed_table_ready(
@@ -319,7 +332,9 @@ def _write_compact_state(spark, path: str, slot: int, watermark: int) -> None:
     out.close()
     if fs.exists(dst):
         fs.delete(dst, False)
-    fs.rename(tmp, dst)
+    # Hadoop rename reports failure by RETURNING false, not raising
+    if not fs.rename(tmp, dst):
+        raise IOError(f"could not commit {dst} (rename returned false)")
 
 
 def _read_compact_state(spark, path: str) -> tuple[int, int] | None:
@@ -416,24 +431,22 @@ def compact_index_batches(
     its cost is one shuffle of the (skinny: hashes + ids, never text)
     index — the amortized price of O(1) partition count.
 
-    Crash safety / idempotency, in write order:
-      1. fold INSERT commits into the fresh slot — a crash before the
-         state write leaves the new slot as an unreferenced duplicate
-         (set-semantics reads stay correct; the next run deletes it via
-         the defensive path and re-folds from the still-present
-         sources);
-      2. ``_COMPACT_STATE`` (active slot + watermark) lands atomically;
-      3. folded sources are dropped (catalog partition, then files) —
-         a crash mid-delete leaves duplicates that the next run's
-         cleanup phase removes WITHOUT reading them (they are ≤ the
-         recorded watermark / non-active negative slots, both known
-         subsets of the active generation).
-    If the state file itself is lost, the defensive path folds
-    EVERYTHING present (all batch dirs and all negative generations)
-    into a fresh slot — duplicates collapse, nothing is lost, because
-    sources are only ever deleted AFTER the state naming their
-    replacement committed.
-
+    Crash safety / idempotency: NOTHING is ever deleted that was not
+    folded into the new generation BY THIS RUN — there is no
+    trust-the-state cleanup path, so no state corruption, watermark
+    staleness, or batch-id reuse (a stream restarted on a FRESH
+    checkpoint restarts ids at 0, below any recorded watermark) can
+    turn into data loss. In write order:
+      1. the fold INSERT commits into a fresh slot (every source —
+         closed batches AND every existing negative generation,
+         including crash-leftover duplicates — was read into it);
+      2. ``_COMPACT_STATE`` (slot + fold high-watermark) lands
+         atomically — purely INFORMATIONAL (reports, tests), never a
+         deletion authority;
+      3. the sources just folded are dropped (catalog partition, then
+         files). A crash between 1 and 3 leaves duplicate generations;
+         the next run treats them as sources again (a re-read of
+         identical rows, collapsed by the fold) and converges.
     Duplicates are harmless throughout because both consumers treat
     the index as a SET (anti-join membership; band candidates are
     ``.distinct()``-ed), which is what makes every crash window above
@@ -442,13 +455,13 @@ def compact_index_batches(
     Concurrency: run between micro-batches (the ``compact_every`` hook
     of ``run_curation_ingest`` does exactly that, inside the
     sequential foreachBatch) or while the stream is stopped. ``retain``
-    newest open batches are never touched, so the one batch a
-    checkpointed restart can replay keeps its own overwritable slice;
-    an explicit ``watermark`` overrides that (``retain=0`` /
-    ``watermark=max`` are for stopped streams only). A reader planned
-    BEFORE a fold commits may list files the delete phase removes —
-    within the single-writer foreachBatch envelope that reader ordering
-    cannot happen.
+    newest batch slices present are never touched — whatever their
+    ids, so the rule survives batch-id restarts — keeping the one
+    batch a checkpointed restart can replay overwritable; an explicit
+    ``watermark`` overrides that (``retain=0`` / ``watermark=max`` are
+    for stopped streams only). A reader planned BEFORE a fold commits
+    may list files the delete phase removes — within the single-writer
+    foreachBatch envelope that reader ordering cannot happen.
 
     Returns a report dict: folded batch ids, previous/new slot, files
     folded vs slot files after, partitions before/after.
@@ -466,40 +479,20 @@ def compact_index_batches(
         }
 
     state = _read_compact_state(spark, path)
+    active, prev_w = state if state is not None else (None, -1)
     present = _list_partition_ids(spark, path)
     parts_before = len(present)
 
-    # phase 0 — cleanup: remove crash leftovers WITHOUT reading them.
-    # With recorded state, anything ≤ watermark or any non-active
-    # negative generation is a folded source whose replacement already
-    # committed. With NO state, nothing is provably folded — delete
-    # nothing, fold everything (defensive superset).
-    if state is not None:
-        active, prev_w = state
-        for b in sorted(present):
-            if (0 <= b <= prev_w) or (b < 0 and b != active):
-                _drop_slice(spark, table, path, b, present[b])
-                del present[b]
-        sources = {b: present[b] for b in present if b < 0}  # the active slot
-    else:
-        active, prev_w = None, -1
-        sources = {b: present[b] for b in present if b < 0}
-
+    # every negative generation is a fold source: the active one plus
+    # any crash leftovers (never deleted unread — see docstring)
+    sources = {b: present[b] for b in present if b < 0}
     open_ids = sorted(b for b in present if b >= 0)
     if watermark is None:
-        if len(open_ids) <= max(0, int(retain)):
-            return {
-                "folded_batches": [],
-                "slot": active,
-                "watermark": prev_w,
-                "partitions_before": parts_before,
-                "partitions_after": len(present),
-                "files_folded": 0,
-                "slot_files": 0,
-            }
-        keep = int(retain)
-        watermark = open_ids[-(keep + 1)] if keep > 0 else open_ids[-1]
-    closed = {b: present[b] for b in open_ids if b <= int(watermark)}
+        keep = max(0, int(retain))
+        closed_ids = open_ids[: len(open_ids) - keep]
+    else:
+        closed_ids = [b for b in open_ids if b <= int(watermark)]
+    closed = {b: present[b] for b in closed_ids}
     if not closed and len(sources) <= 1:
         return {
             "folded_batches": [],
@@ -531,7 +524,7 @@ def compact_index_batches(
     finally:
         spark.catalog.dropTempView(view)
 
-    new_w = max([int(watermark), prev_w] + list(closed))
+    new_w = max([prev_w] + list(closed))
     _write_compact_state(spark, path, new_slot, new_w)
     for b, p in fold.items():
         _drop_slice(spark, table, path, b, p)

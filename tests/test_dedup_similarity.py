@@ -1497,12 +1497,21 @@ def test_ivfpq_maintenance_retrains_on_drift_and_repoints(spark, sf_dir, tmp_pat
             spark, path, corpus2, queries, k=5, nprobe=4
         ).collect()
     }
-    # keep=0 still refuses to delete the current root
-    rep_keep0 = prune_ivfpq_versions(path, keep=0)
-    assert "v2" in rep_keep0["kept"] and "v2" not in rep_keep0["deleted"]
-    assert os.path.isdir(os.path.join(path, "v2", "codes"))
-    rep_prune = prune_ivfpq_versions(path, keep=1)
-    assert rep_prune["current"] == "v2"
+    # keep=1 retains exactly ONE complete predecessor for in-flight
+    # readers: v1 stays, the older flat generation goes
+    rep1k = prune_ivfpq_versions(path, keep=1)
+    assert rep1k["current"] == "v2" and "v1" in rep1k["kept"]
+    assert "codes" in rep1k["deleted"] and "v1" not in rep1k["deleted"]
+    assert os.path.isdir(os.path.join(path, "v1", "codes"))
+    assert not os.path.exists(os.path.join(path, "codes"))
+    # a version NEWER than current is an in-flight retrain - never
+    # deleted, at any keep; keep=0 then drops the last predecessor
+    os.makedirs(os.path.join(path, "v3"))
+    rep0k = prune_ivfpq_versions(path, keep=0)
+    assert "v3" in rep0k["kept"] and "v3" not in rep0k["deleted"]
+    assert "v2" in rep0k["kept"] and "v1" in rep0k["deleted"]
+    assert os.path.isdir(os.path.join(path, "v3"))
+    os.rmdir(os.path.join(path, "v3"))
     left = sorted(d for d in os.listdir(path) if not d.startswith("_"))
     assert left == ["v2"], left  # v1 AND the flat codes/centers/... gone
     post_prune = {
