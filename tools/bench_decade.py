@@ -11,7 +11,14 @@ documents/embeddings (a partial fixture suffices); the `rel` lanes
 read the full relational pack (lineitem/orders/events — build every
 table). The warm-up loop warms whatever parquet the fixture holds.
 
-Run:  python tools/bench_decade.py [SMALL_DIR] [BIG_DIR] [REPS] [text|rel|q_a,q_b]
+Run:  python tools/bench_decade.py [SMALL_DIR] [BIG_DIR] [REPS] [text|rel|q_a,q_b] [count|noop]
+
+Action `noop` executes each lane through a noop WRITE instead of
+`.count()`: a count action lets Catalyst prune every column the final
+aggregate doesn't need — for window lanes that deletes the window
+projection itself, so the decade row measures scan+sort only. The noop
+write materializes every output column (same mechanism as bench.py's
+zero-shuffle pin) at the cost of losing the row-count printout.
 """
 
 from __future__ import annotations
@@ -55,11 +62,18 @@ def main() -> None:
     big = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf10"
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     sel = sys.argv[4] if len(sys.argv) > 4 else "text"
+    action = sys.argv[5] if len(sys.argv) > 5 else "count"
     lanes = (
         TEXT_LANES if sel == "text"
         else REL_LANES if sel == "rel"
         else sel.split(",")
     )
+
+    def run(df):
+        if action == "noop":
+            df.write.format("noop").mode("overwrite").save()
+            return -1
+        return df.count()
     spark = get_spark(app_name="bench_decade", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     qs = {**entrymod.queries(), **entrymod.extra_queries()}
 
@@ -70,11 +84,11 @@ def main() -> None:
                 spark.read.parquet(f"{sf_dir}/{f}").count()
         for name in lanes:
             fn = qs[name]
-            fn(spark, sf_dir).count()  # untimed warm-up
+            run(fn(spark, sf_dir))  # untimed warm-up
             walls = []
             for _ in range(reps):
                 t0 = time.perf_counter()
-                n = fn(spark, sf_dir).count()
+                n = run(fn(spark, sf_dir))
                 walls.append(time.perf_counter() - t0)
             best = round(min(walls), 3)
             out.setdefault(name, {})[sf_dir] = best
