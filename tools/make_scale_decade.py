@@ -17,7 +17,9 @@ Construction (deterministic, seed-free except where noted):
   become globally unique — content-hash dedup keeps its real regime
   instead of collapsing 90% of a replicated stream).
 - documents: R replicas where replica i>0 suffixes EVERY token with
-  ``_i`` — vocabularies of different replicas are disjoint, so no
+  ``_<i>.<SHIFT>`` (SHIFT makes the suffix unique per nesting level,
+  exactly like the id shift) — vocabularies of different replicas are
+  disjoint EVEN when the source is itself a decade output, so no
   artificial cross-replica near-dups are created and every similarity
   ground truth (exact-dup groups, Jaccard pairs, minhash buckets,
   PPJoin prefix df profile) scales EXACTLY by R. This mimics how a
@@ -136,9 +138,17 @@ def main() -> None:
     def mutate_docs(d, i):
         if i == 0:
             return d
-        # disjoint vocabulary per replica: suffix every token
+        # disjoint vocabulary per replica: suffix every token. The
+        # suffix embeds SHIFT so it is unique PER NESTING LEVEL, same
+        # rule as the id shift: a bare "_<i>" collides when the source
+        # is itself a decade output — level-1 replica i (unchanged
+        # inside level-2 replica 0) and level-2 replica i of level-1
+        # replica 0 both read "tok_<i>", planting R·n_docs cross-replica
+        # EXACT dups that break every "ground truth scales by R" claim
+        # (found by the round-9 minhash decade: 45,072 phantom J=1.0
+        # cross-replica pairs at sf10).
         return d.withColumn(
-            "text", F.regexp_replace("text", r"(\S+)", r"$1_%d" % i)
+            "text", F.regexp_replace("text", r"(\S+)", r"$1_%d.%d" % (i, SHIFT))
         ).withColumn("n_chars", F.length("text"))
 
     if wanted("documents"):
