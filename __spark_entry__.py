@@ -231,6 +231,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_substring_dedup": _wrap(L.q_substring_dedup),  # substring dedup APPLIED: keep-first 20-gram excision (Lee et al.)
         "q_chunk_overlap": _wrap(L.q_chunk_overlap),  # sliding-window chunking: overlapping token windows with lineage
         "q_bigram_logprob": _wrap(L.q_bigram_logprob),  # interpolated bigram LM scoring (CCNet-step past the unigram lane)
+        "q_scd2_apply": _wrap(A.q_scd2_apply),  # SCD2 CDC merge: base never shuffles, change side broadcast
+        "q_zorder_scan": _wrap(A.q_zorder_scan),  # Z-order layout round-trip (pruning mechanism pinned in test_layout)
+        "q_embed_pca": _wrap(L.q_embed_pca),  # distributed PCA fit+project (rows-only; numpy-parity pytest)
     }
 
 
@@ -277,4 +280,6 @@ def extra_oracle_sql() -> dict[str, str]:
         "q_substring_dedup": L.ORACLE_SUBSTRING_DEDUP,
         "q_chunk_overlap": L.ORACLE_CHUNK_OVERLAP,
         "q_bigram_logprob": L.ORACLE_BIGRAM_LOGPROB,
+        "q_scd2_apply": A.ORACLE_SCD2_APPLY,
+        "q_zorder_scan": A.ORACLE_ZORDER_SCAN,
     }

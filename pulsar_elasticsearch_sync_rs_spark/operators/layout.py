@@ -136,6 +136,121 @@ def persist_bucketed(
     )
 
 
+def zorder_key(df: DataFrame, cluster_cols: list[str], bits: int = 8,
+               relative_error: float = 0.001):
+    """Column expression: the Morton (Z-order) key of ``cluster_cols``
+    — the multi-column generalization of :func:`persist_clustered`'s
+    1-D sort. Sorting by an interleaved-bit key keeps rows that are
+    close in EVERY cluster dimension close in the file order, so
+    row-group min/max stats become selective on ALL the columns at
+    once instead of only the leading sort key (Delta/Iceberg's
+    OPTIMIZE ZORDER discipline, expressed with stock Spark).
+
+    Mechanics: one `approxQuantile` pass computes ``2^bits − 1``
+    cut points per column (driver-side, ≤ a few KB — the only
+    collected state), then a vectorized Arrow pandas UDF maps each
+    value to its quantile rank via ``np.searchsorted`` and interleaves
+    the rank bits. Quantile ranks rather than min/max scaling make the
+    key skew-proof: each of the ``2^bits`` cells along a dimension
+    holds ~equal row count whatever the value distribution. Only the
+    cluster columns cross the Python boundary; at 100 TB the pass is
+    one extra narrow map over the write path.
+
+    Numeric / date / timestamp / boolean columns only: hashing would
+    admit strings but destroys the locality that IS the point — raise
+    instead so the caller picks a meaningful dimension. Nulls (and
+    int64 precision beyond 2^53, coarsened by the float64 rank space)
+    land in the top cell — a layout heuristic, never semantics.
+    ``bits × len(cluster_cols)`` must fit a signed long (≤ 63).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if not cluster_cols:
+        raise ValueError("cluster_cols must name at least one column")
+    n_cols = len(cluster_cols)
+    if bits < 1 or bits * n_cols > 63:
+        raise ValueError(
+            f"bits ({bits}) x columns ({n_cols}) must stay within a signed "
+            "long (<= 63 interleaved bits)"
+        )
+    dtypes = dict(df.dtypes)
+    casts = []
+    for c in cluster_cols:
+        t = dtypes[c]
+        if t in ("date", "boolean") or t.startswith("timestamp"):
+            casts.append(F.col(c).cast("long").cast("double").alias(c))
+        elif t in ("tinyint", "smallint", "int", "bigint", "float",
+                   "double") or t.startswith("decimal"):
+            casts.append(F.col(c).cast("double").alias(c))
+        else:
+            raise ValueError(
+                f"zorder_key: column {c!r} has type {t}; z-ordering needs an "
+                "ordered numeric/temporal dimension (hashing a string would "
+                "discard the locality the layout exists to create)"
+            )
+    probs = [i / float(1 << bits) for i in range(1, 1 << bits)]
+    # a degenerate column (constant / heavy ties) may yield repeated cut
+    # points — searchsorted(side="right") can then rank ties past the
+    # last cell, clipped inside the UDF
+    bounds = [
+        np.asarray(b, dtype=np.float64)
+        for b in df.select(*casts).approxQuantile(
+            cluster_cols, probs, relative_error
+        )
+    ]
+
+    # no signature type hints: PySpark's hint inference rejects a
+    # varargs (*series) pandas signature; the explicit returnType rules
+    @F.pandas_udf(T.LongType())
+    def _zkey(*series):
+        n = len(series[0])
+        out = np.zeros(n, dtype=np.uint64)
+        for j, (s, bnd) in enumerate(zip(series, bounds)):
+            v = s.to_numpy(dtype=np.float64, na_value=np.inf)
+            rank = np.searchsorted(bnd, v, side="right").astype(np.uint64)
+            np.clip(rank, 0, (1 << bits) - 1, out=rank)
+            for bit in range(bits):
+                out |= ((rank >> np.uint64(bit)) & np.uint64(1)) << np.uint64(
+                    bit * len(series) + j
+                )
+        return pd.Series(out.astype(np.int64))
+
+    return _zkey(*casts)
+
+
+def persist_zordered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    bits: int = 8,
+    n_files: int = 8,
+    max_records_per_file: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as parquet Z-ordered on ``cluster_cols``: range
+    partition on the Morton key (each output file owns a contiguous
+    z-range = a compact region of the multi-dim space), sort within,
+    drop the key. A pushed filter on ANY of the cluster columns then
+    prunes the files/row groups whose region misses the predicate —
+    the layout-side complement to predicate pushdown that 1-D
+    clustering only provides for its leading column. The key UDF is
+    evaluated in the exchange stage only (it never reaches the files).
+    """
+    zdf = df.withColumn("__zkey", zorder_key(df, cluster_cols, bits=bits))
+    writer = (
+        zdf.repartitionByRange(n_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode(mode)
+    )
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(path)
+
+
 def bucketed_equi_join(spark, table_a: str, table_b: str, key_a: str, key_b: str):
     """Join two :func:`persist_bucketed` tables on their bucket keys.
     Declarative — Catalyst recognizes both sides' bucket layout

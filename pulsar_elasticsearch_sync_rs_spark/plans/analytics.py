@@ -1339,3 +1339,166 @@ FROM per_sess
 GROUP BY user_id ORDER BY user_id
 """
 
+
+
+def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 CDC merge (operators/cdc.scd2_apply): customers as
+    the versioned base snapshot, a deterministic change batch derived
+    from orders (one change per (custkey, orderdate); op I/U/D keyed
+    off the min orderkey). Returns the merged snapshot — history,
+    closed versions, untouched keys, and the opened versions with
+    their validity intervals.
+
+    Scale: the base is never shuffled — the change batch is reduced to
+    first-change-per-key and BROADCAST against it; the only exchanges
+    are over the (small) change side. The reference's ES upsert keeps
+    only the newest version (src/es.rs bulk index); this lane is the
+    time-travel-capable superset an analytics store wants."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.cdc import scd2_apply
+
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    base = cust.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_acctbal").alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit("1992-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    ch = (
+        orders.filter(F.col("o_orderkey") % 7 == 0)
+        .groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderdate").alias("ts"),
+        )
+        .agg(
+            F.min("o_totalprice").alias("bal"),
+            F.min("o_orderpriority").alias("seg"),
+            F.min("o_orderkey").alias("__k"),
+        )
+        .withColumn(
+            "op",
+            F.when(F.col("__k") % 10 == 0, F.lit("D"))
+            .when(F.col("__k") % 10 < 5, F.lit("U"))
+            .otherwise(F.lit("I")),
+        )
+        .drop("__k")
+    )
+    return scd2_apply(base, ch, key="custkey", attrs=["bal", "seg"])
+
+
+ORACLE_SCD2_APPLY = """
+WITH base AS (
+  SELECT c_custkey AS custkey, c_acctbal AS bal, c_mktsegment AS seg,
+         TIMESTAMP '1992-01-01 00:00:00' AS valid_from,
+         CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+  FROM customer
+), ch0 AS (
+  SELECT o_custkey AS custkey, o_orderdate AS ts,
+         min(o_totalprice) AS bal, min(o_orderpriority) AS seg,
+         min(o_orderkey) AS k
+  FROM orders WHERE o_orderkey % 7 = 0
+  GROUP BY 1, 2
+), ch AS (
+  SELECT custkey, ts, bal, seg,
+         CASE WHEN k % 10 = 0 THEN 'D' WHEN k % 10 < 5 THEN 'U' ELSE 'I' END AS op,
+         lead(ts) OVER (PARTITION BY custkey ORDER BY ts) AS next_ts
+  FROM ch0
+), first_ts AS (
+  SELECT custkey, min(ts) AS fts FROM ch0 GROUP BY 1
+)
+SELECT b.custkey, b.bal, b.seg, b.valid_from, f.fts AS valid_to,
+       FALSE AS is_current
+FROM base b JOIN first_ts f USING (custkey)
+UNION ALL
+SELECT b.custkey, b.bal, b.seg, b.valid_from, b.valid_to, b.is_current
+FROM base b WHERE b.custkey NOT IN (SELECT custkey FROM first_ts)
+UNION ALL
+SELECT custkey, bal, seg, ts AS valid_from, next_ts AS valid_to,
+       next_ts IS NULL AS is_current
+FROM ch WHERE op <> 'D'
+"""
+
+
+def q_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout round-trip (operators/layout.persist_zordered):
+    rewrite events Z-ordered on (user_id, event_id), read the copy
+    back, and aggregate a central ~10%-band predicate on BOTH
+    dimensions. The oracle runs the same filter over the original
+    table — layout must be semantics-invisible, which is exactly the
+    property that makes Z-ordering a free scale lever. The pruning
+    MECHANISM (row groups skipped on every cluster dimension, vs 1-D
+    clustering's leading column only) is pinned from the parquet
+    footers in tests/test_layout.py.
+
+    Scale: one approxQuantile pass + a narrow Arrow UDF over the two
+    cluster columns + one range exchange — the standard OPTIMIZE
+    ZORDER cost, paid once at write time; every later multi-dimension
+    band scan then reads a near-minimal file subset."""
+    import os
+    import tempfile
+
+    from pulsar_elasticsearch_sync_rs_spark.operators.layout import (
+        persist_zordered,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_zscan_" + os.path.basename(sf_dir.rstrip("/")),
+    )
+    persist_zordered(ev, path, ["user_id", "event_id"], bits=8, n_files=16)
+    b = ev.agg(
+        F.min("user_id").cast("double"),
+        F.max("user_id").cast("double"),
+        F.min("event_id").cast("double"),
+        F.max("event_id").cast("double"),
+    ).collect()[0]
+    import math
+
+    mnu, mxu, mne, mxe = b
+    # INTEGER band bounds (ceil/floor of the double arithmetic, same
+    # ops in the oracle): a double literal against the bigint columns
+    # plans as an unpushable cast comparison — only IsNotNull would
+    # reach the parquet scan, silently defeating the row-group pruning
+    # the layout exists for (pinned in tests/test_layout.py)
+    lo_u = int(math.ceil(mnu + 0.45 * (mxu - mnu)))
+    hi_u = int(math.floor(mnu + 0.55 * (mxu - mnu)))
+    lo_e = int(math.ceil(mne + 0.45 * (mxe - mne)))
+    hi_e = int(math.floor(mne + 0.55 * (mxe - mne)))
+    z = spark.read.parquet(path)
+    return (
+        z.filter(
+            (F.col("user_id") >= lo_u)
+            & (F.col("user_id") <= hi_u)
+            & (F.col("event_id") >= lo_e)
+            & (F.col("event_id") <= hi_e)
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("event_id").alias("sum_event"),
+            F.sum("user_id").alias("sum_user"),
+            F.sum(F.col("value").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+ORACLE_ZORDER_SCAN = """
+WITH b AS (
+  SELECT CAST(min(user_id) AS DOUBLE) AS mnu, CAST(max(user_id) AS DOUBLE) AS mxu,
+         CAST(min(event_id) AS DOUBLE) AS mne, CAST(max(event_id) AS DOUBLE) AS mxe
+  FROM events
+)
+SELECT count(*) AS n_rows,
+  CAST(sum(event_id) AS BIGINT) AS sum_event,
+  CAST(sum(user_id) AS BIGINT) AS sum_user,
+  CAST(CAST(sum(CAST(value AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) AS sum_value
+FROM events, b
+WHERE user_id >= CAST(ceil(b.mnu + 0.45 * (b.mxu - b.mnu)) AS BIGINT)
+  AND user_id <= CAST(floor(b.mnu + 0.55 * (b.mxu - b.mnu)) AS BIGINT)
+  AND event_id >= CAST(ceil(b.mne + 0.45 * (b.mxe - b.mne)) AS BIGINT)
+  AND event_id <= CAST(floor(b.mne + 0.55 * (b.mxe - b.mne)) AS BIGINT)
+"""

@@ -2571,3 +2571,38 @@ SELECT doc_id, count(*) AS n_toks,
   round(CAST(CAST(sum(CAST(lp AS DECIMAL(30,12))) AS VARCHAR) AS DOUBLE) / count(lp), 6) AS mean_logprob
 FROM scored GROUP BY doc_id
 """
+
+
+def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA over the embedding table (operators/pca): fit
+    the top-8 axes in one moment-aggregation pass, project every
+    vector, and return per-label projection statistics (count + the
+    per-label mean coordinate on each axis, rounded) — the reduced
+    representation SemDeDup-style pipelines cluster on.
+
+    Rows-only lane: the eigenbasis is deterministic only up to float
+    summation order across partitions (~1e-13), which is exactly what
+    the numpy-parity pytest (tests/test_pca.py) pins — an ANSI-SQL
+    twin cannot express the eigensolve. Scale: two narrow Arrow passes
+    over the vector column; driver state is one (d + d^2)-double
+    moment row per partition and a d x d eigensolve."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.pca import (
+        pca_fit,
+        pca_transform,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    model = pca_fit(emb, "embedding", k=8)
+    proj = pca_transform(emb, model, "embedding", "proj")
+    return (
+        proj.select("label", "proj")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            *[
+                F.round(F.avg(F.element_at("proj", i + 1)), 3).alias(f"pc{i}_mean")
+                for i in range(4)
+            ],
+        )
+        .orderBy("label")
+    )
