@@ -42,6 +42,9 @@ def _configure(spark: SparkSession) -> SparkSession:
     session (driver-owned or ours): UTC rendering + nanos-as-long for
     the events fixture (see session.py)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # serde_json parity: duplicate JSON map keys take the LAST value
+    # instead of killing the job (see session.py)
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:

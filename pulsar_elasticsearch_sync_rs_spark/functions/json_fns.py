@@ -97,5 +97,11 @@ def app_from_map(parsed_map: Column, default_app: str = DEFAULT_APP) -> Column:
 
 def field_count(parsed_map: Column) -> Column:
     """P12 — number of top-level keys (reference ``get_key_len``,
-    ``src/util.rs:150-156``). Feeds the per-(index, app) gauge."""
-    return F.size(F.map_keys(parsed_map))
+    ``src/util.rs:150-156``). Feeds the per-(index, app) gauge.
+
+    DISTINCT keys: serde_json dedupes duplicate keys at parse (last
+    insertion replaces), but Spark's ``from_json`` map physically
+    retains every occurrence — ``size(map_keys(...))`` would overcount
+    a duplicate-key payload relative to the reference (round-9 pin in
+    tests/test_operators.py)."""
+    return F.size(F.array_distinct(F.map_keys(parsed_map)))

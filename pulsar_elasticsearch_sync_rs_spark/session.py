@@ -37,6 +37,14 @@ def get_spark(
         # events fixture stores TIMESTAMP(NANOS); read as long and convert
         # explicitly (µs truncation — same as DuckDB's ns->µs cast).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # duplicate JSON keys are VALID JSON text; the reference's
+        # serde_json keeps the last occurrence (insertion replaces).
+        # Spark's default EXCEPTION policy instead kills the whole job
+        # on the first such payload — one poison message halting a sync
+        # service (found by the round-9 sf10 profile: a fixture bug
+        # planted duplicate keys and the chain died mid-stage). LAST_WIN
+        # is the reference-parity semantics.
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

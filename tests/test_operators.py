@@ -498,3 +498,31 @@ def test_pii_redaction_planted(spark):
     assert (got[4]["n_email"], got[4]["n_ip"]) == (0, 1)
     assert got[5]["red"] == rows[5].t  # untouched
     assert got[6]["red"] == "mixed <EMAIL> at <IP> tel <PHONE>"
+
+
+def test_duplicate_json_keys_survive_the_chain(spark):
+    """Robustness pin (round 9): a payload with DUPLICATE top-level
+    keys is valid JSON text — the reference's serde_json keeps the
+    last occurrence — but Spark's from_json physically retains both
+    entries and the P2 sanitize rebuild (transform_keys) then dies
+    with DUPLICATED_MAP_KEY under the default EXCEPTION policy: one
+    poison message halts the whole sync. The session-level LAST_WIN
+    policy (session.py / __spark_entry__._configure) makes the rebuild
+    dedupe instead. Pinned end-to-end: the record flows through, the
+    sanitized doc keeps the LAST value (serde_json parity), the key
+    counts once, and app extraction keeps its separately-pinned
+    first-wins lookup semantics."""
+    df = spark.createDataFrame(
+        [
+            Row(
+                event_id=1,
+                value='{"app": "billing", "dup.k": "old", "dup.k": "new"}',
+                topic="persistent://public/default/t",
+            )
+        ]
+    ).withColumn("publish_time", F.to_timestamp(F.lit("2024-03-12 10:00:00")))
+    row = etl_transform(df, PipelineConfig()).first()
+    assert row is not None, "duplicate-key payload must not be dropped or fail"
+    assert row["doc"]["dup_k"] == "new"  # last occurrence, serde_json parity
+    assert row["n_fields"] == 2  # app + dup_k, the duplicate counted once
+    assert row["app"] == "billing"

@@ -121,14 +121,22 @@ def main() -> None:
         # marker when a key follows (a bare '{}' would otherwise gain a
         # trailing comma and dead-letter every replica copy), and allow
         # leading whitespace so those payloads don't silently skip
-        # uniquification and collapse under content-hash dedup
+        # uniquification and collapse under content-hash dedup. The
+        # marker KEY embeds SHIFT — unique per nesting level, same rule
+        # as the id shift and the vocab suffix: a bare "__rep" injected
+        # at two levels makes a DUPLICATE map key, which ANSI map
+        # building rejects at runtime on ~(R-1)/R · (R-1)/R of a
+        # twice-replicated fixture (found by the round-9 q_etl_chain
+        # noop profile at sf10; the count() action had pruned the
+        # map-parsing aggregate expressions and never evaluated it).
+        key = '"__rep.%d"' % SHIFT
         return d.withColumn(
             "props",
             F.when(
                 F.col("props").rlike(r'^\s*\{\s*"'),
-                F.regexp_replace("props", r"^(\s*)\{", '$1{"__rep": %d, ' % i),
+                F.regexp_replace("props", r"^(\s*)\{", "$1{%s: %d, " % (key, i)),
             ).otherwise(
-                F.regexp_replace("props", r"^(\s*)\{", '$1{"__rep": %d' % i)
+                F.regexp_replace("props", r"^(\s*)\{", "$1{%s: %d" % (key, i))
             ),
         )
 
