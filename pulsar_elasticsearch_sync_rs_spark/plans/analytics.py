@@ -824,7 +824,12 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("day")
     return joined.select(
         "user_id",
-        "day",
+        # rendered in the UTC session, not returned as TimestampType:
+        # PySpark's collect() converts raw timestamps through the HOST
+        # OS timezone, so a raw `day` hash-mismatches the oracle's
+        # naive timestamp on any non-UTC host (TZ=America/New_York
+        # probe, round 9) — the string is host-TZ-proof on both engines
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
         F.round(F.last("mean_value", ignorenulls=True).over(w), 6).alias("value_ffill"),
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
     )
@@ -841,7 +846,7 @@ WITH daily AS (
 ), spine AS (
   SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM span
 )
-SELECT s.user_id, s.day,
+SELECT s.user_id, strftime(s.day, '%Y-%m-%d') AS day,
   round(last_value(d.mean_value IGNORE NULLS)
     OVER (PARTITION BY s.user_id ORDER BY s.day
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value_ffill,
@@ -883,7 +888,14 @@ def q_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n_days") >= 3) & (F.col("sigma") > 0))
         .withColumn("z", F.round(z, 4))
         .filter(F.abs("z") > 2)
-        .select("user_id", "day", F.round("mean_value", 6).alias("mean_value"), "z")
+        # day rendered as a string: raw TimestampType collects through
+        # the HOST OS timezone (round-9 TZ probe; see q_resample_ffill)
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round("mean_value", 6).alias("mean_value"),
+            "z",
+        )
     )
 
 
@@ -898,7 +910,8 @@ WITH daily AS (
     count(*) AS n_days
   FROM daily GROUP BY user_id
 )
-SELECT d.user_id, d.day, round(d.mean_value, 6) AS mean_value,
+SELECT d.user_id, strftime(d.day, '%Y-%m-%d') AS day,
+  round(d.mean_value, 6) AS mean_value,
   round((d.mean_value - s.mu) / s.sigma, 4) AS z
 FROM daily d JOIN stats s USING (user_id)
 WHERE s.n_days >= 3 AND s.sigma > 0
@@ -1385,7 +1398,20 @@ def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("__k")
     )
-    return scd2_apply(base, ch, key="custkey", attrs=["bal", "seg"])
+    out = scd2_apply(base, ch, key="custkey", attrs=["bal", "seg"])
+    # interval bounds rendered in the UTC session: PySpark collect()
+    # converts raw TimestampType through the HOST OS timezone, so raw
+    # timestamps hash-mismatch the oracle's naive values on non-UTC
+    # hosts (TZ=America/New_York probe, round 9); NULL (open version)
+    # formats to NULL on both engines
+    return out.select(
+        "custkey",
+        "bal",
+        "seg",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        "is_current",
+    )
 
 
 ORACLE_SCD2_APPLY = """
@@ -1408,16 +1434,22 @@ WITH base AS (
 ), first_ts AS (
   SELECT custkey, min(ts) AS fts FROM ch0 GROUP BY 1
 )
-SELECT b.custkey, b.bal, b.seg, b.valid_from, f.fts AS valid_to,
-       FALSE AS is_current
-FROM base b JOIN first_ts f USING (custkey)
-UNION ALL
-SELECT b.custkey, b.bal, b.seg, b.valid_from, b.valid_to, b.is_current
-FROM base b WHERE b.custkey NOT IN (SELECT custkey FROM first_ts)
-UNION ALL
-SELECT custkey, bal, seg, ts AS valid_from, next_ts AS valid_to,
-       next_ts IS NULL AS is_current
-FROM ch WHERE op <> 'D'
+SELECT custkey, bal, seg,
+       strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(valid_to, '%Y-%m-%d %H:%M:%S') AS valid_to,
+       is_current
+FROM (
+  SELECT b.custkey, b.bal, b.seg, b.valid_from, f.fts AS valid_to,
+         FALSE AS is_current
+  FROM base b JOIN first_ts f USING (custkey)
+  UNION ALL
+  SELECT b.custkey, b.bal, b.seg, b.valid_from, b.valid_to, b.is_current
+  FROM base b WHERE b.custkey NOT IN (SELECT custkey FROM first_ts)
+  UNION ALL
+  SELECT custkey, bal, seg, ts AS valid_from, next_ts AS valid_to,
+         next_ts IS NULL AS is_current
+  FROM ch WHERE op <> 'D'
+)
 """
 
 
