@@ -87,11 +87,13 @@ def app_from_map(parsed_map: Column, default_app: str = DEFAULT_APP) -> Column:
     Duplicate-key semantics (pinned by
     ``tests/test_operators.py::test_duplicate_json_keys_first_wins``):
     for a pathological payload with the same top-level key twice, BOTH
-    ``get_json_object`` and the ``from_json`` map return the FIRST
-    occurrence on this Spark version, so the single-parse refactor did
-    not move the semantics. The pin exists because nothing in the API
-    contract guarantees this — a future Jackson/Spark change flipping
-    the map to last-wins would otherwise drift silently."""
+    ``get_json_object`` and lookups on the raw ``from_json`` map return
+    the FIRST occurrence on this Spark version — the reference's
+    serde_json keeps the LAST. The ETL chain therefore passes the
+    SANITIZED doc map here (rebuilt under LAST_WIN, so duplicates are
+    already collapsed to the last occurrence = serde parity); callers
+    holding only the raw parsed map inherit first-wins and the pin
+    exists so a Jackson/Spark change cannot drift silently."""
     return F.coalesce(F.element_at(parsed_map, "app"), F.lit(default_app))
 
 

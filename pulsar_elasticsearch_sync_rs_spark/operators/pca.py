@@ -46,6 +46,11 @@ def pca_fit(df: DataFrame, vec_col: str = "embedding", k: int = 8) -> PCAModel:
     d_probe = df.select(F.size(vec_col).alias("d")).first()
     if d_probe is None:
         raise ValueError("pca_fit: empty input")
+    if d_probe["d"] is None or int(d_probe["d"]) < 1:
+        raise ValueError(
+            f"pca_fit: column {vec_col!r} holds a NULL/empty vector in the "
+            "first row - filter nulls and zero-length vectors before fitting"
+        )
     d = int(d_probe["d"])
 
     schema = T.StructType(
@@ -63,9 +68,17 @@ def pca_fit(df: DataFrame, vec_col: str = "embedding", k: int = 8) -> PCAModel:
         s = np.zeros(d, dtype=np.float64)
         g = np.zeros((d, d), dtype=np.float64)
         for pdf in batches:
-            m = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-            )
+            vecs = [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            bad = [
+                i for i, v in enumerate(vecs) if v.ndim != 1 or v.shape[0] != d
+            ]
+            if bad:
+                raise ValueError(
+                    f"pca_fit: ragged/null vector in {vec_col!r} (first bad "
+                    f"batch offset {bad[0]}: shape "
+                    f"{vecs[bad[0]].shape}, expected ({d},))"
+                )
+            m = np.asarray(vecs)
             if m.size == 0:
                 continue
             n += m.shape[0]

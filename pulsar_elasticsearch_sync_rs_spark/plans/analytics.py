@@ -1468,7 +1468,8 @@ def q_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster columns + one range exchange — the standard OPTIMIZE
     ZORDER cost, paid once at write time; every later multi-dimension
     band scan then reads a near-minimal file subset."""
-    import os
+    import atexit
+    import shutil
     import tempfile
 
     from pulsar_elasticsearch_sync_rs_spark.operators.layout import (
@@ -1476,10 +1477,13 @@ def q_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
-    path = os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_zscan_" + os.path.basename(sf_dir.rstrip("/")),
-    )
+    # per-call private dir, reclaimed at interpreter exit: a fixed
+    # shared path races concurrent runs of the same lane (overwrite
+    # deletes files another process's scan is planning) and a bare
+    # mkdtemp would leave a full events copy in /tmp per invocation
+    # (round-9 review finding)
+    path = tempfile.mkdtemp(prefix="spark_graft_zscan_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
     persist_zordered(ev, path, ["user_id", "event_id"], bits=8, n_files=16)
     b = ev.agg(
         F.min("user_id").cast("double"),

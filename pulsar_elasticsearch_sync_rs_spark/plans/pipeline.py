@@ -81,7 +81,13 @@ def etl_transform(df: DataFrame, cfg: PipelineConfig, tiebreaker: str | None = "
         "index",
         index_name(rewrite_index("topic_short", cfg.rewrite_rules), F.col("date_str")),
     )
-    df = df.withColumn("app", app_from_map(F.col("parsed"), cfg.default_app))
+    # app routes off the SANITIZED doc map: the LAST_WIN rebuild dedupes
+    # duplicate keys to the last occurrence (serde_json parity — the
+    # raw from_json map physically keeps every occurrence and its
+    # lookups read the FIRST, which would route the record under a
+    # different app than the doc body claims; round-9 review finding).
+    # 'app' is dot-free so sanitation never renames it.
+    df = df.withColumn("app", app_from_map(F.col("doc"), cfg.default_app))
     df = df.withColumn("is_debug", is_debug_log("value", cfg.debug_log_pattern))
     df = df.withColumn("n_fields", field_count(F.col("parsed")))
     if cfg.rate_limits:

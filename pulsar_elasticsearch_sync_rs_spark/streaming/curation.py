@@ -71,6 +71,13 @@ def _sha_table_name(sha_dir: str) -> str:
     return "curation_sha_" + hashlib.md5(sha_dir.encode()).hexdigest()[:12]
 
 
+def _bands_table_name(bands_dir: str) -> str:
+    """The band-index twin of :func:`_sha_table_name` — ONE derivation
+    shared by the ingest job and the compactor; divergent copies would
+    make compaction silently target a different catalog entry."""
+    return "curation_bands_" + hashlib.md5(bands_dir.encode()).hexdigest()[:12]
+
+
 def _hadoop_fs(spark, path: str):
     """(FileSystem, Path) for any Hadoop-addressable URI — the index
     state checks must see hdfs://, s3a:// and file paths alike;
@@ -115,9 +122,6 @@ def _read_bucket_spec(spark, path: str) -> tuple[str, int] | None:
     return (col, int(n)) if n.isdigit() else None
 
 
-_VALIDATED_CATALOG_ENTRIES: set[tuple[str, str, str, int]] = set()
-
-
 def _assert_catalog_entry_matches(
     spark, table: str, path: str, bucket_col: str, n_buckets: int
 ) -> None:
@@ -130,14 +134,13 @@ def _assert_catalog_entry_matches(
     bucket spec against the caller's config; a mismatch is the same
     loud drift error as the sidecar check, never a guess.
 
-    A (table, path, spec) tuple that validated once is cached for the
-    process lifetime: this check sits on the streaming hot path (sha +
-    bands writes and reads, every trigger), and the config it validates
-    cannot drift within a session without going through the same
-    loud-create/loud-register paths."""
-    key = (table, path.rstrip("/"), bucket_col, int(n_buckets))
-    if key in _VALIDATED_CATALOG_ENTRIES:
-        return
+    Deliberately NOT cached: the CALLER's config cannot drift within a
+    session, but the CATALOG side can — a concurrent DROP + saveAsTable
+    on a shared session re-binds the name to a different location, and
+    a once-validated cache would wave the stale binding through (the
+    exact silent wrong-table outcome this assert exists to prevent).
+    The DESCRIBE is a driver-side catalog lookup, a few ms against a
+    multi-second trigger."""
     rows = {
         r.col_name: (r.data_type or "")
         for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
@@ -160,7 +163,6 @@ def _assert_catalog_entry_matches(
             "table name is already taken by a different index; use a "
             "distinct table name (or the original config)"
         )
-    _VALIDATED_CATALOG_ENTRIES.add(key)
 
 
 def _bucketed_table_ready(
@@ -488,8 +490,12 @@ def compact_index_batches(
     sources = {b: present[b] for b in present if b < 0}
     open_ids = sorted(b for b in present if b >= 0)
     if watermark is None:
+        # max(0, ...) on the SLICE BOUND too: retain > open-slice count
+        # must fold NOTHING — a bare negative bound would wrap Python's
+        # slice end-relative and fold the oldest slices the contract
+        # promises to keep (review finding, round 9)
         keep = max(0, int(retain))
-        closed_ids = open_ids[: len(open_ids) - keep]
+        closed_ids = open_ids[: max(0, len(open_ids) - keep)]
     else:
         closed_ids = [b for b in open_ids if b <= int(watermark)]
     closed = {b: present[b] for b in closed_ids}
@@ -581,8 +587,7 @@ def compact_bands_index(
         bucket_col="band_hash",
         cols=["band_id", "band_hash", id_col],
         ddl_cols=f"band_id INT, band_hash STRING, {id_col} BIGINT",
-        table=bands_table
-        or ("curation_bands_" + hashlib.md5(bands_dir.encode()).hexdigest()[:12]),
+        table=bands_table or _bands_table_name(bands_dir),
         n_buckets=n_buckets,
         retain=retain,
         watermark=watermark,
@@ -734,9 +739,7 @@ def run_curation_ingest(
     )
     table = sha_table or _sha_table_name(sha_dir)
     b_table = bands_table or (
-        "curation_bands_" + hashlib.md5(bands_dir.encode()).hexdigest()[:12]
-        if bands_dir is not None
-        else None
+        _bands_table_name(bands_dir) if bands_dir is not None else None
     )
     band_ddl = f"band_id INT, band_hash STRING, {id_col} BIGINT"
 

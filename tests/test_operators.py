@@ -293,12 +293,15 @@ def test_rate_limit_gcra_null_app_passthrough(spark):
 
 
 def test_duplicate_json_keys_first_wins(spark):
-    """Pin the duplicate-key semantics of the single-parse map lane:
-    on this Spark version BOTH from_json's map and get_json_object
-    keep the FIRST occurrence of a repeated top-level key, so the
-    parse-once refactor (app_from_map replacing get_json_object)
-    changed nothing. Neither behavior is API-guaranteed; this test
-    fails loudly if a Spark upgrade ever moves either lane."""
+    """Pin the duplicate-key semantics of the RAW parse lanes: on this
+    Spark version BOTH lookups on from_json's map and get_json_object
+    keep the FIRST occurrence of a repeated top-level key. The ETL
+    chain itself routes app off the SANITIZED (LAST_WIN-rebuilt) doc
+    map for serde_json parity — pinned end-to-end in
+    test_duplicate_json_keys_survive_the_chain — but callers holding
+    only the raw map inherit first-wins. Neither raw behavior is
+    API-guaranteed; this test fails loudly if a Spark upgrade ever
+    moves either lane."""
     from pyspark.sql import functions as F
 
     from pulsar_elasticsearch_sync_rs_spark.functions.json_fns import (
@@ -516,7 +519,7 @@ def test_duplicate_json_keys_survive_the_chain(spark):
         [
             Row(
                 event_id=1,
-                value='{"app": "billing", "dup.k": "old", "dup.k": "new"}',
+                value='{"app": "billing", "app": "audit", "dup.k": "old", "dup.k": "new"}',
                 topic="persistent://public/default/t",
             )
         ]
@@ -524,5 +527,8 @@ def test_duplicate_json_keys_survive_the_chain(spark):
     row = etl_transform(df, PipelineConfig()).first()
     assert row is not None, "duplicate-key payload must not be dropped or fail"
     assert row["doc"]["dup_k"] == "new"  # last occurrence, serde_json parity
-    assert row["n_fields"] == 2  # app + dup_k, the duplicate counted once
-    assert row["app"] == "billing"
+    assert row["n_fields"] == 2  # app + dup_k, each duplicate counted once
+    # app routes off the deduped doc map: LAST occurrence, matching the
+    # doc body — not the raw map's first-wins lookup
+    assert row["app"] == "audit"
+    assert row["doc"]["app"] == "audit"

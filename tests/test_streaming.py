@@ -1853,6 +1853,13 @@ def test_compact_index_batches_bounds_files_and_preserves_dedup(spark, sf_dir, t
         before = _sha_index_rows(spark, table)
         assert len(_list_partition_ids(spark, sha_dir)) == 6
 
+        # retain >= open-slice count folds NOTHING — a bare negative
+        # slice bound would wrap end-relative and fold the oldest
+        # slices the contract promises to keep (round-9 review finding)
+        rep_over = compact_sha_index(spark, sha_dir, retain=10)
+        assert rep_over["folded_batches"] == []
+        assert len(_list_partition_ids(spark, sha_dir)) == 6
+
         rep = compact_sha_index(spark, sha_dir, retain=1)
         assert rep["folded_batches"] == [0, 1, 2, 3, 4]
         assert rep["slot"] == -1 and rep["watermark"] == 4
