@@ -45,7 +45,9 @@ def pca_fit(df: DataFrame, vec_col: str = "embedding", k: int = 8) -> PCAModel:
     fails loudly rather than OOMing the driver)."""
     d_probe = df.select(F.size(vec_col).alias("d")).first()
     if d_probe is None:
-        raise ValueError("pca_fit: empty input")
+        # same fail-fast contract as the ANN quantizer family: fitting
+        # on an empty corpus is a caller error, never a silent model
+        raise ValueError("pca_fit: cannot fit on an empty corpus")
     if d_probe["d"] is None or int(d_probe["d"]) < 1:
         raise ValueError(
             f"pca_fit: column {vec_col!r} holds a NULL/empty vector in the "

@@ -1494,6 +1494,10 @@ def q_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     mnu, mxu, mne, mxe = b
+    if mnu is None:
+        # empty corpus: min/max are NULL and the band is vacuous — any
+        # constant bounds select nothing (totality: 0 rows in → 0 out)
+        mnu = mxu = mne = mxe = 0.0
     # INTEGER band bounds (ceil/floor of the double arithmetic, same
     # ops in the oracle): a double literal against the bigint columns
     # plans as an unpushable cast comparison — only IsNotNull would
@@ -1504,6 +1508,10 @@ def q_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo_e = int(math.ceil(mne + 0.45 * (mxe - mne)))
     hi_e = int(math.floor(mne + 0.55 * (mxe - mne)))
     z = spark.read.parquet(path)
+    # constant group key instead of a global agg: a global aggregate
+    # fabricates one (0, NULL…) row from an EMPTY corpus, violating the
+    # empty-input totality contract (0 rows in → 0 rows out); grouping
+    # returns no groups on no input and one row otherwise
     return (
         z.filter(
             (F.col("user_id") >= lo_u)
@@ -1511,6 +1519,7 @@ def q_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("event_id") >= lo_e)
             & (F.col("event_id") <= hi_e)
         )
+        .groupBy(F.lit("all").alias("grp"))
         .agg(
             F.count("*").alias("n_rows"),
             F.sum("event_id").alias("sum_event"),
@@ -1528,7 +1537,7 @@ WITH b AS (
          CAST(min(event_id) AS DOUBLE) AS mne, CAST(max(event_id) AS DOUBLE) AS mxe
   FROM events
 )
-SELECT count(*) AS n_rows,
+SELECT 'all' AS grp, count(*) AS n_rows,
   CAST(sum(event_id) AS BIGINT) AS sum_event,
   CAST(sum(user_id) AS BIGINT) AS sum_user,
   CAST(CAST(sum(CAST(value AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) AS sum_value
@@ -1537,4 +1546,5 @@ WHERE user_id >= CAST(ceil(b.mnu + 0.45 * (b.mxu - b.mnu)) AS BIGINT)
   AND user_id <= CAST(floor(b.mnu + 0.55 * (b.mxu - b.mnu)) AS BIGINT)
   AND event_id >= CAST(ceil(b.mne + 0.45 * (b.mxe - b.mne)) AS BIGINT)
   AND event_id <= CAST(floor(b.mne + 0.55 * (b.mxe - b.mne)) AS BIGINT)
+GROUP BY grp
 """

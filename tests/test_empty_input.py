@@ -29,6 +29,7 @@ EXPECTED_RAISE = {
     "q_knn_ivfpq",
     "q_embed_neardup_ivf",
     "q_semantic_dedup_ivf",
+    "q_embed_pca",  # same contract: no model can be fit on no vectors
 }
 
 
