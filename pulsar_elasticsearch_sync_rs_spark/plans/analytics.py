@@ -1453,6 +1453,11 @@ FROM (
 """
 
 
+# the previous q_zorder_scan scratch dir (at most one), reclaimed on
+# the next invocation within the same process
+_ZSCAN_LAST: list[str] = []
+
+
 def q_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout round-trip (operators/layout.persist_zordered):
     rewrite events Z-ordered on (user_id, event_id), read the copy
@@ -1477,12 +1482,16 @@ def q_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
-    # per-call private dir, reclaimed at interpreter exit: a fixed
-    # shared path races concurrent runs of the same lane (overwrite
-    # deletes files another process's scan is planning) and a bare
-    # mkdtemp would leave a full events copy in /tmp per invocation
-    # (round-9 review finding)
+    # per-call private dir: a fixed shared path races concurrent runs
+    # of the same lane (overwrite deletes files another process's scan
+    # is planning). The PREVIOUS call's copy is reclaimed on the next
+    # invocation — so a long-lived driver holds at most one stale copy,
+    # not one per call — and the final copy at interpreter exit.
+    prev = _ZSCAN_LAST.pop(0) if _ZSCAN_LAST else None
+    if prev:
+        shutil.rmtree(prev, ignore_errors=True)
     path = tempfile.mkdtemp(prefix="spark_graft_zscan_")
+    _ZSCAN_LAST.append(path)
     atexit.register(shutil.rmtree, path, ignore_errors=True)
     persist_zordered(ev, path, ["user_id", "event_id"], bits=8, n_files=16)
     b = ev.agg(

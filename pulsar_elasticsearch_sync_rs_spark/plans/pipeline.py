@@ -70,8 +70,20 @@ def etl_transform(df: DataFrame, cfg: PipelineConfig, tiebreaker: str | None = "
     df = df.withColumn("doc", sanitize_keys(F.col("parsed")))
     # single-parse discipline: app/time-key read the parsed map instead
     # of re-running get_json_object (a full JSON parse per call) on the
-    # raw payload — the chain parses each payload exactly once
-    ts = at_timestamp("value", "publish_time", cfg.time_key, parsed_map=F.col("parsed"))
+    # raw payload — the chain parses each payload exactly once.
+    # time-key lookup goes through an identity transform_keys rebuild:
+    # the raw from_json map physically keeps duplicate keys and its
+    # lookups read the FIRST, while serde_json (and the doc body, via
+    # the LAST_WIN sanitize rebuild) keep the LAST — without this, a
+    # duplicate time-key payload would stamp an @timestamp that
+    # contradicts its own document. The rebuild keeps the ORIGINAL key
+    # names (a dotted time_key must not be sanitize-renamed), costs one
+    # map pass, and is built only when a time_key is configured.
+    if cfg.time_key is not None:
+        deduped = F.transform_keys(F.col("parsed"), lambda k, _v: k)
+        ts = at_timestamp("value", "publish_time", cfg.time_key, parsed_map=deduped)
+    else:
+        ts = at_timestamp("value", "publish_time", cfg.time_key, parsed_map=F.col("parsed"))
     df = (
         df.withColumn("at_ts", ts)
         .withColumn("at_timestamp", rfc3339(F.col("at_ts")))

@@ -513,8 +513,10 @@ def test_duplicate_json_keys_survive_the_chain(spark):
     policy (session.py / __spark_entry__._configure) makes the rebuild
     dedupe instead. Pinned end-to-end: the record flows through, the
     sanitized doc keeps the LAST value (serde_json parity), the key
-    counts once, and app extraction keeps its separately-pinned
-    first-wins lookup semantics."""
+    counts once, and app routes off the deduped doc map — LAST
+    occurrence, consistent with the doc body (the RAW lanes' first-wins
+    lookups stay pinned separately in
+    test_duplicate_json_keys_first_wins)."""
     df = spark.createDataFrame(
         [
             Row(
@@ -532,3 +534,23 @@ def test_duplicate_json_keys_survive_the_chain(spark):
     # doc body — not the raw map's first-wins lookup
     assert row["app"] == "audit"
     assert row["doc"]["app"] == "audit"
+
+
+def test_duplicate_time_key_stamps_last_occurrence(spark):
+    """Companion pin: the @timestamp time-key lookup goes through an
+    identity transform_keys rebuild (LAST_WIN), so a duplicate
+    time-key payload stamps the LAST occurrence — consistent with the
+    doc body and serde_json — not the raw map's first-wins lookup."""
+    df = spark.createDataFrame(
+        [
+            Row(
+                event_id=1,
+                value='{"ts": 1000, "ts": 1700000000000, "app": "x"}',
+                topic="persistent://public/default/t",
+            )
+        ]
+    ).withColumn("publish_time", F.to_timestamp(F.lit("2024-03-12 10:00:00")))
+    row = etl_transform(df, PipelineConfig(time_key="ts")).first()
+    # 1700000000000 ms = 2023-11-14T22:13:20Z; first-wins would read
+    # 1000 ms = 1970-01-01T00:00:01Z
+    assert row["at_timestamp"].startswith("2023-11-14T22:13:20")
