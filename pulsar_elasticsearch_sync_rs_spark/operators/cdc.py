@@ -93,3 +93,93 @@ def scd2_apply(
     return history.unionByName(untouched_cur).unionByName(closed_now).unionByName(
         opened.select(*base.columns)
     )
+
+
+def scd2_apply_partitioned(
+    spark,
+    base_dir: str,
+    changes: DataFrame,
+    key: str,
+    attrs: list[str],
+    n_parts: int = 16,
+    op_col: str = "op",
+    ts_col: str = "ts",
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    current_col: str = "is_current",
+) -> dict:
+    """The at-rest form of :func:`scd2_apply`: the snapshot lives as
+    parquet hive-partitioned on ``pb = pmod(xxhash64(key), n_parts)``
+    (write it once with :func:`persist_scd2_partitioned`), and a CDC
+    batch rewrites ONLY the partitions whose keys actually changed —
+    the copy-on-write MERGE discipline of lakehouse table formats,
+    with stock writers.
+
+    Plan shape: the changed-bucket set (≤ ``n_parts`` ints) comes off
+    the change batch; the base read carries ``pb IN (…)`` — a
+    PARTITION filter, so unchanged directories are never listed or
+    scanned (plan-pinned in tests/test_cdc.py). The merged subset is
+    eagerly localCheckpoint'ed BEFORE the overwrite: the write replaces
+    the same directories the merge plan reads, the FileNotFound race
+    this module's streaming sibling documents. The checkpoint is
+    bounded by the changed partitions' size — the quantity a
+    partitioned merge exists to keep small. The write uses the
+    PER-WRITER dynamic partitionOverwriteMode option (honored on
+    path-based writes, unlike the catalog insert route), so only the
+    partitions present in the merged subset are replaced and no
+    session conf is flipped.
+
+    Returns ``{"changed_buckets", "rows_written"}``.
+
+    Key hashing note: ``xxhash64`` is type-sensitive — probes hash the
+    change batch's ``key`` cast to the base's dtype implicitly by both
+    sides deriving pb from the same column expression.
+    """
+    pb = F.pmod(F.xxhash64(F.col(key)), F.lit(n_parts)).cast("int")
+    buckets = [
+        r["pb"] for r in changes.select(pb.alias("pb")).distinct().collect()
+    ]
+    if not buckets:
+        return {"changed_buckets": [], "rows_written": 0}
+    base = spark.read.parquet(base_dir).filter(F.col("pb").isin(buckets))
+    cols = [key, *attrs, from_col, to_col, current_col]
+    merged = scd2_apply(
+        base.select(*cols),
+        changes,
+        key,
+        attrs,
+        op_col=op_col,
+        ts_col=ts_col,
+        from_col=from_col,
+        to_col=to_col,
+        current_col=current_col,
+    ).withColumn("pb", pb)
+    merged = merged.localCheckpoint(eager=True)
+    n = merged.count()
+    (
+        merged.repartition("pb")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("pb")
+        .parquet(base_dir)
+    )
+    return {"changed_buckets": sorted(buckets), "rows_written": n}
+
+
+def persist_scd2_partitioned(
+    df: DataFrame, base_dir: str, key: str, n_parts: int = 16
+) -> None:
+    """Lay an SCD2 snapshot down hive-partitioned on the key-hash
+    bucket ``pb`` — the layout :func:`scd2_apply_partitioned` merges
+    into. ``n_parts`` bounds both the partition-directory count and the
+    per-merge rewrite grain; pick it so one bucket's rows fit a
+    comfortable rewrite (e.g. 1024 buckets over 100 TB ≈ 100 GB per
+    merge slice worst-case)."""
+    pb = F.pmod(F.xxhash64(F.col(key)), F.lit(n_parts)).cast("int")
+    (
+        df.withColumn("pb", pb)
+        .repartition("pb")
+        .write.mode("overwrite")
+        .partitionBy("pb")
+        .parquet(base_dir)
+    )

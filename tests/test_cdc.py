@@ -90,3 +90,96 @@ def test_scd2_apply_base_side_joins_are_broadcast(spark):
     # must be broadcast hash joins — the base is never exchanged
     assert plan.count("BroadcastHashJoin") == 2
     assert "SortMergeJoin" not in plan
+
+
+def test_scd2_apply_partitioned_rewrites_only_changed_buckets(spark, sf_dir, tmp_path):
+    """Copy-on-write merge grain: (a) results ≡ the DataFrame-level
+    scd2_apply over the full snapshot, (b) untouched bucket directories
+    are byte-untouched (file list + mtimes), (c) the base read prunes
+    unchanged buckets at PLANNING time (PartitionFilters), (d) an empty
+    change batch is a no-op."""
+    import os
+
+    from pulsar_elasticsearch_sync_rs_spark.operators.cdc import (
+        persist_scd2_partitioned,
+        scd2_apply_partitioned,
+    )
+    from pulsar_elasticsearch_sync_rs_spark.sources.batch import read_table
+
+    cust = read_table(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_acctbal").alias("v"),
+        F.lit("2020-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    base_dir = str(tmp_path / "scd2_base")
+    n_parts = 8
+    persist_scd2_partitioned(base, base_dir, "k", n_parts=n_parts)
+
+    # changes touch only a few keys → a strict subset of buckets
+    keys = [r["k"] for r in base.select("k").orderBy("k").limit(3).collect()]
+    ch = spark.createDataFrame(
+        [(int(k), float(i), "U", T1) for i, k in enumerate(keys)]
+        + [(10**9 + 7, 99.0, "I", T2)],  # brand-new key
+        "k bigint, v double, op string, ts timestamp",
+    )
+
+    def dir_state(pb):
+        d = os.path.join(base_dir, f"pb={pb}")
+        return sorted(
+            (f, os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if not f.startswith(".")
+        )
+
+    # expected = DataFrame-level apply over the FULL snapshot
+    want = {
+        tuple(r)
+        for r in scd2_apply(
+            spark.read.parquet(base_dir).select(
+                "k", "v", "valid_from", "valid_to", "is_current"
+            ),
+            ch,
+            key="k",
+            attrs=["v"],
+        ).collect()
+    }
+
+    all_pb = set(range(n_parts))
+    pre = {pb: dir_state(pb) for pb in all_pb}  # BEFORE the merge
+    rep = scd2_apply_partitioned(
+        spark, base_dir, ch, key="k", attrs=["v"], n_parts=n_parts
+    )
+    changed = set(rep["changed_buckets"])
+    assert changed and changed < all_pb, "fixture must leave some buckets untouched"
+    untouched = sorted(all_pb - changed)
+
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(base_dir)
+        .select("k", "v", "valid_from", "valid_to", "is_current")
+        .collect()
+    }
+    assert got == want
+    for pb in untouched:
+        assert dir_state(pb) == pre[pb], f"bucket {pb} was rewritten"
+
+    # planning-time pruning of the base read
+    plan = (
+        spark.read.parquet(base_dir)
+        .filter(F.col("pb").isin(sorted(changed)))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan
+    assert "pb" in plan.split("PartitionFilters:")[1][:80], (
+        "the pb IN (...) predicate must prune directories at planning time"
+    )
+
+    # empty change batch: no-op
+    empty = ch.limit(0)
+    rep0 = scd2_apply_partitioned(
+        spark, base_dir, empty, key="k", attrs=["v"], n_parts=n_parts
+    )
+    assert rep0 == {"changed_buckets": [], "rows_written": 0}
