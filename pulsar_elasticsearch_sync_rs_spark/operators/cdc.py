@@ -131,10 +131,19 @@ def scd2_apply_partitioned(
 
     Returns ``{"changed_buckets", "rows_written"}``.
 
-    Key hashing note: ``xxhash64`` is type-sensitive — probes hash the
-    change batch's ``key`` cast to the base's dtype implicitly by both
-    sides deriving pb from the same column expression.
+    Key hashing note: ``xxhash64`` is TYPE-sensitive
+    (``xxhash64(5::int) != xxhash64(5::bigint)``), so the change
+    batch's key is cast to the PERSISTED base's key dtype before the
+    bucket set is derived — a dtype drift between a producer's batch
+    and the at-rest snapshot would otherwise rewrite the wrong
+    partitions and leave a key with two open versions.
     """
+    # schema read is footer-only (no data scan); the base key dtype is
+    # the canonical one — pb on disk was computed from it
+    base_key_type = {
+        f.name: f.dataType for f in spark.read.parquet(base_dir).schema
+    }[key]
+    changes = changes.withColumn(key, F.col(key).cast(base_key_type))
     pb = F.pmod(F.xxhash64(F.col(key)), F.lit(n_parts)).cast("int")
     buckets = [
         r["pb"] for r in changes.select(pb.alias("pb")).distinct().collect()

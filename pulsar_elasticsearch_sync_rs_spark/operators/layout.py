@@ -180,7 +180,11 @@ def zorder_key(df: DataFrame, cluster_cols: list[str], bits: int = 8,
     casts = []
     for c in cluster_cols:
         t = dtypes[c]
-        if t in ("date", "boolean") or t.startswith("timestamp"):
+        if t == "date":
+            # DATE does not cast to BIGINT on this Spark build
+            # (AnalysisException); unix_date gives days-since-epoch
+            casts.append(F.unix_date(F.col(c)).cast("double").alias(c))
+        elif t == "boolean" or t.startswith("timestamp"):
             casts.append(F.col(c).cast("long").cast("double").alias(c))
         elif t in ("tinyint", "smallint", "int", "bigint", "float",
                    "double") or t.startswith("decimal"):

@@ -38,11 +38,14 @@ class PCAModel:
     n_rows: int
 
 
-def pca_fit(df: DataFrame, vec_col: str = "embedding", k: int = 8) -> PCAModel:
+def pca_fit(df: DataFrame, vec_col: str = "embedding", k: int = 8,
+            budget_bytes: int = 1 << 30) -> PCAModel:
     """Fit PCA on ``df[vec_col]`` (array<float|double>) and return the
     top-``k`` principal axes. One job; driver receives one moment row
-    per partition (guarded — a pathological million-partition input
-    fails loudly rather than OOMing the driver)."""
+    per partition, byte-bounded by ``budget_bytes`` — when
+    ``numPartitions × (d + d²) × 8`` exceeds it, a second executor-side
+    fold level reduces the moment rows first (and a single d too wide
+    for even one row under the budget fails loudly)."""
     d_probe = df.select(F.size(vec_col).alias("d")).first()
     if d_probe is None:
         # same fail-fast contract as the ANN quantizer family: fitting
@@ -90,12 +93,38 @@ def pca_fit(df: DataFrame, vec_col: str = "embedding", k: int = 8) -> PCAModel:
 
     parts = df.select(vec_col).mapInPandas(moments, schema)
     n_parts = df.rdd.getNumPartitions()
-    if n_parts > 4096:
+    # Driver-state guard in BYTES, not partition count: each moment row
+    # is (d + d²) float64s — at d=4096 one row is ~134 MB, so a
+    # partition-count bound alone still admits hundreds of GB. When the
+    # collected set would exceed the budget, fold moment rows with a
+    # second executor-side aggregation level (streamed — each fold task
+    # holds one running (d + d²) accumulator, never the row set).
+    row_bytes = (d + d * d) * 8
+    if row_bytes > budget_bytes:
         raise ValueError(
-            f"pca_fit: {n_parts} partitions would collect {n_parts} moment "
-            "rows to the driver - coalesce the input or raise the bound "
-            "deliberately"
+            f"pca_fit: one (d + d^2) moment row at d={d} is {row_bytes} "
+            f"bytes — beyond the {budget_bytes}-byte driver budget even "
+            "after folding; reduce the embedding width first"
         )
+    if n_parts * row_bytes > budget_bytes:
+        fold_parts = max(1, budget_bytes // row_bytes)
+
+        def fold(batches):
+            import pandas as pd
+
+            n = 0
+            s = np.zeros(d, dtype=np.float64)
+            g = np.zeros(d * d, dtype=np.float64)
+            for pdf in batches:
+                for i in range(len(pdf)):
+                    n += int(pdf["n"].iloc[i])
+                    s += np.asarray(pdf["s"].iloc[i], dtype=np.float64)
+                    g += np.asarray(pdf["g"].iloc[i], dtype=np.float64)
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "g": [g.tolist()]}
+            )
+
+        parts = parts.repartition(int(fold_parts)).mapInPandas(fold, schema)
     rows = parts.collect()
     n = sum(r["n"] for r in rows)
     if n < 2:

@@ -58,6 +58,23 @@ def etl_transform(df: DataFrame, cfg: PipelineConfig, tiebreaker: str | None = "
     columns (value, topic, publish_time[, tiebreaker]). Pure function —
     identical for batch tests and the streaming runner (§7.1 stance).
     """
+    # the LAST_WIN rebuilds below (time-key dedup, sanitize/app route)
+    # hard-require spark.sql.mapKeyDedupPolicy=LAST_WIN; under the
+    # default EXCEPTION policy the first duplicate-key payload (valid
+    # JSON — serde_json accepts it, keeping the last value) kills the
+    # whole job. get_spark()/__spark_entry__ set it; fail fast with a
+    # pointed message when the session was built elsewhere.
+    spark = df.sparkSession
+    policy = spark.conf.get("spark.sql.mapKeyDedupPolicy", "EXCEPTION")
+    if policy.upper() != "LAST_WIN":
+        raise RuntimeError(
+            "etl_transform requires spark.sql.mapKeyDedupPolicy=LAST_WIN "
+            f"(session has {policy!r}): duplicate-key JSON payloads — valid "
+            "text, serde_json keeps the last value — would otherwise abort "
+            "the job at the first transform_keys rebuild. Build the session "
+            "via pulsar_elasticsearch_sync_rs_spark.session.get_spark(), or "
+            'set spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN").'
+        )
     df = filter_non_empty(df, "value")
     df = filter_global_regex(df, cfg.global_filter_pattern, "value")
     df = df.withColumn("topic_short", topic_last_segment("topic"))

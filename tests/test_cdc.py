@@ -183,3 +183,44 @@ def test_scd2_apply_partitioned_rewrites_only_changed_buckets(spark, sf_dir, tmp
         spark, base_dir, empty, key="k", attrs=["v"], n_parts=n_parts
     )
     assert rep0 == {"changed_buckets": [], "rows_written": 0}
+
+
+def test_scd2_partitioned_change_key_dtype_mismatch_is_safe(spark, tmp_path):
+    """Round-9 ADVICE: xxhash64 is TYPE-sensitive (xxhash64(5::int) !=
+    xxhash64(5::bigint)), so a change batch whose key arrives as INT
+    against a BIGINT base must be cast to the base dtype BEFORE the
+    changed-bucket set is derived — otherwise the wrong partitions are
+    rewritten and a key ends up with two open versions (silent
+    corruption)."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.cdc import (
+        persist_scd2_partitioned,
+        scd2_apply_partitioned,
+    )
+
+    base = spark.createDataFrame(
+        [(int(k), 1.0, T0, None, True) for k in range(40)],
+        "k bigint, v double, valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+    base_dir = str(tmp_path / "scd2_dtype")
+    persist_scd2_partitioned(base, base_dir, "k", n_parts=16)
+
+    # INT-typed change key — e.g. 5: pmod(xxhash64(5::int),16)=8 but the
+    # base row lives in pmod(xxhash64(5::bigint),16)=5
+    ch = spark.createDataFrame(
+        [(5, 2.0, "U", T1), (7, 3.0, "U", T1)],
+        "k int, v double, op string, ts timestamp",
+    )
+    scd2_apply_partitioned(spark, base_dir, ch, key="k", attrs=["v"], n_parts=16)
+
+    snap = spark.read.parquet(base_dir)
+    cur = {
+        r.k: (r.v, r.valid_from)
+        for r in snap.filter("is_current").collect()
+    }
+    # exactly one open version per key, updates applied
+    assert len(cur) == 40
+    assert cur[5] == (2.0, T1) and cur[7] == (3.0, T1)
+    # the old open versions were CLOSED (no duplicate-current corruption)
+    closed = snap.filter(~F.col("is_current")).collect()
+    assert {(r.k, r.valid_to) for r in closed} == {(5, T1), (7, T1)}
+    assert snap.count() == 42

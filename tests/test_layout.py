@@ -268,3 +268,33 @@ def test_zorder_prunes_on_every_cluster_dimension(spark, sf_dir, tmp_path):
         )
     with pytest.raises(ValueError, match="63"):
         zorder_key(ev, ["user_id", "event_id"], bits=32)
+
+
+def test_zorder_key_handles_date_columns(spark, sf_dir):
+    """Round-9 ADVICE: DATE does not cast to BIGINT on this Spark build
+    (AnalysisException at planning), so date dimensions go through
+    unix_date. The key must plan AND order with the calendar: z-ordering
+    on a lone date column is exactly its quantile rank, so later dates
+    never rank below earlier ones."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.layout import zorder_key
+
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .select(F.to_date("o_orderdate").alias("od"), "o_orderkey")
+    )
+    assert dict(orders.dtypes)["od"] == "date"
+    keyed = orders.withColumn("zk", zorder_key(orders, ["od"], bits=6))
+    pairs = (
+        keyed.groupBy("od").agg(F.min("zk").alias("lo"), F.max("zk").alias("hi"))
+        .orderBy("od")
+        .collect()
+    )
+    assert len(pairs) > 3
+    # per-date rank is a single cell, and cells are calendar-monotone
+    for r in pairs:
+        assert r["lo"] == r["hi"]
+    ranks = [r["lo"] for r in pairs]
+    assert all(a <= b for a, b in zip(ranks, ranks[1:]))
+    # mixed date + bigint interleave also plans and evaluates
+    two = orders.withColumn("zk", zorder_key(orders, ["od", "o_orderkey"], bits=4))
+    assert two.filter(F.col("zk").isNull()).count() == 0

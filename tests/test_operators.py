@@ -554,3 +554,24 @@ def test_duplicate_time_key_stamps_last_occurrence(spark):
     # 1700000000000 ms = 2023-11-14T22:13:20Z; first-wins would read
     # 1000 ms = 1970-01-01T00:00:01Z
     assert row["at_timestamp"].startswith("2023-11-14T22:13:20")
+
+
+def test_etl_transform_asserts_last_win_policy(spark):
+    """Round-9 ADVICE: the chain's transform_keys rebuilds hard-require
+    spark.sql.mapKeyDedupPolicy=LAST_WIN; on a session built elsewhere
+    the first duplicate-key payload would abort the job mid-stream. The
+    entry now fails FAST with a pointed message instead."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [Row(event_id=1, value='{"k": "v"}', topic="persistent://public/default/t")]
+    ).withColumn("publish_time", F.to_timestamp(F.lit("2024-03-12 10:00:00")))
+    prior = spark.conf.get("spark.sql.mapKeyDedupPolicy")
+    try:
+        spark.conf.set("spark.sql.mapKeyDedupPolicy", "EXCEPTION")
+        with pytest.raises(RuntimeError, match="LAST_WIN"):
+            etl_transform(df, PipelineConfig())
+    finally:
+        spark.conf.set("spark.sql.mapKeyDedupPolicy", prior)
+    # restored session still flows
+    assert etl_transform(df, PipelineConfig()).first() is not None

@@ -80,3 +80,27 @@ def test_pca_guards(spark):
     one = spark.createDataFrame([([1.0, 2.0],)], "embedding array<double>")
     with pytest.raises(ValueError, match="at least 2"):
         pca_fit(one, "embedding", k=2)
+
+
+def test_pca_fold_level_matches_direct_collect(spark, sf_dir):
+    """Round-9 ADVICE: the driver guard is byte-scaled — when
+    numPartitions x (d + d^2) x 8 exceeds budget_bytes, a second
+    executor-side fold level reduces the moment rows before collect.
+    The folded fit must be numerically identical (same sums, different
+    summation grouping only) and a width too large for even one row
+    under the budget must fail loudly."""
+    emb = read_table(spark, sf_dir, "embeddings").repartition(8)
+    direct = pca_fit(emb, "embedding", k=4)  # default budget: no fold
+    # tiny budget forces the fold path: row_bytes = (d + d^2) * 8;
+    # 2 rows' worth admits <= 2 folded rows from 8 partitions
+    d = len(emb.select("embedding").first()["embedding"])
+    row_bytes = (d + d * d) * 8
+    folded = pca_fit(emb, "embedding", k=4, budget_bytes=2 * row_bytes)
+    np.testing.assert_allclose(folded.mean, direct.mean, atol=1e-12)
+    np.testing.assert_allclose(
+        folded.components, direct.components, atol=1e-9
+    )
+    assert folded.n_rows == direct.n_rows
+    # d too wide for even ONE moment row under the budget: loud failure
+    with pytest.raises(ValueError, match="driver budget"):
+        pca_fit(emb, "embedding", k=4, budget_bytes=row_bytes - 1)
