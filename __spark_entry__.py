@@ -235,6 +235,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_chunk_overlap": _wrap(L.q_chunk_overlap),  # sliding-window chunking: overlapping token windows with lineage
         "q_bigram_logprob": _wrap(L.q_bigram_logprob),  # interpolated bigram LM scoring (CCNet-step past the unigram lane)
         "q_scd2_apply": _wrap(A.q_scd2_apply),  # SCD2 CDC merge: base never shuffles, change side broadcast
+        "q_scd2_asof": _wrap(A.q_scd2_asof),  # SCD2 time travel: as-of interval reads over the merged snapshot
         "q_zorder_scan": _wrap(A.q_zorder_scan),  # Z-order layout round-trip (pruning mechanism pinned in test_layout)
         "q_embed_pca": _wrap(L.q_embed_pca),  # distributed PCA fit+project (rows-only; numpy-parity pytest)
     }
@@ -284,5 +285,6 @@ def extra_oracle_sql() -> dict[str, str]:
         "q_chunk_overlap": L.ORACLE_CHUNK_OVERLAP,
         "q_bigram_logprob": L.ORACLE_BIGRAM_LOGPROB,
         "q_scd2_apply": A.ORACLE_SCD2_APPLY,
+        "q_scd2_asof": A.ORACLE_SCD2_ASOF,
         "q_zorder_scan": A.ORACLE_ZORDER_SCAN,
     }

@@ -175,6 +175,31 @@ def scd2_apply_partitioned(
     return {"changed_buckets": sorted(buckets), "rows_written": n}
 
 
+def scd2_as_of(
+    snapshot: DataFrame,
+    ts,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+) -> DataFrame:
+    """Time travel over an SCD2 snapshot: the rows valid AS OF ``ts`` —
+    ``valid_from <= ts < valid_to`` with a NULL ``valid_to`` meaning
+    still-open. Exactly one row per key that existed at ``ts`` (the
+    apply contract guarantees per-key intervals partition the key's
+    lifetime), zero rows for keys born later or deleted before.
+
+    This is the query the validity intervals exist to answer — the
+    reference's ES upsert (src/es.rs bulk index) keeps only the newest
+    version and cannot. Pure narrow filter: on a hive-partitioned
+    snapshot the predicate rides the parquet scan (row-group pruning on
+    ``valid_from`` if the layout clusters it), no shuffle, no UDF —
+    at 100 TB an as-of read costs one pruned scan."""
+    t = F.lit(ts).cast("timestamp")
+    return snapshot.filter(
+        (F.col(from_col) <= t)
+        & (F.col(to_col).isNull() | (F.col(to_col) > t))
+    )
+
+
 def persist_scd2_partitioned(
     df: DataFrame, base_dir: str, key: str, n_parts: int = 16
 ) -> None:

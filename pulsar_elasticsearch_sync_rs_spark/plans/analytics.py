@@ -1354,19 +1354,11 @@ GROUP BY user_id ORDER BY user_id
 
 
 
-def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD Type-2 CDC merge (operators/cdc.scd2_apply): customers as
-    the versioned base snapshot, a deterministic change batch derived
-    from orders (one change per (custkey, orderdate); op I/U/D keyed
-    off the min orderkey). Returns the merged snapshot — history,
-    closed versions, untouched keys, and the opened versions with
-    their validity intervals.
-
-    Scale: the base is never shuffled — the change batch is reduced to
-    first-change-per-key and BROADCAST against it; the only exchanges
-    are over the (small) change side. The reference's ES upsert keeps
-    only the newest version (src/es.rs bulk index); this lane is the
-    time-travel-capable superset an analytics store wants."""
+def _scd2_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared fixture plan for the SCD2 lanes: customers as the
+    versioned base snapshot, a deterministic change batch derived from
+    orders (one change per (custkey, orderdate); op I/U/D keyed off the
+    min orderkey), merged with operators/cdc.scd2_apply."""
     from pulsar_elasticsearch_sync_rs_spark.operators.cdc import scd2_apply
 
     cust = read_table(spark, sf_dir, "customer")
@@ -1398,7 +1390,20 @@ def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("__k")
     )
-    out = scd2_apply(base, ch, key="custkey", attrs=["bal", "seg"])
+    return scd2_apply(base, ch, key="custkey", attrs=["bal", "seg"])
+
+
+def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 CDC merge (operators/cdc.scd2_apply): the merged
+    snapshot — history, closed versions, untouched keys, and the
+    opened versions with their validity intervals.
+
+    Scale: the base is never shuffled — the change batch is reduced to
+    first-change-per-key and BROADCAST against it; the only exchanges
+    are over the (small) change side. The reference's ES upsert keeps
+    only the newest version (src/es.rs bulk index); this lane is the
+    time-travel-capable superset an analytics store wants."""
+    out = _scd2_merged(spark, sf_dir)
     # interval bounds rendered in the UTC session: PySpark collect()
     # converts raw TimestampType through the HOST OS timezone, so raw
     # timestamps hash-mismatch the oracle's naive values on non-UTC
@@ -1450,6 +1455,88 @@ FROM (
          next_ts IS NULL AS is_current
   FROM ch WHERE op <> 'D'
 )
+"""
+
+
+_SCD2_ASOF_POINTS = ("1993-06-01", "1995-06-01", "1997-06-01", "1999-01-01")
+
+
+def q_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 time travel (operators/cdc.scd2_as_of): the merged snapshot
+    queried "as of" four timestamps spanning the change horizon —
+    before most changes, two mid-stream points, and after all of them.
+    Exactly one version per key alive at each point; deleted keys
+    vanish, later-born keys absent. The oracle replays the same merge
+    as SQL and filters the validity intervals — the query the
+    intervals exist to answer, which the reference's ES upsert
+    (src/es.rs keeps only the newest doc) cannot.
+
+    Scale: each as-of read is a pure narrow filter over the snapshot
+    (no shuffle, no UDF); the lane unions four of them over one
+    cached-by-lineage merge."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.cdc import scd2_as_of
+
+    snap = _scd2_merged(spark, sf_dir)
+    slices = []
+    for p in _SCD2_ASOF_POINTS:
+        slices.append(
+            scd2_as_of(snap, p).select(
+                F.lit(p).alias("as_of"),
+                "custkey",
+                "bal",
+                "seg",
+                F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+                F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+                "is_current",
+            )
+        )
+    out = slices[0]
+    for s in slices[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+ORACLE_SCD2_ASOF = """
+WITH base AS (
+  SELECT c_custkey AS custkey, c_acctbal AS bal, c_mktsegment AS seg,
+         TIMESTAMP '1992-01-01 00:00:00' AS valid_from,
+         CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+  FROM customer
+), ch0 AS (
+  SELECT o_custkey AS custkey, o_orderdate AS ts,
+         min(o_totalprice) AS bal, min(o_orderpriority) AS seg,
+         min(o_orderkey) AS k
+  FROM orders WHERE o_orderkey % 7 = 0
+  GROUP BY 1, 2
+), ch AS (
+  SELECT custkey, ts, bal, seg,
+         CASE WHEN k % 10 = 0 THEN 'D' WHEN k % 10 < 5 THEN 'U' ELSE 'I' END AS op,
+         lead(ts) OVER (PARTITION BY custkey ORDER BY ts) AS next_ts
+  FROM ch0
+), first_ts AS (
+  SELECT custkey, min(ts) AS fts FROM ch0 GROUP BY 1
+), snap AS (
+  SELECT b.custkey, b.bal, b.seg, b.valid_from, f.fts AS valid_to,
+         FALSE AS is_current
+  FROM base b JOIN first_ts f USING (custkey)
+  UNION ALL
+  SELECT b.custkey, b.bal, b.seg, b.valid_from, b.valid_to, b.is_current
+  FROM base b WHERE b.custkey NOT IN (SELECT custkey FROM first_ts)
+  UNION ALL
+  SELECT custkey, bal, seg, ts AS valid_from, next_ts AS valid_to,
+         next_ts IS NULL AS is_current
+  FROM ch WHERE op <> 'D'
+), pts AS (
+  SELECT * FROM (VALUES ('1993-06-01'), ('1995-06-01'), ('1997-06-01'),
+                        ('1999-01-01')) AS t(as_of)
+)
+SELECT p.as_of, s.custkey, s.bal, s.seg,
+       strftime(s.valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(s.valid_to, '%Y-%m-%d %H:%M:%S') AS valid_to,
+       s.is_current
+FROM snap s, pts p
+WHERE s.valid_from <= CAST(p.as_of AS TIMESTAMP)
+  AND (s.valid_to IS NULL OR s.valid_to > CAST(p.as_of AS TIMESTAMP))
 """
 
 

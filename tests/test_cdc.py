@@ -224,3 +224,79 @@ def test_scd2_partitioned_change_key_dtype_mismatch_is_safe(spark, tmp_path):
     closed = snap.filter(~F.col("is_current")).collect()
     assert {(r.k, r.valid_to) for r in closed} == {(5, T1), (7, T1)}
     assert snap.count() == 42
+
+
+def test_scd2_asof_multi_batch_partitioned(spark, tmp_path):
+    """Round-10 brief #4: SCD2 time travel over a snapshot built by
+    THREE successive partitioned merges (repeated bucket rewrites — the
+    copy-on-write path exercised beyond one application). Each as-of
+    point is oracled against a DuckDB interval query over the final
+    snapshot, and the alive-set semantics (exactly one version per
+    alive key; deleted keys absent; later-born keys absent) are pinned
+    directly."""
+    import duckdb
+
+    from pulsar_elasticsearch_sync_rs_spark.operators.cdc import (
+        persist_scd2_partitioned,
+        scd2_apply_partitioned,
+        scd2_as_of,
+    )
+
+    base = spark.createDataFrame(
+        [(int(k), 0.0, T0, None, True) for k in range(30)],
+        "k bigint, v double, valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+    base_dir = str(tmp_path / "scd2_tt")
+    persist_scd2_partitioned(base, base_dir, "k", n_parts=8)
+
+    batches = [
+        # T1: update 0..9, delete 10..14
+        [(k, 1.0, "U", T1) for k in range(10)]
+        + [(k, 0.0, "D", T1) for k in range(10, 15)],
+        # T2: update 5..9 again, insert brand-new 100..104
+        [(k, 2.0, "U", T2) for k in range(5, 10)]
+        + [(k, 9.0, "I", T2) for k in range(100, 105)],
+        # T3: delete 0..2, re-insert 10 (deleted at T1)
+        [(k, 0.0, "D", T3) for k in range(3)] + [(10, 3.0, "I", T3)],
+    ]
+    for b in batches:
+        ch = spark.createDataFrame(
+            [(int(k), float(v), op, ts) for k, v, op, ts in b],
+            "k bigint, v double, op string, ts timestamp",
+        )
+        scd2_apply_partitioned(spark, base_dir, ch, key="k", attrs=["v"], n_parts=8)
+
+    snap = spark.read.parquet(base_dir).select(
+        "k", "v", "valid_from", "valid_to", "is_current"
+    )
+    snap_pdf = snap.toPandas()
+    con = duckdb.connect()
+    con.register("snap", snap_pdf)
+
+    mid = dt.datetime(2020, 7, 1)  # between T0 and T1
+    for point, want_alive in [
+        (mid, 30),                # all base keys, pre-change values
+        (T1, 25),                 # 10..14 deleted at T1 (closed AT T1)
+        (T2, 30),                 # +5 inserts at T2
+        (T3, 28),                 # -3 deletes, +1 re-insert at T3
+    ]:
+        got = scd2_as_of(snap, point).select("k", "v").collect()
+        want = con.execute(
+            "SELECT k, v FROM snap WHERE valid_from <= ? "
+            "AND (valid_to IS NULL OR valid_to > ?)",
+            [point, point],
+        ).fetchall()
+        assert sorted((r.k, r.v) for r in got) == sorted(want)
+        assert len(got) == want_alive, f"as-of {point}"
+        # one version per alive key — the interval-partition contract
+        assert len({r.k for r in got}) == len(got)
+
+    # spot semantics: key 7 walks 0.0 -> 1.0 -> 2.0 across the horizon
+    walk = {
+        p: {r.k: r.v for r in scd2_as_of(snap, p).collect()}.get(7)
+        for p in (mid, T1, T2)
+    }
+    assert walk == {mid: 0.0, T1: 1.0, T2: 2.0}
+    # deleted-then-reborn key 10: absent at T2, back at T3 with v=3.0
+    assert 10 not in {r.k for r in scd2_as_of(snap, T2).collect()}
+    assert {r.k: r.v for r in scd2_as_of(snap, T3).collect()}[10] == 3.0
