@@ -238,6 +238,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_scd2_asof": _wrap(A.q_scd2_asof),  # SCD2 time travel: as-of interval reads over the merged snapshot
         "q_zorder_scan": _wrap(A.q_zorder_scan),  # Z-order layout round-trip (pruning mechanism pinned in test_layout)
         "q_embed_pca": _wrap(L.q_embed_pca),  # distributed PCA fit+project (rows-only; numpy-parity pytest)
+        "q_knn_ivfpq_pca": _wrap(L.q_knn_ivfpq_pca),  # PCA-composed IVF-PQ at equal code bytes (rows-only; recall-at-budget pytest)
     }
 
 

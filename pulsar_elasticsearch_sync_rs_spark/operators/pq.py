@@ -319,6 +319,7 @@ def _adc_scan_and_rerank(
     probe_bool,
     q_rows=None,
     max_queries: int | None = None,
+    rerank_q_rows=None,
 ) -> DataFrame:
     """One implementation of ADC scan → global top-C → exact re-rank.
     ``probe_bool`` is None (scan every row for every query) or an
@@ -326,7 +327,11 @@ def _adc_scan_and_rerank(
     ``cell_id`` column and each query ranks only rows whose cell it
     probes (``mask = probe_bool[q, cells]``, fully vectorized — cells
     are bounded ints, so the lookup is one fancy-index, no per-row
-    Python)."""
+    Python). ``rerank_q_rows`` decouples the exact re-rank's query
+    vectors from the ADC ranking's: the PCA-composed lane ranks codes
+    in the REDUCED space (``q_rows`` projected) but re-ranks with the
+    ORIGINAL vectors against the original corpus — pass those here
+    (defaults to ``q_rows``, same order required)."""
     m, _ksub, _dsub = codebooks.shape
 
     # queries are a bounded set by contract (the other KNN lanes
@@ -428,8 +433,9 @@ def _adc_scan_and_rerank(
             T.StructField("query_vec", queries.schema["query_vec"].dataType),
         ]
     )
+    rr_rows = q_rows if rerank_q_rows is None else rerank_q_rows
     qdf = queries.sparkSession.createDataFrame(
-        [(int(i), qid, r["query_vec"]) for i, (qid, r) in enumerate(zip(q_ids, q_rows))],
+        [(int(i), qid, r["query_vec"]) for i, (qid, r) in enumerate(zip(q_ids, rr_rows))],
         q_schema,
     )
     exact = (
@@ -526,6 +532,108 @@ def knn_cosine_ivfpq(
         refine=refine,
         probe_bool=probe_bool,
         q_rows=q_rows,
+    )
+
+
+def knn_cosine_ivfpq_pca(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    pca_dim: int = 16,
+    m: int = 16,
+    ksub: int = 64,
+    nlist: int = 8,
+    nprobe: int = 4,
+    refine: int = 8,
+    seed: int = 42,
+    max_queries: int = DEFAULT_MAX_QUERIES,
+) -> DataFrame:
+    """IVF-PQ with a PCA front (operators/pca): fit PCA once, build the
+    coarse quantizer AND the product codebooks in the ``pca_dim``-dim
+    projected space, ADC-rank there, then re-rank the survivors EXACTLY
+    with the ORIGINAL vectors. Same code bytes as the full-dim index
+    (same m × ksub); the bytes go to the leading principal directions
+    instead of being spread over noise dimensions.
+
+    When it helps — measured, not vibes (round 10): on embeddings with
+    a DECAYING spectrum (real text/image encoders: low-rank structure +
+    noise; the planted pytest fixture: 6 latent dims, 99.9% energy in
+    8) recall@5 at equal bytes beats full-dim PQ (0.92 → 1.00 at m=8 on
+    the fixture, pytest-pinned). On a near-ISOTROPIC corpus (the
+    synthetic sf fixtures: 64 dims, 65% energy in 32) truncation costs
+    more than quantization-noise savings and the full-dim index wins —
+    check the spectrum (``pca_fit(...).explained_var``) before choosing
+    this lane; SCALE.md records both measurements.
+
+    Scale: adds one moment pass (pca_fit) + one Arrow projection map
+    over the build; the scan gets CHEAPER (luts are m × ksub regardless,
+    but encode/centroid work drops with the width). Queries are bounded
+    by contract; they project on the driver (numpy, microseconds)."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.ivf import build_ivf_index
+    from pulsar_elasticsearch_sync_rs_spark.operators.pca import (
+        pca_fit,
+        pca_transform,
+    )
+
+    if pca_dim % m != 0:
+        raise ValueError(
+            f"pca_dim {pca_dim} not divisible by m={m} subspaces — equal-byte "
+            "comparison needs the same m; pick pca_dim a multiple of m"
+        )
+    model = pca_fit(corpus, vec_col, k=pca_dim)
+    proj = pca_transform(corpus, model, vec_col, "__proj")
+    assigned, centers = build_ivf_index(
+        proj, "__proj", nlist=nlist, seed=seed, id_col=id_col
+    )
+    codebooks = train_pq_codebooks(
+        proj, id_col=id_col, vec_col="__proj", m=m, ksub=ksub, seed=seed
+    )
+    enc = make_pq_encode_udf(codebooks)
+    codes = assigned.select(
+        F.col(id_col), F.col("cell_id"), enc(F.col("__proj")).alias("codes")
+    )
+
+    q_rows = collect_bounded(
+        queries.select(F.col(query_id), F.col("query_vec")),
+        max_queries,
+        "knn_cosine_ivfpq_pca",
+    )
+    if not q_rows:
+        raise ValueError("knn_cosine_ivfpq_pca: empty query set")
+    Q = np.array([r["query_vec"] for r in q_rows], dtype=np.float64)
+    Qp = (Q - model.mean) @ model.components.T  # driver-side projection
+    n_q = len(Q)
+    d2 = (
+        (Qp * Qp).sum(axis=1, keepdims=True)
+        - 2.0 * (Qp @ centers.T)
+        + (centers * centers).sum(axis=1)
+    )
+    probe = np.argsort(d2, axis=1)[:, :nprobe]
+    probe_bool = np.zeros((n_q, len(centers)), dtype=bool)
+    probe_bool[np.arange(n_q)[:, None], probe] = True
+    probed_any = sorted(int(c) for c in np.unique(probe))
+
+    pruned = codes.filter(F.col("cell_id").isin(probed_any))
+    proj_q_rows = [
+        {query_id: r[query_id], "query_vec": Qp[i].tolist()}
+        for i, r in enumerate(q_rows)
+    ]
+    return _adc_scan_and_rerank(
+        pruned,
+        codebooks,
+        corpus,
+        queries,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id=query_id,
+        refine=refine,
+        probe_bool=probe_bool,
+        q_rows=proj_q_rows,
+        rerank_q_rows=q_rows,
     )
 
 

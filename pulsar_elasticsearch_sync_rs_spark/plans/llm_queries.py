@@ -2289,6 +2289,25 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_ivfpq_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA-composed IVF-PQ top-5 (operators/pq.py knn_cosine_ivfpq_pca):
+    fit PCA, build coarse cells + product codes in the 32-dim projected
+    space, ADC-rank there, exact re-rank with the original vectors —
+    equal code bytes as q_knn_ivfpq, energy packed into the leading
+    axes. Rows-only (k-means + eigensolve are iterative); the
+    recall-at-byte-budget claim is pytest-pinned on a planted
+    decaying-spectrum fixture in tests/test_dedup_similarity.py."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.pq import knn_cosine_ivfpq_pca
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return knn_cosine_ivfpq_pca(
+        emb, queries, k=5, pca_dim=32, nlist=8, nprobe=4, m=16, ksub=64, refine=8
+    )
+
+
 def q_dedup_minhash_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental NEAR-dup — minhash twin of q_dedup_incremental: the
     new batch (upper half of doc_ids) signatures only itself and joins

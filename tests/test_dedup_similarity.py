@@ -1687,3 +1687,61 @@ def test_jpeg_subsampling_restarts_and_marker_walk(spark):
     b = parse_jpeg(synth_jpeg_ycc(19, 13, (77, 40, 210)))
     assert a == b, "4:2:0 diverged from 4:4:4 on a solid color"
     assert gray["width"] == 16  # AC-path decode alive in this test too
+
+
+def test_knn_ivfpq_pca_recall_at_byte_budget(spark):
+    """Round-10 brief #3: PCA-composed IVF-PQ (operators/pq.py
+    knn_cosine_ivfpq_pca) at EQUAL code bytes (same m × ksub) beats the
+    full-dim index when the spectrum decays — the docstring's claim,
+    proven on a planted low-rank fixture (6 latent dims + 5% noise in
+    64 ambient dims; 99.9% energy in the top 8 axes). nprobe=nlist so
+    the comparison isolates CODE quality from probe radius; refine kept
+    small so the codes, not the exact re-rank, decide recall.
+    (On the near-isotropic synthetic embeddings fixture the composition
+    LOSES — measured, recorded in SCALE.md — so the pin lives on the
+    spectrum shape the operator is for.)"""
+    import numpy as np
+
+    from pulsar_elasticsearch_sync_rs_spark.operators.pq import (
+        knn_cosine_ivfpq,
+        knn_cosine_ivfpq_pca,
+    )
+
+    rng = np.random.default_rng(11)
+    n, d, r_true = 600, 64, 6
+    X = rng.normal(size=(n, r_true)) @ rng.normal(size=(r_true, d))
+    X += 0.05 * rng.normal(size=(n, d))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(n)],
+        "vec_id bigint, embedding array<double>",
+    ).repartition(4)
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_cosine_bruteforce(emb, queries, k=5).collect()
+    }
+    kw = dict(k=5, nlist=4, nprobe=4, m=8, ksub=64, refine=2)
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_cosine_ivfpq(emb, queries, **kw).collect()
+    }
+    pca = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_cosine_ivfpq_pca(emb, queries, pca_dim=8, **kw).collect()
+    }
+    r_full = len(exact & full) / len(exact)
+    r_pca = len(exact & pca) / len(exact)
+    assert r_pca >= r_full, (
+        f"PCA-composed recall {r_pca:.3f} < full-dim {r_full:.3f} at equal bytes"
+    )
+    assert r_pca >= 0.85, f"PCA-composed recall {r_pca:.3f}"
+
+    # byte-budget guard: a pca_dim not divisible by m breaks the
+    # equal-m comparison and must fail loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="divisible"):
+        knn_cosine_ivfpq_pca(emb, queries, pca_dim=12, m=8)
