@@ -136,8 +136,63 @@ def persist_bucketed(
     )
 
 
+def _zorder_casts(df: DataFrame, cluster_cols: list[str], bits: int):
+    """Validate the cluster columns and build their double-typed cast
+    expressions (shared by the key UDF and the quantile pass)."""
+    from pyspark.sql import functions as F
+
+    if not cluster_cols:
+        raise ValueError("cluster_cols must name at least one column")
+    n_cols = len(cluster_cols)
+    if bits < 1 or bits * n_cols > 63:
+        raise ValueError(
+            f"bits ({bits}) x columns ({n_cols}) must stay within a signed "
+            "long (<= 63 interleaved bits)"
+        )
+    dtypes = dict(df.dtypes)
+    casts = []
+    for c in cluster_cols:
+        t = dtypes[c]
+        if t == "date":
+            # DATE does not cast to BIGINT on this Spark build
+            # (AnalysisException); unix_date gives days-since-epoch
+            casts.append(F.unix_date(F.col(c)).cast("double").alias(c))
+        elif t == "boolean" or t.startswith("timestamp"):
+            casts.append(F.col(c).cast("long").cast("double").alias(c))
+        elif t in ("tinyint", "smallint", "int", "bigint", "float",
+                   "double") or t.startswith("decimal"):
+            casts.append(F.col(c).cast("double").alias(c))
+        else:
+            raise ValueError(
+                f"zorder_key: column {c!r} has type {t}; z-ordering needs an "
+                "ordered numeric/temporal dimension (hashing a string would "
+                "discard the locality the layout exists to create)"
+            )
+    return casts
+
+
+def zorder_bounds(df: DataFrame, cluster_cols: list[str], bits: int = 8,
+                  relative_error: float = 0.001):
+    """The quantile cut points (``2^bits − 1`` per column, as
+    float64 arrays) the Morton key ranks against — the ONLY driver
+    state of the layout, a few KB. Exposed so :func:`persist_zordered`
+    can persist them beside the data and :func:`compact_zordered` can
+    rewrite small files under the SAME cell boundaries without
+    re-scanning for quantiles."""
+    import numpy as np
+
+    casts = _zorder_casts(df, cluster_cols, bits)
+    probs = [i / float(1 << bits) for i in range(1, 1 << bits)]
+    return [
+        np.asarray(b, dtype=np.float64)
+        for b in df.select(*casts).approxQuantile(
+            cluster_cols, probs, relative_error
+        )
+    ]
+
+
 def zorder_key(df: DataFrame, cluster_cols: list[str], bits: int = 8,
-               relative_error: float = 0.001):
+               relative_error: float = 0.001, bounds=None):
     """Column expression: the Morton (Z-order) key of ``cluster_cols``
     — the multi-column generalization of :func:`persist_clustered`'s
     1-D sort. Sorting by an interleaved-bit key keeps rows that are
@@ -168,43 +223,25 @@ def zorder_key(df: DataFrame, cluster_cols: list[str], bits: int = 8,
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    if not cluster_cols:
-        raise ValueError("cluster_cols must name at least one column")
     n_cols = len(cluster_cols)
-    if bits < 1 or bits * n_cols > 63:
-        raise ValueError(
-            f"bits ({bits}) x columns ({n_cols}) must stay within a signed "
-            "long (<= 63 interleaved bits)"
-        )
-    dtypes = dict(df.dtypes)
-    casts = []
-    for c in cluster_cols:
-        t = dtypes[c]
-        if t == "date":
-            # DATE does not cast to BIGINT on this Spark build
-            # (AnalysisException); unix_date gives days-since-epoch
-            casts.append(F.unix_date(F.col(c)).cast("double").alias(c))
-        elif t == "boolean" or t.startswith("timestamp"):
-            casts.append(F.col(c).cast("long").cast("double").alias(c))
-        elif t in ("tinyint", "smallint", "int", "bigint", "float",
-                   "double") or t.startswith("decimal"):
-            casts.append(F.col(c).cast("double").alias(c))
-        else:
-            raise ValueError(
-                f"zorder_key: column {c!r} has type {t}; z-ordering needs an "
-                "ordered numeric/temporal dimension (hashing a string would "
-                "discard the locality the layout exists to create)"
-            )
-    probs = [i / float(1 << bits) for i in range(1, 1 << bits)]
+    casts = _zorder_casts(df, cluster_cols, bits)
     # a degenerate column (constant / heavy ties) may yield repeated cut
     # points — searchsorted(side="right") can then rank ties past the
-    # last cell, clipped inside the UDF
-    bounds = [
-        np.asarray(b, dtype=np.float64)
-        for b in df.select(*casts).approxQuantile(
-            cluster_cols, probs, relative_error
-        )
-    ]
+    # last cell, clipped inside the UDF. ``bounds`` short-circuits the
+    # quantile pass with a PERSISTED spec (compact_zordered): cell
+    # boundaries stay stable across appends/compactions and the rewrite
+    # never re-scans for quantiles.
+    if bounds is None:
+        bounds = zorder_bounds(df, cluster_cols, bits, relative_error)
+    else:
+        bounds = [np.asarray(b, dtype=np.float64) for b in bounds]
+        if len(bounds) != n_cols or any(
+            len(b) != (1 << bits) - 1 for b in bounds
+        ):
+            raise ValueError(
+                f"zorder_key: supplied bounds do not match {n_cols} columns "
+                f"x {(1 << bits) - 1} cut points (bits={bits})"
+            )
 
     # no signature type hints: PySpark's hint inference rejects a
     # varargs (*series) pandas signature; the explicit returnType rules
@@ -233,6 +270,7 @@ def persist_zordered(
     n_files: int = 8,
     max_records_per_file: int | None = None,
     mode: str = "overwrite",
+    write_spec: bool = True,
 ) -> None:
     """Write ``df`` as parquet Z-ordered on ``cluster_cols``: range
     partition on the Morton key (each output file owns a contiguous
@@ -242,8 +280,20 @@ def persist_zordered(
     the layout-side complement to predicate pushdown that 1-D
     clustering only provides for its leading column. The key UDF is
     evaluated in the exchange stage only (it never reaches the files).
+
+    ``write_spec`` (default True) persists the layout spec — cluster
+    columns, bits, and the quantile cut points — as a one-file parquet
+    sidecar under ``path/_zorder_spec`` (underscore-prefixed: invisible
+    to parquet readers of ``path``; written through the Spark writer so
+    it lands on the same filesystem as the data for any Hadoop path).
+    :func:`compact_zordered` reads it back, so small-file compaction
+    under streaming appends preserves the SAME cell boundaries without
+    re-scanning for quantiles.
     """
-    zdf = df.withColumn("__zkey", zorder_key(df, cluster_cols, bits=bits))
+    bounds = zorder_bounds(df, cluster_cols, bits=bits)
+    zdf = df.withColumn(
+        "__zkey", zorder_key(df, cluster_cols, bits=bits, bounds=bounds)
+    )
     writer = (
         zdf.repartitionByRange(n_files, "__zkey")
         .sortWithinPartitions("__zkey")
@@ -253,6 +303,85 @@ def persist_zordered(
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.parquet(path)
+    if write_spec:
+        _write_zorder_spec(df.sparkSession, path, cluster_cols, bits, bounds)
+
+
+def _write_zorder_spec(spark, path: str, cluster_cols, bits: int, bounds) -> None:
+    import json
+    import posixpath
+
+    spec = {
+        "cluster_cols": list(cluster_cols),
+        "bits": int(bits),
+        "bounds": [[float(x) for x in b] for b in bounds],
+    }
+    (
+        spark.createDataFrame([(json.dumps(spec),)], "spec string")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(posixpath.join(path, "_zorder_spec"))
+    )
+
+
+def load_zorder_spec(spark, path: str):
+    """Read back the layout spec :func:`persist_zordered` wrote beside
+    the data. Returns ``(cluster_cols, bits, bounds)``."""
+    import json
+    import posixpath
+
+    row = spark.read.parquet(posixpath.join(path, "_zorder_spec")).first()
+    if row is None:
+        raise ValueError(f"no z-order spec found under {path}")
+    spec = json.loads(row["spec"])
+    return spec["cluster_cols"], spec["bits"], spec["bounds"]
+
+
+def compact_zordered(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_rows_per_file: int = 1_000_000,
+) -> int:
+    """Z-order-preserving small-file compaction — the streaming-append
+    repair pass :func:`compact_clustered` provides for 1-D layouts,
+    which would otherwise ERODE a Morton layout (it re-clusters on one
+    leading column). Reads the spec sidecar (columns, bits, CUT POINTS)
+    from ``src_path``, re-sorts every row under the SAME Morton cells,
+    and writes ⌈rows / target⌉ size-bounded files plus the carried-over
+    spec — footer skip rates return to the freshly-written layout's and
+    later compactions keep composing (the spec, not the data, defines
+    the cells). Returns the row count written.
+
+    Scale: NO quantile re-scan (the persisted cut points are reused —
+    on a 100 TB table the approxQuantile pass is the only other
+    full-data term), one range exchange + narrow Arrow key map — the
+    same cost profile as the original write."""
+    import os
+
+    if os.path.realpath(src_path) == os.path.realpath(dst_path):
+        raise ValueError(
+            "compact_zordered cannot run in place: the overwrite write would "
+            "delete the source while it is still being lazily read — "
+            "compact to a new path, then swap directories"
+        )
+    cluster_cols, bits, bounds = load_zorder_spec(spark, src_path)
+    df = spark.read.parquet(src_path)
+    n_rows = df.count()
+    n_files = max(1, -(-n_rows // target_rows_per_file))
+    zdf = df.withColumn(
+        "__zkey", zorder_key(df, cluster_cols, bits=bits, bounds=bounds)
+    )
+    (
+        zdf.repartitionByRange(n_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", target_rows_per_file)
+        .parquet(dst_path)
+    )
+    _write_zorder_spec(spark, dst_path, cluster_cols, bits, bounds)
+    return n_rows
 
 
 def bucketed_equi_join(spark, table_a: str, table_b: str, key_a: str, key_b: str):

@@ -21,7 +21,9 @@ from pulsar_elasticsearch_sync_rs_spark.sources.batch import read_table
 def _rowgroup_ranges(path: str, col: str) -> list[tuple]:
     """(min, max) of ``col`` for every row group of every file."""
     ranges = []
-    for root, _dirs, files in os.walk(path):
+    for root, dirs, files in os.walk(path):
+        # hidden/metadata sidecars (e.g. _zorder_spec) aren't data files
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         for fname in files:
             if not fname.endswith(".parquet"):
                 continue
@@ -298,3 +300,87 @@ def test_zorder_key_handles_date_columns(spark, sf_dir):
     # mixed date + bigint interleave also plans and evaluates
     two = orders.withColumn("zk", zorder_key(orders, ["od", "o_orderkey"], bits=4))
     assert two.filter(F.col("zk").isNull()).count() == 0
+
+
+def test_compact_zordered_preserves_morton_layout(spark, sf_dir, tmp_path):
+    """Round-10 brief #6: streaming appends erode a Z-ordered table
+    (arrival-order files have blind row-group stats); compact_zordered
+    rewrites the small files under the SAME persisted cell spec. Pinned
+    from the footers: (a) appends degrade the skip rate on both dims,
+    (b) compaction restores it to the fresh layout's on BOTH dims,
+    (c) rows survive as a multiset, (d) file count is bounded by
+    ⌈rows/target⌉, (e) the spec (cut points) carries over byte-identical
+    so compactions compose, and (f) a compacted-in-place call refuses."""
+    import pytest
+
+    from pulsar_elasticsearch_sync_rs_spark.operators.layout import (
+        compact_zordered,
+        load_zorder_spec,
+        persist_zordered,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    n_rows = ev.count()
+    per_file = max(200, n_rows // 32)
+    z_dir = str(tmp_path / "zc_base")
+    # fresh layout from 80% of the data; the remaining 20% arrives later
+    old = ev.filter(F.col("event_id") % 5 != 0)
+    late = ev.filter(F.col("event_id") % 5 == 0)
+    persist_zordered(old, z_dir, ["user_id", "event_id"], bits=8, n_files=32,
+                     max_records_per_file=per_file)
+
+    lo_u, hi_u = ev.approxQuantile("user_id", [0.45, 0.55], 0.0)
+    lo_e, hi_e = ev.approxQuantile("event_id", [0.45, 0.55], 0.0)
+
+    def frac_read(path, col, lo, hi):
+        ranges = _rowgroup_ranges(path, col)
+        hit = sum(1 for mn, mx in ranges if not (mx < lo or mn > hi))
+        return hit / len(ranges)
+
+    fresh_u = frac_read(z_dir, "user_id", lo_u, hi_u)
+    fresh_e = frac_read(z_dir, "event_id", lo_e, hi_e)
+    assert fresh_u <= 0.6 and fresh_e <= 0.6
+
+    # streaming appends: arrival-order small files — the erosion
+    late.coalesce(4).write.option("maxRecordsPerFile", per_file // 4).mode(
+        "append"
+    ).parquet(z_dir)
+    erod_u = frac_read(z_dir, "user_id", lo_u, hi_u)
+    assert erod_u > fresh_u, "append must erode the layout for the test to bite"
+
+    dst = str(tmp_path / "zc_compacted")
+    # target sized to the fresh layout's granularity (~32 files): the
+    # skip-rate comparison is only meaningful at matched row-group
+    # grain — fewer, bigger groups each span more z-range regardless of
+    # layout quality (in production the grain is the ~128 MB row group,
+    # a constant on both sides)
+    target = max(1, n_rows // 32)
+    wrote = compact_zordered(spark, z_dir, dst, target_rows_per_file=target)
+    assert wrote == n_rows
+    comp_u = frac_read(dst, "user_id", lo_u, hi_u)
+    comp_e = frac_read(dst, "event_id", lo_e, hi_e)
+    # restored: selective on BOTH dims again, at the fresh layout's level
+    assert comp_u <= fresh_u + 0.1, f"user_id skip not restored: {comp_u:.0%}"
+    assert comp_e <= fresh_e + 0.1, f"event_id skip not restored: {comp_e:.0%}"
+
+    # multiset-identical rows
+    a = spark.read.parquet(z_dir).agg(
+        F.count("*"), F.sum("event_id"), F.sum("user_id")).collect()[0]
+    b = spark.read.parquet(dst).agg(
+        F.count("*"), F.sum("event_id"), F.sum("user_id")).collect()[0]
+    assert tuple(a) == tuple(b)
+
+    # file count bounded by ceil(rows/target) (+1 slack for range-
+    # partition boundary spill)
+    n_files = sum(
+        1 for r, d, fs in os.walk(dst)
+        if not any(p.startswith("_") for p in r.split(os.sep))
+        for f in fs if f.endswith(".parquet")
+    )
+    assert n_files <= -(-n_rows // target) + 1
+
+    # the spec carried over byte-identical — compactions compose
+    assert load_zorder_spec(spark, z_dir) == load_zorder_spec(spark, dst)
+
+    with pytest.raises(ValueError, match="in place"):
+        compact_zordered(spark, dst, dst)
