@@ -141,7 +141,28 @@ def main() -> None:
         )
 
     if wanted("events"):
-        wr(replicate(rd("events"), ["event_id", "user_id"], mutate_events), "events")
+        # events use INTERLEAVED-MULTIPLY replication (id → id·R + i)
+        # instead of the block shift: ids stay collision-free at any
+        # nesting level (a bijection ℕ×[0,R) → ℕ) AND the id space
+        # stays DENSE — the block shift left 10 sparse islands with the
+        # whole central band empty, so q_zorder_scan's central 10%
+        # min/max band selected 0 rows at sf1 and the marquee layout
+        # lane's scale witness was a vacuous 0=0 agreement (round-9
+        # verdict). Group sizes and per-key profiles are preserved
+        # exactly (each replica's user u maps to a unique new id);
+        # events have no cross-table foreign keys, so the relational
+        # pack keeps the shift scheme its join consistency needs.
+        def interleave(df, i):
+            d = df
+            for k in ("event_id", "user_id"):
+                d = d.withColumn(k, F.col(k) * reps + F.lit(i))
+            return mutate_events(d, i)
+
+        ev_parts = [interleave(rd("events"), i) for i in range(reps)]
+        ev = ev_parts[0]
+        for p in ev_parts[1:]:
+            ev = ev.unionByName(p)
+        wr(ev, "events")
 
     def mutate_docs(d, i):
         if i == 0:
