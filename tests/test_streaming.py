@@ -2257,3 +2257,76 @@ def test_curation_ingest_near_dup_against_accumulated_bands(spark, sf_dir, tmpdi
     assert donor["doc_id"] in band_ids
     assert not ({x1, x2, x3} & band_ids)
     assert band_ids <= on
+
+
+def test_compact_soak_50_batches_bounded_and_flat(spark, sf_dir, tmpdir):
+    """Round-10 brief #8: the long-horizon witness for 'compaction
+    kills partition listing long before data volume' — 50 micro-batch
+    slices with a fold every 5 (retain=1), 10× the e2e's horizon.
+    Driven at the INDEX level (_write_sha_slice + compact_sha_index,
+    exactly what the compact_every hook runs between batches): the
+    foreachBatch plumbing is already pinned by the 5-batch e2e above;
+    the horizon claims are the index's. Pins, throughout the run:
+    (a) partition count ≤ 1 + retain + compact_every at every step
+        (consolidated + the retained slice + up to compact_every new
+        slices since the last fold) and exactly {consolidated,
+        retained} right after each fold;
+    (b) the index (sha, doc_id) SET equals the no-compaction twin's
+        (the union of all slices written so far) after every fold;
+    (c) wall-per-fold and wall-per-slice-write stay FLAT: median of the
+        last 5 ≤ 4× median of the first 5 (the host's documented 3–9×
+        burstiness is why this is a median-vs-median bound, and the
+        failure mode guarded — cost growing with total batches ever
+        folded — is linear, far outside 4×)."""
+    import statistics
+    import time
+
+    from pulsar_elasticsearch_sync_rs_spark.sources.batch import read_table
+    from pulsar_elasticsearch_sync_rs_spark.streaming.curation import (
+        _list_partition_ids,
+        _sha_table_name,
+        _write_sha_slice,
+        compact_sha_index,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = docs.select(F.sha2(F.col("text"), 256).alias("sha"), F.col("doc_id"))
+    sha_dir = os.path.join(tmpdir, "soak_sha")
+    table = _sha_table_name(sha_dir)
+    compact_every, retain = 5, 1
+    bound = 1 + retain + compact_every
+    expected: set = set()
+    write_walls, fold_walls = [], []
+    try:
+        for b in range(50):
+            sl = pairs.filter(F.col("doc_id") % 50 == b)
+            t0 = time.perf_counter()
+            _write_sha_slice(sl, table, sha_dir, b, 16)
+            write_walls.append(time.perf_counter() - t0)
+            expected |= {(r["sha"], r["doc_id"]) for r in sl.collect()}
+            parts = _list_partition_ids(spark, sha_dir)
+            assert len(parts) <= bound, (
+                f"batch {b}: {len(parts)} partitions > bound {bound}"
+            )
+            if b > 0 and b % compact_every == 0:
+                t0 = time.perf_counter()
+                rep = compact_sha_index(spark, sha_dir, retain=retain)
+                fold_walls.append(time.perf_counter() - t0)
+                parts = _list_partition_ids(spark, sha_dir)
+                assert sorted(parts) == [rep["slot"], b], sorted(parts)
+                got = _sha_index_rows(spark, table)
+                assert got == expected, (
+                    f"fold at batch {b} changed the index set "
+                    f"(+{len(got - expected)}/-{len(expected - got)})"
+                )
+        assert len(fold_walls) == 9
+        # flatness: medians, 4x headroom (see docstring)
+        for name, walls in (("write", write_walls), ("fold", fold_walls)):
+            head = statistics.median(walls[:5])
+            tail = statistics.median(walls[-5:])
+            assert tail <= 4 * head, (
+                f"{name} wall grew: median first5={head:.3f}s last5={tail:.3f}s "
+                f"(all: {[round(w, 2) for w in walls]})"
+            )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
