@@ -219,6 +219,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_png": _wrap(L.q_media_png),  # 4th real codec: compressed PNG (CRC + inflate + unfilter)
         "q_media_jpeg": _wrap(L.q_media_jpeg),  # 5th real codec: baseline sequential JPEG (Huffman + IDCT)
         "q_media_jpeg_color": _wrap(L.q_media_jpeg_color),  # production shape: 4:2:0/4:2:2 subsampling + restart intervals
+        "q_media_jpeg_prog": _wrap(L.q_media_jpeg_prog),  # progressive SOF2: successive-approximation multi-scan decode
         "q_hopping_window": _wrap(A.q_hopping_window),  # sliding-window agg: one Expand, no self-join
         "q_bloom_join": _wrap(A.q_bloom_join),  # bloom-pruned fact shuffle == plain join
         "q_compress_ratio": _wrap(L.q_compress_ratio),  # deflate-ratio quality signal (rows-only: zlib has no SQL twin)
@@ -275,6 +276,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "q_media_png": L.ORACLE_MEDIA_PNG,
         "q_media_jpeg": L.ORACLE_MEDIA_JPEG,
         "q_media_jpeg_color": L.ORACLE_MEDIA_JPEG_COLOR,
+        "q_media_jpeg_prog": L.ORACLE_MEDIA_JPEG_PROG,
         "q_hopping_window": A.ORACLE_HOPPING_WINDOW,
         "q_bloom_join": A.ORACLE_BLOOM_JOIN,
         "q_histogram_equidepth": A.ORACLE_HISTOGRAM_EQUIDEPTH,

@@ -699,13 +699,22 @@ def stream_throughput(spark, sf_dir: str, violations: list[str] | None = None) -
 
         # curation ingestion lane: documents (not events) through the
         # end-to-end foreachBatch curation job — gate → decontam →
-        # within-batch + accumulated-index dedup → parquet land. 4 input
-        # files / maxFilesPerTrigger=2 → 2 micro-batches, so the
-        # cross-batch sha-index anti-join path is on the clock.
+        # within-batch + accumulated-index dedup → parquet land. 6 input
+        # files / maxFilesPerTrigger=2 → 3 micro-batches, so the
+        # cross-batch sha-index anti-join path is on the clock — AND,
+        # round 10, so is compaction: compact_every=1 is the production
+        # configuration (bounded partition count), which puts the
+        # amortized fold cost (one shuffle of the skinny index per
+        # fold) inside the measured wall instead of only in an e2e
+        # test. Post-run, the index directories must show the bounded
+        # partition count (assertion below) — the bound and the cost
+        # are both continuously measured.
+        CUR_COMPACT_EVERY = 1
+        CUR_RETAIN = 1  # compact_index_batches default the hook uses
         docs_src = os.path.join(tmp, "docs_src")
         (
             spark.read.parquet(f"{sf_dir}/documents.parquet")
-            .repartition(4)
+            .repartition(6)
             .write.parquet(docs_src)
         )
         n_docs = spark.read.parquet(docs_src).count()
@@ -732,6 +741,7 @@ def stream_throughput(spark, sf_dir: str, violations: list[str] | None = None) -
                 ckpt,
                 n=5,
                 available_now=True,
+                compact_every=CUR_COMPACT_EVERY,
             )
 
         def start_curation_nd(ckpt, out):
@@ -757,10 +767,30 @@ def stream_throughput(spark, sf_dir: str, violations: list[str] | None = None) -
                 available_now=True,
                 near_dup_threshold=0.5,
                 bands_dir=f"{ckpt}_bands",
+                compact_every=CUR_COMPACT_EVERY,
             )
 
+        def check_index_bound(lane: str, index_dir: str, report: dict) -> None:
+            """Post-run partition-count assertion for an accumulated
+            index directory: with compaction on the clock the count must
+            stay ≤ 1 (consolidated generation) + retain + batches since
+            the last fold (< compact_every) — unbounded growth here is
+            exactly the regression compaction exists to kill."""
+            if not os.path.isdir(index_dir):
+                if violations is not None:
+                    violations.append(f"stream/{lane}: index dir {index_dir} missing")
+                return
+            parts = [e for e in os.listdir(index_dir) if e.startswith("batch=")]
+            bound = 1 + CUR_RETAIN + CUR_COMPACT_EVERY
+            report[f"{lane.split('/')[-1]}_index_partitions"] = len(parts)
+            if violations is not None and len(parts) > bound:
+                violations.append(
+                    f"stream/{lane}: {len(parts)} index partitions after the"
+                    f" run > bound {bound} (compaction not holding)"
+                )
+
         etl = run_lane("etl", start_etl, msgs_from_output=True)
-        return {
+        out = {
             **etl,  # BENCH_r2/r3-compatible top-level ETL figures
             "sessionize": run_lane("sessionize", start_sessionize),
             "dedup": run_lane("dedup", start_dedup),
@@ -780,6 +810,22 @@ def stream_throughput(spark, sf_dir: str, violations: list[str] | None = None) -
                 "curation_nd", start_curation_nd, n_input_override=n_docs
             ),
         }
+        # compaction's whole point, checked from the directories the
+        # run leaves behind (last rep's checkpoints):
+        check_index_bound(
+            "curation/sha", os.path.join(tmp, "ckpt_curation_2_sha"), out["curation"]
+        )
+        check_index_bound(
+            "curation_nd/sha",
+            os.path.join(tmp, "ckpt_curation_nd_2_sha"),
+            out["curation_nd"],
+        )
+        check_index_bound(
+            "curation_nd/bands",
+            os.path.join(tmp, "ckpt_curation_nd_2_bands"),
+            out["curation_nd"],
+        )
+        return out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

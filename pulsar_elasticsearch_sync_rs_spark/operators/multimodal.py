@@ -1051,6 +1051,164 @@ def _extend(v: int, size: int) -> int:
     return v if size == 0 or v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+def _decode_prog_scan(
+    reader,
+    comps,
+    scan_comps,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    coeffs,
+    geom,
+    restart_interval: int,
+) -> None:
+    """Decode ONE progressive scan (T.81 Annex G) into the per-component
+    zigzag-order coefficient arrays. ``scan_comps`` is
+    [(ci, dc_table, ac_table)]; interleaved (ns>1) scans walk the MCU
+    grid, single-component scans walk that component's OWN block grid.
+    Four scan kinds: DC first (Ss=0, Ah=0), DC refinement (Ss=0, Ah>0 —
+    one raw bit per block), AC first (Ss>0, Ah=0 — run-length with
+    EOB-run batching), AC refinement (Ss>0, Ah>0 — newly-significant
+    ±1<<Al insertions with interleaved correction bits, G.1.2.3).
+    Restart intervals resync every Ri MCUs/blocks: strict RSTn cycle,
+    DC predictors and the EOB run reset."""
+    mcus_x, mcus_y, _hmax, _vmax, comp_blocks = geom
+    interleaved = len(scan_comps) > 1
+    if ss > 0 and interleaved:
+        raise ValueError("invalid progressive scan: interleaved AC scan")
+    preds = {ci: 0 for ci, _dc, _ac in scan_comps}
+    eobrun = 0
+    unit = 0  # MCU (interleaved) / block (single-component) counter
+    rst_cycle = 0
+
+    def maybe_restart():
+        nonlocal eobrun, rst_cycle
+        if restart_interval and unit and unit % restart_interval == 0:
+            reader.expect_restart(rst_cycle % 8)
+            rst_cycle += 1
+            for ci in preds:
+                preds[ci] = 0
+            eobrun = 0
+
+    def dc_first(ci, dc_t, block):
+        size = _huff_decode(reader, dc_t)
+        diff = _extend(reader.read_bits(size), size) if size else 0
+        preds[ci] += diff
+        block[0] = preds[ci] << al
+
+    def dc_refine(block):
+        if reader.read_bit():
+            block[0] |= 1 << al
+
+    def ac_first(ac_t, block):
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            sym = _huff_decode(reader, ac_t)
+            r, s = sym >> 4, sym & 0x0F
+            if s == 0:
+                if r == 15:
+                    k += 16  # ZRL
+                    continue
+                eobrun = (1 << r) - 1 + (reader.read_bits(r) if r else 0)
+                return
+            k += r
+            if k > se:
+                raise ValueError("AC run past spectral band end")
+            block[k] = _extend(reader.read_bits(s), s) << al
+            k += 1
+
+    def ac_refine(ac_t, block):
+        # T.81 G.1.2.3: skip runs count ZERO-HISTORY positions only;
+        # every nonzero-history coefficient passed over emits one
+        # correction bit; a newly-significant coefficient lands ±1<<Al
+        nonlocal eobrun
+        p1, m1 = 1 << al, -1 << al
+
+        def correct(k):
+            if reader.read_bit():
+                if block[k] > 0 and not (block[k] & p1):
+                    block[k] += p1
+                elif block[k] < 0 and not (block[k] & p1):
+                    block[k] += m1
+
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                sym = _huff_decode(reader, ac_t)
+                r, s = sym >> 4, sym & 0x0F
+                val = 0
+                if s == 0:
+                    if r < 15:
+                        # EOB run INCLUDES the current block (its
+                        # remaining correction bits are consumed below,
+                        # then the count decrements) — T.81 G.2 /
+                        # libjpeg convention; excluding it desyncs a
+                        # 1-block run
+                        eobrun = (1 << r) + (
+                            reader.read_bits(r) if r else 0
+                        )
+                        break
+                    # ZRL: skip 16 zero-history positions
+                else:
+                    if s != 1:
+                        raise ValueError("invalid AC-refinement magnitude")
+                    val = p1 if reader.read_bit() else m1
+                while k <= se:
+                    if block[k] != 0:
+                        correct(k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    block[k] = val
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                if block[k] != 0:
+                    correct(k)
+                k += 1
+            eobrun -= 1
+
+    if interleaved:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                maybe_restart()
+                for ci, dc_t, _ac_t in scan_comps:
+                    _cid, hs, vs, _tq = comps[ci]
+                    for vb in range(vs):
+                        for hb in range(hs):
+                            block = coeffs[ci][my * vs + vb][mx * hs + hb]
+                            if ah == 0:
+                                dc_first(ci, dc_t, block)
+                            else:
+                                dc_refine(block)
+                unit += 1
+    else:
+        ci, dc_t, ac_t = scan_comps[0]
+        bh, bw = comp_blocks[ci]
+        for by in range(bh):
+            for bx in range(bw):
+                maybe_restart()
+                block = coeffs[ci][by][bx]
+                if ss == 0:
+                    if ah == 0:
+                        dc_first(ci, dc_t, block)
+                    else:
+                        dc_refine(block)
+                elif ah == 0:
+                    ac_first(ac_t, block)
+                else:
+                    ac_refine(ac_t, block)
+                unit += 1
+
+
 def parse_jpeg(blob: bytes, max_pixels: int = 1 << 26) -> dict:
     """Real baseline sequential decode: marker walk (APPn/COM skipped,
     0xFF fill bytes and standalone markers per T.81 B.1.1.2 handled,
@@ -1075,6 +1233,9 @@ def parse_jpeg(blob: bytes, max_pixels: int = 1 << 26) -> dict:
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     sof = None
     restart_interval = 0
+    progressive = False
+    coeffs = geom = None  # progressive scan state (built at first SOS)
+    n_scans = 0
     while True:
         if pos + 2 > len(blob):
             raise ValueError("truncated marker segment")
@@ -1096,6 +1257,8 @@ def parse_jpeg(blob: bytes, max_pixels: int = 1 << 26) -> dict:
             pos += 2
             continue
         if marker == 0xFFD9:
+            if progressive and n_scans > 0:
+                break  # all scans decoded; reconstruct below
             raise ValueError("EOI before SOS (no image data)")
         if pos + 4 > len(blob):
             raise ValueError("truncated marker segment")
@@ -1132,7 +1295,8 @@ def parse_jpeg(blob: bytes, max_pixels: int = 1 << 26) -> dict:
                     code <<= 1
                 huff[(tc, th)] = table
                 o += 17 + nvals
-        elif marker == 0xFFC0:  # SOF0 baseline
+        elif marker in (0xFFC0, 0xFFC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xFFC2
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError("unsupported: precision != 8")
@@ -1148,26 +1312,110 @@ def parse_jpeg(blob: bytes, max_pixels: int = 1 << 26) -> dict:
             if h * w > max_pixels:
                 raise ValueError(f"image {w}x{h} exceeds max_pixels={max_pixels}")
             sof = (h, w, comps)
-        elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
+        elif marker in (0xFFC1, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
                         0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
-            raise ValueError("unsupported: not baseline sequential (SOF0)")
+            raise ValueError(
+                "unsupported: not baseline (SOF0) or progressive (SOF2)"
+            )
         elif marker == 0xFFDD:  # DRI — restart every Ri MCUs (0 = off)
             if len(body) < 2:
                 raise ValueError("truncated DRI segment")
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xFFDA:  # SOS — entropy data follows
             if sof is None:
-                raise ValueError("SOS before SOF0")
+                raise ValueError("SOS before SOF")
             ns = body[0]
             scan_sel = []
             for c in range(ns):
                 cs, tdta = body[1 + 2 * c : 3 + 2 * c]
                 scan_sel.append((cs, tdta >> 4, tdta & 0x0F))
-            pos = pos + 2 + length
-            break
+            if not progressive:
+                pos = pos + 2 + length
+                break
+            # progressive: decode THIS scan into the coefficient
+            # arrays, then keep walking (tables may be redefined and
+            # more scans follow until EOI)
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if coeffs is None:
+                h, w, comps_p = sof
+                hmax = max(c[1] for c in comps_p)
+                vmax = max(c[2] for c in comps_p)
+                for _cid, hs, vs, _tq in comps_p:
+                    if hmax % hs or vmax % vs:
+                        raise ValueError(
+                            "unsupported: non-integer subsampling ratio"
+                        )
+                mcus_x = -(-w // (8 * hmax))
+                mcus_y = -(-h // (8 * vmax))
+                comp_blocks = []
+                coeffs = []
+                for _cid, hs, vs, _tq in comps_p:
+                    cw = (w * hs + hmax - 1) // hmax
+                    ch = (h * vs + vmax - 1) // vmax
+                    comp_blocks.append((-(-ch // 8), -(-cw // 8)))
+                    coeffs.append(
+                        [
+                            [[0] * 64 for _ in range(mcus_x * hs)]
+                            for _ in range(mcus_y * vs)
+                        ]
+                    )
+                geom = (mcus_x, mcus_y, hmax, vmax, comp_blocks)
+            comp_index_p = {
+                cid: i for i, (cid, _hs, _vs, _tq) in enumerate(sof[2])
+            }
+            scan_comps = []
+            for cs, td, ta in scan_sel:
+                if cs not in comp_index_p:
+                    raise ValueError("scan references unknown component")
+                dc_t = huff.get((0, td))
+                ac_t = huff.get((1, ta))
+                if ss == 0 and ah == 0 and dc_t is None:
+                    raise ValueError("missing Huffman table for scan")
+                if ss > 0 and ac_t is None:
+                    raise ValueError("missing Huffman table for scan")
+                scan_comps.append((comp_index_p[cs], dc_t, ac_t))
+            reader = _BitReader(blob, pos + 2 + length)
+            _decode_prog_scan(
+                reader, sof[2], scan_comps, ss, se, ah, al,
+                coeffs, geom, restart_interval,
+            )
+            n_scans += 1
+            pos = reader.pos
+            continue
         pos = pos + 2 + length
 
     h, w, comps = sof
+    if progressive:
+        # reconstruct: inverse zigzag + dequantize + IDCT per block of
+        # the accumulated coefficient arrays (same math as baseline's
+        # inline per-block path)
+        import numpy as np
+
+        mcus_x, mcus_y, hmax, vmax, _comp_blocks = geom
+        M = _dct_matrix()
+        planes = []
+        for ci, (_cid, hs, vs, tq) in enumerate(comps):
+            if tq not in qts:
+                raise ValueError(f"missing quant table {tq}")
+            qr = np.empty(64)
+            for i, r in enumerate(_JPEG_ZIGZAG):
+                qr[r] = qts[tq][i]
+            qr = qr.reshape(8, 8)
+            plane = np.empty((mcus_y * vs * 8, mcus_x * hs * 8))
+            for by in range(mcus_y * vs):
+                for bx in range(mcus_x * hs):
+                    zz = coeffs[ci][by][bx]
+                    S = np.empty(64)
+                    for i, r in enumerate(_JPEG_ZIGZAG):
+                        S[r] = zz[i]
+                    S = S.reshape(8, 8) * qr
+                    plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                        M.T @ S @ M + 128.0
+                    )
+            planes.append(plane)
+        return _jpeg_stats(planes, comps, h, w, hmax, vmax)
     if len(scan_sel) != len(comps):
         raise ValueError(
             "unsupported: non-interleaved multi-scan"
@@ -1256,11 +1504,19 @@ def parse_jpeg(blob: bytes, max_pixels: int = 1 << 26) -> dict:
                         )
             mcu += 1
 
+    return _jpeg_stats(planes, comps, h, w, hmax, vmax)
+
+
+def _jpeg_stats(planes, comps, h: int, w: int, hmax: int, vmax: int) -> dict:
+    """Shared tail of baseline and progressive decode: crop each
+    component to its sample grid (T.81 A.1.1, rounded THEN replicated —
+    upsampling copies decoded samples, so solid-color closed forms
+    survive subsampling exactly), upsample chroma, and emit the
+    per-channel statistics."""
+    import numpy as np
+
     out = []
     for pi, (_cid, hs, vs, _tq) in enumerate(comps):
-        # component sample grid (T.81 A.1.1), rounded THEN replicated:
-        # upsampling copies decoded samples, so solid-color closed
-        # forms survive subsampling exactly
         cw = (w * hs + hmax - 1) // hmax
         ch = (h * vs + vmax - 1) // vmax
         p = np.clip(np.rint(planes[pi][:ch, :cw]), 0, 255)
@@ -1471,6 +1727,361 @@ def synth_jpeg_ycc(
     return b"\xff\xd8" + dqt + sof + dht + dri + sos + scan + b"\xff\xd9"
 
 
+def _jpeg_ac_prog_table() -> tuple[list[int], list[int]]:
+    """Custom canonical AC Huffman table for the progressive encoder:
+    the Annex-K baseline AC table has NO EOB-run symbols (0x10..0xE0)
+    and only one spare 16-bit slot (Kraft = 1 − 2⁻¹⁶), so progressive
+    scans need their own table — as every real progressive encoder
+    ships. Short codes for the hot symbols (EOB0, size-1 coeffs, ZRL,
+    EOB1), everything else at 10 bits; Kraft = 0.916 < 1."""
+    short = [0x00, 0x01, 0x02, 0x11, 0xF0, 0x10]
+    rest = sorted(
+        (
+            {(r << 4) | s for r in range(16) for s in range(1, 11)}
+            | {r << 4 for r in range(15)}
+            | {0xF0}
+        )
+        - set(short)
+    )
+    bits = [0] * 16
+    bits[1] = 2  # length 2: EOB0, 0x01
+    bits[3] = 4  # length 4: 0x02, 0x11, ZRL, EOB1
+    bits[9] = len(rest)  # length 10: the long tail
+    vals = short + rest
+    return bits, vals
+
+
+_JPEG_AC_PROG_BITS, _JPEG_AC_PROG_VALS = _jpeg_ac_prog_table()
+
+
+def _pt_ac(c: int, al: int) -> int:
+    """AC point transform (T.81 G.1.2.2): sign-preserving division by
+    2^Al — truncation toward ZERO, unlike DC's arithmetic shift."""
+    return c >> al if c >= 0 else -((-c) >> al)
+
+
+def _enc_dc_first(wtr, units, n_comps, dc_c, al, ri) -> None:
+    preds = [0] * n_comps
+    cycle = 0
+    for u, unit in enumerate(units):
+        if ri and u and u % ri == 0:
+            wtr.restart(cycle % 8)
+            cycle += 1
+            preds = [0] * n_comps
+        for ci, zz in unit:
+            v = zz[0] >> al  # DC point transform: arithmetic shift
+            size, bits = _magnitude(v - preds[ci])
+            preds[ci] = v
+            code, ln = dc_c[size]
+            wtr.write(code, ln)
+            if size:
+                wtr.write(bits, size)
+
+
+def _enc_dc_refine(wtr, units, al, ri) -> None:
+    cycle = 0
+    for u, unit in enumerate(units):
+        if ri and u and u % ri == 0:
+            wtr.restart(cycle % 8)
+            cycle += 1
+        for _ci, zz in unit:
+            wtr.write((zz[0] >> al) & 1, 1)
+
+
+def _enc_ac_first(wtr, blocks, ss, se, al, ac_c, ri) -> None:
+    eobrun = 0
+    cycle = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, ln = ac_c[r << 4]
+            wtr.write(code, ln)
+            if r:
+                wtr.write(eobrun - (1 << r), r)
+            eobrun = 0
+
+    for u, zz in enumerate(blocks):
+        if ri and u and u % ri == 0:
+            flush_eob()
+            wtr.restart(cycle % 8)
+            cycle += 1
+        band = [_pt_ac(zz[k], al) for k in range(ss, se + 1)]
+        nz = [i for i, v in enumerate(band) if v]
+        if not nz:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        run = 0
+        for i in range(nz[-1] + 1):
+            v = band[i]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_c[0xF0]
+                wtr.write(code, ln)
+                run -= 16
+            size, bits = _magnitude(v)
+            code, ln = ac_c[(run << 4) | size]
+            wtr.write(code, ln)
+            wtr.write(bits, size)
+            run = 0
+        if nz[-1] < len(band) - 1:
+            eobrun += 1
+    flush_eob()
+
+
+def _enc_ac_refine(wtr, blocks, ss, se, ah, al, ac_c, ri) -> None:
+    """AC successive-approximation refinement encoder (T.81 G.1.2.3 /
+    the classic libjpeg structure): newly-significant coefficients as
+    (run<<4)|1 + sign bit with ZERO-HISTORY run counting; correction
+    bits for every nonzero-history coefficient passed, buffered and
+    emitted after the symbol they follow; trailing runs fold into a
+    batched EOB run whose buffered correction bits ride behind it."""
+    eobrun = 0
+    corr: list[int] = []  # correction bits pending the next symbol
+    cycle = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun or corr:
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                code, ln = ac_c[r << 4]
+                wtr.write(code, ln)
+                if r:
+                    wtr.write(eobrun - (1 << r), r)
+            for b in corr:
+                wtr.write(b, 1)
+            corr.clear()
+            eobrun = 0
+
+    for u, zz in enumerate(blocks):
+        if ri and u and u % ri == 0:
+            flush_eob()
+            wtr.restart(cycle % 8)
+            cycle += 1
+        absv = [abs(_pt_ac(zz[k], al)) for k in range(ss, se + 1)]
+        signs = [zz[k] >= 0 for k in range(ss, se + 1)]
+        # EOB position: index AFTER the last newly-significant coeff
+        eob = 0
+        for i in range(len(absv) - 1, -1, -1):
+            if absv[i] == 1:
+                eob = i + 1
+                break
+        r = 0
+        block_corr: list[int] = []
+        for i, temp in enumerate(absv):
+            if temp == 0:
+                r += 1
+                continue
+            while r > 15 and i < eob:
+                # a ZRL cannot ride an open EOB run: flush first
+                flush_eob()
+                code, ln = ac_c[0xF0]
+                wtr.write(code, ln)
+                r -= 16
+                for b in block_corr:
+                    wtr.write(b, 1)
+                block_corr = []
+            if temp > 1:
+                # nonzero history: one correction bit, run NOT reset
+                block_corr.append(temp & 1)
+                continue
+            # newly significant (|coef| at this precision == 1)
+            flush_eob()
+            code, ln = ac_c[(r << 4) | 1]
+            wtr.write(code, ln)
+            wtr.write(1 if signs[i] else 0, 1)
+            for b in block_corr:
+                wtr.write(b, 1)
+            block_corr = []
+            r = 0
+        if r > 0 or block_corr:
+            eobrun += 1
+            corr.extend(block_corr)
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def _jpeg_prog_assemble(
+    width: int,
+    height: int,
+    sof_comps: bytes,
+    nc: int,
+    qt_zz: list[int],
+    scans: list[tuple[bytes, bytes]],
+    restart_interval: int = 0,
+) -> bytes:
+    import struct
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    dqt = seg(0xFFDB, bytes([0x00]) + bytes(qt_zz))
+    sof = seg(0xFFC2, struct.pack(">BHHB", 8, height, width, nc) + sof_comps)
+    dht = seg(
+        0xFFC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_PROG_BITS)
+        + bytes(_JPEG_AC_PROG_VALS),
+    )
+    dri = (
+        seg(0xFFDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
+    out = b"\xff\xd8" + dqt + sof + dht + dri
+    for header, data in scans:
+        out += seg(0xFFDA, header) + data
+    return out + b"\xff\xd9"
+
+
+def synth_jpeg_prog(
+    width: int,
+    height: int,
+    luma: int | None = None,
+    pixels=None,
+    q_dc: int = 8,
+    q_ac: int = 16,
+    restart_interval: int = 0,
+) -> bytes:
+    """Progressive (SOF2) grayscale twin of :func:`synth_jpeg`: the
+    same quantized coefficients shipped through the full successive-
+    approximation scan script — DC first (Al=1), DC refinement, AC
+    first over two spectral bands (1–5, 6–63, Al=1), AC refinement over
+    both bands (Al=0). Identical coefficients ⇒ the decode must be
+    bit-identical to the baseline encoding's (pytest-pinned), and the
+    solid-luma closed-form oracle carries over unchanged."""
+    import numpy as np
+
+    if pixels is None:
+        img = np.full((height, width), int(luma), dtype=np.float64)
+    else:
+        img = np.asarray(pixels, dtype=np.float64)
+        height, width = img.shape
+    ph, pw = -(-height // 8) * 8, -(-width // 8) * 8
+    img = np.pad(img, ((0, ph - height), (0, pw - width)), mode="edge")
+    qt_zz = [q_dc] + [q_ac] * 63
+    qt_raster = np.empty(64)
+    for i, r in enumerate(_JPEG_ZIGZAG):
+        qt_raster[r] = qt_zz[i]
+    qt_raster = qt_raster.reshape(8, 8)
+    M = _dct_matrix()
+    blocks = []
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            s = img[by : by + 8, bx : bx + 8] - 128.0
+            q = np.rint((M @ s @ M.T) / qt_raster).astype(np.int64)
+            blocks.append([int(q.flat[r]) for r in _JPEG_ZIGZAG])
+
+    dc_c = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_c = _huff_codes(_JPEG_AC_PROG_BITS, _JPEG_AC_PROG_VALS)
+    units = [[(0, zz)] for zz in blocks]
+    ri = restart_interval
+    scans: list[tuple[bytes, bytes]] = []
+
+    def sos(ss, se, ah, al):
+        return bytes([1, 1, 0x00, ss, se, (ah << 4) | al])
+
+    w1 = _BitWriter()
+    _enc_dc_first(w1, units, 1, dc_c, 1, ri)
+    scans.append((sos(0, 0, 0, 1), w1.flush()))
+    w2 = _BitWriter()
+    _enc_dc_refine(w2, units, 0, ri)
+    scans.append((sos(0, 0, 1, 0), w2.flush()))
+    for lo, hi in ((1, 5), (6, 63)):
+        wa = _BitWriter()
+        _enc_ac_first(wa, blocks, lo, hi, 1, ac_c, ri)
+        scans.append((sos(lo, hi, 0, 1), wa.flush()))
+    for lo, hi in ((1, 5), (6, 63)):
+        wr = _BitWriter()
+        _enc_ac_refine(wr, blocks, lo, hi, 1, 0, ac_c, ri)
+        scans.append((sos(lo, hi, 1, 0), wr.flush()))
+    return _jpeg_prog_assemble(
+        width, height, bytes([1, 0x11, 0]), 1, qt_zz, scans, ri
+    )
+
+
+def synth_jpeg_prog_ycc(
+    width: int,
+    height: int,
+    ycc: tuple[int, int, int],
+    q_dc: int = 8,
+    q_ac: int = 16,
+    sampling: tuple = ((1, 1), (1, 1), (1, 1)),
+    restart_interval: int = 0,
+) -> bytes:
+    """Progressive COLOR twin of :func:`synth_jpeg_ycc`: one
+    INTERLEAVED DC-first scan (the only multi-component scan type
+    progressive allows) + DC refinement + per-component AC scans over
+    each component's OWN block grid — the real web-JPEG scan topology,
+    with 4:2:0/4:2:2 subsampling and optional restart intervals."""
+    import numpy as np
+
+    planes = [min(255, max(0, int(v))) for v in ycc]
+    hmax = max(hs for hs, _ in sampling)
+    vmax = max(vs for _, vs in sampling)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    qt_zz = [q_dc] + [q_ac] * 63
+    qt_raster = np.empty(64)
+    for i, r in enumerate(_JPEG_ZIGZAG):
+        qt_raster[r] = qt_zz[i]
+    qt_raster = qt_raster.reshape(8, 8)
+    M = _dct_matrix()
+    comp_zz = []
+    for v in planes:
+        s = np.full((8, 8), float(v)) - 128.0
+        q = np.rint((M @ s @ M.T) / qt_raster).astype(np.int64)
+        comp_zz.append([int(q.flat[r]) for r in _JPEG_ZIGZAG])
+
+    dc_c = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_c = _huff_codes(_JPEG_AC_PROG_BITS, _JPEG_AC_PROG_VALS)
+    # interleaved MCU units: per MCU, each component contributes
+    # hs×vs copies of its (solid) block
+    unit = []
+    for ci, (hs, vs) in enumerate(sampling):
+        unit.extend([(ci, comp_zz[ci])] * (hs * vs))
+    units = [unit] * (mcus_x * mcus_y)
+    ri = restart_interval
+    scans: list[tuple[bytes, bytes]] = []
+
+    w1 = _BitWriter()
+    _enc_dc_first(w1, units, 3, dc_c, 1, ri)
+    scans.append(
+        (bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x01]), w1.flush())
+    )
+    w2 = _BitWriter()
+    _enc_dc_refine(w2, units, 0, ri)
+    scans.append(
+        (bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x10]), w2.flush())
+    )
+    for ci, (cid, (hs, vs)) in enumerate(zip((1, 2, 3), sampling)):
+        cw = (width * hs + hmax - 1) // hmax
+        ch = (height * vs + vmax - 1) // vmax
+        n_blocks = (-(-ch // 8)) * (-(-cw // 8))
+        blocks = [comp_zz[ci]] * n_blocks
+        wa = _BitWriter()
+        _enc_ac_first(wa, blocks, 1, 63, 1, ac_c, ri)
+        scans.append((bytes([1, cid, 0x00, 1, 63, 0x01]), wa.flush()))
+        wr = _BitWriter()
+        _enc_ac_refine(wr, blocks, 1, 63, 1, 0, ac_c, ri)
+        scans.append((bytes([1, cid, 0x00, 1, 63, 0x10]), wr.flush()))
+    sof_comps = b"".join(
+        bytes([cid, (hs << 4) | vs, 0])
+        for cid, (hs, vs) in zip((1, 2, 3), sampling)
+    )
+    return _jpeg_prog_assemble(
+        width, height, sof_comps, 3, qt_zz, scans, ri
+    )
+
+
 JPEG_COLOR_FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -1490,6 +2101,48 @@ _JPEG_CORPUS_SAMPLINGS = (
     ((2, 1), (1, 1), (1, 1)),  # 4:2:2
     ((2, 2), (1, 1), (1, 1)),  # 4:2:0 — the production default
 )
+
+
+def synthesize_jpeg_prog_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic PROGRESSIVE (SOF2) color JPEG corpus — the web's
+    dominant large-image encoding: width = 7 + id%10, height = 5 +
+    id%8, solid Y/Cb/Cr = ((2id+5)%256, (7id+3)%256, (11id+17)%256),
+    chroma sampling cycling 4:4:4 / 4:2:2 / 4:2:0 (id%3), restart
+    interval id%3 MCUs/blocks per scan. Every stream carries the full
+    successive-approximation script (interleaved DC first, DC refine,
+    per-component AC first + AC refine over each component's own block
+    grid). Solid planes stay DC-exact through the two-step DC
+    progression and replication upsample, so the decoded means keep
+    closed forms (``ORACLE_MEDIA_JPEG_PROG`` — rounding-tie safety
+    exhaustively checked over the full color cycle)."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [
+                        synth_jpeg_prog_ycc(
+                            7 + (i % 10),
+                            5 + (i % 8),
+                            ((2 * i + 5) % 256, (7 * i + 3) % 256,
+                             (11 * i + 17) % 256),
+                            sampling=_JPEG_CORPUS_SAMPLINGS[i % 3],
+                            restart_interval=int(i % 3),
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+    return df.mapInPandas(synth, schema)
 
 
 def synthesize_jpeg_color_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

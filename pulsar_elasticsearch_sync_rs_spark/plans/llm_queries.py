@@ -2022,6 +2022,66 @@ FROM documents
 """
 
 
+def q_media_jpeg_prog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE (SOF2) JPEG decode lane — closes the round-9 gap
+    ("progressive scans, common on the web, raise unsupported"): per
+    document a solid-color progressive JPEG with the full successive-
+    approximation scan script (interleaved DC first at Al=1, DC
+    refinement, per-component spectral-band AC first + AC refinement,
+    EOB-run batching, ZRL, per-scan restart intervals), chroma sampling
+    cycling 4:4:4 / 4:2:2 / 4:2:0 and DRI id%3. Decoded through
+    operators/multimodal.parse_jpeg's multi-scan coefficient
+    accumulation; solid planes stay DC-exact through the two-step DC
+    progression, so every per-channel mean keeps a closed form and the
+    lane is fully hash-checked. The general (AC) progressive path is
+    pinned bit-identical to the baseline decode in
+    tests/test_corpus_io.py."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.multimodal import (
+        decode_jpeg_color_features,
+        synthesize_jpeg_prog_corpus,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    jpgs = synthesize_jpeg_prog_corpus(docs, id_col="doc_id")
+    return decode_jpeg_color_features(jpgs).select(
+        "media_id",
+        "width",
+        "height",
+        "n_pixels",
+        "n_components",
+        F.round("mean_luma", 6).alias("mean_luma"),
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
+# closed-form twin of synthesize_jpeg_prog_corpus + parse_jpeg: solid
+# Y/Cb/Cr = ((2id+5)%256, (7id+3)%256, (11id+17)%256) survive the
+# successive-approximation progression exactly (DC first + refine
+# reassemble the exact quantized DC; zero ACs stay zero through the
+# band scans), so only the decoder's integer inverse transform appears
+# here. Rounding-tie safety (numpy banker's rint vs DuckDB half-away
+# ROUND) exhaustively checked over the full color cycle — no pre-clamp
+# value lands on a live .5 tie.
+ORACLE_MEDIA_JPEG_PROG = """
+SELECT doc_id AS media_id,
+  CAST(7 + doc_id % 10 AS INT) AS width,
+  CAST(5 + doc_id % 8 AS INT) AS height,
+  CAST((7 + doc_id % 10) * (5 + doc_id % 8) AS BIGINT) AS n_pixels,
+  CAST(3 AS INT) AS n_components,
+  CAST((2 * doc_id + 5) % 256 AS DOUBLE) AS mean_luma,
+  LEAST(255.0, GREATEST(0.0, ROUND(
+    ((2 * doc_id + 5) % 256) + 1.402 * ((11 * doc_id + 17) % 256 - 128.0)))) AS mean_r,
+  LEAST(255.0, GREATEST(0.0, ROUND(
+    ((2 * doc_id + 5) % 256) - 0.344136 * ((7 * doc_id + 3) % 256 - 128.0)
+                             - 0.714136 * ((11 * doc_id + 17) % 256 - 128.0)))) AS mean_g,
+  LEAST(255.0, GREATEST(0.0, ROUND(
+    ((2 * doc_id + 5) % 256) + 1.772 * ((7 * doc_id + 3) % 256 - 128.0)))) AS mean_b
+FROM documents
+"""
+
+
 def q_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compression-ratio quality signal — the cheap universal
     boilerplate/noise detector real curation pipelines run: docs whose

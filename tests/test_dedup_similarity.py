@@ -1745,3 +1745,117 @@ def test_knn_ivfpq_pca_recall_at_byte_budget(spark):
 
     with pytest.raises(ValueError, match="divisible"):
         knn_cosine_ivfpq_pca(emb, queries, pca_dim=12, m=8)
+
+
+def test_jpeg_progressive_decodes_bit_identical_to_baseline():
+    """Round-10 brief #7: progressive (SOF2) decode. The progressive
+    encoder ships the SAME quantized coefficients as the baseline
+    encoder through the full successive-approximation scan script
+    (DC first Al=1 → DC refine → spectral-band AC first → AC refine),
+    so the decode must be BIT-IDENTICAL to the baseline stream's — a
+    strong oracle over every scan kind: EOB-run batching (all-zero
+    band blocks), ZRL (>15-zero runs), newly-significant insertions
+    with interleaved correction bits, per-scan restart intervals, and
+    the interleaved-DC + per-component-AC color topology over all three
+    production samplings."""
+    import numpy as np
+
+    from pulsar_elasticsearch_sync_rs_spark.operators.multimodal import (
+        parse_jpeg,
+        synth_jpeg,
+        synth_jpeg_prog,
+        synth_jpeg_prog_ycc,
+        synth_jpeg_ycc,
+    )
+
+    # solid grays: DC progression alone (crop/pad geometry varied)
+    for w, h, luma in [(5, 3, 0), (16, 16, 255), (7, 9, 128), (13, 10, 77)]:
+        assert parse_jpeg(synth_jpeg_prog(w, h, luma)) == parse_jpeg(
+            synth_jpeg(w, h, luma)
+        )
+
+    # pixel corpora: gradients (dense AC), noise (every magnitude),
+    # sparse dots (ZRL + EOB runs), diagonal ramps
+    rng = np.random.default_rng(3)
+    cases = []
+    for trial in range(8):
+        h, w = int(rng.integers(4, 40)), int(rng.integers(4, 40))
+        kind = trial % 4
+        if kind == 0:
+            px = np.tile(np.linspace(0, 255, w), (h, 1)).astype(np.uint8)
+        elif kind == 1:
+            px = rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+        elif kind == 2:
+            px = np.zeros((h, w), dtype=np.uint8)
+            px[::3, ::5] = 255
+        else:
+            px = (np.add.outer(np.arange(h), np.arange(w)) * 7 % 256).astype(
+                np.uint8
+            )
+        cases.append((w, h, px))
+    for w, h, px in cases:
+        assert parse_jpeg(synth_jpeg_prog(w, h, pixels=px)) == parse_jpeg(
+            synth_jpeg(w, h, pixels=px)
+        )
+
+    # restart intervals across all scans of the progression
+    px = rng.integers(0, 256, size=(24, 40)).astype(np.uint8)
+    assert parse_jpeg(
+        synth_jpeg_prog(40, 24, pixels=px, restart_interval=3)
+    ) == parse_jpeg(synth_jpeg(40, 24, pixels=px))
+
+    # color: interleaved DC scan + per-component AC scans over each
+    # component's OWN block grid, 4:4:4 / 4:2:2 / 4:2:0, with and
+    # without DRI
+    samps = (((1, 1), (1, 1), (1, 1)), ((2, 1), (1, 1), (1, 1)),
+             ((2, 2), (1, 1), (1, 1)))
+    for i, samp in enumerate(samps):
+        ycc = (i * 40 + 10, 200 - i * 30, 60 + i * 50)
+        for ri in (0, 2):
+            assert parse_jpeg(
+                synth_jpeg_prog_ycc(21, 13, ycc, sampling=samp,
+                                    restart_interval=ri)
+            ) == parse_jpeg(
+                synth_jpeg_ycc(21, 13, ycc, sampling=samp, restart_interval=ri)
+            )
+
+
+def test_jpeg_progressive_failure_modes():
+    """Honest-contract pins for the progressive path: interleaved AC
+    scans are invalid (T.81 forbids them), truncated scans raise, and
+    remaining SOF types still raise unsupported."""
+    import struct
+
+    import pytest
+
+    from pulsar_elasticsearch_sync_rs_spark.operators.multimodal import (
+        parse_jpeg,
+        synth_jpeg_prog,
+    )
+
+    blob = synth_jpeg_prog(10, 10, 128)
+    # truncation mid-scan
+    with pytest.raises(ValueError, match="truncated|unexpected"):
+        parse_jpeg(blob[: len(blob) // 2])
+    # arithmetic-coded progressive (SOF10 = 0xCA) still refused
+    bad = bytearray(blob)
+    ix = bad.find(b"\xff\xc2")
+    bad[ix + 1] = 0xCA
+    with pytest.raises(ValueError, match="unsupported"):
+        parse_jpeg(bytes(bad))
+    # hand-built interleaved AC scan header must be rejected: take the
+    # color stream and rewrite its first AC scan header (ns=1 -> the
+    # DC-refine 3-component header with Ss>0)
+    from pulsar_elasticsearch_sync_rs_spark.operators.multimodal import (
+        synth_jpeg_prog_ycc,
+    )
+
+    cblob = bytearray(synth_jpeg_prog_ycc(9, 9, (100, 110, 120)))
+    # find the second SOS (DC refine, ns=3) and corrupt Ss to 1
+    pos = -1
+    for _ in range(2):
+        pos = cblob.find(b"\xff\xda", pos + 1)
+    (ln,) = struct.unpack(">H", cblob[pos + 2 : pos + 4])
+    cblob[pos + 4 + 1 + 2 * 3] = 1  # Ss byte of the ns=3 header
+    with pytest.raises(ValueError, match="interleaved AC"):
+        parse_jpeg(bytes(cblob))
