@@ -1338,6 +1338,20 @@ def parse_jpeg(blob: bytes, max_pixels: int = 1 << 26) -> dict:
             ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
             ahal = body[3 + 2 * ns]
             ah, al = ahal >> 4, ahal & 0x0F
+            # progressive scan-header legality (T.81 G.1): a DC scan is
+            # exactly Ss=Se=0; AC bands live in 1..63; refinement steps
+            # one bit at a time. A baseline stream whose SOF byte was
+            # flipped to SOF2 lands here — raise, never decode garbage.
+            if (ss == 0) != (se == 0):
+                raise ValueError(
+                    "invalid progressive scan: DC scan requires Ss=Se=0"
+                )
+            if se > 63 or ss > se:
+                raise ValueError("invalid spectral selection")
+            if ah and ah != al + 1:
+                raise ValueError(
+                    "invalid successive approximation (Ah must equal Al+1)"
+                )
             if coeffs is None:
                 h, w, comps_p = sof
                 hmax = max(c[1] for c in comps_p)

@@ -1581,7 +1581,13 @@ def test_jpeg_codec_ac_path_and_failure_modes(spark):
     with pytest.raises(ValueError, match="truncated"):
         parse_jpeg(good[:-12])
     with pytest.raises(ValueError, match="not baseline"):
-        # rewrite the SOF0 marker byte (FFC0 -> FFC2, progressive)
+        # rewrite the SOF0 marker byte (FFC0 -> FFC3, lossless —
+        # SOF2/progressive is SUPPORTED as of round 10)
+        i = good.index(b"\xff\xc0")
+        parse_jpeg(good[:i] + b"\xff\xc3" + good[i + 2 :])
+    with pytest.raises(ValueError, match="DC scan requires"):
+        # SOF0 flipped to SOF2: the baseline scan header (Ss=0, Se=63)
+        # is an illegal progressive scan — raise, never decode garbage
         i = good.index(b"\xff\xc0")
         parse_jpeg(good[:i] + b"\xff\xc2" + good[i + 2 :])
     with pytest.raises(ValueError, match="marker"):
@@ -1857,5 +1863,10 @@ def test_jpeg_progressive_failure_modes():
         pos = cblob.find(b"\xff\xda", pos + 1)
     (ln,) = struct.unpack(">H", cblob[pos + 2 : pos + 4])
     cblob[pos + 4 + 1 + 2 * 3] = 1  # Ss byte of the ns=3 header
+    cblob[pos + 4 + 2 + 2 * 3] = 63  # Se: a well-formed AC band...
     with pytest.raises(ValueError, match="interleaved AC"):
+        parse_jpeg(bytes(cblob))  # ...but ns=3 — interleaved AC is illegal
+    # and a half-formed one (Ss=1, Se=0) dies on the header check
+    cblob[pos + 4 + 2 + 2 * 3] = 0
+    with pytest.raises(ValueError, match="DC scan requires"):
         parse_jpeg(bytes(cblob))
