@@ -781,7 +781,10 @@ def stream_throughput(spark, sf_dir: str, violations: list[str] | None = None) -
                     violations.append(f"stream/{lane}: index dir {index_dir} missing")
                 return
             parts = [e for e in os.listdir(index_dir) if e.startswith("batch=")]
-            bound = 1 + CUR_RETAIN + CUR_COMPACT_EVERY
+            # post-run, slices since the LAST fold number < compact_every
+            # (bound must sit below the no-compaction partition count at
+            # this very configuration, or the check is vacuous)
+            bound = 1 + CUR_RETAIN + (CUR_COMPACT_EVERY - 1)
             report[f"{lane.split('/')[-1]}_index_partitions"] = len(parts)
             if violations is not None and len(parts) > bound:
                 violations.append(

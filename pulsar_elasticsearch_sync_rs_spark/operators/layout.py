@@ -55,6 +55,20 @@ def persist_clustered(
     writer.parquet(path)
 
 
+def _same_location(spark, a: str, b: str) -> bool:
+    """True when two path strings name the SAME storage location after
+    Hadoop qualification — ``file:///tmp/x`` vs ``/tmp/x`` vs a relative
+    spelling, on ANY Hadoop filesystem (os.path.realpath is meaningless
+    for hdfs:// or s3a:// URIs and misses scheme-qualified twins)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    out = []
+    for p in (a, b):
+        hp = jvm.org.apache.hadoop.fs.Path(p)
+        out.append(str(hp.getFileSystem(conf).makeQualified(hp)))
+    return out[0] == out[1]
+
+
 def compact_clustered(
     spark,
     src_path: str,
@@ -68,9 +82,7 @@ def compact_clustered(
     fixes both the small-file problem and the row-group stats. Returns
     the row count written. Sizing: ⌈rows / target⌉ range partitions,
     so output file count tracks data volume, not trigger count."""
-    import os
-
-    if os.path.realpath(src_path) == os.path.realpath(dst_path):
+    if _same_location(spark, src_path, dst_path):
         raise ValueError(
             "compact_clustered cannot run in place: the overwrite write would "
             "delete the source while it is still being lazily read — "
@@ -289,8 +301,36 @@ def persist_zordered(
     :func:`compact_zordered` reads it back, so small-file compaction
     under streaming appends preserves the SAME cell boundaries without
     re-scanning for quantiles.
+
+    ``mode="append"`` onto a directory that already carries a spec
+    REUSES that spec's cut points (and leaves the sidecar untouched):
+    the appended batch sorts under the TABLE's cells, not its own
+    batch-skewed quantiles — re-deriving and overwriting the spec from
+    a small append would quietly redefine the cells most of the data
+    was written under (round-10 review finding). A spec with different
+    columns/bits is a drift error, raised loudly.
     """
-    bounds = zorder_bounds(df, cluster_cols, bits=bits)
+    bounds = None
+    spec_exists = False
+    if mode == "append" and write_spec:
+        try:
+            prev_cols, prev_bits, prev_bounds = load_zorder_spec(
+                df.sparkSession, path
+            )
+            spec_exists = True
+        except Exception:
+            pass  # fresh directory: compute + write below
+        if spec_exists:
+            if list(prev_cols) != list(cluster_cols) or int(prev_bits) != int(bits):
+                raise ValueError(
+                    f"persist_zordered(append): existing spec at {path} is "
+                    f"({prev_cols}, bits={prev_bits}) but this write asked "
+                    f"for ({list(cluster_cols)}, bits={bits}) — appending "
+                    "under different cells would corrupt the layout contract"
+                )
+            bounds = prev_bounds
+    if bounds is None:
+        bounds = zorder_bounds(df, cluster_cols, bits=bits)
     zdf = df.withColumn(
         "__zkey", zorder_key(df, cluster_cols, bits=bits, bounds=bounds)
     )
@@ -303,7 +343,7 @@ def persist_zordered(
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.parquet(path)
-    if write_spec:
+    if write_spec and not spec_exists:
         _write_zorder_spec(df.sparkSession, path, cluster_cols, bits, bounds)
 
 
@@ -357,9 +397,7 @@ def compact_zordered(
     on a 100 TB table the approxQuantile pass is the only other
     full-data term), one range exchange + narrow Arrow key map — the
     same cost profile as the original write."""
-    import os
-
-    if os.path.realpath(src_path) == os.path.realpath(dst_path):
+    if _same_location(spark, src_path, dst_path):
         raise ValueError(
             "compact_zordered cannot run in place: the overwrite write would "
             "delete the source while it is still being lazily read — "

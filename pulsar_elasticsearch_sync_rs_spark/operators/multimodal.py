@@ -1369,11 +1369,13 @@ def parse_jpeg(blob: bytes, max_pixels: int = 1 << 26) -> dict:
                     cw = (w * hs + hmax - 1) // hmax
                     ch = (h * vs + vmax - 1) // vmax
                     comp_blocks.append((-(-ch // 8), -(-cw // 8)))
+                    # int32 ndarray, not nested Python lists: at the
+                    # max_pixels cap (64M px) boxed ints would cost
+                    # GBs per component inside the Arrow worker
                     coeffs.append(
-                        [
-                            [[0] * 64 for _ in range(mcus_x * hs)]
-                            for _ in range(mcus_y * vs)
-                        ]
+                        np.zeros(
+                            (mcus_y * vs, mcus_x * hs, 64), dtype=np.int32
+                        )
                     )
                 geom = (mcus_x, mcus_y, hmax, vmax, comp_blocks)
             comp_index_p = {
@@ -1418,12 +1420,11 @@ def parse_jpeg(blob: bytes, max_pixels: int = 1 << 26) -> dict:
                 qr[r] = qts[tq][i]
             qr = qr.reshape(8, 8)
             plane = np.empty((mcus_y * vs * 8, mcus_x * hs * 8))
+            zig = np.asarray(_JPEG_ZIGZAG)
             for by in range(mcus_y * vs):
                 for bx in range(mcus_x * hs):
-                    zz = coeffs[ci][by][bx]
                     S = np.empty(64)
-                    for i, r in enumerate(_JPEG_ZIGZAG):
-                        S[r] = zz[i]
+                    S[zig] = coeffs[ci][by][bx]
                     S = S.reshape(8, 8) * qr
                     plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
                         M.T @ S @ M + 128.0

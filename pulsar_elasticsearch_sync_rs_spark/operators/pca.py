@@ -124,7 +124,24 @@ def pca_fit(df: DataFrame, vec_col: str = "embedding", k: int = 8,
                 {"n": [n], "s": [s.tolist()], "g": [g.tolist()]}
             )
 
-        parts = parts.repartition(int(fold_parts)).mapInPandas(fold, schema)
+        # Arrow delivers batches by ROW count (default 10k), so without
+        # a cap one fold task would materialize its whole slice of
+        # (d + d²)-double rows in a single pandas frame — the very
+        # blow-up the fold exists to avoid. One-row batches make the
+        # accumulation genuinely streamed; restore the conf after.
+        spark = df.sparkSession
+        batch_conf = "spark.sql.execution.arrow.maxRecordsPerBatch"
+        prev_batch = spark.conf.get(batch_conf, None)
+        try:
+            spark.conf.set(batch_conf, "1")
+            parts = parts.repartition(int(fold_parts)).mapInPandas(
+                fold, schema
+            ).localCheckpoint(eager=True)
+        finally:
+            if prev_batch is None:
+                spark.conf.unset(batch_conf)
+            else:
+                spark.conf.set(batch_conf, prev_batch)
     rows = parts.collect()
     n = sum(r["n"] for r in rows)
     if n < 2:

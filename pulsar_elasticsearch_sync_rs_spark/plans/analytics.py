@@ -1472,11 +1472,15 @@ def q_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     (src/es.rs keeps only the newest doc) cannot.
 
     Scale: each as-of read is a pure narrow filter over the snapshot
-    (no shuffle, no UDF); the lane unions four of them over one
-    cached-by-lineage merge."""
+    (no shuffle, no UDF); the lane unions four of them over ONE merge
+    evaluation — the snapshot is lazily localCheckpoint'ed, so all
+    four union branches share the materialized RDD instead of
+    re-running the merge lineage per branch (round-10 review finding;
+    only identical Exchanges get ReuseExchange, the narrow work would
+    otherwise run 4×)."""
     from pulsar_elasticsearch_sync_rs_spark.operators.cdc import scd2_as_of
 
-    snap = _scd2_merged(spark, sf_dir)
+    snap = _scd2_merged(spark, sf_dir).localCheckpoint(eager=False)
     slices = []
     for p in _SCD2_ASOF_POINTS:
         slices.append(

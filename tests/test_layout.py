@@ -384,3 +384,39 @@ def test_compact_zordered_preserves_morton_layout(spark, sf_dir, tmp_path):
 
     with pytest.raises(ValueError, match="in place"):
         compact_zordered(spark, dst, dst)
+
+
+def test_persist_zordered_append_reuses_spec(spark, sf_dir, tmp_path):
+    """Round-10 review finding: an append must sort under the TABLE's
+    persisted cells and leave the spec sidecar untouched — re-deriving
+    cut points from the (small, skewed) appended batch would quietly
+    redefine the cells most of the data was written under. Drifted
+    cluster cols/bits on append raise."""
+    import pytest
+
+    from pulsar_elasticsearch_sync_rs_spark.operators.layout import (
+        load_zorder_spec,
+        persist_zordered,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id")
+    path = str(tmp_path / "z_append")
+    old = ev.filter(F.col("event_id") % 4 != 0)
+    # a deliberately skewed late batch (top of the id range only)
+    cut = ev.approxQuantile("event_id", [0.9], 0.0)[0]
+    late = ev.filter((F.col("event_id") % 4 == 0) & (F.col("event_id") >= cut))
+    persist_zordered(old, path, ["user_id", "event_id"], bits=6, n_files=8)
+    spec_before = load_zorder_spec(spark, path)
+    persist_zordered(late, path, ["user_id", "event_id"], bits=6, n_files=2,
+                     mode="append")
+    assert load_zorder_spec(spark, path) == spec_before, (
+        "append overwrote the table spec with batch-local quantiles"
+    )
+    # rows all present (old 3/4 + the skewed top-decile appendix)
+    assert spark.read.parquet(path).count() == old.count() + late.count()
+    # drift refused
+    with pytest.raises(ValueError, match="different cells|asked"):
+        persist_zordered(late, path, ["event_id"], bits=6, mode="append")
+    with pytest.raises(ValueError, match="bits"):
+        persist_zordered(late, path, ["user_id", "event_id"], bits=4,
+                         mode="append")
