@@ -143,22 +143,42 @@ STATE_PINS: dict[str, object] = {
 }
 
 
-# Throughput floors (round 9): catastrophic-regression detectors for
-# the streaming curation lanes. Deliberately ~3× below the documented
-# quiet-host steady state (curation ≈1.0–1.3k docs/s, curation_nd
-# ≈330–360 docs/s at sf0.1 — SCALE.md profile) because this host's
-# yardsticks swing 3–9×: a wall-noise burst stays ABOVE these floors,
-# while the regressions the pins exist for (the index history starting
-# to re-shuffle per batch, a quadratic candidate blowup, an
-# accidentally-eager per-branch re-execution) cost integer multiples
-# and land far below. Wall-noise-proof regressions stay the plan/state
-# pins' job; these floors catch the class whose symptom is ONLY
-# throughput. Calibrated at the driver's sf0.1 grain (~2,500
-# docs/batch) and enforced ONLY there: at smaller fixtures the
-# fixed per-batch cost (write jobs, slice checkpoint, INSERT commit,
-# trigger planning — SCALE.md profile) dominates a 10×-smaller batch,
-# so the same healthy code legitimately reads ~140 docs/s at sf0.01.
-THROUGHPUT_PINS: dict[str, int] = {"curation": 300, "curation_nd": 100}
+# Throughput floors (round 9, extended to ALL TEN stream lanes in
+# round 10): catastrophic-regression detectors. Floors sit ~4–5×
+# below the round-10 quiet-host steady state (SCALE.md round-10
+# reference table) — NOT 3×, because the round-9 incident proved
+# driver runs elevate up to 3.3× on host noise alone (r9 walls on
+# byte-identical code: sessionize 7.38 s vs the quiet 2.57 s;
+# re-measured round 10, adjudicated HOST — same-code quiet walls match
+# r8's). A host burst stays above these floors; the regressions the
+# pins exist for (index history re-shuffling per batch, quadratic
+# candidate blowup, accidentally-eager per-branch re-execution, a
+# state store gone per-event) cost integer multiples and land far
+# below. Wall-noise-proof regressions stay the plan/state pins' job;
+# these floors catch the class whose symptom is ONLY throughput.
+# Calibrated at the driver's sf0.1 grain and enforced ONLY there: at
+# smaller fixtures the fixed per-batch cost dominates a 10×-smaller
+# batch, so the same healthy code legitimately reads far lower rates.
+# Curation floors re-pinned for the round-10 configuration: 3
+# micro-batches WITH compact_every=1 on the clock (the production
+# shape; quiet steady state 744 / 211 docs/s).
+THROUGHPUT_PINS: dict[str, int] = {
+    "etl": 5_000,
+    "sessionize": 9_000,
+    "dedup": 9_000,
+    "gcra": 12_000,
+    "counters": 8_000,
+    "interval_join": 3_000,
+    "mview": 40_000,
+    "heavy_hitters": 15_000,
+    # curation lanes calibrated from the LOW end of the observed
+    # quiet-host spread (404–744 / 152–211 docs/s across two
+    # back-to-back runs — per-batch fixed costs swing ~1.8× even
+    # quiet): low_end / ~2.7, still far above what an
+    # integer-multiple regression leaves
+    "curation": 150,
+    "curation_nd": 55,
+}
 THROUGHPUT_PIN_SF = 0.1
 
 
