@@ -195,12 +195,18 @@ def zorder_bounds(df: DataFrame, cluster_cols: list[str], bits: int = 8,
 
     casts = _zorder_casts(df, cluster_cols, bits)
     probs = [i / float(1 << bits) for i in range(1, 1 << bits)]
-    return [
-        np.asarray(b, dtype=np.float64)
-        for b in df.select(*casts).approxQuantile(
-            cluster_cols, probs, relative_error
-        )
-    ]
+    out = []
+    for b in df.select(*casts).approxQuantile(
+        cluster_cols, probs, relative_error
+    ):
+        if len(b) == 0:
+            # EMPTY corpus: approxQuantile returns no cut points; a
+            # degenerate all-zero spec ranks the (zero) rows into one
+            # cell — totality (0 rows in → a valid empty layout out),
+            # never a shape error
+            b = [0.0] * len(probs)
+        out.append(np.asarray(b, dtype=np.float64))
+    return out
 
 
 def zorder_key(df: DataFrame, cluster_cols: list[str], bits: int = 8,

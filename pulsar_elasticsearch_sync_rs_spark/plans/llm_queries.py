@@ -784,6 +784,167 @@ LIMIT 20
 """
 
 
+def q_quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality classifier (operators/lr.py): distill the
+    curation gate (quality_score ≥ 0.65 weak label) into a logistic
+    model over RAW text signals (token count, punct ratio, stopword
+    ratio, char count) — the fastText-style scorer real pipelines
+    train on weak labels, here fit DISTRIBUTED via IRLS moment passes
+    (one (d²+d)-double row per partition per iteration, driver d×d
+    solve) and applied as a PURE-JVM sigmoid expression. Returns the
+    top-20 docs by learned keep-probability. Rows-only: cross-partition
+    float summation order wiggles the last digits of the coefficients;
+    the math is numpy-parity-pinned in tests/test_lr.py."""
+    from pulsar_elasticsearch_sync_rs_spark.functions.text import (
+        punct_ratio,
+        quality_score,
+        stopword_ratio,
+        token_count_ws,
+    )
+    from pulsar_elasticsearch_sync_rs_spark.operators.lr import lr_fit, lr_score
+
+    docs = read_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        token_count_ws("text").cast("double").alias("f_ntok"),
+        punct_ratio("text").alias("f_punct"),
+        stopword_ratio("text").alias("f_stop"),
+        F.length("text").cast("double").alias("f_len"),
+        (quality_score("text") >= 0.65).cast("int").alias("label"),
+    )
+    fcols = ["f_ntok", "f_punct", "f_stop", "f_len"]
+    model = lr_fit(feats, fcols, "label", iters=6)
+    scored = lr_score(feats, model, fcols, "p_keep")
+    w = Window.orderBy(F.col("p_keep").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("rank", "doc_id", "label")
+    )
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval (k1=1.2, b=0.75) — the lexical-search
+    yardstick every RAG/retrieval pipeline starts from: score every
+    document against the corpus's own top-5 tokens (deterministic
+    query, tie-broken on the token), return the top-10 docs with rank,
+    matched-term count, doc length, and the 4dp score.
+
+    Plan shape: tokenize → (doc, token) counts (ONE explode shuffle of
+    skinny pairs, never documents), df + corpus stats as tiny
+    broadcast sides, per-(doc, term) contribution joined against the
+    5-term broadcast query, per-doc sum in FIXED token order
+    (array_sort + aggregate on ≤5 elements; SUM's nondeterministic
+    order would make the float total engine-unstable), global top-10.
+    At 100 TB the only wide step is the (token, count) aggregation.
+
+    Oracle note: JVM and DuckDB ``ln`` differ by ~1 ulp on ~8% of the
+    idf domain (measured round 10), so the score is rendered at 4dp —
+    a flip needs the true value within ~1e-16 of a rounding boundary —
+    and the RANKING is computed per-engine (distinct docs' score gaps
+    dwarf ulp noise; equal-structure docs tie exactly and break on
+    doc_id)."""
+    from pulsar_elasticsearch_sync_rs_spark.functions.text import ws_tokens
+
+    k1, b = 1.2, 0.75
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.explode(ws_tokens(F.lower(F.col("text")))).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = F.broadcast(
+        docs.crossJoin(dl.select(F.sum("dl").alias("toktot"))).agg(
+            F.count("*").alias("n_docs"), F.first("toktot").alias("toktot")
+        )
+    )
+    dfreq = tf.groupBy("token").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("total_tf")
+    )
+    query = F.broadcast(
+        dfreq.orderBy(F.col("total_tf").desc(), F.col("token").asc()).limit(5)
+    )
+    contrib = (
+        tf.join(query, "token")
+        .join(dl, "doc_id")
+        .crossJoin(stats)
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn("avgdl", F.col("toktot") / F.col("n_docs"))
+        .withColumn(
+            "w",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("token", "w"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["w"],
+        ).alias("score"),
+        F.count("*").alias("n_terms"),
+        F.first("dl").alias("dl"),
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "rank",
+            "doc_id",
+            "n_terms",
+            "dl",
+            F.round("score", 4).alias("score"),
+        )
+    )
+
+
+ORACLE_BM25_TOPK = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(lower(text)),
+                '[ \t\n\x0B\f\r]+'), t -> t <> '')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1
+), stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(dl) FROM dl) AS toktot
+), dfreq AS (
+  SELECT token, count(*) AS df, sum(tf) AS total_tf FROM tf GROUP BY 1
+), query AS (
+  SELECT token, df FROM dfreq ORDER BY total_tf DESC, token ASC LIMIT 5
+), contrib AS (
+  SELECT t.doc_id, t.token, d.dl,
+         ln(1.0 + (s.n_docs - q.df + 0.5) / (q.df + 0.5))
+           * (t.tf * 2.2)
+           / (t.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / (s.toktot * 1.0 / s.n_docs))) AS w
+  FROM tf t JOIN query q USING (token) JOIN dl d USING (doc_id), stats s
+), scored AS (
+  SELECT doc_id, sum(w ORDER BY token) AS score, count(*) AS n_terms,
+         any_value(dl) AS dl
+  FROM contrib GROUP BY doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
+       doc_id, n_terms, dl, round(score, 4) AS score
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction pass (emails / SSNs / phones / IPv4 → typed
     tokens) — the scrub every pretraining corpus runs. The fixture text

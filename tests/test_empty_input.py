@@ -30,6 +30,8 @@ EXPECTED_RAISE = {
     "q_embed_neardup_ivf",
     "q_semantic_dedup_ivf",
     "q_embed_pca",  # same contract: no model can be fit on no vectors
+    "q_knn_ivfpq_pca",  # PCA front: same no-model-on-no-vectors contract
+    "q_quality_lr",  # IRLS classifier: same contract
 }
 
 
