@@ -242,6 +242,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_ivfpq_pca": _wrap(L.q_knn_ivfpq_pca),  # PCA-composed IVF-PQ at equal code bytes (rows-only; recall-at-budget pytest)
         "q_bm25_topk": _wrap(L.q_bm25_topk),  # Okapi BM25 lexical retrieval: corpus-stat idf, fixed-order float sum
         "q_quality_lr": _wrap(L.q_quality_lr),  # distributed IRLS logistic quality classifier (rows-only; numpy-parity pytest)
+        "q_decontaminate_fuzzy": _wrap(L.q_decontaminate_fuzzy),  # containment-threshold fuzzy decontamination
     }
 
 
@@ -280,6 +281,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "q_media_jpeg_color": L.ORACLE_MEDIA_JPEG_COLOR,
         "q_media_jpeg_prog": L.ORACLE_MEDIA_JPEG_PROG,
         "q_bm25_topk": L.ORACLE_BM25_TOPK,
+        "q_decontaminate_fuzzy": L.ORACLE_DECONTAMINATE_FUZZY,
         "q_hopping_window": A.ORACLE_HOPPING_WINDOW,
         "q_bloom_join": A.ORACLE_BLOOM_JOIN,
         "q_histogram_equidepth": A.ORACLE_HISTOGRAM_EQUIDEPTH,

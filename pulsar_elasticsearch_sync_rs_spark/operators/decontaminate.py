@@ -92,6 +92,53 @@ def decontaminate(
     return corpus.join(hit_ids, id_col, "left_anti")
 
 
+def contamination_fraction(
+    corpus: DataFrame,
+    bench: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_broadcast_grams: int = DEFAULT_MAX_BROADCAST_GRAMS,
+) -> DataFrame:
+    """FUZZY decontamination — the containment-threshold rule real data
+    cards use beside the any-hit rule (e.g. GPT-3's "13-gram overlap"
+    dedup of eval docs): flag a document when the FRACTION of its
+    distinct word ``n``-grams found in the benchmark set reaches
+    ``threshold``. The any-hit rule (:func:`decontaminate`) is the
+    strictest special case; the fraction rule tolerates incidental
+    shared phrases while still catching near-copies and quotations.
+
+    Returns ``(id_col, n_grams, n_hit, frac)`` for flagged documents
+    ONLY (0 rows in → 0 out; unflagged docs absent by join semantics).
+    ``frac`` is one IEEE division of two ints — bit-identical across
+    engines, so the lane stays hash-checkable.
+
+    Scale shape: identical to :func:`contamination_hits` — measured
+    broadcast of the bench gram set, corpus side explodes distinct
+    shingles (never bodies), per-doc counts are one partial-agg; the
+    per-doc gram total rides the SAME exploded stream (a LEFT join of
+    hits onto totals), so the corpus is tokenized exactly once."""
+    grams = bench_gram_set(bench, n, text_col)
+    grams, _ = _guarded(grams, max_broadcast_grams)
+    corpus_grams = corpus.select(
+        id_col, F.explode(word_shingles(text_col, n)).alias("g")
+    )
+    per_doc = corpus_grams.join(
+        grams.withColumn("__hit", F.lit(1)), "g", "left"
+    ).groupBy(id_col).agg(
+        F.count("*").alias("n_grams"),
+        F.count("__hit").alias("n_hit"),
+    )
+    return (
+        per_doc.withColumn(
+            "frac", F.col("n_hit").cast("double") / F.col("n_grams")
+        )
+        .filter(F.col("frac") >= threshold)
+        .select(id_col, "n_grams", "n_hit", "frac")
+    )
+
+
 def _guarded(grams: DataFrame, max_broadcast_grams: int, keep_cached: bool = False):
     """Apply the broadcast hint iff the measured gram count fits.
     Returns ``(possibly-hinted grams, n_grams)``.

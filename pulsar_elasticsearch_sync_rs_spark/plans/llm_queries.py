@@ -1281,6 +1281,62 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_hits(corpus, bench, n=3)
 
 
+def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination (operators/decontaminate.py
+    contamination_fraction): corpus documents whose distinct word
+    3-grams are ≥50% CONTAINED in the benchmark gram set — the
+    containment-threshold data-card rule that catches near-copies and
+    quotations the any-hit rule (q_decontaminate) would over- or
+    under-flag. The benchmark stand-in is the ``doc_id % 97`` subset
+    PLUS the ``doc_id % 89`` corpus docs — eval suites really do
+    contain passages lifted from the crawl, and the planted leak makes
+    the lane a REAL witness at every SF (without it, sf0.01's max
+    containment is 0.11 and the lane pins a vacuous 0=0 — the zorder
+    sf1 lesson). Same measured-broadcast scale shape; the fraction is
+    one IEEE int division, hash-stable across engines."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.decontaminate import (
+        contamination_fraction,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.filter(
+        (F.col("doc_id") % 97 == 0) | (F.col("doc_id") % 89 == 0)
+    )
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return contamination_fraction(corpus, bench, n=3, threshold=0.5)
+
+
+ORACLE_DECONTAMINATE_FUZZY = r"""
+WITH sh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(t) >= 3
+      THEN list_transform(generate_series(1, len(t) - 2),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      ELSE [] END) AS s
+  FROM (
+    SELECT doc_id,
+      list_filter(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'), t -> t <> '') AS t
+    FROM documents
+  )
+), bench AS (
+  SELECT DISTINCT unnest(s) AS g FROM sh
+  WHERE doc_id % 97 = 0 OR doc_id % 89 = 0
+), corpus AS (
+  SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 97 <> 0
+), per_doc AS (
+  SELECT c.doc_id, count(*) AS n_grams,
+         count(b.g) AS n_hit
+  FROM corpus c LEFT JOIN bench b USING (g)
+  GROUP BY c.doc_id
+)
+SELECT doc_id, n_grams, n_hit,
+       CAST(n_hit AS DOUBLE) / n_grams AS frac
+FROM per_doc
+WHERE CAST(n_hit AS DOUBLE) / n_grams >= 0.5
+ORDER BY doc_id
+"""
+
+
 ORACLE_DECONTAMINATE = r"""
 WITH sh AS (
   SELECT doc_id,
