@@ -243,6 +243,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25_topk": _wrap(L.q_bm25_topk),  # Okapi BM25 lexical retrieval: corpus-stat idf, fixed-order float sum
         "q_quality_lr": _wrap(L.q_quality_lr),  # distributed IRLS logistic quality classifier (rows-only; numpy-parity pytest)
         "q_decontaminate_fuzzy": _wrap(L.q_decontaminate_fuzzy),  # containment-threshold fuzzy decontamination
+        "q_bpe_train": _wrap(L.q_bpe_train),  # exact distributed BPE training (rows-only; full-freq parity pytest)
     }
 
 

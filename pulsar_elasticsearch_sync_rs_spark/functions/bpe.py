@@ -110,6 +110,118 @@ def learn_merges_from_corpus(
     return learn_bpe_merges({r["w"]: r["n"] for r in rows}, n_merges)
 
 
+def learn_merges_distributed(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 32,
+    checkpoint_every: int = 8,
+) -> list[tuple[str, str]]:
+    """EXACT distributed BPE training — the scale path past
+    :func:`learn_merges_from_corpus`'s bounded driver sample: pair
+    counts come from the WHOLE corpus word-frequency table every step,
+    so the learned table is exactly what Sennrich's reference algorithm
+    produces on the full data (pytest-pinned against
+    :func:`learn_bpe_merges` run on the complete frequency dict). At
+    web scale the long tail carries real pair mass and the vocabulary
+    itself outgrows any driver sample — here the vocab table stays a
+    DataFrame and only ONE (pair, count) row reaches the driver per
+    merge step.
+
+    Per step: (1) adjacent symbol pairs via two shifted `slice`s +
+    `arrays_zip` (data passes through the lambda's own arguments — the
+    re-evaluation pitfall documented in functions/text.py), weighted by
+    word frequency, aggregated, global argmax with the SAME
+    (-count, pair) lexicographic tie-break as the reference learner;
+    (2) one vectorized Arrow pass rewrites the symbol arrays with the
+    non-overlapping left-to-right merge. The vocab table is
+    localCheckpoint'ed every ``checkpoint_every`` steps — each step
+    stacks a Python-UDF layer onto the plan, and without truncation
+    step k replans (and would re-execute) a k-deep pipeline.
+
+    Cost: ``n_merges`` × (one skinny shuffle over (pair, count) + one
+    narrow Arrow map over the VOCAB table — words, not documents; the
+    corpus is read once up front)."""
+    import pandas as pd
+
+    vocab = (
+        df.select(
+            F.explode(F.split(F.lower(F.col(text_col)), _WS_CLASS)).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.concat(
+                F.split(F.col("w"), ""), F.array(F.lit(END))
+            ).alias("syms"),
+            "n",
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[str, str]] = []
+    for step in range(int(n_merges)):
+        sz = F.size("syms")
+        pairs = (
+            vocab.filter(sz >= 2)
+            .select(
+                F.explode(
+                    F.arrays_zip(
+                        F.slice(F.col("syms"), 1, sz - 1).alias("a"),
+                        F.slice(F.col("syms"), 2, sz - 1).alias("b"),
+                    )
+                ).alias("p"),
+                "n",
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("n").alias("cnt"))
+        )
+        top = (
+            pairs.orderBy(
+                F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc()
+            )
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+
+        # factory scope: the select below is LAZY (it executes during
+        # the NEXT step's aggregation), and a UDF closing over the loop
+        # frame's a/b cells would late-bind to a LATER step's pair —
+        # each step needs its own closure cells
+        def make_merge_udf(pa: str, pb: str):
+            # no signature hints: with pandas imported function-locally
+            # the 'pd.Series' annotation is a string PySpark's hint
+            # inference rejects; the explicit returnType rules
+            @F.pandas_udf(T.ArrayType(T.StringType()))
+            def merge_syms(col):
+                out = []
+                for syms in col:
+                    res = []
+                    i = 0
+                    m = len(syms)
+                    while i < m:
+                        if i + 1 < m and syms[i] == pa and syms[i + 1] == pb:
+                            res.append(pa + pb)
+                            i += 2
+                        else:
+                            res.append(syms[i])
+                            i += 1
+                    out.append(res)
+                return pd.Series(out)
+
+            return merge_syms
+
+        vocab = vocab.select(
+            make_merge_udf(a, b)("syms").alias("syms"), "n"
+        )
+        if (step + 1) % int(checkpoint_every) == 0:
+            vocab = vocab.localCheckpoint(eager=True)
+    return merges
+
+
 def bpe_token_count(
     df: DataFrame,
     merges: list[tuple[str, str]],

@@ -1281,6 +1281,29 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_hits(corpus, bench, n=3)
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distributed BPE tokenizer training (functions/bpe.py
+    learn_merges_distributed): 24 merge rules learned from FULL-corpus
+    pair counts — the scale path past the bounded-driver-sample learner
+    that q_bpe_token_count rides. Per step, one skinny (pair, count)
+    shuffle over the word-frequency table + one Arrow merge map; only
+    the argmax row reaches the driver. Deterministic (lexicographic
+    tie-break) but iterative — no SQL twin; rows-only with an exact
+    full-frequency-dict parity pytest (tests/test_bpe_train.py)."""
+    from pulsar_elasticsearch_sync_rs_spark.functions.bpe import (
+        learn_merges_distributed,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    merges = learn_merges_distributed(docs, "text", n_merges=24)
+    if not merges:
+        return spark.createDataFrame([], "rank int, left string, right string")
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string",
+    )
+
+
 def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy decontamination (operators/decontaminate.py
     contamination_fraction): corpus documents whose distinct word
