@@ -237,6 +237,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bigram_logprob": _wrap(L.q_bigram_logprob),  # interpolated bigram LM scoring (CCNet-step past the unigram lane)
         "q_scd2_apply": _wrap(A.q_scd2_apply),  # SCD2 CDC merge: base never shuffles, change side broadcast
         "q_scd2_asof": _wrap(A.q_scd2_asof),  # SCD2 time travel: as-of interval reads over the merged snapshot
+        "q_scd2_diff": _wrap(A.q_scd2_diff),  # SCD2 churn: added/removed/changed between two as-of points
         "q_zorder_scan": _wrap(A.q_zorder_scan),  # Z-order layout round-trip (pruning mechanism pinned in test_layout)
         "q_embed_pca": _wrap(L.q_embed_pca),  # distributed PCA fit+project (rows-only; numpy-parity pytest)
         "q_knn_ivfpq_pca": _wrap(L.q_knn_ivfpq_pca),  # PCA-composed IVF-PQ at equal code bytes (rows-only; recall-at-budget pytest)
@@ -295,5 +296,6 @@ def extra_oracle_sql() -> dict[str, str]:
         "q_bigram_logprob": L.ORACLE_BIGRAM_LOGPROB,
         "q_scd2_apply": A.ORACLE_SCD2_APPLY,
         "q_scd2_asof": A.ORACLE_SCD2_ASOF,
+        "q_scd2_diff": A.ORACLE_SCD2_DIFF,
         "q_zorder_scan": A.ORACLE_ZORDER_SCAN,
     }

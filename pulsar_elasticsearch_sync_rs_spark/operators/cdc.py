@@ -200,6 +200,53 @@ def scd2_as_of(
     )
 
 
+def scd2_diff(
+    snapshot: DataFrame,
+    ts_old,
+    ts_new,
+    key: str,
+    attrs: list[str],
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+) -> DataFrame:
+    """Churn report between two as-of points of an SCD2 snapshot: per
+    key, ``added`` (alive at ``ts_new`` only), ``removed`` (alive at
+    ``ts_old`` only), or ``changed`` (alive at both with ANY attr
+    differing; null-safe compare). Unchanged keys are absent — at
+    100 TB the diff is the small output by construction, and the plan
+    is two narrow interval filters + one key-partitioned FULL OUTER
+    join (exactly one row per key per side — the apply contract)."""
+    old = scd2_as_of(snapshot, ts_old, from_col, to_col).select(
+        F.col(key), *[F.col(a).alias(f"old_{a}") for a in attrs]
+    )
+    new = scd2_as_of(snapshot, ts_new, from_col, to_col).select(
+        F.col(key), *[F.col(a).alias(f"new_{a}") for a in attrs]
+    )
+    # explicit presence markers: deriving presence from all-null attrs
+    # would misclassify a row whose attrs are legitimately null
+    old = old.withColumn("__in_old", F.lit(True))
+    new = new.withColumn("__in_new", F.lit(True))
+    joined = old.join(new, key, "full_outer")
+    any_diff = F.lit(False)
+    for a in attrs:
+        any_diff = any_diff | ~F.col(f"old_{a}").eqNullSafe(F.col(f"new_{a}"))
+    change = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(any_diff, F.lit("changed"))
+    )
+    return (
+        joined.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(
+            key,
+            "change",
+            *[F.col(f"old_{a}") for a in attrs],
+            *[F.col(f"new_{a}") for a in attrs],
+        )
+    )
+
+
 def persist_scd2_partitioned(
     df: DataFrame, base_dir: str, key: str, n_parts: int = 16
 ) -> None:

@@ -1544,6 +1544,70 @@ WHERE s.valid_from <= CAST(p.as_of AS TIMESTAMP)
 """
 
 
+def q_scd2_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 snapshot CHURN (operators/cdc.scd2_diff): per-key
+    added/removed/changed classification between two as-of points of
+    the merged snapshot — the audit query a dimension owner runs after
+    a backfill ('what did this window do to my table'). Two narrow
+    interval filters over ONE merge evaluation + a key full-outer
+    join; unchanged keys absent, so the output is the churn, not the
+    table."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.cdc import scd2_diff
+
+    snap = _scd2_merged(spark, sf_dir).localCheckpoint(eager=False)
+    return scd2_diff(
+        snap, "1994-06-01", "1997-06-01", key="custkey", attrs=["bal", "seg"]
+    )
+
+
+ORACLE_SCD2_DIFF = """
+WITH base AS (
+  SELECT c_custkey AS custkey, c_acctbal AS bal, c_mktsegment AS seg,
+         TIMESTAMP '1992-01-01 00:00:00' AS valid_from,
+         CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+  FROM customer
+), ch0 AS (
+  SELECT o_custkey AS custkey, o_orderdate AS ts,
+         min(o_totalprice) AS bal, min(o_orderpriority) AS seg,
+         min(o_orderkey) AS k
+  FROM orders WHERE o_orderkey % 7 = 0
+  GROUP BY 1, 2
+), ch AS (
+  SELECT custkey, ts, bal, seg,
+         CASE WHEN k % 10 = 0 THEN 'D' WHEN k % 10 < 5 THEN 'U' ELSE 'I' END AS op,
+         lead(ts) OVER (PARTITION BY custkey ORDER BY ts) AS next_ts
+  FROM ch0
+), first_ts AS (
+  SELECT custkey, min(ts) AS fts FROM ch0 GROUP BY 1
+), snap AS (
+  SELECT b.custkey, b.bal, b.seg, b.valid_from, f.fts AS valid_to
+  FROM base b JOIN first_ts f USING (custkey)
+  UNION ALL
+  SELECT b.custkey, b.bal, b.seg, b.valid_from, b.valid_to
+  FROM base b WHERE b.custkey NOT IN (SELECT custkey FROM first_ts)
+  UNION ALL
+  SELECT custkey, bal, seg, ts AS valid_from, next_ts AS valid_to
+  FROM ch WHERE op <> 'D'
+), old AS (
+  SELECT custkey, bal AS old_bal, seg AS old_seg FROM snap
+  WHERE valid_from <= TIMESTAMP '1994-06-01'
+    AND (valid_to IS NULL OR valid_to > TIMESTAMP '1994-06-01')
+), new AS (
+  SELECT custkey, bal AS new_bal, seg AS new_seg FROM snap
+  WHERE valid_from <= TIMESTAMP '1997-06-01'
+    AND (valid_to IS NULL OR valid_to > TIMESTAMP '1997-06-01')
+)
+SELECT custkey,
+  CASE WHEN o.custkey IS NULL THEN 'added'
+       WHEN n.custkey IS NULL THEN 'removed'
+       ELSE 'changed' END AS change,
+  old_bal, old_seg, new_bal, new_seg
+FROM old o FULL OUTER JOIN new n USING (custkey)
+WHERE o.custkey IS NULL OR n.custkey IS NULL
+   OR (old_bal IS DISTINCT FROM new_bal) OR (old_seg IS DISTINCT FROM new_seg)
+"""
+
+
 # the previous q_zorder_scan scratch dir (at most one), reclaimed on
 # the next invocation within the same process
 _ZSCAN_LAST: list[str] = []

@@ -300,3 +300,35 @@ def test_scd2_asof_multi_batch_partitioned(spark, tmp_path):
     # deleted-then-reborn key 10: absent at T2, back at T3 with v=3.0
     assert 10 not in {r.k for r in scd2_as_of(snap, T2).collect()}
     assert {r.k: r.v for r in scd2_as_of(snap, T3).collect()}[10] == 3.0
+
+
+def test_scd2_diff_classifies_churn(spark):
+    """scd2_diff over a hand-built snapshot: added / removed / changed
+    classification, unchanged keys absent, attrs null-safe (a null→null
+    attr is NOT a change; null→value is)."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.cdc import (
+        scd2_apply,
+        scd2_diff,
+    )
+
+    snap = scd2_apply(_base(spark), _changes(spark), key="k", attrs=["v"])
+    out = {
+        (r.k, r.change, r.old_v, r.new_v)
+        for r in scd2_diff(
+            snap, dt.datetime(2020, 6, 1), dt.datetime(2022, 6, 1),
+            key="k", attrs=["v"],
+        ).collect()
+    }
+    # between T0+ and T2+: k=1 11->12 changed, k=3 deleted (removed),
+    # k=4 open 40 -> deleted at T2 (removed), k=5 inserted at T2 (added);
+    # k=2 untouched -> absent
+    assert out == {
+        (1, "changed", 11.0, 12.0),
+        (3, "removed", 30.0, None),
+        (4, "removed", 40.0, None),
+        (5, "added", None, 50.0),
+    }
+    # null-safe: same ts twice -> empty diff
+    assert (
+        scd2_diff(snap, T1, T1, key="k", attrs=["v"]).count() == 0
+    )
