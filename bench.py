@@ -65,6 +65,12 @@ HEADLINE = [
     # cost curve is pinned by the sf1→sf10 decade table (SCALE.md)
     # and tools/bench_decade.py instead.
     "q_substring_dedup",
+    # round-10 additions: lexical retrieval (one skinny token shuffle +
+    # broadcast sides) and the progressive-JPEG decode throughput (the
+    # web's dominant image encoding through the pure-Python multi-scan
+    # path — per-doc cost is the number that matters)
+    "q_bm25_topk",
+    "q_media_jpeg_prog",
 ]
 
 # per-query protocol: ONE untimed warm-up execution (pays plan codegen,
@@ -107,6 +113,8 @@ PLAN_PINS: dict[str, dict] = {
     "q_knn_pq": {"arrow_max": 3},  # train/encode + probe ADC + re-rank
     "q_llm_pipeline": {"arrow_max": 1},  # at most the packing kernel
     "q_substring_dedup": {"arrow_max": 0},  # md5 grams + windows, pure JVM
+    "q_bm25_topk": {"arrow_max": 0},  # tokenize/agg/joins all JVM; the ≤5-element sum is an interpreted HOF, not Arrow
+    "q_media_jpeg_prog": {"arrow_max": 2},  # synth corpus + decode: exactly two MapInPandas
 }
 
 # Streaming state pins (round 8): the stateful lanes' peak state-store
@@ -174,10 +182,11 @@ THROUGHPUT_PINS: dict[str, int] = {
     # curation lanes calibrated from the LOW end of the observed
     # quiet-host spread (404–744 / 152–211 docs/s across two
     # back-to-back runs — per-batch fixed costs swing ~1.8× even
-    # quiet): low_end / ~2.7, still far above what an
-    # integer-multiple regression leaves
-    "curation": 150,
-    "curation_nd": 55,
+    # quiet), then the same 3.3× host envelope as the other lanes:
+    # 404/3.3 and 152/3.3, still far above what an integer-multiple
+    # regression leaves
+    "curation": 120,
+    "curation_nd": 45,
 }
 THROUGHPUT_PIN_SF = 0.1
 
@@ -546,8 +555,9 @@ def stream_throughput(spark, sf_dir: str, violations: list[str] | None = None) -
             if floor is not None and violations is not None and rate < floor:
                 violations.append(
                     f"stream/{name}: {rate} msgs/s below the catastrophic"
-                    f"-regression floor {floor} (quiet-host steady state is"
-                    " ~3x the floor; see THROUGHPUT_PINS)"
+                    f"-regression floor {floor} (quiet-host steady state per"
+                    " lane is in SCALE.md's round-10 reference table; floors"
+                    " sit 3.3-5x below it — see THROUGHPUT_PINS)"
                 )
             return lane
 

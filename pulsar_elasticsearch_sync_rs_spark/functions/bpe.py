@@ -91,6 +91,21 @@ def apply_bpe(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     return syms
 
 
+def _word_freq_df(df: DataFrame, text_col: str) -> DataFrame:
+    """The lowercase word-frequency table ``(w, n)`` — ONE tokenization
+    definition shared by the bounded-sample and exact learners, so a
+    boundary tweak can never make the two phases disagree (the parity
+    concern the module-level ``_WS_CLASS`` exists for)."""
+    return (
+        df.select(
+            F.explode(F.split(F.lower(F.col(text_col)), _WS_CLASS)).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def learn_merges_from_corpus(
     df: DataFrame, text_col: str = "text", n_merges: int = 64, sample_words: int = 20_000
 ) -> list[tuple[str, str]]:
@@ -99,10 +114,7 @@ def learn_merges_from_corpus(
     size — word frequency follows Zipf, so the head dominates pair
     counts) feed the greedy learner."""
     rows = (
-        df.select(F.explode(F.split(F.lower(F.col(text_col)), _WS_CLASS)).alias("w"))
-        .filter(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count("*").alias("n"))
+        _word_freq_df(df, text_col)
         .orderBy(F.col("n").desc(), F.col("w").asc())
         .limit(sample_words)
         .collect()
@@ -144,12 +156,7 @@ def learn_merges_distributed(
     import pandas as pd
 
     vocab = (
-        df.select(
-            F.explode(F.split(F.lower(F.col(text_col)), _WS_CLASS)).alias("w")
-        )
-        .filter(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count("*").alias("n"))
+        _word_freq_df(df, text_col)
         .select(
             F.concat(
                 F.split(F.col("w"), ""), F.array(F.lit(END))

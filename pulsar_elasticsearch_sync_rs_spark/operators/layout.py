@@ -196,14 +196,27 @@ def zorder_bounds(df: DataFrame, cluster_cols: list[str], bits: int = 8,
     casts = _zorder_casts(df, cluster_cols, bits)
     probs = [i / float(1 << bits) for i in range(1, 1 << bits)]
     out = []
-    for b in df.select(*casts).approxQuantile(
-        cluster_cols, probs, relative_error
+    empty_checked = None
+    for c, b in zip(
+        cluster_cols,
+        df.select(*casts).approxQuantile(cluster_cols, probs, relative_error),
     ):
         if len(b) == 0:
-            # EMPTY corpus: approxQuantile returns no cut points; a
-            # degenerate all-zero spec ranks the (zero) rows into one
-            # cell — totality (0 rows in → a valid empty layout out),
-            # never a shape error
+            # approxQuantile returns no cut points for an EMPTY corpus
+            # (totality: substitute a degenerate spec, zero rows rank
+            # into one cell) — but ALSO for an all-NULL column on real
+            # data, where a silently-degenerate persisted spec would
+            # collapse every future skip rate to zero. Distinguish the
+            # two (round-10 review finding).
+            if empty_checked is None:
+                empty_checked = df.isEmpty()
+            if not empty_checked:
+                raise ValueError(
+                    f"zorder_bounds: column {c!r} has no quantiles on a "
+                    "non-empty corpus (all NULL?) — a degenerate layout "
+                    "spec would silently disable pruning; filter or pick "
+                    "another dimension"
+                )
             b = [0.0] * len(probs)
         out.append(np.asarray(b, dtype=np.float64))
     return out

@@ -35,7 +35,12 @@ from pyspark.sql import types as T
 class LRModel:
     weights: np.ndarray   # (d+1,) — bias first
     n_rows: int
-    log_loss: float       # final-iteration mean log-loss
+    # mean log-loss at the weights ENTERING the final IRLS step (the
+    # moment pass that produced `weights`) — evaluating at the returned
+    # weights would cost one more full corpus pass; near convergence
+    # the two differ negligibly, but callers comparing models on this
+    # field should know which iterate it describes
+    log_loss: float
     iters: int
 
 

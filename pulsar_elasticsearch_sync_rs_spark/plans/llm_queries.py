@@ -813,6 +813,11 @@ def q_quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
         (quality_score("text") >= 0.65).cast("int").alias("label"),
     )
     fcols = ["f_ntok", "f_punct", "f_stop", "f_len"]
+    # lazy checkpoint: lr_fit runs 6 moment passes and lr_score a 7th —
+    # without it each pass re-runs the tokenize/regex feature
+    # extraction from the parquet read (the superlinear term the sf10
+    # decade row measured; round-10 review finding)
+    feats = feats.localCheckpoint(eager=False)
     model = lr_fit(feats, fcols, "label", iters=6)
     scored = lr_score(feats, model, fcols, "p_keep")
     w = Window.orderBy(F.col("p_keep").desc(), F.col("doc_id").asc())
@@ -853,9 +858,11 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    # two independent 1-row aggregates cross-joined — not the corpus
+    # streamed through a join against a scalar (round-10 review finding)
     stats = F.broadcast(
-        docs.crossJoin(dl.select(F.sum("dl").alias("toktot"))).agg(
-            F.count("*").alias("n_docs"), F.first("toktot").alias("toktot")
+        docs.agg(F.count("*").alias("n_docs")).crossJoin(
+            dl.agg(F.sum("dl").alias("toktot"))
         )
     )
     dfreq = tf.groupBy("token").agg(
