@@ -408,3 +408,81 @@ def test_shingles_and_bigrams_match_python_model(spark_global, texts):
         assert rows[i]["bg"] == expect_bg, repr(t)
         expect_mm = max(Counter(expect_bg).values()) if expect_bg else 0
         assert rows[i]["mm"] == expect_mm, repr(t)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    changes=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),         # key
+            st.integers(min_value=0, max_value=9),         # value index
+            st.sampled_from(["I", "U", "D"]),              # op
+            st.integers(min_value=1, max_value=8),         # day offset
+        ),
+        min_size=0,
+        max_size=12,
+    ),
+    base_keys=st.sets(st.integers(min_value=1, max_value=5), max_size=5),
+)
+def test_scd2_apply_matches_interval_model(spark_global, changes, base_keys):
+    """SCD2 apply vs a tiny sequential interval simulator: for RANDOM
+    (deduped) CDC batches over a random base, the snapshot's per-key
+    version chains must equal replaying the ops one by one — open
+    version closes at the first change, each I/U opens [ts, next_ts),
+    D closes and opens nothing, untouched keys and history pass
+    through, exactly one open version per surviving key."""
+    import datetime as dt
+
+    from pulsar_elasticsearch_sync_rs_spark.operators.cdc import scd2_apply
+
+    t0 = dt.datetime(2020, 1, 1)
+    day = dt.timedelta(days=1)
+    # (key, ts) must be unique — the operator's documented precondition
+    seen = set()
+    batch = []
+    for k, v, op, off in changes:
+        if (k, off) in seen:
+            continue
+        seen.add((k, off))
+        batch.append((k, float(v), op, t0 + off * day))
+    base_rows = [(k, -1.0, t0 - 30 * day, None, True) for k in sorted(base_keys)]
+
+    # python reference: replay per key in ts order
+    want = set()
+    by_key: dict = {}
+    for k, v, op, ts in sorted(batch, key=lambda r: (r[0], r[3])):
+        by_key.setdefault(k, []).append((ts, v, op))
+    touched = set(by_key)
+    for k in sorted(base_keys):
+        if k in touched:
+            want.add((k, -1.0, t0 - 30 * day, by_key[k][0][0], False))
+        else:
+            want.add((k, -1.0, t0 - 30 * day, None, True))
+    for k, ops in by_key.items():
+        for i, (ts, v, op) in enumerate(ops):
+            if op == "D":
+                continue
+            nxt = ops[i + 1][0] if i + 1 < len(ops) else None
+            want.add((k, v, ts, nxt, nxt is None))
+
+    spark = spark_global
+    base = spark.createDataFrame(
+        base_rows or [(None, None, None, None, None)],
+        "k int, v double, valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+    if not base_rows:
+        base = base.filter("k is not null")
+    ch = spark.createDataFrame(
+        batch or [(None, None, None, None)],
+        "k int, v double, op string, ts timestamp",
+    )
+    if not batch:
+        ch = ch.filter("k is not null")
+    got = {
+        (r.k, r.v, r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_apply(base, ch, key="k", attrs=["v"]).collect()
+    }
+    assert got == want
+    # exactly one open version per surviving key
+    open_keys = [k for (k, _v, _f, _t, cur) in got if cur]
+    assert len(open_keys) == len(set(open_keys))
