@@ -478,11 +478,15 @@ def test_scd2_apply_matches_interval_model(spark_global, changes, base_keys):
     )
     if not batch:
         ch = ch.filter("k is not null")
-    got = {
+    # duplicate-preserving (multiset) compare: a regression emitting a
+    # version row twice (e.g. a branch double-unioning base rows) must
+    # FAIL, not be collapsed by set semantics — scd2_as_of's
+    # one-row-per-alive-key contract rides on exact multiplicity.
+    # (Counter, not sorted(): None valid_to doesn't order vs datetime.)
+    from collections import Counter
+
+    rows = Counter(
         (r.k, r.v, r.valid_from, r.valid_to, r.is_current)
         for r in scd2_apply(base, ch, key="k", attrs=["v"]).collect()
-    }
-    assert got == want
-    # exactly one open version per surviving key
-    open_keys = [k for (k, _v, _f, _t, cur) in got if cur]
-    assert len(open_keys) == len(set(open_keys))
+    )
+    assert rows == Counter(want)
