@@ -245,6 +245,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_lr": _wrap(L.q_quality_lr),  # distributed IRLS logistic quality classifier (rows-only; numpy-parity pytest)
         "q_decontaminate_fuzzy": _wrap(L.q_decontaminate_fuzzy),  # containment-threshold fuzzy decontamination
         "q_bpe_train": _wrap(L.q_bpe_train),  # exact distributed BPE training (rows-only; full-freq parity pytest)
+        "q_weighted_sample": _wrap(L.q_weighted_sample),  # Efraimidis-Spirakis weighted sample w/o replacement per stratum
     }
 
 
@@ -284,6 +285,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "q_media_jpeg_prog": L.ORACLE_MEDIA_JPEG_PROG,
         "q_bm25_topk": L.ORACLE_BM25_TOPK,
         "q_decontaminate_fuzzy": L.ORACLE_DECONTAMINATE_FUZZY,
+        "q_weighted_sample": L.ORACLE_WEIGHTED_SAMPLE,
         "q_hopping_window": A.ORACLE_HOPPING_WINDOW,
         "q_bloom_join": A.ORACLE_BLOOM_JOIN,
         "q_histogram_equidepth": A.ORACLE_HISTOGRAM_EQUIDEPTH,

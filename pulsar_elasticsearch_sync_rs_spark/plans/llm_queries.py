@@ -1288,6 +1288,53 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_hits(corpus, bench, n=3)
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement per stratum
+    (Efraimidis–Spirakis A-Res, public literature): key = u^(1/w) with
+    u a DETERMINISTIC knuth-hash uniform of doc_id and w = n_chars,
+    top-3 keys per lang — the quality-weighted corpus subsample real
+    mixes draw (longer/better docs proportionally likelier, no
+    replacement, reproducible with no RNG). Completes the sampling
+    family beside the uniform reservoir (q_group_sample), stratified
+    rates (q_stratified_sample), and temperature mix (q_domain_mix).
+
+    Plan: narrow key computation + one per-stratum top-k window — the
+    same single shuffle as any grouped top-k at 100 TB. Output is
+    rank + ids only: ``pow`` is transcendental and engines may differ
+    in the last ulp, so ORDER is computed per-engine (distinct docs'
+    key gaps dwarf ulp noise — the q_bm25_topk convention) and the
+    float key itself stays out of the hash."""
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars") > 0
+    )
+    u = (knuth_u32("doc_id", salt=7) + F.lit(0.5)) / F.lit(float(U32))
+    key = F.pow(u, F.lit(1.0) / F.col("n_chars"))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("__key").desc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.withColumn("__key", key)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("lang", "rank", "doc_id", "n_chars")
+    )
+
+
+ORACLE_WEIGHTED_SAMPLE = """
+WITH keyed AS (
+  SELECT lang, doc_id, n_chars,
+         pow((((doc_id + 7) * 2654435761) % 4294967296 + 0.5) / 4294967296.0,
+             1.0 / n_chars) AS k
+  FROM documents WHERE n_chars > 0
+)
+SELECT lang, CAST(rank AS INT) AS rank, doc_id, n_chars FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY k DESC, doc_id ASC) AS rank
+  FROM keyed
+) WHERE rank <= 3
+"""
+
+
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT distributed BPE tokenizer training (functions/bpe.py
     learn_merges_distributed): 24 merge rules learned from FULL-corpus

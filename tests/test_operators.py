@@ -575,3 +575,33 @@ def test_etl_transform_asserts_last_win_policy(spark):
         spark.conf.set("spark.sql.mapKeyDedupPolicy", prior)
     # restored session still flows
     assert etl_transform(df, PipelineConfig()).first() is not None
+
+
+def test_weighted_sample_semantics(spark):
+    """Efraimidis–Spirakis weighted sampling (q_weighted_sample's
+    kernel): (a) a dominant-weight doc wins rank 1 (key = u^(1/w) → 1
+    as w grows, for ANY u in (0,1)); (b) no replacement (distinct
+    ids); (c) fully deterministic across runs."""
+    from pulsar_elasticsearch_sync_rs_spark.plans.llm_queries import (
+        U32,
+        knuth_u32,
+    )
+
+    rows = [(0, "en", 1_000_000)] + [(i, "en", 1 + i % 3) for i in range(1, 40)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    u = (knuth_u32("doc_id", salt=7) + F.lit(0.5)) / F.lit(float(U32))
+    key = F.pow(u, F.lit(1.0) / F.col("n_chars"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("lang").orderBy(F.col("__key").desc(), F.col("doc_id").asc())
+    out = (
+        docs.withColumn("__key", key)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("rank", "doc_id")
+    )
+    got = sorted((r["rank"], r["doc_id"]) for r in out.collect())
+    assert got[0] == (1, 0), f"dominant weight must win: {got}"
+    assert len({d for _, d in got}) == 3  # without replacement
+    got2 = sorted((r["rank"], r["doc_id"]) for r in out.collect())
+    assert got == got2
