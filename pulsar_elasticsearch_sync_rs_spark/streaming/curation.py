@@ -622,6 +622,7 @@ def run_curation_ingest(
     nd_shingle_k: int = 3,
     nd_max_bucket: int = 1024,
     compact_every: int | None = None,
+    contamination_max_frac: float | None = None,
 ):
     """Start the curation ingestion stream; returns the StreamingQuery.
 
@@ -633,6 +634,12 @@ def run_curation_ingest(
          ``bench``. The gram set is built, measured and (under the
          guard threshold) broadcast-hinted ONCE at start — every batch
          pays one hash probe, never the guard's count job.
+         ``contamination_max_frac`` (opt-in) switches to the FUZZY
+         containment rule: drop only when ≥ that fraction of the doc's
+         distinct grams is benchmark material (the data-card
+         13-gram-overlap style; operators/decontaminate
+         .contamination_fraction semantics) — same broadcast probe,
+         one extra per-doc count on the same exploded stream.
       3. DEDUP — min-``id_col`` survivor per content sha within the
          batch, then LEFT ANTI against the accumulated sha index.
          Only (sha, id) pairs shuffle.
@@ -772,14 +779,36 @@ def run_curation_ingest(
 
         gated = batch_df.filter(gate_pred)
 
-        # decontaminate: shingle ONLY gate survivors, anti-join the
-        # pre-measured gram set (broadcast probe under the guard)
-        hit_ids = (
-            gated.select(id_col, F.explode(word_shingles(text_col, n)).alias("g"))
-            .join(grams, "g")
-            .select(id_col)
-            .distinct()
+        # decontaminate: shingle ONLY gate survivors against the
+        # pre-measured gram set (broadcast probe under the guard).
+        # Default = the any-hit rule; ``contamination_max_frac`` opts
+        # into the CONTAINMENT-threshold rule (operators/decontaminate
+        # .contamination_fraction's semantics, composed into the
+        # streaming topology it was built for — round 10): a doc drops
+        # when ≥ that fraction of its distinct grams is benchmark
+        # material, tolerating incidental shared phrases while still
+        # killing near-copies. Docs too short to shingle pass (both
+        # rules).
+        batch_grams = gated.select(
+            id_col, F.explode(word_shingles(text_col, n)).alias("g")
         )
+        if contamination_max_frac is None:
+            hit_ids = batch_grams.join(grams, "g").select(id_col).distinct()
+        else:
+            per_doc = (
+                batch_grams.join(
+                    grams.withColumn("__hit", F.lit(1)), "g", "left"
+                )
+                .groupBy(id_col)
+                .agg(
+                    F.count("*").alias("__n_grams"),
+                    F.count("__hit").alias("__n_hit"),
+                )
+            )
+            hit_ids = per_doc.filter(
+                F.col("__n_hit").cast("double") / F.col("__n_grams")
+                >= F.lit(float(contamination_max_frac))
+            ).select(id_col)
         clean = gated.join(hit_ids, id_col, "left_anti")
 
         # within-batch min-id survivor per sha — semi-join so text

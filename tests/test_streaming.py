@@ -2330,3 +2330,112 @@ def test_compact_soak_50_batches_bounded_and_flat(spark, sf_dir, tmpdir):
             )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_curation_ingest_fuzzy_decontamination_matches_batch(spark, sf_dir, tmpdir):
+    """Round-10 composition: run_curation_ingest(contamination_max_frac=τ)
+    applies the CONTAINMENT rule inside the streaming topology and must
+    reproduce the batch contamination_fraction decision exactly. The
+    fixture plants both flavors: a near-copy of a bench doc (containment
+    1.0 → dropped by BOTH rules) and a one-shared-phrase doc
+    (containment < τ → dropped by the any-hit rule but KEPT by the
+    fuzzy rule — the discriminating witness)."""
+    import time
+
+    from pulsar_elasticsearch_sync_rs_spark.functions.text import (
+        quality_score,
+        repetition_signals,
+    )
+    from pulsar_elasticsearch_sync_rs_spark.operators.decontaminate import (
+        contamination_fraction,
+    )
+    from pulsar_elasticsearch_sync_rs_spark.sources.batch import read_table
+    from pulsar_elasticsearch_sync_rs_spark.streaming.curation import (
+        run_curation_ingest,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus0 = docs.filter(F.col("doc_id") % 97 != 0)
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    bench_text = bench.orderBy("doc_id").first()["text"]
+    one_phrase = " ".join(bench_text.split()[:5])
+    # planted docs: near-copy (first 60 bench tokens + a stopword-rich
+    # fresh tail — the synthetic corpus is stopword-poor and the gate's
+    # stopword term would otherwise reject the plant) and a long
+    # stopword-rich doc quoting ONE 5-token bench phrase
+    near_copy = (
+        " ".join(bench_text.split()[:60]) + " the of and in to a zq1 zq2"
+    )
+    quoter = (
+        "the quick brown fox and the lazy dog ran in a warm field of "
+        "tall grass to see " + one_phrase + " while many other words "
+        "follow here and more filler text runs along the page until "
+        "all of it is done for now"
+    )
+    planted = spark.createDataFrame(
+        [
+            (max_id + 10, near_copy, "en", "plant", len(near_copy)),
+            (max_id + 11, quoter, "en", "plant", len(quoter)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    corpus = corpus0.unionByName(planted)
+    # preflight: both plants must survive the GATE (else the witness is
+    # vacuous) and sit on opposite sides of the containment threshold
+    _, dwf, tbf = repetition_signals("text")
+    gate_ok = planted.filter(
+        (quality_score("text") >= 0.65) & (dwf <= 0.6) & (tbf <= 0.1)
+    )
+    assert gate_ok.count() == 2, "planted docs must pass the gate"
+    fr = {
+        r["doc_id"]: r["frac"]
+        for r in contamination_fraction(planted, bench, n=5, threshold=0.0).collect()
+    }
+    assert fr[max_id + 10] >= 0.5 and 0 < fr.get(max_id + 11, 0) < 0.5, fr
+
+    # expected = batch prefix with the FUZZY rule
+    gated = corpus.filter(
+        (quality_score("text") >= 0.65) & (dwf <= 0.6) & (tbf <= 0.1)
+    )
+    flagged = contamination_fraction(gated, bench, n=5, threshold=0.5).select(
+        "doc_id"
+    )
+    clean = gated.join(flagged, "doc_id", "left_anti")
+    surv = (
+        clean.select(F.sha2("text", 256).alias("sha"), "doc_id")
+        .groupBy("sha").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    )
+    want = {
+        r["doc_id"]
+        for r in clean.join(surv, "doc_id", "left_semi").collect()
+    }
+    assert (max_id + 11) in want and (max_id + 10) not in want
+
+    src_dir = os.path.join(tmpdir, "fz_src")
+    for pred in (F.col("doc_id") <= max_id // 2, F.col("doc_id") > max_id // 2):
+        corpus.filter(pred).coalesce(1).write.mode("append").parquet(src_dir)
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    out_dir = os.path.join(tmpdir, "fz_out")
+    q = run_curation_ingest(
+        stream,
+        bench,
+        out_dir,
+        os.path.join(tmpdir, "fz_sha"),
+        os.path.join(tmpdir, "fz_ckpt"),
+        n=5,
+        available_now=True,
+        contamination_max_frac=0.5,
+    )
+    q.awaitTermination(300)
+    got = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert got == want, (
+        f"+{sorted(got - want)[:5]} -{sorted(want - got)[:5]}"
+    )
