@@ -148,6 +148,25 @@ def lr_fit(
     )
 
 
+def lr_score_expr(model: LRModel, feature_exprs: list) -> object:
+    """The keep-probability as a COLUMN EXPRESSION over arbitrary
+    feature expressions (not just named columns) — so a fitted model
+    plugs straight into any predicate slot, e.g. the streaming
+    curation gate (``run_curation_ingest(gate_pred=lr_score_expr(...)
+    >= p_min)``). Pure JVM: linear form + sigmoid from built-ins,
+    whole-stage codegen, the model rides as (d+1) literals."""
+    w = model.weights
+    if len(feature_exprs) != len(w) - 1:
+        raise ValueError(
+            f"lr_score_expr: model has {len(w) - 1} features, got "
+            f"{len(feature_exprs)} expressions"
+        )
+    eta = F.lit(float(w[0]))
+    for i, e in enumerate(feature_exprs):
+        eta = eta + F.lit(float(w[i + 1])) * e.cast("double")
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+
+
 def lr_score(
     df: DataFrame,
     model: LRModel,
@@ -157,8 +176,6 @@ def lr_score(
     """Score rows with the fitted model — a PURE JVM expression (the
     linear form + sigmoid as built-in functions, whole-stage codegen,
     no Python in the hot path; the model is (d+1) literals)."""
-    w = model.weights
-    eta = F.lit(float(w[0]))
-    for i, c in enumerate(feature_cols):
-        eta = eta + F.lit(float(w[i + 1])) * F.col(c).cast("double")
-    return df.withColumn(out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-eta)))
+    return df.withColumn(
+        out_col, lr_score_expr(model, [F.col(c) for c in feature_cols])
+    )

@@ -623,13 +623,20 @@ def run_curation_ingest(
     nd_max_bucket: int = 1024,
     compact_every: int | None = None,
     contamination_max_frac: float | None = None,
+    gate_pred=None,
 ):
     """Start the curation ingestion stream; returns the StreamingQuery.
 
     Per micro-batch, in production order:
       1. GATE — quality ≥ ``quality_min`` AND repetition keep
          (dup-word ≤ ``dup_word_max``, top-bigram ≤ ``top_bigram_max``);
-         narrow projections, no shuffle.
+         narrow projections, no shuffle. ``gate_pred`` (opt-in)
+         replaces the rule gate with ANY boolean Column over the batch
+         columns — built for the LEARNED gate: a fitted
+         ``operators/lr.LRModel`` scored via ``lr_score``'s pure-JVM
+         sigmoid expression (``lr_score(...) ≥ p_min`` distills the
+         rule gate into a classifier the pipeline applies at zero
+         Python cost per row; e2e-pinned stream ≡ batch).
       2. DECONTAMINATE — drop docs sharing any word ``n``-gram with
          ``bench``. The gram set is built, measured and (under the
          guard threshold) broadcast-hinted ONCE at start — every batch
@@ -753,11 +760,12 @@ def run_curation_ingest(
     marker_dir = os.path.join(checkpoint_dir, "counted")
     counted_batches: set[int] = set()  # fast path; markers are the truth
     _, dup_word_frac, top_bigram_frac = repetition_signals(text_col)
-    gate_pred = (
-        (quality_score(text_col) >= quality_min)
-        & (dup_word_frac <= dup_word_max)
-        & (top_bigram_frac <= top_bigram_max)
-    )
+    if gate_pred is None:
+        gate_pred = (
+            (quality_score(text_col) >= quality_min)
+            & (dup_word_frac <= dup_word_max)
+            & (top_bigram_frac <= top_bigram_max)
+        )
 
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession

@@ -2439,3 +2439,96 @@ def test_curation_ingest_fuzzy_decontamination_matches_batch(spark, sf_dir, tmpd
     assert got == want, (
         f"+{sorted(got - want)[:5]} -{sorted(want - got)[:5]}"
     )
+
+
+def test_curation_ingest_learned_gate_matches_batch(spark, sf_dir, tmpdir):
+    """Round-10 composition #2: the LEARNED gate — a distributed-IRLS
+    logistic model (operators/lr) distilling the rule gate, applied in
+    the streaming topology as a pure-JVM predicate
+    (run_curation_ingest(gate_pred=lr_score_expr(...) ≥ p)). The stream
+    must reproduce the batch twin's survivor set exactly (same model
+    literals, same threshold — the decision is deterministic even
+    though the FIT is summation-order-wiggly, because both sides use
+    the SAME fitted weights)."""
+    import time
+
+    from pulsar_elasticsearch_sync_rs_spark.functions.text import (
+        punct_ratio,
+        quality_score,
+        stopword_ratio,
+        token_count_ws,
+    )
+    from pulsar_elasticsearch_sync_rs_spark.operators.decontaminate import (
+        decontaminate,
+    )
+    from pulsar_elasticsearch_sync_rs_spark.operators.lr import (
+        lr_fit,
+        lr_score_expr,
+    )
+    from pulsar_elasticsearch_sync_rs_spark.sources.batch import read_table
+    from pulsar_elasticsearch_sync_rs_spark.streaming.curation import (
+        run_curation_ingest,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    max_id = corpus.agg(F.max("doc_id")).first()[0]
+
+    # fit ONCE on the corpus (weak label = the rule gate's quality term)
+    feats = corpus.select(
+        "doc_id",
+        token_count_ws("text").cast("double").alias("f_ntok"),
+        punct_ratio("text").alias("f_punct"),
+        stopword_ratio("text").alias("f_stop"),
+        (quality_score("text") >= 0.65).cast("int").alias("label"),
+    ).localCheckpoint(eager=False)
+    model = lr_fit(feats, ["f_ntok", "f_punct", "f_stop"], "label", iters=5)
+    gate = (
+        lr_score_expr(
+            model,
+            [token_count_ws("text").cast("double"), punct_ratio("text"),
+             stopword_ratio("text")],
+        )
+        >= 0.6
+    )
+
+    # batch twin with the SAME predicate
+    gated = corpus.filter(gate)
+    clean = decontaminate(gated, bench, n=5)
+    surv = (
+        clean.select(F.sha2("text", 256).alias("sha"), "doc_id")
+        .groupBy("sha").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    )
+    want = {
+        r["doc_id"] for r in clean.join(surv, "doc_id", "left_semi").collect()
+    }
+    assert want, "learned gate must keep a non-empty survivor set"
+    # and the learned gate must actually DIFFER from trivial accept-all
+    assert len(want) < corpus.count()
+
+    src_dir = os.path.join(tmpdir, "lg_src")
+    for pred in (F.col("doc_id") <= max_id // 2, F.col("doc_id") > max_id // 2):
+        corpus.filter(pred).coalesce(1).write.mode("append").parquet(src_dir)
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    out_dir = os.path.join(tmpdir, "lg_out")
+    q = run_curation_ingest(
+        stream,
+        bench,
+        out_dir,
+        os.path.join(tmpdir, "lg_sha"),
+        os.path.join(tmpdir, "lg_ckpt"),
+        n=5,
+        available_now=True,
+        gate_pred=gate,
+    )
+    q.awaitTermination(300)
+    got = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert got == want, f"+{sorted(got - want)[:5]} -{sorted(want - got)[:5]}"
