@@ -332,13 +332,27 @@ def persist_zordered(
     bounds = None
     spec_exists = False
     if mode == "append" and write_spec:
+        from pyspark.errors import AnalysisException
+
         try:
             prev_cols, prev_bits, prev_bounds = load_zorder_spec(
                 df.sparkSession, path
             )
             spec_exists = True
-        except Exception:
-            pass  # fresh directory: compute + write below
+        except AnalysisException as e:
+            # Only a genuinely absent sidecar means "fresh directory".
+            # A corrupt/unreadable spec or a transient FS error must
+            # fail loudly — silently re-deriving cells from the (often
+            # skewed) append batch and overwriting the table spec is
+            # the quiet-cell-redefinition this function raises for on
+            # explicit drift (round-10 advice).
+            msg = str(e)
+            if (
+                "PATH_NOT_FOUND" not in msg
+                and "Path does not exist" not in msg
+            ):
+                raise
+            # fresh directory: compute + write below
         if spec_exists:
             if list(prev_cols) != list(cluster_cols) or int(prev_bits) != int(bits):
                 raise ValueError(

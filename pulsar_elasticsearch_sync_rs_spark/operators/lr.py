@@ -141,7 +141,20 @@ def lr_fit(
         )
         xtwz = np.sum([np.asarray(r["xtwz"]) for r in rows], axis=0)
         loss = sum(r["loss"] for r in rows) / n_total
-        wts = np.linalg.solve(xtwx + ridge * n_total * np.eye(p), xtwz)
+        try:
+            wts = np.linalg.solve(xtwx + ridge * n_total * np.eye(p), xtwz)
+        except np.linalg.LinAlgError as e:
+            # constant or perfectly collinear feature columns make the
+            # weighted normal matrix singular at ridge=0 — name the
+            # cause instead of leaking numpy's bare "Singular matrix"
+            # (the empty-corpus and n<p paths both get pointed errors,
+            # this one should too; round-10 advice)
+            raise ValueError(
+                "lr_fit: singular normal matrix — a feature column is "
+                "constant or perfectly collinear with another (or with "
+                "the intercept); drop the redundant feature or pass "
+                "ridge > 0"
+            ) from e
 
     return LRModel(
         weights=wts, n_rows=int(n_total), log_loss=float(loss), iters=int(iters)

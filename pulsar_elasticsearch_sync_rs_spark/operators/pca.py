@@ -127,13 +127,18 @@ def pca_fit(df: DataFrame, vec_col: str = "embedding", k: int = 8,
         # Arrow delivers batches by ROW count (default 10k), so without
         # a cap one fold task would materialize its whole slice of
         # (d + d²)-double rows in a single pandas frame — the very
-        # blow-up the fold exists to avoid. One-row batches make the
-        # accumulation genuinely streamed; restore the conf after.
+        # blow-up the fold exists to avoid. Materialize the moment rows
+        # FIRST (normal batch size — this is the dominant full-corpus
+        # scan and must not run one row at a time), then narrow the
+        # Arrow batch cap only for the tiny fold stage; fold() streams
+        # row-by-row regardless, so the cap bounds peak memory (4 fat
+        # rows ≈ 4·(d+d²) doubles) without per-row scheduling overhead.
+        parts = parts.localCheckpoint(eager=True)
         spark = df.sparkSession
         batch_conf = "spark.sql.execution.arrow.maxRecordsPerBatch"
         prev_batch = spark.conf.get(batch_conf, None)
         try:
-            spark.conf.set(batch_conf, "1")
+            spark.conf.set(batch_conf, "4")
             parts = parts.repartition(int(fold_parts)).mapInPandas(
                 fold, schema
             ).localCheckpoint(eager=True)

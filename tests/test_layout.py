@@ -420,3 +420,35 @@ def test_persist_zordered_append_reuses_spec(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError, match="bits"):
         persist_zordered(late, path, ["user_id", "event_id"], bits=4,
                          mode="append")
+
+def test_persist_zordered_append_corrupt_spec_fails_loudly(spark, sf_dir, tmp_path):
+    """Round-10 advice: only a genuinely ABSENT sidecar means 'fresh
+    directory'. An unreadable/corrupt spec (here: the sidecar directory
+    exists but holds no parquet) must raise, not silently re-derive the
+    cells from the append batch and overwrite the table spec."""
+    import shutil
+
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from pulsar_elasticsearch_sync_rs_spark.operators.layout import (
+        persist_zordered,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id")
+    path = str(tmp_path / "z_corrupt")
+    persist_zordered(ev, path, ["user_id", "event_id"], bits=6, n_files=4)
+    # corrupt the sidecar: empty directory → unreadable, not path-missing
+    spec_dir = str(tmp_path / "z_corrupt" / "_zorder_spec")
+    shutil.rmtree(spec_dir)
+    import os
+    os.makedirs(spec_dir)
+    with pytest.raises(AnalysisException):
+        persist_zordered(ev.limit(10), path, ["user_id", "event_id"],
+                         bits=6, n_files=1, mode="append")
+
+    # a genuinely fresh directory still works (path-missing is caught)
+    fresh = str(tmp_path / "z_fresh")
+    persist_zordered(ev.limit(50), fresh, ["user_id", "event_id"], bits=6,
+                     n_files=1, mode="append")
+    assert spark.read.parquet(fresh).count() == 50

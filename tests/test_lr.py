@@ -99,3 +99,16 @@ def test_lr_guards_and_separable_data(spark):
     model = lr_fit(sep, ["f1"], "y", iters=10, ridge=1e-4)
     assert np.all(np.isfinite(model.weights))
     assert model.weights[1] > 0
+
+def test_lr_fit_singular_features_pointed_error(spark):
+    """Round-10 advice: a constant (or perfectly collinear) feature at
+    ridge=0 makes the weighted normal matrix singular — the failure
+    must be the module's pointed ValueError, not numpy's bare
+    LinAlgError."""
+    rows = [(1.0, float(i), i % 2) for i in range(-10, 10)]
+    df = spark.createDataFrame(rows, "f_const double, f1 double, y int")
+    with pytest.raises(ValueError, match="collinear|constant"):
+        lr_fit(df, ["f_const", "f1"], "y", iters=3, ridge=0.0)
+    # the same data fits fine with a positive ridge
+    model = lr_fit(df, ["f_const", "f1"], "y", iters=3, ridge=1e-3)
+    assert np.all(np.isfinite(model.weights))
