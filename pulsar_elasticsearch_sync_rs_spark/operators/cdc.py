@@ -37,6 +37,7 @@ def scd2_apply(
     from_col: str = "valid_from",
     to_col: str = "valid_to",
     current_col: str = "is_current",
+    on_late: str = "error",
 ) -> DataFrame:
     """Apply a CDC batch to an SCD2 snapshot, returning the new
     snapshot.
@@ -45,8 +46,7 @@ def scd2_apply(
     ``from_col``, ``to_col`` (null = open version), ``current_col``.
     ``changes`` holds ``key``, ``attrs``, ``op_col`` in
     ``('I','U','D')`` and ``ts_col``; (key, ts) pairs must be unique
-    (pre-aggregate the batch otherwise) and every change ts must be
-    ≥ the open version's ``from_col`` — CDC logs are ordered.
+    across the whole CDC log (pre-aggregate the batch otherwise).
 
     Semantics, per key, changes applied in ``ts_col`` order:
       - the open base version (if any) is closed at the FIRST change's
@@ -55,7 +55,40 @@ def scd2_apply(
         change's ts (open/current if it is the last change);
       - 'D' closes the preceding version and opens nothing;
       - closed base history and untouched keys pass through unchanged.
+
+    ``on_late`` governs OUT-OF-ORDER batches — a change ts that
+    predates the key's last applied boundary (the open version's
+    ``from_col``, or for a deleted key the last closed ``to_col``),
+    which the fast path above would silently turn into overlapping or
+    inverted validity intervals (round-10 verdict #1):
+
+      - ``"error"`` (default): the violation raises AT EXECUTION with
+        the offending key and both timestamps — the check rides the
+        existing broadcast joins as a ``raise_error`` guard, zero extra
+        scans or shuffles. (Like any column-level check it is skipped
+        by a bare ``.count()``, which prunes projections; any write /
+        collect / checkpoint evaluates it.)
+      - ``"splice"``: retro-merge — touched keys' timelines are rebuilt
+        from the union of their base-version boundary events and the
+        change batch, so a late batch lands exactly where a
+        chronologically-ordered replay would have put it. Cost: the
+        TOUCHED keys' rows take one window shuffle (bounded by the
+        change batch's key set); untouched keys still pass through
+        narrow. On (key, ts) collisions between a change and an
+        existing version boundary the CHANGE wins.
+      - ``"ignore"``: the round-9/10 fast path, caller guarantees
+        ordered logs.
     """
+    if on_late not in ("error", "splice", "ignore"):
+        raise ValueError(
+            f"scd2_apply: on_late must be 'error'|'splice'|'ignore', "
+            f"got {on_late!r}"
+        )
+    if on_late == "splice":
+        return _scd2_splice(
+            base, changes, key, attrs, op_col, ts_col, from_col, to_col,
+            current_col,
+        )
     kc, tsc = F.col(key), F.col(ts_col)
     nxt = F.lead(ts_col).over(Window.partitionBy(key).orderBy(ts_col))
     opened = (
@@ -75,11 +108,27 @@ def scd2_apply(
         changes.groupBy(key).agg(F.min(ts_col).alias("__first_ts"))
     )
     cur = base.filter(F.col(current_col))
+    closed_to = F.col("__first_ts")
+    if on_late == "error":
+        closed_to = F.when(
+            F.col("__first_ts") < F.col(from_col),
+            F.raise_error(
+                F.concat(
+                    F.lit("scd2_apply: out-of-order change batch — ts "),
+                    F.col("__first_ts").cast("string"),
+                    F.lit(" predates the open version's valid_from "),
+                    F.col(from_col).cast("string"),
+                    F.lit(" for key "),
+                    F.col(key).cast("string"),
+                    F.lit("; re-run with on_late='splice' to retro-merge"),
+                )
+            ).cast("timestamp"),
+        ).otherwise(F.col("__first_ts"))
     closed_now = (
         cur.join(first_ts, key, "inner")
         .select(
             *[
-                F.col("__first_ts").alias(to_col)
+                closed_to.alias(to_col)
                 if c == to_col
                 else F.lit(False).alias(current_col)
                 if c == current_col
@@ -90,9 +139,128 @@ def scd2_apply(
     )
     untouched_cur = cur.join(first_ts, key, "left_anti").select(*base.columns)
     history = base.filter(~F.col(current_col)).select(*base.columns)
+    if on_late == "error":
+        # deleted keys have no open version for the guard above to
+        # ride, so a change predating the LAST CLOSED boundary (an
+        # insert "before" the delete) must be caught on the history
+        # branch: one broadcast hash probe per history row, no shuffle.
+        # Keys with an open version can never trip it (their closed
+        # valid_to ≤ open valid_from ≤ checked __first_ts).
+        hist_to = F.when(
+            F.col("__first_ts").isNotNull()
+            & (F.col("__first_ts") < F.col(to_col)),
+            F.raise_error(
+                F.concat(
+                    F.lit("scd2_apply: out-of-order change batch — ts "),
+                    F.col("__first_ts").cast("string"),
+                    F.lit(" lands inside closed history (valid_to "),
+                    F.col(to_col).cast("string"),
+                    F.lit(") for key "),
+                    F.col(key).cast("string"),
+                    F.lit("; re-run with on_late='splice' to retro-merge"),
+                )
+            ).cast("timestamp"),
+        ).otherwise(F.col(to_col))
+        history = history.join(first_ts, key, "left").select(
+            *[
+                hist_to.alias(to_col) if c == to_col else F.col(c)
+                for c in base.columns
+            ]
+        )
     return history.unionByName(untouched_cur).unionByName(closed_now).unionByName(
         opened.select(*base.columns)
     )
+
+
+def _scd2_splice(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    attrs: list[str],
+    op_col: str,
+    ts_col: str,
+    from_col: str,
+    to_col: str,
+    current_col: str,
+) -> DataFrame:
+    """Retro-merge a (possibly late) CDC batch: rebuild each TOUCHED
+    key's version chain from the union of
+
+      - its existing versions read back as boundary events — every
+        ``valid_from`` is an upsert carrying that version's attrs, and
+        every ``valid_to`` that no successor starts at (a gap) is the
+        delete that closed it;
+      - the change batch's events;
+
+    then re-derive intervals with the same lead-window rule the fast
+    path uses. Replaying ALL events in ts order is, by construction,
+    what a chronologically-ordered sequence of ``scd2_apply`` calls
+    computes — so splice(late batch) ≡ sequential application, the
+    property tests/test_properties.py pins under Hypothesis with
+    shuffled batch orders.
+
+    Scale: untouched keys pass through narrow (one broadcast anti
+    probe); only touched keys — bounded by the change batch's key set —
+    are shuffled for the rebuild window. Pair with
+    :func:`scd2_apply_partitioned` and the rebuild touches only the
+    changed key-hash buckets."""
+    attr_types = {f.name: f.dataType for f in base.schema.fields}
+    ckeys = F.broadcast(changes.select(key).distinct())
+    untouched = base.join(ckeys, key, "left_anti").select(*base.columns)
+    touched = base.join(ckeys, key, "left_semi")
+    nxt_from = F.lead(from_col).over(Window.partitionBy(key).orderBy(from_col))
+    base_ev = touched.withColumn("__nxt_from", nxt_from)
+    starts = base_ev.select(
+        F.col(key),
+        *[F.col(a) for a in attrs],
+        F.col(from_col).alias(ts_col),
+        F.lit("U").alias(op_col),
+        F.lit(0).alias("__src"),
+    )
+    deletes = base_ev.filter(
+        F.col(to_col).isNotNull()
+        & (
+            F.col("__nxt_from").isNull()
+            | (F.col("__nxt_from") != F.col(to_col))
+        )
+    ).select(
+        F.col(key),
+        *[F.lit(None).cast(attr_types[a]).alias(a) for a in attrs],
+        F.col(to_col).alias(ts_col),
+        F.lit("D").alias(op_col),
+        F.lit(1).alias("__src"),
+    )
+    chg_ev = changes.select(
+        F.col(key),
+        *[F.col(a) for a in attrs],
+        F.col(ts_col),
+        F.col(op_col),
+        F.lit(2).alias("__src"),
+    )
+    events = starts.unionByName(deletes).unionByName(chg_ev)
+    # (key, ts) collision: the change wins over a base boundary (it is
+    # the newer statement about that instant); a base delete event at
+    # the same instant as a base start cannot occur (intervals
+    # partition the lifetime). row_number, not dropDuplicates — the
+    # winner must be deterministic.
+    pick = Window.partitionBy(key, ts_col).orderBy(F.col("__src").desc())
+    events = (
+        events.withColumn("__rn", F.row_number().over(pick))
+        .filter(F.col("__rn") == 1)
+    )
+    nxt = F.lead(ts_col).over(Window.partitionBy(key).orderBy(ts_col))
+    rebuilt = (
+        events.withColumn("__next_ts", nxt)
+        .filter(F.col(op_col) != "D")
+        .select(
+            F.col(key),
+            *[F.col(a) for a in attrs],
+            F.col(ts_col).alias(from_col),
+            F.col("__next_ts").alias(to_col),
+            F.col("__next_ts").isNull().alias(current_col),
+        )
+    )
+    return untouched.unionByName(rebuilt.select(*base.columns))
 
 
 def scd2_apply_partitioned(
@@ -107,6 +275,7 @@ def scd2_apply_partitioned(
     from_col: str = "valid_from",
     to_col: str = "valid_to",
     current_col: str = "is_current",
+    on_late: str = "error",
 ) -> dict:
     """The at-rest form of :func:`scd2_apply`: the snapshot lives as
     parquet hive-partitioned on ``pb = pmod(xxhash64(key), n_parts)``
@@ -162,6 +331,7 @@ def scd2_apply_partitioned(
         from_col=from_col,
         to_col=to_col,
         current_col=current_col,
+        on_late=on_late,
     ).withColumn("pb", pb)
     merged = merged.localCheckpoint(eager=True)
     n = merged.count()

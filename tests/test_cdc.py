@@ -86,10 +86,18 @@ def test_scd2_apply_versions_and_intervals(spark):
 def test_scd2_apply_base_side_joins_are_broadcast(spark):
     out = scd2_apply(_base(spark), _changes(spark), key="k", attrs=["v"])
     plan = out._jdf.queryExecution().executedPlan().toString()
-    # both base-touching joins (close-current inner, untouched anti)
-    # must be broadcast hash joins — the base is never exchanged
-    assert plan.count("BroadcastHashJoin") == 2
+    # all three base-touching joins (close-current inner, untouched
+    # anti, and the on_late='error' history guard's left probe) must be
+    # broadcast hash joins — the base is never exchanged
+    assert plan.count("BroadcastHashJoin") == 3
     assert "SortMergeJoin" not in plan
+    # the caller-guaranteed fast path keeps the round-9 two-join shape
+    fast = scd2_apply(
+        _base(spark), _changes(spark), key="k", attrs=["v"], on_late="ignore"
+    )
+    fplan = fast._jdf.queryExecution().executedPlan().toString()
+    assert fplan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in fplan
 
 
 def test_scd2_apply_partitioned_rewrites_only_changed_buckets(spark, sf_dir, tmp_path):
@@ -332,3 +340,102 @@ def test_scd2_diff_classifies_churn(spark):
     assert (
         scd2_diff(snap, T1, T1, key="k", attrs=["v"]).count() == 0
     )
+
+
+def test_scd2_apply_out_of_order_raises(spark):
+    """Round-10 verdict #1: the ordered-log precondition is now
+    ENFORCED (on_late='error', the default). A change ts that predates
+    the open version's valid_from — or, for a deleted key, lands inside
+    closed history — raises at execution with the offending key instead
+    of silently writing overlapping/inverted intervals."""
+    import pytest
+
+    base = _base(spark)
+    # ts before every open version's valid_from (T0)
+    late = spark.createDataFrame(
+        [(1, 99.0, "U", dt.datetime(2019, 6, 1))],
+        "k int, v double, op string, ts timestamp",
+    )
+    with pytest.raises(Exception, match="out-of-order"):
+        scd2_apply(base, late, key="k", attrs=["v"]).collect()
+
+    # deleted-key variant: k=3 is deleted at T1 in this snapshot; an
+    # insert strictly inside the closed interval must also raise
+    snap = scd2_apply(base, _changes(spark), key="k", attrs=["v"])
+    snap = snap.localCheckpoint(eager=True)
+    inside = spark.createDataFrame(
+        [(3, 77.0, "I", dt.datetime(2020, 6, 1))],
+        "k int, v double, op string, ts timestamp",
+    )
+    with pytest.raises(Exception, match="closed history"):
+        scd2_apply(snap, inside, key="k", attrs=["v"]).collect()
+
+    # a re-insert AT or AFTER the delete boundary is in-order: fine
+    at_boundary = spark.createDataFrame(
+        [(3, 77.0, "I", T1)], "k int, v double, op string, ts timestamp"
+    )
+    out = scd2_apply(snap, at_boundary, key="k", attrs=["v"]).collect()
+    assert (3, 77.0, T1, None, True) in {
+        (r.k, r.v, r.valid_from, r.valid_to, r.is_current) for r in out
+    }
+
+    # 'ignore' restores the caller-guaranteed fast path (no guard)
+    assert scd2_apply(base, late, key="k", attrs=["v"], on_late="ignore").count() > 0
+    with pytest.raises(ValueError, match="on_late"):
+        scd2_apply(base, late, key="k", attrs=["v"], on_late="bogus")
+
+
+def test_scd2_apply_splice_equals_sequential(spark):
+    """on_late='splice' retro-merges a late batch so the snapshot
+    equals what a chronologically-ordered replay would have produced —
+    pinned here on the hand-built fixture by applying the T2/T3 changes
+    FIRST, then splicing the T1 batch in, and comparing multisets with
+    the one-shot ordered apply."""
+    from collections import Counter
+
+    base = _base(spark)
+    all_changes = _changes(spark)
+    want = Counter(
+        (r.k, r.v, r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_apply(base, all_changes, key="k", attrs=["v"]).collect()
+    )
+
+    first = all_changes.filter(F.col("ts") > T1)   # T2/T3 rows
+    late = all_changes.filter(F.col("ts") == T1)   # the late batch
+    snap = scd2_apply(base, first, key="k", attrs=["v"]).localCheckpoint(
+        eager=True
+    )
+    spliced = scd2_apply(snap, late, key="k", attrs=["v"], on_late="splice")
+    got = Counter(
+        (r.k, r.v, r.valid_from, r.valid_to, r.is_current)
+        for r in spliced.collect()
+    )
+    assert got == want
+
+    # splice keeps exactly one open version per surviving key
+    open_counts = (
+        spliced.filter("is_current").groupBy("k").count().collect()
+    )
+    assert all(r["count"] == 1 for r in open_counts)
+
+
+def test_scd2_splice_inside_deleted_interval(spark):
+    """A late insert strictly inside a deleted key's closed interval
+    splices to [insert_ts, delete_ts) — exactly the sequential replay
+    I(ts) before D(delete_ts)."""
+    base = _base(spark)
+    snap = scd2_apply(base, _changes(spark), key="k", attrs=["v"])
+    snap = snap.localCheckpoint(eager=True)
+    mid = dt.datetime(2020, 6, 1)
+    inside = spark.createDataFrame(
+        [(3, 77.0, "I", mid)], "k int, v double, op string, ts timestamp"
+    )
+    out = scd2_apply(snap, inside, key="k", attrs=["v"], on_late="splice")
+    k3 = {
+        (r.v, r.valid_from, r.valid_to, r.is_current)
+        for r in out.filter("k = 3").collect()
+    }
+    assert k3 == {
+        (30.0, T0, mid, False),
+        (77.0, mid, T1, False),  # still closed by the original delete
+    }
