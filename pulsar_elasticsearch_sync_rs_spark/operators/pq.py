@@ -732,6 +732,12 @@ def knn_cosine_ivfpq_persisted(
     probed_any = sorted(int(c) for c in np.unique(probe))
 
     pruned = codes.filter(F.col("cell_id").isin(probed_any))
+    tomb = _load_tombstone_ids(spark, root, id_col)
+    if tomb is not None:
+        # deletes take effect immediately: one broadcast anti probe per
+        # probed code row, no shuffle on the codes side (the tombstone
+        # set is kept bounded by fold_ivfpq_tombstones / retrains)
+        pruned = pruned.join(F.broadcast(tomb), id_col, "left_anti")
     return _adc_scan_and_rerank(
         pruned,
         codebooks,
@@ -878,6 +884,164 @@ def append_to_ivfpq_index(
     }
 
 
+def _hadoop_fs(spark, path: str):
+    """(FileSystem, Path) for any Hadoop-addressable URI (same helper
+    shape as streaming/curation.py — kept local to avoid an
+    operators→streaming import)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
+def _load_tombstone_ids(spark, root: str, id_col: str):
+    """The distinct tombstoned ids of an IVF-PQ artifact generation, or
+    None when no delete has ever been issued against it. Absent path is
+    the ONLY silent case — an unreadable tombstone table must fail
+    loudly (dropping deletes silently would resurrect removed vectors,
+    the layout.py corrupt-sidecar rule applied to ANN)."""
+    import posixpath
+
+    from pyspark.errors import AnalysisException
+
+    try:
+        t = spark.read.parquet(posixpath.join(root, "tombstones"))
+    except AnalysisException as e:
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return None
+        raise
+    return t.select(id_col).distinct()
+
+
+def delete_from_ivfpq_index(
+    spark,
+    ids,
+    path: str,
+    id_col: str = "vec_id",
+) -> dict:
+    """Delete vectors from a persisted IVF-PQ artifact (round-10
+    verdict gap: real 100 TB corpora delete — takedowns, dedup-survivor
+    changes — and until now a removed document could only leave the
+    index via a full retrain). Faiss calls this ``remove_ids``; at rest
+    the cheap form is a TOMBSTONE: the ids are appended to a
+    ``tombstones`` parquet table beside the codes, and
+
+      - :func:`knn_cosine_ivfpq_persisted` anti-joins the probed codes
+        against it (broadcast — the set is kept bounded by the folds
+        below), so searches exclude deleted ids IMMEDIATELY;
+      - :func:`fold_ivfpq_tombstones` physically rewrites only the
+        cells that contain tombstoned codes (partition-pruned
+        copy-on-write) and clears the table;
+      - :func:`maintain_ivfpq_index` retrains on the corpus MINUS the
+        tombstones, so a rebuilt generation starts clean.
+
+    ``ids`` is a DataFrame carrying ``id_col`` or a Python iterable of
+    ids (cast to the codes table's id dtype). Deleting an id that was
+    never added is a no-op. Re-adding a previously tombstoned id is NOT
+    supported until a fold/retrain clears the tombstone — same
+    id-uniqueness contract as :func:`append_to_ivfpq_index`. Returns
+    ``{"n_tombstoned"}``."""
+    import posixpath
+
+    root = _resolve_ivfpq_root(path)
+    if isinstance(ids, DataFrame):
+        df = ids.select(F.col(id_col)).distinct()
+    else:
+        id_type = {
+            f.name: f.dataType
+            for f in spark.read.parquet(
+                posixpath.join(root, "codes")
+            ).schema.fields
+        }[id_col]
+        df = (
+            spark.createDataFrame([(x,) for x in ids], f"{id_col} string")
+            .select(F.col(id_col).cast(id_type))
+            .distinct()
+        )
+    n = df.count()
+    if n == 0:
+        return {"n_tombstoned": 0}
+    df.coalesce(1).write.mode("append").parquet(
+        posixpath.join(root, "tombstones")
+    )
+    return {"n_tombstoned": n}
+
+
+def fold_ivfpq_tombstones(
+    spark,
+    path: str,
+    id_col: str = "vec_id",
+) -> dict:
+    """Physically apply the tombstones: rewrite ONLY the cell
+    partitions that contain tombstoned codes (one id-column scan to
+    find them — column-pruned, no code pages read — then a dynamic
+    partition overwrite of just those directories; a cell whose rows
+    are ALL deleted is dropped via the filesystem, since a zero-row
+    dynamic overwrite never replaces its partition), then clear the
+    tombstone table. Bounds the tombstone set the search-time anti-join
+    broadcasts — the compaction half of the delete protocol.
+
+    Not concurrency-safe against in-flight searches on the same
+    generation (the rewrite replaces directories a running scan may
+    hold open) — run under the same quiesce rule as
+    :func:`prune_ivfpq_versions`. Returns ``{"n_folded",
+    "cells_rewritten", "cells_dropped"}``."""
+    import posixpath
+
+    root = _resolve_ivfpq_root(path)
+    tomb = _load_tombstone_ids(spark, root, id_col)
+    if tomb is None:
+        return {"n_folded": 0, "cells_rewritten": [], "cells_dropped": []}
+    tomb = tomb.localCheckpoint(eager=True)
+    codes_path = posixpath.join(root, "codes")
+    codes = spark.read.parquet(codes_path)
+    hit = (
+        codes.join(F.broadcast(tomb), id_col, "left_semi")
+        .select("cell_id")
+        .distinct()
+        .collect()
+    )
+    cells = sorted(int(r["cell_id"]) for r in hit)
+    n_folded = 0
+    kept_cells: set[int] = set()
+    if cells:
+        kept = (
+            codes.filter(F.col("cell_id").isin(cells))
+            .join(F.broadcast(tomb), id_col, "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        n_before = codes.filter(F.col("cell_id").isin(cells)).count()
+        n_after = kept.count()
+        n_folded = n_before - n_after
+        kept_cells = {
+            int(r["cell_id"])
+            for r in kept.select("cell_id").distinct().collect()
+        }
+        if n_after > 0:
+            (
+                kept.repartition("cell_id")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("cell_id")
+                .parquet(codes_path)
+            )
+        # fully-emptied cells: dynamic overwrite writes nothing for
+        # them, so their stale directories go via the filesystem
+        for c in cells:
+            if c not in kept_cells:
+                fs, hp = _hadoop_fs(
+                    spark, posixpath.join(codes_path, f"cell_id={c}")
+                )
+                fs.delete(hp, True)
+    fs, hp = _hadoop_fs(spark, posixpath.join(root, "tombstones"))
+    fs.delete(hp, True)
+    return {
+        "n_folded": int(n_folded),
+        "cells_rewritten": sorted(kept_cells),
+        "cells_dropped": [c for c in cells if c not in kept_cells],
+    }
+
+
 def maintain_ivfpq_index(
     spark,
     corpus: DataFrame,
@@ -921,6 +1085,12 @@ def maintain_ivfpq_index(
     base = os.path.basename(prev)
     n_next = int(base[1:]) + 1 if base.startswith("v") and base[1:].isdigit() else 1
     version = f"v{n_next}"
+    # fold the outgoing generation's tombstones: the rebuilt artifact
+    # starts clean (no tombstones table, deleted vectors absent), so
+    # the search-time anti-join set never grows across retrains
+    tomb = _load_tombstone_ids(corpus.sparkSession, prev, id_col)
+    if tomb is not None:
+        corpus = corpus.join(F.broadcast(tomb), id_col, "left_anti")
     persist_ivfpq_index(
         corpus,
         os.path.join(path, version),
@@ -938,7 +1108,7 @@ def maintain_ivfpq_index(
     return {**report, "retrained": True, "version": version}
 
 
-_FLAT_MEMBERS = ("codes", "centers", "codebooks", "stats")
+_FLAT_MEMBERS = ("codes", "centers", "codebooks", "stats", "tombstones")
 
 
 def prune_ivfpq_versions(path: str, keep: int = 1) -> dict:

@@ -1870,3 +1870,95 @@ def test_jpeg_progressive_failure_modes():
     cblob[pos + 4 + 2 + 2 * 3] = 0
     with pytest.raises(ValueError, match="DC scan requires"):
         parse_jpeg(bytes(cblob))
+
+
+def test_ivfpq_tombstone_delete_fold_and_retrain(spark, sf_dir, tmp_path):
+    """Round-11 brief #2 — vector deletes for the persisted ANN index:
+    (1) delete_from_ivfpq_index tombstones ids and the persisted search
+    excludes them IMMEDIATELY (broadcast anti probe, no retrain);
+    (2) fold_ivfpq_tombstones physically rewrites only the hit cells,
+    clears the tombstone table (the bounded-set guarantee), and search
+    results are unchanged by the fold; (3) a fully-emptied cell's
+    directory is dropped; (4) a retrain folds the tombstones into the
+    new generation (clean codes, no tombstones table)."""
+    import os
+
+    from pulsar_elasticsearch_sync_rs_spark.operators.pq import (
+        delete_from_ivfpq_index,
+        fold_ivfpq_tombstones,
+        knn_cosine_ivfpq_persisted,
+        maintain_ivfpq_index,
+        persist_ivfpq_index,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    path = str(tmp_path / "ivfpq")
+    persist_ivfpq_index(emb, path, nlist=8, m=16, ksub=64)
+
+    def search():
+        return knn_cosine_ivfpq_persisted(
+            spark, path, emb, queries, k=5, nprobe=4, refine=8
+        ).collect()
+
+    before = search()
+    # the rank-1 neighbor of each query is the query itself (the
+    # queries come from the corpus) — delete exactly those ids
+    doomed = sorted({r["neighbor_id"] for r in before if r["rank"] == 1})
+    assert doomed, "fixture must produce rank-1 neighbors"
+    rep = delete_from_ivfpq_index(spark, doomed, path, id_col="vec_id")
+    assert rep["n_tombstoned"] == len(doomed)
+
+    after = search()
+    got_ids = {r["neighbor_id"] for r in after}
+    assert not got_ids & set(doomed), "deleted ids must not be returned"
+    # k still satisfied per query — the next candidates promote
+    per_q = {}
+    for r in after:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+
+    # fold: physical rewrite, tombstones cleared, results unchanged
+    codes_n_before = spark.read.parquet(os.path.join(path, "codes")).count()
+    fold = fold_ivfpq_tombstones(spark, path, id_col="vec_id")
+    assert fold["n_folded"] == len(doomed)
+    assert not os.path.exists(os.path.join(path, "tombstones"))
+    codes_n_after = spark.read.parquet(os.path.join(path, "codes")).count()
+    assert codes_n_before - codes_n_after == len(doomed)
+    key = lambda rows: {(r["query_id"], r["neighbor_id"], r["rank"]) for r in rows}
+    assert key(search()) == key(after), "fold must not change results"
+
+    # fully-emptied cell: tombstone every id of one cell, fold, dir gone
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    a_cell = codes.select("cell_id").first()["cell_id"]
+    cell_ids = [
+        r["vec_id"]
+        for r in codes.filter(F.col("cell_id") == a_cell).select("vec_id").collect()
+    ]
+    delete_from_ivfpq_index(spark, cell_ids, path, id_col="vec_id")
+    fold2 = fold_ivfpq_tombstones(spark, path, id_col="vec_id")
+    assert int(a_cell) in fold2["cells_dropped"]
+    assert not os.path.exists(
+        os.path.join(path, "codes", f"cell_id={int(a_cell)}")
+    )
+    # a second fold with nothing pending is a no-op
+    assert fold_ivfpq_tombstones(spark, path)["n_folded"] == 0
+
+    # retrain folds pending tombstones into the new generation
+    more = sorted(
+        r["vec_id"]
+        for r in spark.read.parquet(os.path.join(path, "codes"))
+        .select("vec_id").limit(7).collect()
+    )
+    delete_from_ivfpq_index(spark, more, path, id_col="vec_id")
+    out = maintain_ivfpq_index(
+        spark, emb, path, {"needs_retrain": True}, nlist=8, m=16, ksub=64
+    )
+    assert out["retrained"] and out["version"] == "v1"
+    v1_codes = spark.read.parquet(os.path.join(path, "v1", "codes"))
+    assert not os.path.exists(os.path.join(path, "v1", "tombstones"))
+    assert v1_codes.filter(F.col("vec_id").isin(more)).count() == 0
+    # and the repointed search no longer sees them either
+    assert not {r["neighbor_id"] for r in search()} & set(more)
