@@ -824,8 +824,17 @@ _JPEG_AC_VALS = [
 ]
 
 
+_HUFF_CODES_CACHE: dict = {}
+
+
 def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
-    """symbol -> (code, length), canonical assignment (T.81 C.2)."""
+    """symbol -> (code, length), canonical assignment (T.81 C.2).
+    Memoized on the table values — the encoders rebuild the same
+    handful of tables for every image of a corpus."""
+    key = (tuple(bits), tuple(vals))
+    cached = _HUFF_CODES_CACHE.get(key)
+    if cached is not None:
+        return cached
     out: dict[int, tuple[int, int]] = {}
     code, k = 0, 0
     for length in range(1, 17):
@@ -834,17 +843,27 @@ def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
             code += 1
             k += 1
         code <<= 1
+    if len(_HUFF_CODES_CACHE) >= 64:
+        _HUFF_CODES_CACHE.clear()
+    _HUFF_CODES_CACHE[key] = out
     return out
 
 
 def _dct_matrix():
     import numpy as np
 
-    x = np.arange(8)
-    u = np.arange(8)[:, None]
-    m = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
-    m[0] /= np.sqrt(2.0)
-    return m  # orthonormal: S = M s Mᵀ, s = Mᵀ S M
+    global _DCT_M
+    if _DCT_M is None:
+        x = np.arange(8)
+        u = np.arange(8)[:, None]
+        m = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+        m[0] /= np.sqrt(2.0)
+        m.setflags(write=False)  # shared across calls: freeze
+        _DCT_M = m
+    return _DCT_M  # orthonormal: S = M s Mᵀ, s = Mᵀ S M
+
+
+_DCT_M = None
 
 
 class _BitWriter:
@@ -1073,6 +1092,8 @@ def _decode_prog_scan(
     ±1<<Al insertions with interleaved correction bits, G.1.2.3).
     Restart intervals resync every Ri MCUs/blocks: strict RSTn cycle,
     DC predictors and the EOB run reset."""
+    import numpy as np
+
     mcus_x, mcus_y, _hmax, _vmax, comp_blocks = geom
     interleaved = len(scan_comps) > 1
     if ss > 0 and interleaved:
@@ -1170,10 +1191,14 @@ def _decode_prog_scan(
                     block[k] = val
                 k += 1
         if eobrun > 0:
-            while k <= se:
-                if block[k] != 0:
-                    correct(k)
-                k += 1
+            # the EOB-run correction sweep visits only nonzero-history
+            # coefficients — find them in ONE vectorized pass instead
+            # of 63 numpy scalar compares (this sweep runs for every
+            # block of every AC-refinement scan and dominated the
+            # decode profile; sparse blocks make nz tiny or empty)
+            if k <= se:
+                for off in np.flatnonzero(block[k : se + 1]).tolist():
+                    correct(k + off)
             eobrun -= 1
 
     if interleaved:
@@ -1207,6 +1232,53 @@ def _decode_prog_scan(
                 else:
                     ac_refine(ac_t, block)
                 unit += 1
+
+
+_DHT_CACHE: dict = {}
+_QT_RASTER_CACHE: dict = {}
+
+
+def _qt_raster(qt):
+    """Quant table (zigzag order) → frozen 8×8 raster-order array,
+    memoized on the table values (corpora reuse a handful of tables
+    across millions of images; bounded against adversarial streams)."""
+    import numpy as np
+
+    key = tuple(qt)
+    r = _QT_RASTER_CACHE.get(key)
+    if r is None:
+        qr = np.empty(64)
+        for i, z in enumerate(_JPEG_ZIGZAG):
+            qr[z] = qt[i]
+        r = qr.reshape(8, 8)
+        r.setflags(write=False)
+        if len(_QT_RASTER_CACHE) >= 64:
+            _QT_RASTER_CACHE.clear()
+        _QT_RASTER_CACHE[key] = r
+    return r
+
+
+def _idct_plane(C, qr, M):
+    """(BY, BX, 64) zigzag-order coefficient array → (BY·8, BX·8)
+    sample plane: inverse zigzag, dequantize, IDCT — batched one BLOCK
+    ROW at a time (vectorized over BX; bounded transient memory at the
+    ``max_pixels`` cap) and BIT-IDENTICAL to the per-block
+    ``M.T @ (S·qr) @ M + 128`` it replaces: numpy's stacked matmul
+    keeps the same left-to-right association per 8×8 block, verified
+    ``np.array_equal`` in tests."""
+    import numpy as np
+
+    BY, BX = C.shape[0], C.shape[1]
+    zig = np.asarray(_JPEG_ZIGZAG)
+    plane = np.empty((BY * 8, BX * 8))
+    MT = M.T
+    for by in range(BY):
+        S = np.empty((BX, 64))
+        S[:, zig] = C[by]
+        S = S.reshape(BX, 8, 8) * qr
+        out = (MT @ S) @ M + 128.0
+        plane[by * 8 : by * 8 + 8] = out.transpose(1, 0, 2).reshape(8, BX * 8)
+    return plane
 
 
 def parse_jpeg(blob: bytes, max_pixels: int = 1 << 26) -> dict:
@@ -1282,6 +1354,12 @@ def parse_jpeg(blob: bytes, max_pixels: int = 1 << 26) -> dict:
                 tc, th = body[o] >> 4, body[o] & 0x0F
                 bits = list(body[o + 1 : o + 17])
                 nvals = sum(bits)
+                key = bytes(body[o + 1 : o + 17 + nvals])
+                cached = _DHT_CACHE.get(key)
+                if cached is not None and len(bits) == 16:
+                    huff[(tc, th)] = cached
+                    o += 17 + nvals
+                    continue
                 vals = list(body[o + 17 : o + 17 + nvals])
                 if len(bits) != 16 or len(vals) != nvals:
                     raise ValueError("truncated Huffman table")
@@ -1293,6 +1371,12 @@ def parse_jpeg(blob: bytes, max_pixels: int = 1 << 26) -> dict:
                         code += 1
                         k += 1
                     code <<= 1
+                # corpora reuse a handful of tables across millions of
+                # images — memoize on the exact segment bytes (bounded:
+                # adversarial streams can't grow the cache unboundedly)
+                if len(_DHT_CACHE) >= 64:
+                    _DHT_CACHE.clear()
+                _DHT_CACHE[key] = table
                 huff[(tc, th)] = table
                 o += 17 + nvals
         elif marker in (0xFFC0, 0xFFC2):  # SOF0 baseline / SOF2 progressive
@@ -1412,24 +1496,10 @@ def parse_jpeg(blob: bytes, max_pixels: int = 1 << 26) -> dict:
         mcus_x, mcus_y, hmax, vmax, _comp_blocks = geom
         M = _dct_matrix()
         planes = []
-        for ci, (_cid, hs, vs, tq) in enumerate(comps):
+        for ci, (_cid, _hs, _vs, tq) in enumerate(comps):
             if tq not in qts:
                 raise ValueError(f"missing quant table {tq}")
-            qr = np.empty(64)
-            for i, r in enumerate(_JPEG_ZIGZAG):
-                qr[r] = qts[tq][i]
-            qr = qr.reshape(8, 8)
-            plane = np.empty((mcus_y * vs * 8, mcus_x * hs * 8))
-            zig = np.asarray(_JPEG_ZIGZAG)
-            for by in range(mcus_y * vs):
-                for bx in range(mcus_x * hs):
-                    S = np.empty(64)
-                    S[zig] = coeffs[ci][by][bx]
-                    S = S.reshape(8, 8) * qr
-                    plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                        M.T @ S @ M + 128.0
-                    )
-            planes.append(plane)
+            planes.append(_idct_plane(coeffs[ci], _qt_raster(qts[tq]), M))
         return _jpeg_stats(planes, comps, h, w, hmax, vmax)
     if len(scan_sel) != len(comps):
         raise ValueError(
@@ -1451,18 +1521,21 @@ def parse_jpeg(blob: bytes, max_pixels: int = 1 << 26) -> dict:
     reader = _BitReader(blob, pos)
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
-    planes = [
-        np.empty((mcus_y * vs * 8, mcus_x * hs * 8)) for _cid, hs, vs, _tq in comps
+    # entropy-decode into per-component zigzag coefficient arrays, then
+    # reconstruct with the SAME batched dequant+IDCT pass the
+    # progressive path uses (_idct_plane — bit-identical to the former
+    # per-block matmuls, one numpy call per block row instead of a
+    # Python scatter + two matmuls per block)
+    coeffs_b = [
+        np.zeros((mcus_y * vs, mcus_x * hs, 64), dtype=np.int32)
+        for _cid, hs, vs, _tq in comps
     ]
     preds = [0] * len(comps)
     qt_raster = []
     for _cid, _hs, _vs, tq in comps:
         if tq not in qts:
             raise ValueError(f"missing quant table {tq}")
-        qr = np.empty(64)
-        for i, r in enumerate(_JPEG_ZIGZAG):
-            qr[r] = qts[tq][i]
-        qt_raster.append(qr.reshape(8, 8))
+        qt_raster.append(_qt_raster(qts[tq]))
     comp_index = {cid: i for i, (cid, _hs, _vs, _tq) in enumerate(comps)}
     order = []
     for cs, td, ta in scan_sel:
@@ -1496,11 +1569,7 @@ def parse_jpeg(blob: bytes, max_pixels: int = 1 << 26) -> dict:
                 raise ValueError("AC run past block end")
             zz[i] = _extend(reader.read_bits(size), size)
             i += 1
-        S = np.empty(64)
-        for i, r in enumerate(_JPEG_ZIGZAG):
-            S[r] = zz[i]
-        S = S.reshape(8, 8) * qt_raster[ci]
-        return M.T @ S @ M + 128.0
+        return zz
 
     mcu = 0
     for my in range(mcus_y):
@@ -1512,13 +1581,15 @@ def parse_jpeg(blob: bytes, max_pixels: int = 1 << 26) -> dict:
                 _cid, hs, vs, _tq = comps[ci]
                 for vb in range(vs):
                     for hb in range(hs):
-                        by = (my * vs + vb) * 8
-                        bx = (mx * hs + hb) * 8
-                        planes[ci][by : by + 8, bx : bx + 8] = decode_block(
-                            ci, dc_t, ac_t
+                        coeffs_b[ci][my * vs + vb, mx * hs + hb] = (
+                            decode_block(ci, dc_t, ac_t)
                         )
             mcu += 1
 
+    planes = [
+        _idct_plane(coeffs_b[ci], qt_raster[ci], M)
+        for ci in range(len(comps))
+    ]
     return _jpeg_stats(planes, comps, h, w, hmax, vmax)
 
 
@@ -1700,20 +1771,16 @@ def synth_jpeg_ycc(
     ac_c = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
     w = _BitWriter()
     preds = [0, 0, 0]
-    qt_raster = np.empty(64)
-    for i, rr in enumerate(_JPEG_ZIGZAG):
-        qt_raster[rr] = qt_zz[i]
-    qt_raster = qt_raster.reshape(8, 8)
+    # solid planes: every block of a component carries the SAME
+    # quantized coefficients — compute (memoized) once, not per MCU
+    comp_zz = [_solid_block_zz(v, q_dc, q_ac) for v in planes]
     mcu = 0
     for _my in range(mcus_y):
         for _mx in range(mcus_x):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 w.restart((mcu // restart_interval - 1) % 8)
                 preds = [0, 0, 0]
-            for ci, v in enumerate(planes):
-                s = np.full((8, 8), float(v)) - 128.0
-                q = np.rint((M @ s @ M.T) / qt_raster).astype(np.int64)
-                zz = [int(q.flat[rr]) for rr in _JPEG_ZIGZAG]
+            for ci, zz in enumerate(comp_zz):
                 for _ in range(sampling[ci][0] * sampling[ci][1]):
                     preds[ci] = _encode_block(w, zz, preds[ci], dc_c, ac_c)
             mcu += 1
@@ -1769,6 +1836,30 @@ def _jpeg_ac_prog_table() -> tuple[list[int], list[int]]:
 _JPEG_AC_PROG_BITS, _JPEG_AC_PROG_VALS = _jpeg_ac_prog_table()
 
 
+_SOLID_ZZ_CACHE: dict = {}
+
+
+def _solid_block_zz(v: int, q_dc: int, q_ac: int) -> list[int]:
+    """Quantized zigzag coefficients of a SOLID 8×8 block — the value
+    every corpus-generator block reduces to. Depends only on
+    (sample value, quant steps); memoized so a million-image synthetic
+    corpus pays the forward DCT 256 times, not per block."""
+    import numpy as np
+
+    key = (int(v), int(q_dc), int(q_ac))
+    z = _SOLID_ZZ_CACHE.get(key)
+    if z is None:
+        qt_zz = [q_dc] + [q_ac] * 63
+        M = _dct_matrix()
+        s = np.full((8, 8), float(v)) - 128.0
+        q = np.rint((M @ s @ M.T) / _qt_raster(qt_zz)).astype(np.int64)
+        z = [int(q.flat[r]) for r in _JPEG_ZIGZAG]
+        if len(_SOLID_ZZ_CACHE) >= 4096:
+            _SOLID_ZZ_CACHE.clear()
+        _SOLID_ZZ_CACHE[key] = z
+    return z
+
+
 def _pt_ac(c: int, al: int) -> int:
     """AC point transform (T.81 G.1.2.2): sign-preserving division by
     2^Al — truncation toward ZERO, unlike DC's arithmetic shift."""
@@ -1822,6 +1913,14 @@ def _enc_ac_first(wtr, blocks, ss, se, al, ac_c, ri) -> None:
             flush_eob()
             wtr.restart(cycle % 8)
             cycle += 1
+        if not any(zz[ss : se + 1]):
+            # all-zero band (the dominant case in sparse spectra):
+            # skip the per-coefficient point transform entirely —
+            # _pt_ac(0) == 0, so this is exactly the nz-empty branch
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
         band = [_pt_ac(zz[k], al) for k in range(ss, se + 1)]
         nz = [i for i, v in enumerate(band) if v]
         if not nz:
@@ -1880,6 +1979,14 @@ def _enc_ac_refine(wtr, blocks, ss, se, ah, al, ac_c, ri) -> None:
             flush_eob()
             wtr.restart(cycle % 8)
             cycle += 1
+        if not any(zz[ss : se + 1]):
+            # all-zero band fast path: absv would be all zero → the
+            # whole block folds into the EOB run with no correction
+            # bits (identical to the r>0/empty-block_corr tail below)
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
         absv = [abs(_pt_ac(zz[k], al)) for k in range(ss, se + 1)]
         signs = [zz[k] >= 0 for k in range(ss, se + 1)]
         # EOB position: index AFTER the last newly-significant coeff
@@ -2045,16 +2152,7 @@ def synth_jpeg_prog_ycc(
     mcus_x = -(-width // (8 * hmax))
     mcus_y = -(-height // (8 * vmax))
     qt_zz = [q_dc] + [q_ac] * 63
-    qt_raster = np.empty(64)
-    for i, r in enumerate(_JPEG_ZIGZAG):
-        qt_raster[r] = qt_zz[i]
-    qt_raster = qt_raster.reshape(8, 8)
-    M = _dct_matrix()
-    comp_zz = []
-    for v in planes:
-        s = np.full((8, 8), float(v)) - 128.0
-        q = np.rint((M @ s @ M.T) / qt_raster).astype(np.int64)
-        comp_zz.append([int(q.flat[r]) for r in _JPEG_ZIGZAG])
+    comp_zz = [_solid_block_zz(v, q_dc, q_ac) for v in planes]
 
     dc_c = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_c = _huff_codes(_JPEG_AC_PROG_BITS, _JPEG_AC_PROG_VALS)

@@ -1962,3 +1962,37 @@ def test_ivfpq_tombstone_delete_fold_and_retrain(spark, sf_dir, tmp_path):
     assert v1_codes.filter(F.col("vec_id").isin(more)).count() == 0
     # and the repointed search no longer sees them either
     assert not {r["neighbor_id"] for r in search()} & set(more)
+
+
+def test_jpeg_batched_idct_bit_identical_to_per_block():
+    """Round-11 perf rewrite guard: _idct_plane (the batched
+    dequant+IDCT both decode paths now share) must be BIT-identical —
+    np.array_equal, not allclose — to the per-block
+    ``M.T @ (S*qr) @ M + 128`` it replaced; numpy's stacked matmul
+    keeps the same left-to-right association per 8×8 block."""
+    import numpy as np
+
+    from pulsar_elasticsearch_sync_rs_spark.operators.multimodal import (
+        _JPEG_ZIGZAG,
+        _dct_matrix,
+        _idct_plane,
+        _qt_raster,
+    )
+
+    rng = np.random.default_rng(11)
+    M = _dct_matrix()
+    qt = [8] + [16] * 63
+    qr = _qt_raster(qt)
+    zig = np.asarray(_JPEG_ZIGZAG)
+    for BY, BX in ((1, 1), (3, 5), (7, 2)):
+        C = rng.integers(-300, 300, (BY, BX, 64)).astype(np.int32)
+        ref = np.empty((BY * 8, BX * 8))
+        for by in range(BY):
+            for bx in range(BX):
+                S = np.empty(64)
+                S[zig] = C[by, bx]
+                S = S.reshape(8, 8) * qr
+                ref[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    M.T @ S @ M + 128.0
+                )
+        assert np.array_equal(ref, _idct_plane(C, qr, M))
