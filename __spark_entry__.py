@@ -246,6 +246,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_decontaminate_fuzzy": _wrap(L.q_decontaminate_fuzzy),  # containment-threshold fuzzy decontamination
         "q_bpe_train": _wrap(L.q_bpe_train),  # exact distributed BPE training (rows-only; full-freq parity pytest)
         "q_weighted_sample": _wrap(L.q_weighted_sample),  # Efraimidis-Spirakis weighted sample w/o replacement per stratum
+        "q_knn_ivfpq_auto": _wrap(L.q_knn_ivfpq_auto),  # spectrum-aware IVF-PQ build selection (rows-only; regime pytest)
     }
 
 

@@ -36,6 +36,10 @@ class PCAModel:
     components: np.ndarray    # (k, d) rows = principal axes, orthonormal
     explained_var: np.ndarray  # (k,) descending
     n_rows: int
+    # trace of the covariance (sum of ALL d eigenvalues) — lets callers
+    # compute the top-k energy fraction sum(explained_var)/total_var
+    # without a second pass (the IVF-PQ auto-build selector's signal)
+    total_var: float = 0.0
 
 
 def pca_fit(df: DataFrame, vec_col: str = "embedding", k: int = 8,
@@ -168,6 +172,7 @@ def pca_fit(df: DataFrame, vec_col: str = "embedding", k: int = 8,
         components=np.ascontiguousarray(comps),
         explained_var=np.maximum(evals[order], 0.0),
         n_rows=int(n),
+        total_var=float(np.maximum(evals, 0.0).sum()),
     )
 
 

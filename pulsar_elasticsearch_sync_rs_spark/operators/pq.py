@@ -550,6 +550,7 @@ def knn_cosine_ivfpq_pca(
     refine: int = 8,
     seed: int = 42,
     max_queries: int = DEFAULT_MAX_QUERIES,
+    model=None,
 ) -> DataFrame:
     """IVF-PQ with a PCA front (operators/pca): fit PCA once, build the
     coarse quantizer AND the product codebooks in the ``pca_dim``-dim
@@ -583,7 +584,13 @@ def knn_cosine_ivfpq_pca(
             f"pca_dim {pca_dim} not divisible by m={m} subspaces — equal-byte "
             "comparison needs the same m; pick pca_dim a multiple of m"
         )
-    model = pca_fit(corpus, vec_col, k=pca_dim)
+    if model is None:
+        model = pca_fit(corpus, vec_col, k=pca_dim)
+    elif model.components.shape[0] != pca_dim:
+        raise ValueError(
+            f"knn_cosine_ivfpq_pca: supplied model has "
+            f"{model.components.shape[0]} components, pca_dim={pca_dim}"
+        )
     proj = pca_transform(corpus, model, vec_col, "__proj")
     assigned, centers = build_ivf_index(
         proj, "__proj", nlist=nlist, seed=seed, id_col=id_col
@@ -634,6 +641,71 @@ def knn_cosine_ivfpq_pca(
         probe_bool=probe_bool,
         q_rows=proj_q_rows,
         rerank_q_rows=q_rows,
+    )
+
+
+def knn_cosine_ivfpq_auto(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    pca_dim: int = 16,
+    m: int = 16,
+    ksub: int = 64,
+    nlist: int = 8,
+    nprobe: int = 4,
+    refine: int = 8,
+    seed: int = 42,
+    energy_threshold: float = 0.75,
+    max_queries: int = DEFAULT_MAX_QUERIES,
+    choice_out: dict | None = None,
+) -> DataFrame:
+    """Auto-select the IVF-PQ build from the measured spectrum decay —
+    round-10 showed the PCA-composed build wins ONLY on decaying
+    spectra (recall@5 0.92 → 1.00 on the low-rank fixture) and LOSES on
+    near-isotropic embeddings (0.75 → 0.66 on the synthetic fixtures);
+    until now the caller had to know which regime they were in.
+
+    Selector: one ``pca_fit`` gives both the candidate model and the
+    spectrum — the top-``pca_dim`` energy fraction
+    ``sum(explained_var) / total_var``. At or above
+    ``energy_threshold`` (default 0.75 — the measured regimes sit far
+    apart: ≈0.999 on the decaying fixture vs ≈0.25–0.45 for isotropic
+    64-d at pca_dim=16) the PCA build runs, REUSING the fitted model
+    (no second moments pass); below it the full-dim build runs and the
+    fit was the only extra corpus pass. The decision lands in
+    ``choice_out`` (``build``, ``energy_fraction``, ``threshold``) so a
+    caller materializing the result can persist it beside the index.
+
+    Scope: in-memory builds (the persisted artifact family stays
+    explicit — a persisted reduced-space index would need the PCA model
+    stored beside the codebooks, a format change deferred until a user
+    needs it)."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.pca import pca_fit
+
+    model = pca_fit(corpus, vec_col, k=pca_dim)
+    energy = float(model.explained_var.sum() / max(model.total_var, 1e-300))
+    use_pca = energy >= energy_threshold
+    if choice_out is not None:
+        choice_out.update(
+            build="pca" if use_pca else "full",
+            energy_fraction=round(energy, 6),
+            pca_dim=pca_dim,
+            threshold=energy_threshold,
+        )
+    if use_pca:
+        return knn_cosine_ivfpq_pca(
+            corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+            query_id=query_id, pca_dim=pca_dim, m=m, ksub=ksub,
+            nlist=nlist, nprobe=nprobe, refine=refine, seed=seed,
+            max_queries=max_queries, model=model,
+        )
+    return knn_cosine_ivfpq(
+        corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+        query_id=query_id, m=m, ksub=ksub, nlist=nlist, nprobe=nprobe,
+        refine=refine, seed=seed, max_queries=max_queries,
     )
 
 

@@ -2662,6 +2662,29 @@ def q_knn_ivfpq_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_ivfpq_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectrum-aware IVF-PQ top-5 (operators/pq.py
+    knn_cosine_ivfpq_auto, round-11 brief #6): one pca_fit measures the
+    top-k energy fraction and picks the build the round-10 measurements
+    say wins — PCA-composed on decaying spectra, full-dim on
+    near-isotropic (this synthetic fixture lands in the full-dim
+    regime; both branches pytest-pinned to match their direct builds in
+    tests/test_dedup_similarity.py). Rows-only (k-means + eigensolve
+    are iterative)."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.pq import (
+        knn_cosine_ivfpq_auto,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return knn_cosine_ivfpq_auto(
+        emb, queries, k=5, pca_dim=32, nlist=8, nprobe=4, m=16, ksub=64,
+        refine=8,
+    )
+
+
 def q_dedup_minhash_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental NEAR-dup — minhash twin of q_dedup_incremental: the
     new batch (upper half of doc_ids) signatures only itself and joins

@@ -1996,3 +1996,59 @@ def test_jpeg_batched_idct_bit_identical_to_per_block():
                     M.T @ S @ M + 128.0
                 )
         assert np.array_equal(ref, _idct_plane(C, qr, M))
+
+
+def test_knn_ivfpq_auto_picks_measured_winner(spark):
+    """Round-11 brief #6: knn_cosine_ivfpq_auto selects the build from
+    the spectrum decay — the DECAYING low-rank fixture (99.9% energy in
+    8 axes; the regime where the PCA composition measurably wins) must
+    choose the PCA build, the near-ISOTROPIC fixture (energy spread
+    over all 64 dims; the regime where it measurably loses) must choose
+    full-dim, and each result must equal running the chosen build
+    directly (the fitted model is reused, so the PCA path is exact)."""
+    import numpy as np
+
+    from pulsar_elasticsearch_sync_rs_spark.operators.pq import (
+        knn_cosine_ivfpq,
+        knn_cosine_ivfpq_auto,
+        knn_cosine_ivfpq_pca,
+    )
+
+    rng = np.random.default_rng(11)
+    n, d = 600, 64
+    kw = dict(k=5, nlist=4, nprobe=4, m=8, ksub=64, refine=2)
+
+    def mkdf(X):
+        X = X / np.linalg.norm(X, axis=1, keepdims=True)
+        df = spark.createDataFrame(
+            [(i, X[i].tolist()) for i in range(n)],
+            "vec_id bigint, embedding array<double>",
+        ).repartition(4)
+        q = df.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        return df, q
+
+    key = lambda rows: {(r["query_id"], r["neighbor_id"], r["rank"]) for r in rows}
+
+    # decaying spectrum → PCA build
+    low = rng.normal(size=(n, 6)) @ rng.normal(size=(6, d))
+    low += 0.05 * rng.normal(size=(n, d))
+    emb, q = mkdf(low)
+    choice: dict = {}
+    auto = key(
+        knn_cosine_ivfpq_auto(emb, q, pca_dim=8, choice_out=choice, **kw).collect()
+    )
+    assert choice["build"] == "pca" and choice["energy_fraction"] > 0.9, choice
+    assert auto == key(knn_cosine_ivfpq_pca(emb, q, pca_dim=8, **kw).collect())
+
+    # near-isotropic spectrum → full-dim build
+    iso = rng.normal(size=(n, d))
+    emb, q = mkdf(iso)
+    choice = {}
+    auto = key(
+        knn_cosine_ivfpq_auto(emb, q, pca_dim=8, choice_out=choice, **kw).collect()
+    )
+    assert choice["build"] == "full" and choice["energy_fraction"] < 0.5, choice
+    assert auto == key(knn_cosine_ivfpq(emb, q, **kw).collect())
