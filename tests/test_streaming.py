@@ -2532,3 +2532,77 @@ def test_curation_ingest_learned_gate_matches_batch(spark, sf_dir, tmpdir):
     q.awaitTermination(300)
     got = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
     assert got == want, f"+{sorted(got - want)[:5]} -{sorted(want - got)[:5]}"
+
+
+def test_sessionize_state_eviction_plateau(spark, tmpdir):
+    """Round-11 brief #7: the bench's short sessionize run never closes
+    a session (state_rows_max ≈ #sessions, rows_dropped 0) — eviction
+    was untested at steady state. Drive 12 micro-batches whose event
+    time advances one hour per batch (gap 2 min, watermark 1 min): the
+    watermark sweeps past each batch's sessions as later batches
+    arrive, so state must PLATEAU at O(concurrently-open sessions) —
+    not grow O(batches) — with evictions (numRowsRemoved) actually
+    witnessed and every closed session emitted exactly once with its
+    full event count."""
+    import datetime as dt
+
+    from pulsar_elasticsearch_sync_rs_spark.streaming.sessions import (
+        sessionize_stream,
+    )
+
+    src_dir = os.path.join(tmpdir, "sess_soak_src")
+    os.makedirs(src_dir)
+    U, B = 200, 12
+    t0 = dt.datetime(2024, 1, 1)
+    for b in range(B):
+        rows = []
+        base = t0 + dt.timedelta(hours=b)
+        for u in range(U):
+            for j in range(3):  # 3 events within the 2-min gap
+                rows.append((u, base + dt.timedelta(seconds=u % 60 + 10 * j)))
+        (
+            spark.createDataFrame(rows, "user_id long, ts timestamp")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src_dir)
+        )
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    out_dir = os.path.join(tmpdir, "sess_soak_out")
+    q = (
+        sessionize_stream(stream, gap="2 minutes", watermark_delay="1 minute")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", os.path.join(tmpdir, "sess_soak_ckpt"))
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out_dir)
+        .start()
+    )
+    q.awaitTermination(300)
+    state_rows = []
+    removed = 0
+    for p in q.recentProgress:
+        for so in p.get("stateOperators") or []:
+            state_rows.append(so["numRowsTotal"])
+            removed += so.get("numRowsRemoved", 0)
+    assert state_rows, "no state-operator progress captured"
+    # PLATEAU: the ceiling is O(open sessions) — at most the current
+    # batch's U sessions plus the previous batch's not-yet-swept U —
+    # and categorically not O(B·U) (= 2400 here, the no-eviction shape
+    # the bench's short run cannot distinguish)
+    assert max(state_rows) <= 2 * U + 50, (
+        f"state ceiling {max(state_rows)} suggests eviction is not "
+        f"happening (cumulative would be {B * U})"
+    )
+    assert removed >= (B - 2) * U, f"only {removed} state rows evicted"
+    # every swept session emitted exactly once, with all 3 events
+    got = spark.read.parquet(out_dir)
+    n_out = got.count()
+    assert n_out >= (B - 2) * U, f"only {n_out} sessions emitted"
+    assert got.filter("n_events != 3").count() == 0
+    assert got.groupBy("user_id", "session_start").count().filter(
+        "count > 1"
+    ).count() == 0
