@@ -1019,6 +1019,12 @@ def delete_from_ivfpq_index(
     if isinstance(ids, DataFrame):
         df = ids.select(F.col(id_col)).distinct()
     else:
+        ids = list(ids)
+        if not ids:
+            return {"n_tombstoned": 0}
+        # cast to the codes table's id dtype (footer-only schema read) —
+        # the same type-sensitivity rule as scd2_apply_partitioned's
+        # xxhash64 key cast
         id_type = {
             f.name: f.dataType
             for f in spark.read.parquet(
@@ -1026,7 +1032,7 @@ def delete_from_ivfpq_index(
             ).schema.fields
         }[id_col]
         df = (
-            spark.createDataFrame([(x,) for x in ids], f"{id_col} string")
+            spark.createDataFrame([(x,) for x in ids], [id_col])
             .select(F.col(id_col).cast(id_type))
             .distinct()
         )
