@@ -62,13 +62,22 @@ _VOCAB = (
 ).split()
 
 
+_STOP8 = "the and of to a in is it".split()  # functions/text.py en list
+_LONG = [w for w in _VOCAB if len(w) >= 4]
+
+
 def _text(i: int) -> str:
-    # deterministic, distinct per doc: Knuth-hash word indices
+    # deterministic, distinct per doc: Knuth-hash word indices. Every
+    # third word is a core stopword and the rest are ≥4-letter words so
+    # quality_score clears the 0.65 gate (sw_score saturates, mean word
+    # length lands in [3,10]) — a curve whose gate drops everything
+    # would measure the gate, not the pipeline.
     n_words = 40 + (i % 40)
-    v = len(_VOCAB)
-    return " ".join(
-        _VOCAB[((i * 2654435761 + j * 40503) >> 7) % v] for j in range(n_words)
-    )
+    out = []
+    for j in range(n_words):
+        h = (i * 2654435761 + j * 40503) >> 7
+        out.append(_STOP8[h % 8] if j % 3 == 0 else _LONG[h % len(_LONG)])
+    return " ".join(out)
 
 
 def main() -> None:
