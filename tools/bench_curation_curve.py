@@ -66,16 +66,30 @@ _STOP8 = "the and of to a in is it".split()  # functions/text.py en list
 _LONG = [w for w in _VOCAB if len(w) >= 4]
 
 
+def _h(i: int, j: int) -> int:
+    # murmur-style NONLINEAR mix. A linear h(i,j)=a·i+b·j makes doc i+Δ
+    # a word-SHIFTED copy of doc i (identical n-gram windows), and at
+    # 50k docs the shift classes blanket the bench docs' gram sets —
+    # the any-hit decontaminator then drops the ENTIRE corpus (found
+    # when the first curve run kept 0 of 50,000 docs while a 3k run
+    # kept 70%). Nonlinear mixing makes grams effectively random.
+    x = (i * 2654435761 + j * 0x9E3779B9) & 0xFFFFFFFF
+    x ^= x >> 15
+    x = (x * 0x2C1B3C6D) & 0xFFFFFFFF
+    x ^= x >> 12
+    return x
+
+
 def _text(i: int) -> str:
-    # deterministic, distinct per doc: Knuth-hash word indices. Every
-    # third word is a core stopword and the rest are ≥4-letter words so
-    # quality_score clears the 0.65 gate (sw_score saturates, mean word
-    # length lands in [3,10]) — a curve whose gate drops everything
-    # would measure the gate, not the pipeline.
+    # deterministic, distinct per doc. Every third word is a core
+    # stopword and the rest are ≥4-letter words so quality_score clears
+    # the 0.65 gate (sw_score saturates, mean word length in [3,10]) —
+    # a curve whose gate drops everything would measure the gate, not
+    # the pipeline.
     n_words = 40 + (i % 40)
     out = []
     for j in range(n_words):
-        h = (i * 2654435761 + j * 40503) >> 7
+        h = _h(i, j)
         out.append(_STOP8[h % 8] if j % 3 == 0 else _LONG[h % len(_LONG)])
     return " ".join(out)
 
