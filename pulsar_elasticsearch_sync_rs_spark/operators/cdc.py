@@ -90,6 +90,11 @@ def scd2_apply(
             current_col,
         )
     kc, tsc = F.col(key), F.col(ts_col)
+    # the raise_error guards below must cast to the TABLE's validity
+    # dtype (DATE / TIMESTAMP_NTZ snapshots exist) — a literal
+    # "timestamp" cast would silently coerce the error-mode result's
+    # schema away from the ignore-mode one (round-11 review finding)
+    to_type = base.schema[to_col].dataType
     nxt = F.lead(ts_col).over(Window.partitionBy(key).orderBy(ts_col))
     opened = (
         changes.withColumn("__next_ts", nxt)
@@ -122,7 +127,7 @@ def scd2_apply(
                     F.col(key).cast("string"),
                     F.lit("; re-run with on_late='splice' to retro-merge"),
                 )
-            ).cast("timestamp"),
+            ).cast(to_type),
         ).otherwise(F.col("__first_ts"))
     closed_now = (
         cur.join(first_ts, key, "inner")
@@ -199,17 +204,39 @@ def _scd2_splice(
     property tests/test_properties.py pins under Hypothesis with
     shuffled batch orders.
 
+    Orphan deletes — a 'D' whose key has NO version at rebuild time
+    (the matching insert hasn't arrived yet, precisely the
+    out-of-order case this mode exists for) — must not vanish: the
+    snapshot alone would then under-determine the event log, and the
+    late insert would resurrect the key as open-forever (found by the
+    shuffled-order Hypothesis test). They persist as ZERO-LENGTH
+    tombstone rows ``[ts, ts)`` (null attrs, not current) — invisible
+    to :func:`scd2_as_of` (``from ≤ t < to`` is empty) and to diff,
+    but decomposed back into delete events by the next rebuild, so
+    splice application converges to the chronological replay in ANY
+    arrival order. A key whose delete never gets a matching earlier
+    insert keeps its tombstone row (the one snapshot artifact the
+    in-order fast path, which drops no-op deletes outright, does not
+    produce).
+
     Scale: untouched keys pass through narrow (one broadcast anti
     probe); only touched keys — bounded by the change batch's key set —
     are shuffled for the rebuild window. Pair with
     :func:`scd2_apply_partitioned` and the rebuild touches only the
     changed key-hash buckets."""
     attr_types = {f.name: f.dataType for f in base.schema.fields}
+    ts_type = base.schema[from_col].dataType
     ckeys = F.broadcast(changes.select(key).distinct())
     untouched = base.join(ckeys, key, "left_anti").select(*base.columns)
     touched = base.join(ckeys, key, "left_semi")
+    # zero-length rows are persisted orphan deletes: they carry ONLY a
+    # delete event (no version started at their ts) and must not
+    # participate in the normal rows' gap detection
+    is_tomb = F.col(to_col).isNotNull() & (F.col(to_col) == F.col(from_col))
+    normal = touched.filter(~is_tomb)
+    tomb_rows = touched.filter(is_tomb)
     nxt_from = F.lead(from_col).over(Window.partitionBy(key).orderBy(from_col))
-    base_ev = touched.withColumn("__nxt_from", nxt_from)
+    base_ev = normal.withColumn("__nxt_from", nxt_from)
     starts = base_ev.select(
         F.col(key),
         *[F.col(a) for a in attrs],
@@ -230,6 +257,13 @@ def _scd2_splice(
         F.lit("D").alias(op_col),
         F.lit(1).alias("__src"),
     )
+    tomb_deletes = tomb_rows.select(
+        F.col(key),
+        *[F.lit(None).cast(attr_types[a]).alias(a) for a in attrs],
+        F.col(from_col).alias(ts_col),
+        F.lit("D").alias(op_col),
+        F.lit(1).alias("__src"),
+    )
     chg_ev = changes.select(
         F.col(key),
         *[F.col(a) for a in attrs],
@@ -237,7 +271,11 @@ def _scd2_splice(
         F.col(op_col),
         F.lit(2).alias("__src"),
     )
-    events = starts.unionByName(deletes).unionByName(chg_ev)
+    events = (
+        starts.unionByName(deletes)
+        .unionByName(tomb_deletes)
+        .unionByName(chg_ev)
+    )
     # (key, ts) collision: the change wins over a base boundary (it is
     # the newer statement about that instant); a base delete event at
     # the same instant as a base start cannot occur (intervals
@@ -248,10 +286,12 @@ def _scd2_splice(
         events.withColumn("__rn", F.row_number().over(pick))
         .filter(F.col("__rn") == 1)
     )
-    nxt = F.lead(ts_col).over(Window.partitionBy(key).orderBy(ts_col))
+    w_key = Window.partitionBy(key).orderBy(ts_col)
+    events = events.withColumn("__next_ts", F.lead(ts_col).over(w_key)).withColumn(
+        "__prev_op", F.lag(op_col).over(w_key)
+    )
     rebuilt = (
-        events.withColumn("__next_ts", nxt)
-        .filter(F.col(op_col) != "D")
+        events.filter(F.col(op_col) != "D")
         .select(
             F.col(key),
             *[F.col(a) for a in attrs],
@@ -260,7 +300,25 @@ def _scd2_splice(
             F.col("__next_ts").isNull().alias(current_col),
         )
     )
-    return untouched.unionByName(rebuilt.select(*base.columns))
+    # orphan deletes (first event for the key, or preceded by another
+    # delete): persist as zero-length tombstones so a later rebuild
+    # still sees them
+    orphan_tombs = (
+        events.filter(
+            (F.col(op_col) == "D")
+            & (F.col("__prev_op").isNull() | (F.col("__prev_op") == "D"))
+        )
+        .select(
+            F.col(key),
+            *[F.lit(None).cast(attr_types[a]).alias(a) for a in attrs],
+            F.col(ts_col).cast(ts_type).alias(from_col),
+            F.col(ts_col).cast(ts_type).alias(to_col),
+            F.lit(False).alias(current_col),
+        )
+    )
+    return untouched.unionByName(rebuilt.select(*base.columns)).unionByName(
+        orphan_tombs.select(*base.columns)
+    )
 
 
 def scd2_apply_partitioned(

@@ -30,6 +30,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def is_path_missing(e: Exception) -> bool:
+    """True iff an AnalysisException means "this path does not exist"
+    — matched on the STRUCTURED error class first (stable across Spark
+    versions and JVM locales), with the message substrings as fallback
+    for builds predating error classes. Message-only matching is
+    version-fragile (round-11 review finding); the absent-path case is
+    the ONLY one the sidecar/tombstone readers may treat as silent."""
+    ec = None
+    for probe in ("getCondition", "getErrorClass"):  # 4.x name, 3.x name
+        fn = getattr(e, probe, None)
+        if fn is not None:
+            try:
+                ec = fn()
+                break
+            except Exception:
+                pass
+    if ec and "PATH_NOT_FOUND" in ec:
+        return True
+    msg = str(e)
+    return "PATH_NOT_FOUND" in msg or "Path does not exist" in msg
+
+
 def persist_clustered(
     df: DataFrame,
     path: str,
@@ -346,11 +368,7 @@ def persist_zordered(
             # skewed) append batch and overwriting the table spec is
             # the quiet-cell-redefinition this function raises for on
             # explicit drift (round-10 advice).
-            msg = str(e)
-            if (
-                "PATH_NOT_FOUND" not in msg
-                and "Path does not exist" not in msg
-            ):
+            if not is_path_missing(e):
                 raise
             # fresh directory: compute + write below
         if spec_exists:

@@ -1758,15 +1758,12 @@ def synth_jpeg_ycc(
     the decoder's (integer-exact) inverse."""
     import struct
 
-    import numpy as np
-
     planes = [min(255, max(0, int(v))) for v in ycc]
     hmax = max(hs for hs, _ in sampling)
     vmax = max(vs for _, vs in sampling)
     mcus_x = -(-width // (8 * hmax))
     mcus_y = -(-height // (8 * vmax))
     qt_zz = [q_dc] + [q_ac] * 63
-    M = _dct_matrix()
     dc_c = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_c = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
     w = _BitWriter()
@@ -2144,8 +2141,6 @@ def synth_jpeg_prog_ycc(
     progressive allows) + DC refinement + per-component AC scans over
     each component's OWN block grid — the real web-JPEG scan topology,
     with 4:2:0/4:2:2 subsampling and optional restart intervals."""
-    import numpy as np
-
     planes = [min(255, max(0, int(v))) for v in ycc]
     hmax = max(hs for hs, _ in sampling)
     vmax = max(vs for _, vs in sampling)

@@ -685,6 +685,20 @@ def knn_cosine_ivfpq_auto(
     needs it)."""
     from pulsar_elasticsearch_sync_rs_spark.operators.pca import pca_fit
 
+    # validate the config BEFORE the full-corpus moments pass — a bad
+    # pca_dim must not "work" on isotropic corpora only to die after an
+    # expensive fit on the first decaying one (round-11 review finding)
+    if pca_dim % m != 0:
+        raise ValueError(
+            f"pca_dim {pca_dim} not divisible by m={m} subspaces — equal-byte "
+            "comparison needs the same m; pick pca_dim a multiple of m"
+        )
+    probe = corpus.select(F.size(vec_col).alias("d")).first()
+    if probe is not None and probe["d"] is not None and pca_dim > int(probe["d"]):
+        raise ValueError(
+            f"knn_cosine_ivfpq_auto: pca_dim {pca_dim} exceeds the embedding "
+            f"width {int(probe['d'])}"
+        )
     model = pca_fit(corpus, vec_col, k=pca_dim)
     energy = float(model.explained_var.sum() / max(model.total_var, 1e-300))
     use_pca = energy >= energy_threshold
@@ -975,11 +989,14 @@ def _load_tombstone_ids(spark, root: str, id_col: str):
 
     from pyspark.errors import AnalysisException
 
+    from pulsar_elasticsearch_sync_rs_spark.operators.layout import (
+        is_path_missing,
+    )
+
     try:
         t = spark.read.parquet(posixpath.join(root, "tombstones"))
     except AnalysisException as e:
-        msg = str(e)
-        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+        if is_path_missing(e):
             return None
         raise
     return t.select(id_col).distinct()
@@ -1016,21 +1033,23 @@ def delete_from_ivfpq_index(
     import posixpath
 
     root = _resolve_ivfpq_root(path)
+    # BOTH input paths cast to the codes table's id dtype (footer-only
+    # schema read): mixed dtypes across delete batches would leave the
+    # tombstones directory with conflicting parquet schemas and break
+    # every later read — the same type-sensitivity rule as
+    # scd2_apply_partitioned's xxhash64 key cast
+    id_type = {
+        f.name: f.dataType
+        for f in spark.read.parquet(
+            posixpath.join(root, "codes")
+        ).schema.fields
+    }[id_col]
     if isinstance(ids, DataFrame):
-        df = ids.select(F.col(id_col)).distinct()
+        df = ids.select(F.col(id_col).cast(id_type)).distinct()
     else:
         ids = list(ids)
         if not ids:
             return {"n_tombstoned": 0}
-        # cast to the codes table's id dtype (footer-only schema read) —
-        # the same type-sensitivity rule as scd2_apply_partitioned's
-        # xxhash64 key cast
-        id_type = {
-            f.name: f.dataType
-            for f in spark.read.parquet(
-                posixpath.join(root, "codes")
-            ).schema.fields
-        }[id_col]
         df = (
             spark.createDataFrame([(x,) for x in ids], [id_col])
             .select(F.col(id_col).cast(id_type))
@@ -1083,12 +1102,16 @@ def fold_ivfpq_tombstones(
     n_folded = 0
     kept_cells: set[int] = set()
     if cells:
-        kept = (
-            codes.filter(F.col("cell_id").isin(cells))
-            .join(F.broadcast(tomb), id_col, "left_anti")
-            .localCheckpoint(eager=True)
+        # ONE disk pass over the hit cells: the checkpoint both feeds
+        # the rewrite (so the dynamic overwrite never reads the files
+        # it replaces) and serves the before-count (a second parquet
+        # scan of every rewritten cell just for bookkeeping would be a
+        # full extra read on a large artifact — round-11 review)
+        hit_rows = codes.filter(F.col("cell_id").isin(cells)).localCheckpoint(
+            eager=True
         )
-        n_before = codes.filter(F.col("cell_id").isin(cells)).count()
+        n_before = hit_rows.count()
+        kept = hit_rows.join(F.broadcast(tomb), id_col, "left_anti")
         n_after = kept.count()
         n_folded = n_before - n_after
         kept_cells = {

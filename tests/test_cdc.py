@@ -439,3 +439,43 @@ def test_scd2_splice_inside_deleted_interval(spark):
         (30.0, T0, mid, False),
         (77.0, mid, T1, False),  # still closed by the original delete
     }
+
+
+def test_scd2_splice_orphan_delete_tombstone(spark):
+    """The shuffled-order Hypothesis test's falsifying case, pinned
+    deterministically: a delete that arrives BEFORE its key's insert
+    must not vanish from the snapshot — it persists as a zero-length
+    tombstone [ts, ts) (null attrs, not current, invisible to as-of),
+    and when the earlier insert later splices in, the pair rebuilds to
+    the chronological [insert_ts, delete_ts) closed version."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.cdc import scd2_as_of
+
+    empty = spark.createDataFrame(
+        [], "k int, v double, valid_from timestamp, valid_to timestamp, is_current boolean"
+    )
+    d_first = spark.createDataFrame(
+        [(4, 0.0, "D", dt.datetime(2020, 1, 9))],
+        "k int, v double, op string, ts timestamp",
+    )
+    snap = scd2_apply(
+        empty, d_first, key="k", attrs=["v"], on_late="splice"
+    ).localCheckpoint(eager=True)
+    rows = [
+        (r.k, r.v, r.valid_from, r.valid_to, r.is_current)
+        for r in snap.collect()
+    ]
+    t9 = dt.datetime(2020, 1, 9)
+    assert rows == [(4, None, t9, t9, False)], rows
+    # invisible to time travel at (and around) its instant
+    assert scd2_as_of(snap, t9).count() == 0
+
+    late_insert = spark.createDataFrame(
+        [(4, 7.0, "I", dt.datetime(2020, 1, 2))],
+        "k int, v double, op string, ts timestamp",
+    )
+    snap2 = scd2_apply(snap, late_insert, key="k", attrs=["v"], on_late="splice")
+    got = {
+        (r.k, r.v, r.valid_from, r.valid_to, r.is_current)
+        for r in snap2.collect()
+    }
+    assert got == {(4, 7.0, dt.datetime(2020, 1, 2), t9, False)}, got

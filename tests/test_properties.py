@@ -577,8 +577,18 @@ def test_scd2_splice_shuffled_batches_match_sequential(
 
     from collections import Counter
 
+    # zero-length rows are splice's orphan-delete tombstones — the one
+    # documented artifact the in-order replay (which drops a no-op
+    # delete outright) does not produce; they must carry null attrs and
+    # never be current, and the snapshot MINUS them must equal the
+    # ordered replay exactly
+    collected = snap.collect()
+    for r in collected:
+        if r.valid_to is not None and r.valid_to == r.valid_from:
+            assert r.v is None and not r.is_current
     rows = Counter(
         (r.k, r.v, r.valid_from, r.valid_to, r.is_current)
-        for r in snap.collect()
+        for r in collected
+        if r.valid_to is None or r.valid_to != r.valid_from
     )
     assert rows == Counter(want)
