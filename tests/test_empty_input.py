@@ -31,6 +31,7 @@ EXPECTED_RAISE = {
     "q_semantic_dedup_ivf",
     "q_embed_pca",  # same contract: no model can be fit on no vectors
     "q_knn_ivfpq_pca",  # PCA front: same no-model-on-no-vectors contract
+    "q_knn_ivfpq_auto",  # selector runs pca_fit first: same contract
     "q_quality_lr",  # IRLS classifier: same contract
 }
 
