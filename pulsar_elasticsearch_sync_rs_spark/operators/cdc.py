@@ -84,6 +84,30 @@ def scd2_apply(
             f"scd2_apply: on_late must be 'error'|'splice'|'ignore', "
             f"got {on_late!r}"
         )
+    # the change batch's ts dtype must match the snapshot's validity
+    # dtype at the TYPE-FAMILY grain: every mode unions change-derived
+    # boundaries with base rows, and a DATE-vs-TIMESTAMP mix would
+    # silently widen the snapshot's schema (or truncate instants)
+    # instead of failing — the xxhash64-key-cast lesson applied to the
+    # time axis. timestamp ↔ timestamp_ntz is the same instant family
+    # (coercion is representation-stable in the UTC session this
+    # engine pins) and stays allowed.
+    def _ts_family(t):
+        from pyspark.sql import types as T
+
+        if isinstance(t, (T.TimestampType, T.TimestampNTZType)):
+            return "timestamp"
+        return t.simpleString()
+
+    chg_ts_type = changes.schema[ts_col].dataType
+    base_ts_type = base.schema[from_col].dataType
+    if _ts_family(chg_ts_type) != _ts_family(base_ts_type):
+        raise ValueError(
+            f"scd2_apply: change ts dtype {chg_ts_type.simpleString()} != "
+            f"snapshot validity dtype {base_ts_type.simpleString()} — cast "
+            "the change batch explicitly (a silent coercion would widen "
+            "the snapshot schema or truncate instants)"
+        )
     if on_late == "splice":
         return _scd2_splice(
             base, changes, key, attrs, op_col, ts_col, from_col, to_col,
@@ -164,7 +188,7 @@ def scd2_apply(
                     F.col(key).cast("string"),
                     F.lit("; re-run with on_late='splice' to retro-merge"),
                 )
-            ).cast("timestamp"),
+            ).cast(to_type),
         ).otherwise(F.col(to_col))
         history = history.join(first_ts, key, "left").select(
             *[
@@ -225,7 +249,6 @@ def _scd2_splice(
     :func:`scd2_apply_partitioned` and the rebuild touches only the
     changed key-hash buckets."""
     attr_types = {f.name: f.dataType for f in base.schema.fields}
-    ts_type = base.schema[from_col].dataType
     ckeys = F.broadcast(changes.select(key).distinct())
     untouched = base.join(ckeys, key, "left_anti").select(*base.columns)
     touched = base.join(ckeys, key, "left_semi")
@@ -311,8 +334,11 @@ def _scd2_splice(
         .select(
             F.col(key),
             *[F.lit(None).cast(attr_types[a]).alias(a) for a in attrs],
-            F.col(ts_col).cast(ts_type).alias(from_col),
-            F.col(ts_col).cast(ts_type).alias(to_col),
+            # ts dtype == the snapshot's validity dtype — enforced at
+            # scd2_apply entry, so no cast (a silent truncating cast
+            # here was round-11 review-2 finding #3)
+            F.col(ts_col).alias(from_col),
+            F.col(ts_col).alias(to_col),
             F.lit(False).alias(current_col),
         )
     )

@@ -694,11 +694,21 @@ def knn_cosine_ivfpq_auto(
             "comparison needs the same m; pick pca_dim a multiple of m"
         )
     probe = corpus.select(F.size(vec_col).alias("d")).first()
-    if probe is not None and probe["d"] is not None and pca_dim > int(probe["d"]):
-        raise ValueError(
-            f"knn_cosine_ivfpq_auto: pca_dim {pca_dim} exceeds the embedding "
-            f"width {int(probe['d'])}"
-        )
+    if probe is not None and probe["d"] is not None:
+        d = int(probe["d"])
+        if pca_dim > d:
+            raise ValueError(
+                f"knn_cosine_ivfpq_auto: pca_dim {pca_dim} exceeds the "
+                f"embedding width {d}"
+            )
+        if d % m != 0:
+            # the FULL-DIM branch would die in train_pq_codebooks only
+            # after the fit — both branches must be viable before the
+            # expensive pass (round-11 review-2 finding)
+            raise ValueError(
+                f"knn_cosine_ivfpq_auto: embedding width {d} not divisible "
+                f"by m={m} subspaces — the full-dim build needs dim % m == 0"
+            )
     model = pca_fit(corpus, vec_col, k=pca_dim)
     energy = float(model.explained_var.sum() / max(model.total_var, 1e-300))
     use_pca = energy >= energy_threshold

@@ -479,3 +479,41 @@ def test_scd2_splice_orphan_delete_tombstone(spark):
         for r in snap2.collect()
     }
     assert got == {(4, 7.0, dt.datetime(2020, 1, 2), t9, False)}, got
+
+
+def test_scd2_date_snapshot_schema_preserved_and_mismatch_raises(spark):
+    """Round-11 review-2 finding #1, pinned: a DATE-typed snapshot must
+    come back DATE-typed from EVERY mode (the error-mode raise_error
+    guards cast to the table's validity dtype, not a literal
+    timestamp), and a change batch whose ts dtype differs from the
+    snapshot's validity dtype is refused at entry rather than silently
+    widened/truncated."""
+    import pytest
+
+    base = spark.createDataFrame(
+        [(1, 10.0, dt.date(2020, 1, 1), None, True)],
+        "k int, v double, valid_from date, valid_to date, is_current boolean",
+    )
+    ch = spark.createDataFrame(
+        [(1, 11.0, "U", dt.date(2021, 1, 1))],
+        "k int, v double, op string, ts date",
+    )
+    for mode in ("error", "splice", "ignore"):
+        out = scd2_apply(base, ch, key="k", attrs=["v"], on_late=mode)
+        assert dict(out.dtypes)["valid_to"] == "date", (mode, out.dtypes)
+        got = {
+            (r.k, r.v, r.valid_from, r.valid_to, r.is_current)
+            for r in out.collect()
+        }
+        assert got == {
+            (1, 10.0, dt.date(2020, 1, 1), dt.date(2021, 1, 1), False),
+            (1, 11.0, dt.date(2021, 1, 1), None, True),
+        }, (mode, got)
+
+    ts_batch = spark.createDataFrame(
+        [(1, 11.0, "U", dt.datetime(2021, 1, 1, 13, 0))],
+        "k int, v double, op string, ts timestamp",
+    )
+    for mode in ("error", "splice", "ignore"):
+        with pytest.raises(ValueError, match="dtype"):
+            scd2_apply(base, ts_batch, key="k", attrs=["v"], on_late=mode)
