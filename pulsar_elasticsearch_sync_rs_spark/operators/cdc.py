@@ -63,11 +63,16 @@ def scd2_apply(
     inverted validity intervals (round-10 verdict #1):
 
       - ``"error"`` (default): the violation raises AT EXECUTION with
-        the offending key and both timestamps — the check rides the
-        existing broadcast joins as a ``raise_error`` guard, zero extra
-        scans or shuffles. (Like any column-level check it is skipped
-        by a bare ``.count()``, which prunes projections; any write /
-        collect / checkpoint evaluates it.)
+        the offending key and both timestamps — the boundary checks
+        ride the existing broadcast joins as ``raise_error`` guards
+        with zero extra scans or shuffles, and a third guard catches
+        ORPHAN deletes (a 'D' whose key has no snapshot row at all —
+        the D-before-I arrival that would otherwise vanish and let the
+        late insert resurrect the key); that one costs a single extra
+        key-column-pruned broadcast-semi probe of base. (Like any
+        column-level check they are skipped by a bare ``.count()``,
+        which prunes projections; any write / collect / checkpoint
+        evaluates them.)
       - ``"splice"``: retro-merge — touched keys' timelines are rebuilt
         from the union of their base-version boundary events and the
         change batch, so a late batch lands exactly where a
@@ -108,6 +113,14 @@ def scd2_apply(
             "the change batch explicitly (a silent coercion would widen "
             "the snapshot schema or truncate instants)"
         )
+    if chg_ts_type != base_ts_type:
+        # same instant family but different representation (ntz vs ltz):
+        # cast ONCE at entry to the snapshot's validity dtype, so every
+        # derived boundary (first_ts, opened intervals, guards) lives in
+        # one dtype instead of leaning on union-time coercion — which
+        # would shift instants under a non-UTC session without any
+        # single place to point at (round-11 ADVICE)
+        changes = changes.withColumn(ts_col, F.col(ts_col).cast(base_ts_type))
     if on_late == "splice":
         return _scd2_splice(
             base, changes, key, attrs, op_col, ts_col, from_col, to_col,
@@ -131,11 +144,15 @@ def scd2_apply(
             F.col("__next_ts").isNull().alias(current_col),
         )
     )
-    # one row per touched key: when its open version stops being open.
-    # Broadcast — the change batch is the small side by construction.
-    first_ts = F.broadcast(
-        changes.groupBy(key).agg(F.min(ts_col).alias("__first_ts"))
+    # one row per touched key: when its open version stops being open
+    # (plus, for the error-mode orphan guard below, WHICH op comes
+    # first). Broadcast — the change batch is the small side by
+    # construction.
+    chg_summary = changes.groupBy(key).agg(
+        F.min(ts_col).alias("__first_ts"),
+        F.min_by(op_col, ts_col).alias("__first_op"),
     )
+    first_ts = F.broadcast(chg_summary.select(key, "__first_ts"))
     cur = base.filter(F.col(current_col))
     closed_to = F.col("__first_ts")
     if on_late == "error":
@@ -196,9 +213,56 @@ def scd2_apply(
                 for c in base.columns
             ]
         )
-    return history.unionByName(untouched_cur).unionByName(closed_now).unionByName(
+    out = history.unionByName(untouched_cur).unionByName(closed_now).unionByName(
         opened.select(*base.columns)
     )
+    if on_late == "error":
+        # orphan deletes (round-11 ADVICE, medium): a key whose FIRST
+        # change is a 'D' and that has NO row in the snapshot is the
+        # D-before-I arrival — in an ordered log the matching insert
+        # would already be in base, so its absence IS the out-of-order
+        # signal. The two guards above can't see it (both ride base
+        # rows; an absent key has none), the opened branch filters 'D'
+        # out, and the no-op-delete fast path drops it — so without
+        # this branch the later, earlier-ts insert applies cleanly and
+        # resurrects the key as open-forever. Detection requires one
+        # extra probe of base (key-column-pruned broadcast semi, output
+        # bounded by the touched keys' version count); the raise rides
+        # the result evaluation like the other guards. Keys present in
+        # base with a leading 'D' are legitimate (they close the open
+        # version) and never reach the anti-join's output.
+        key_type = base.schema[key].dataType
+        present = (
+            base.join(F.broadcast(chg_summary.select(key)), key, "left_semi")
+            .select(key)
+            .distinct()
+        )
+        orphan = chg_summary.filter(F.col("__first_op") == "D").join(
+            F.broadcast(present), key, "left_anti"
+        )
+        guard = F.raise_error(
+            F.concat(
+                F.lit("scd2_apply: 'D' for key "),
+                F.col(key).cast("string"),
+                F.lit(" absent from the snapshot at ts "),
+                F.col("__first_ts").cast("string"),
+                F.lit(" — the matching insert has not arrived "
+                      "(D-before-I); re-run with on_late='splice' to "
+                      "persist a tombstone"),
+            )
+        )
+        orphan_rows = orphan.select(
+            *[
+                guard.cast(to_type).alias(to_col)
+                if c == to_col
+                else F.col(key).cast(key_type).alias(key)
+                if c == key
+                else F.lit(None).cast(base.schema[c].dataType).alias(c)
+                for c in base.columns
+            ]
+        )
+        out = out.unionByName(orphan_rows)
+    return out
 
 
 def _scd2_splice(

@@ -1354,15 +1354,19 @@ def parse_jpeg(blob: bytes, max_pixels: int = 1 << 26) -> dict:
                 tc, th = body[o] >> 4, body[o] & 0x0F
                 bits = list(body[o + 1 : o + 17])
                 nvals = sum(bits)
+                # completeness BEFORE the cache probe: a clamped slice
+                # of a truncated segment must never be used as a cache
+                # key — the hit path would silently skip the truncation
+                # check (round-11 ADVICE)
+                if len(bits) != 16 or o + 17 + nvals > len(body):
+                    raise ValueError("truncated Huffman table")
                 key = bytes(body[o + 1 : o + 17 + nvals])
                 cached = _DHT_CACHE.get(key)
-                if cached is not None and len(bits) == 16:
+                if cached is not None:
                     huff[(tc, th)] = cached
                     o += 17 + nvals
                     continue
                 vals = list(body[o + 17 : o + 17 + nvals])
-                if len(bits) != 16 or len(vals) != nvals:
-                    raise ValueError("truncated Huffman table")
                 table: dict[tuple[int, int], int] = {}
                 code, k = 0, 0
                 for ln in range(1, 17):

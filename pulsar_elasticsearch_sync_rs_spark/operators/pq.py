@@ -1017,6 +1017,7 @@ def delete_from_ivfpq_index(
     ids,
     path: str,
     id_col: str = "vec_id",
+    max_pending: int = 500_000,
 ) -> dict:
     """Delete vectors from a persisted IVF-PQ artifact (round-10
     verdict gap: real 100 TB corpora delete — takedowns, dedup-survivor
@@ -1038,8 +1039,17 @@ def delete_from_ivfpq_index(
     ids (cast to the codes table's id dtype). Deleting an id that was
     never added is a no-op. Re-adding a previously tombstoned id is NOT
     supported until a fold/retrain clears the tombstone — same
-    id-uniqueness contract as :func:`append_to_ivfpq_index`. Returns
-    ``{"n_tombstoned"}``."""
+    id-uniqueness contract as :func:`append_to_ivfpq_index`.
+
+    ``max_pending`` makes the search-time broadcast bound ENFORCED
+    rather than operational convention (round-11 ADVICE): every search
+    broadcasts the whole pending tombstone set, so an unfolded backlog
+    can exceed driver/broadcast memory. If this batch would push the
+    pending distinct-id count past the ceiling, the call REFUSES
+    (nothing is written — fold with :func:`fold_ivfpq_tombstones`, then
+    retry; the default 500k ids ≈ a few MB broadcast). Returns
+    ``{"n_tombstoned", "n_pending"}`` — ``n_pending`` is the post-write
+    backlog, the signal to schedule a fold before the ceiling bites."""
     import posixpath
 
     root = _resolve_ivfpq_root(path)
@@ -1054,12 +1064,14 @@ def delete_from_ivfpq_index(
             posixpath.join(root, "codes")
         ).schema.fields
     }[id_col]
+    existing = _load_tombstone_ids(spark, root, id_col)
+    pending_before = existing.count() if existing is not None else 0
     if isinstance(ids, DataFrame):
         df = ids.select(F.col(id_col).cast(id_type)).distinct()
     else:
         ids = list(ids)
         if not ids:
-            return {"n_tombstoned": 0}
+            return {"n_tombstoned": 0, "n_pending": pending_before}
         df = (
             spark.createDataFrame([(x,) for x in ids], [id_col])
             .select(F.col(id_col).cast(id_type))
@@ -1067,11 +1079,26 @@ def delete_from_ivfpq_index(
         )
     n = df.count()
     if n == 0:
-        return {"n_tombstoned": 0}
+        return {"n_tombstoned": 0, "n_pending": pending_before}
+    # exact post-write backlog (union distinct, both sides tiny) — the
+    # ceiling check must not refuse spuriously on re-deletes of
+    # already-tombstoned ids
+    n_pending = (
+        existing.unionByName(df).distinct().count()
+        if existing is not None
+        else n
+    )
+    if n_pending > max_pending:
+        raise ValueError(
+            f"delete_from_ivfpq_index: this batch would leave "
+            f"{n_pending} pending tombstones > max_pending={max_pending} "
+            f"(every search broadcasts the whole pending set); nothing "
+            f"was written — run fold_ivfpq_tombstones first, then retry"
+        )
     df.coalesce(1).write.mode("append").parquet(
         posixpath.join(root, "tombstones")
     )
-    return {"n_tombstoned": n}
+    return {"n_tombstoned": n, "n_pending": n_pending}
 
 
 def fold_ivfpq_tombstones(

@@ -86,10 +86,12 @@ def test_scd2_apply_versions_and_intervals(spark):
 def test_scd2_apply_base_side_joins_are_broadcast(spark):
     out = scd2_apply(_base(spark), _changes(spark), key="k", attrs=["v"])
     plan = out._jdf.queryExecution().executedPlan().toString()
-    # all three base-touching joins (close-current inner, untouched
-    # anti, and the on_late='error' history guard's left probe) must be
-    # broadcast hash joins — the base is never exchanged
-    assert plan.count("BroadcastHashJoin") == 3
+    # all four base-touching joins (close-current inner, untouched
+    # anti, the on_late='error' history guard's left probe, and the
+    # orphan-delete guard's semi probe) plus the orphan anti against
+    # the tiny present-key set must be broadcast hash joins — the base
+    # is never exchanged
+    assert plan.count("BroadcastHashJoin") == 5
     assert "SortMergeJoin" not in plan
     # the caller-guaranteed fast path keeps the round-9 two-join shape
     fast = scd2_apply(
@@ -479,6 +481,92 @@ def test_scd2_splice_orphan_delete_tombstone(spark):
         for r in snap2.collect()
     }
     assert got == {(4, 7.0, dt.datetime(2020, 1, 2), t9, False)}, got
+
+
+def test_scd2_apply_orphan_delete_raises(spark):
+    """Round-11 ADVICE (medium): in error mode a 'D' for a key ABSENT
+    from the snapshot is the D-before-I arrival — previously it left no
+    trace (no base row for either boundary guard to ride, the opened
+    branch filters 'D' out), so a later earlier-ts insert resurrected
+    the key as open-forever. Now it raises at execution; splice mode
+    keeps handling it via tombstones."""
+    import pytest
+
+    base = _base(spark)
+    # cross-batch orphan: D for key 9, no snapshot row
+    orphan = spark.createDataFrame(
+        [(9, 0.0, "D", T1)], "k int, v double, op string, ts timestamp"
+    )
+    with pytest.raises(Exception, match="absent from the snapshot"):
+        scd2_apply(base, orphan, key="k", attrs=["v"]).collect()
+
+    # within-batch D-before-I is the same orphan class (the delete's
+    # insert never arrived) and must also raise
+    dbi = spark.createDataFrame(
+        [(9, 0.0, "D", T1), (9, 90.0, "I", T2)],
+        "k int, v double, op string, ts timestamp",
+    )
+    with pytest.raises(Exception, match="absent from the snapshot"):
+        scd2_apply(base, dbi, key="k", attrs=["v"]).collect()
+
+    # ordered I-then-D on a brand-new key stays legal: one closed version
+    itd = spark.createDataFrame(
+        [(9, 90.0, "I", T1), (9, 0.0, "D", T2)],
+        "k int, v double, op string, ts timestamp",
+    )
+    k9 = {
+        (r.v, r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_apply(base, itd, key="k", attrs=["v"])
+        .filter("k = 9")
+        .collect()
+    }
+    assert k9 == {(90.0, T1, T2, False)}
+
+    # a leading 'D' on an EXISTING key is the normal close — no raise
+    # (k=3 in the main fixture already covers this; re-pin it next to
+    # the guard so a regression points here)
+    dd = spark.createDataFrame(
+        [(3, 0.0, "D", T1)], "k int, v double, op string, ts timestamp"
+    )
+    k3 = {
+        (r.v, r.valid_to, r.is_current)
+        for r in scd2_apply(base, dd, key="k", attrs=["v"])
+        .filter("k = 3")
+        .collect()
+    }
+    assert k3 == {(30.0, T1, False)}
+
+    # splice mode still persists the orphan as a zero-length tombstone
+    # rather than raising (test_scd2_splice_orphan_delete_tombstone
+    # pins the full lifecycle)
+    sp = scd2_apply(base, orphan, key="k", attrs=["v"], on_late="splice")
+    t = [r for r in sp.filter("k = 9").collect()]
+    assert len(t) == 1 and t[0].valid_from == t[0].valid_to == T1
+
+
+def test_scd2_apply_ntz_batch_cast_to_snapshot_dtype(spark):
+    """Round-11 ADVICE: a TIMESTAMP_NTZ change batch against an LTZ
+    snapshot is cast to the snapshot's validity dtype AT ENTRY (one
+    explicit cast) instead of leaning on union-time coercion — result
+    schema and values must match the plain-LTZ batch in every mode."""
+    base = _base(spark)
+    ltz = _changes(spark)
+    ntz = ltz.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    for mode in ("error", "splice", "ignore"):
+        want = {
+            (r.k, r.v, r.valid_from, r.valid_to, r.is_current)
+            for r in scd2_apply(
+                base, ltz, key="k", attrs=["v"], on_late=mode
+            ).collect()
+        }
+        out = scd2_apply(base, ntz, key="k", attrs=["v"], on_late=mode)
+        assert dict(out.dtypes)["valid_from"] == "timestamp", mode
+        assert dict(out.dtypes)["valid_to"] == "timestamp", mode
+        got = {
+            (r.k, r.v, r.valid_from, r.valid_to, r.is_current)
+            for r in out.collect()
+        }
+        assert got == want, mode
 
 
 def test_scd2_date_snapshot_schema_preserved_and_mismatch_raises(spark):

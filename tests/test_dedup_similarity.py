@@ -1964,6 +1964,90 @@ def test_ivfpq_tombstone_delete_fold_and_retrain(spark, sf_dir, tmp_path):
     assert not {r["neighbor_id"] for r in search()} & set(more)
 
 
+def test_ivfpq_delete_max_pending_ceiling(spark, sf_dir, tmp_path):
+    """Round-11 ADVICE: the search-time tombstone broadcast bound is
+    ENFORCED — a delete batch that would push the pending backlog past
+    ``max_pending`` refuses BEFORE writing (fold, then retry), the
+    count is exact across re-deletes of already-tombstoned ids (union
+    distinct, no spurious refusal), and n_pending is reported."""
+    import os
+
+    import pytest
+
+    from pulsar_elasticsearch_sync_rs_spark.operators.pq import (
+        delete_from_ivfpq_index,
+        fold_ivfpq_tombstones,
+        persist_ivfpq_index,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivfpq")
+    persist_ivfpq_index(emb, path, nlist=8, m=16, ksub=64)
+    ids = sorted(
+        r["vec_id"] for r in emb.select("vec_id").limit(6).collect()
+    )
+
+    rep = delete_from_ivfpq_index(spark, ids[:3], path, max_pending=5)
+    assert rep == {"n_tombstoned": 3, "n_pending": 3}
+    # re-deleting the same ids must not double-count toward the ceiling
+    rep = delete_from_ivfpq_index(spark, ids[:3], path, max_pending=3)
+    assert rep["n_pending"] == 3
+    # pushing past the ceiling refuses and writes NOTHING
+    with pytest.raises(ValueError, match="max_pending"):
+        delete_from_ivfpq_index(spark, ids[3:], path, max_pending=5)
+    pending = (
+        spark.read.parquet(os.path.join(path, "tombstones"))
+        .distinct()
+        .count()
+    )
+    assert pending == 3, "refused batch must leave the table untouched"
+    # fold clears the backlog; the refused batch then lands
+    fold_ivfpq_tombstones(spark, path)
+    rep = delete_from_ivfpq_index(spark, ids[3:], path, max_pending=5)
+    assert rep == {"n_tombstoned": 3, "n_pending": 3}
+    # empty batch still reports the live backlog
+    assert delete_from_ivfpq_index(spark, [], path) == {
+        "n_tombstoned": 0,
+        "n_pending": 3,
+    }
+
+
+def test_jpeg_truncated_dht_raises_even_with_warm_cache():
+    """Round-11 ADVICE: DHT segment-completeness is validated BEFORE
+    the memoization probe — a truncated table must raise 'truncated
+    Huffman table' whether or not a previous decode populated
+    _DHT_CACHE, for truncation in the vals region AND in the 16-byte
+    bits region (the clamped slice must never be used as a cache key)."""
+    import struct
+
+    import pytest
+
+    from pulsar_elasticsearch_sync_rs_spark.operators.multimodal import (
+        parse_jpeg,
+        synth_jpeg,
+    )
+
+    blob = synth_jpeg(16, 16, luma=120)
+    parse_jpeg(blob)  # warm the cache with every full-length table
+
+    pos = blob.find(b"\xff\xc4")
+    assert pos > 0
+    (ln,) = struct.unpack(">H", blob[pos + 2 : pos + 4])
+
+    def with_dht_len(new_len: int) -> bytes:
+        c = bytearray(blob)
+        c[pos + 2 : pos + 4] = struct.pack(">H", new_len)
+        return bytes(c)
+
+    # cut inside the vals region (body keeps the declared short length,
+    # so the outer segment check passes and the inner one must fire)
+    with pytest.raises(ValueError, match="truncated Huffman table"):
+        parse_jpeg(with_dht_len(ln - 2))
+    # cut inside the 17-byte class/bits header
+    with pytest.raises(ValueError, match="truncated Huffman table"):
+        parse_jpeg(with_dht_len(12))
+
+
 def test_jpeg_batched_idct_bit_identical_to_per_block():
     """Round-11 perf rewrite guard: _idct_plane (the batched
     dequant+IDCT both decode paths now share) must be BIT-identical —

@@ -453,6 +453,13 @@ def test_scd2_apply_matches_interval_model(spark_global, changes, base_keys):
     for k, v, op, ts in sorted(batch, key=lambda r: (r[0], r[3])):
         by_key.setdefault(k, []).append((ts, v, op))
     touched = set(by_key)
+    # round-11 ADVICE: a key whose FIRST op is 'D' with no base row is
+    # the D-before-I orphan — error mode (the default here) must raise
+    # instead of silently dropping it
+    orphan = any(
+        ops[0][2] == "D" and k not in base_keys
+        for k, ops in by_key.items()
+    )
     for k in sorted(base_keys):
         if k in touched:
             want.add((k, -1.0, t0 - 30 * day, by_key[k][0][0], False))
@@ -485,6 +492,12 @@ def test_scd2_apply_matches_interval_model(spark_global, changes, base_keys):
     # (Counter, not sorted(): None valid_to doesn't order vs datetime.)
     from collections import Counter
 
+    if orphan:
+        import pytest
+
+        with pytest.raises(Exception, match="absent from the snapshot"):
+            scd2_apply(base, ch, key="k", attrs=["v"]).collect()
+        return
     rows = Counter(
         (r.k, r.v, r.valid_from, r.valid_to, r.is_current)
         for r in scd2_apply(base, ch, key="k", attrs=["v"]).collect()
