@@ -247,6 +247,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_train": _wrap(L.q_bpe_train),  # exact distributed BPE training (rows-only; full-freq parity pytest)
         "q_weighted_sample": _wrap(L.q_weighted_sample),  # Efraimidis-Spirakis weighted sample w/o replacement per stratum
         "q_knn_ivfpq_auto": _wrap(L.q_knn_ivfpq_auto),  # spectrum-aware IVF-PQ build selection (rows-only; regime pytest)
+        "q_epoch_shuffle": _wrap(L.q_epoch_shuffle),  # deterministic epoch permutation: range-exchange global index, no single-partition window
     }
 
 
@@ -301,4 +302,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "q_scd2_asof": A.ORACLE_SCD2_ASOF,
         "q_scd2_diff": A.ORACLE_SCD2_DIFF,
         "q_zorder_scan": A.ORACLE_ZORDER_SCAN,
+        "q_epoch_shuffle": L.ORACLE_EPOCH_SHUFFLE,
     }

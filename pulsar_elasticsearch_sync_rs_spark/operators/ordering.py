@@ -1,0 +1,131 @@
+"""Distributed total ordering — global row enumeration and the
+deterministic epoch shuffle a training-data pipeline runs before every
+pass over the corpus.
+
+The reference hands ordering to Elasticsearch (documents land in index
+order; `src/es.rs` bulk preserves batch sequence). A training pipeline
+needs the stronger primitive: assign every row a GLOBAL position under
+a total order, at scale. The obvious Spark spelling —
+``row_number().over(Window.orderBy(...))`` — moves the ENTIRE dataset
+to one partition (WindowExec with no partition spec), which is exactly
+the plan that dies first at 100 TB. This module does it the
+scale-correct way, the same two-pass shape RDD ``zipWithIndex`` uses
+but staying in DataFrame/Arrow land:
+
+  1. range-exchange on the order key + sort within partitions (the
+     standard distributed total sort — Spark samples split points, so
+     every partition holds a contiguous key range);
+  2. one cheap counting pass over the ALREADY-SORTED checkpointed
+     partitions (≤ numPartitions skinny rows to the driver);
+  3. one Arrow pass that adds ``offset[partition] + local_rank`` — no
+     further shuffle, no window.
+
+The sorted frame is lazily ``localCheckpoint``-ed so the range sort is
+paid ONCE, not re-executed by the counting job (the per-call persist
+would leak the CacheManager entry — layout.py rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def global_index(
+    df: DataFrame,
+    order_col: str,
+    out_col: str = "pos",
+    start: int = 0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``out_col`` = the 0-based (or ``start``-based) global rank
+    of each row under ascending ``order_col`` — a total enumeration
+    with NO single-partition window.
+
+    Positions are exact and gap-free: ``start .. start + n - 1``, each
+    exactly once. Ties in ``order_col`` receive arbitrary-but-
+    deterministic-within-a-materialization positions (the range
+    partitioner keeps equal keys in one partition, so re-reading the
+    RESULT is stable; re-running the operator on differently-
+    partitioned input may permute ties — pass a unique key, e.g.
+    :func:`epoch_shuffle`'s md5, when cross-run determinism matters).
+
+    Scale: one range exchange (the sort every total order costs), one
+    ≤ numPartitions-row count collect, one Arrow pass. Contrast with
+    ``row_number().over(Window.orderBy(...))``, which plans a single
+    partition holding the full dataset — the pytest pins this plan
+    shape (no WindowExec, rangepartitioning present)."""
+    if order_col not in df.columns:
+        raise ValueError(f"global_index: no column {order_col!r}")
+    if out_col in df.columns:
+        raise ValueError(f"global_index: column {out_col!r} already exists")
+    n_parts = int(
+        num_partitions
+        or df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    ranged = (
+        df.repartitionByRange(n_parts, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    counts = ranged.groupBy("__pid").count().collect()
+    offsets: dict[int, int] = {}
+    acc = int(start)
+    for r in sorted(counts, key=lambda r: r["__pid"]):
+        offsets[int(r["__pid"])] = acc
+        acc += int(r["count"])
+
+    out_fields = [f for f in ranged.schema.fields if f.name != "__pid"]
+    schema = T.StructType(out_fields + [T.StructField(out_col, T.LongType())])
+    cols = [f.name for f in out_fields]
+
+    def add_pos(batches):
+        import numpy as np
+
+        # one task == one checkpointed partition; batches arrive in
+        # the partition's sorted order, so a running counter is the
+        # local rank
+        seen = 0
+        off = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if off is None:
+                off = offsets[int(pdf["__pid"].iloc[0])]
+            out = pdf[cols].copy()
+            out[out_col] = np.arange(seen, seen + len(pdf), dtype=np.int64) + off
+            seen += len(pdf)
+            yield out
+
+    return ranged.mapInPandas(add_pos, schema)
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    epoch: int,
+    out_col: str = "pos",
+) -> DataFrame:
+    """Deterministic corpus permutation for training epoch ``epoch``:
+    every row gets ``out_col`` = its 0-based position in the shuffled
+    order, where the order is ascending ``md5("ep{epoch}|" || id)`` —
+    content-independent, reproducible across runs/partitionings/
+    engines (DuckDB's md5 renders the identical hex, so the lane is
+    hash-oracled), and a DIFFERENT permutation each epoch.
+
+    This is the "shuffle once per epoch" step of a data loader, done
+    as a layout instead of an in-memory operation: write the result
+    range-partitioned and readers stream position ranges. Scale: the
+    md5 is one narrow projection; everything else is
+    :func:`global_index` (one range exchange — at 100 TB the shuffle
+    IS the product, there is no cheaper total permutation)."""
+    key = F.md5(
+        F.concat(
+            F.lit(f"ep{int(epoch)}|"), F.col(id_col).cast("string")
+        )
+    )
+    return global_index(
+        df.withColumn("__shuffle_key", key), "__shuffle_key", out_col
+    ).drop("__shuffle_key")

@@ -3002,3 +3002,29 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-epoch corpus shuffle
+    (operators/ordering.epoch_shuffle): every document's 0-based
+    position in the epoch-7 permutation, ordered by
+    md5('ep7|' || doc_id). The scale point is the PLAN: global
+    enumeration via range-exchange + per-partition offsets (the
+    zipWithIndex shape), never a single-partition
+    row_number() window — tests/test_ordering.py pins no-WindowExec.
+    Fully hash-oracled: DuckDB's md5 renders the identical hex, so
+    ROW_NUMBER() over the same key reproduces every position."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.ordering import (
+        epoch_shuffle,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return epoch_shuffle(docs, "doc_id", epoch=7).select("pos", "doc_id")
+
+
+ORACLE_EPOCH_SHUFFLE = """
+SELECT
+  ROW_NUMBER() OVER (ORDER BY md5('ep7|' || CAST(doc_id AS VARCHAR))) - 1 AS pos,
+  doc_id
+FROM documents
+"""
