@@ -248,6 +248,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_weighted_sample": _wrap(L.q_weighted_sample),  # Efraimidis-Spirakis weighted sample w/o replacement per stratum
         "q_knn_ivfpq_auto": _wrap(L.q_knn_ivfpq_auto),  # spectrum-aware IVF-PQ build selection (rows-only; regime pytest)
         "q_epoch_shuffle": _wrap(L.q_epoch_shuffle),  # deterministic epoch permutation: range-exchange global index, no single-partition window
+        "q_split_leakage_safe": _wrap(L.q_split_leakage_safe),  # cluster-grain train/val/test split: near-dup families never straddle splits
     }
 
 
@@ -303,4 +304,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "q_scd2_diff": A.ORACLE_SCD2_DIFF,
         "q_zorder_scan": A.ORACLE_ZORDER_SCAN,
         "q_epoch_shuffle": L.ORACLE_EPOCH_SHUFFLE,
+        "q_split_leakage_safe": L.ORACLE_SPLIT_LEAKAGE_SAFE,
     }

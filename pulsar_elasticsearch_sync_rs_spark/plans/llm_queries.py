@@ -190,7 +190,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(docs, pairs, id_col="doc_id")
 
 
-ORACLE_DEDUP_CLUSTERS = r"""
+# the transitive-closure CTE chain shared by the cluster lane and the
+# leakage-safe split lane (identical component labels, different final
+# projection)
+_CLUSTERS_CTE = r"""
 WITH RECURSIVE sh AS (
   SELECT doc_id, lang, source,
     list_distinct(CASE WHEN len(toks) >= 3
@@ -219,11 +222,18 @@ WITH RECURSIVE sh AS (
   SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE r.u <> s.v
 ), comp AS (
   SELECT u AS id, least(u, min(v)) AS cluster FROM reach GROUP BY u
+), labeled AS (
+  SELECT d.doc_id, CAST(coalesce(c.cluster, d.doc_id) AS BIGINT) AS cluster
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
 )
-SELECT d.doc_id, CAST(coalesce(c.cluster, d.doc_id) AS BIGINT) AS cluster
-FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
-ORDER BY d.doc_id
 """
+
+ORACLE_DEDUP_CLUSTERS = (
+    _CLUSTERS_CTE
+    + """
+SELECT doc_id, cluster FROM labeled ORDER BY doc_id
+"""
+)
 
 
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3028,3 +3038,50 @@ SELECT
   doc_id
 FROM documents
 """
+
+
+# decorrelated from TRAIN_SPLIT_SALT (that stream hashes doc_id; this
+# one hashes CLUSTER ids, but several lanes run both over the same
+# table and independent permutations keep the decisions independent)
+CLUSTER_SPLIT_SALT = 22695477
+
+
+def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test split: the unit of assignment is the
+    near-dup CLUSTER, not the document. q_train_split's per-doc hash
+    lets two near-identical documents straddle train and test — the
+    classic eval-contamination leak (Lee et al. 2021 §6); hashing the
+    cluster id (q_dedup_clusters' transitive components over exact
+    Jaccard ≥ 0.35 pairs) pins every member of a duplicate family to
+    ONE split by construction. 80/10/10 so val/test are non-vacuous at
+    the grading fixtures (pytest asserts all three splits occupied AND
+    a multi-doc cluster exists — the witness that the property is
+    actually exercised).
+
+    Output: per-doc (doc_id, cluster, split) — fully hash-oracled: the
+    recursive-CTE transitive closure labels identically, and the split
+    is the same pure Knuth-hash arithmetic on both engines.
+
+    Scale: one narrow projection on top of the clustering (whose
+    banded/blocked plan is the scale story — see q_dedup_clusters);
+    the split adds no shuffle."""
+    clusters = q_dedup_clusters(spark, sf_dir)
+    bucket = knuth_u32(F.col("cluster"), CLUSTER_SPLIT_SALT) % F.lit(100)
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return clusters.select("doc_id", "cluster", split.alias("split"))
+
+
+ORACLE_SPLIT_LEAKAGE_SAFE = (
+    _CLUSTERS_CTE
+    + """
+SELECT doc_id, cluster,
+  CASE WHEN ((cluster + 22695477) * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
+       WHEN ((cluster + 22695477) * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
+       ELSE 'test' END AS split
+FROM labeled ORDER BY doc_id
+"""
+)

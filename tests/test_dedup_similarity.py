@@ -1964,6 +1964,33 @@ def test_ivfpq_tombstone_delete_fold_and_retrain(spark, sf_dir, tmp_path):
     assert not {r["neighbor_id"] for r in search()} & set(more)
 
 
+def test_split_leakage_safe_no_cluster_straddles(spark, sf_dir):
+    """q_split_leakage_safe's whole point, pinned directly: every
+    near-dup cluster lands in exactly ONE split (no eval-contamination
+    leak), the witness is non-vacuous (at least one multi-doc cluster
+    exists and all three splits are occupied), and the assignment is
+    exhaustive/disjoint over the corpus."""
+    from pulsar_elasticsearch_sync_rs_spark.plans.llm_queries import (
+        q_split_leakage_safe,
+    )
+
+    rows = q_split_leakage_safe(spark, sf_dir).collect()
+    n_docs = read_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    assert len({r.doc_id for r in rows}) == n_docs
+    splits_by_cluster: dict = {}
+    sizes: dict = {}
+    for r in rows:
+        splits_by_cluster.setdefault(r.cluster, set()).add(r.split)
+        sizes[r.cluster] = sizes.get(r.cluster, 0) + 1
+    assert all(len(s) == 1 for s in splits_by_cluster.values()), {
+        c: s for c, s in splits_by_cluster.items() if len(s) > 1
+    }
+    # non-vacuous: a doc-grain hash COULD have straddled something
+    assert max(sizes.values()) >= 2, "fixture produced no multi-doc cluster"
+    assert {r.split for r in rows} == {"train", "val", "test"}
+
+
 def test_ivfpq_delete_max_pending_ceiling(spark, sf_dir, tmp_path):
     """Round-11 ADVICE: the search-time tombstone broadcast bound is
     ENFORCED — a delete batch that would push the pending backlog past
