@@ -249,6 +249,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_ivfpq_auto": _wrap(L.q_knn_ivfpq_auto),  # spectrum-aware IVF-PQ build selection (rows-only; regime pytest)
         "q_epoch_shuffle": _wrap(L.q_epoch_shuffle),  # deterministic epoch permutation: range-exchange global index, no single-partition window
         "q_split_leakage_safe": _wrap(L.q_split_leakage_safe),  # cluster-grain train/val/test split: near-dup families never straddle splits
+        "q_kmeans_balance": _wrap(L.q_kmeans_balance),  # full-corpus Lloyd k-means + cluster-balanced cap (rows-only; numpy-parity pytest)
     }
 
 

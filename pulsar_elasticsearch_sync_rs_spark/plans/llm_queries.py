@@ -3085,3 +3085,41 @@ SELECT doc_id, cluster,
 FROM labeled ORDER BY doc_id
 """
 )
+
+
+def q_kmeans_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic clustering + cluster-balanced subsampling
+    (operators/kmeans.py): fit full-corpus Lloyd k-means on the
+    embeddings (k=8, 5 exact iterations — every update the global
+    mean, one skinny moment row per partition per pass), label every
+    vector, then cap each cluster at 30 deterministically-chosen rows —
+    the mixture-rebalancing step of a DoReMi-style pipeline (head
+    domains capped, tail domains kept whole).
+
+    Rows-only lane: the eigen—iterative fit has no ANSI-SQL twin;
+    determinism up to float summation order and the full numpy-parity
+    math are pinned in tests/test_kmeans.py. Output: one row per
+    non-empty cluster (count before/after the cap)."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.kmeans import (
+        assign_clusters,
+        kmeans_fit,
+        sample_balanced_by_cluster,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    model = kmeans_fit(emb, "embedding", k=8, n_iter=5, id_col="vec_id")
+    assigned = assign_clusters(emb, model, "embedding")
+    balanced = sample_balanced_by_cluster(
+        assigned, "cluster_id", n_per_cluster=30, id_col="vec_id"
+    )
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(F.count("*").alias("n_vecs"))
+        .join(
+            balanced.groupBy("cluster_id").agg(
+                F.count("*").alias("n_sampled")
+            ),
+            "cluster_id",
+        )
+        .orderBy("cluster_id")
+    )

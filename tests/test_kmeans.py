@@ -1,0 +1,142 @@
+"""Distributed k-means (operators/kmeans.py): exact numpy-parity of
+the moment-pass Lloyd iterations, determinism across partitionings,
+Lloyd's SSE monotonicity, the empty-corpus/k>n contracts, and the
+cluster-balanced sampler's quota + determinism."""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, ".")
+
+from pulsar_elasticsearch_sync_rs_spark.operators.kmeans import (
+    assign_clusters,
+    kmeans_fit,
+    sample_balanced_by_cluster,
+)
+from pulsar_elasticsearch_sync_rs_spark.sources.batch import read_table
+
+K, ITERS = 6, 5
+
+
+def _numpy_lloyd(ids, X, k, n_iter):
+    """The operator's documented semantics, re-implemented
+    independently: md5-ordered seed pick, exact global-mean updates,
+    empty clusters keep their previous center, ties to lowest index."""
+    order = np.argsort(
+        [hashlib.md5(str(i).encode()).hexdigest() for i in ids],
+        kind="stable",
+    )
+    centers = X[order[:k]].astype(np.float64).copy()
+    sse_hist = []
+    for _ in range(n_iter):
+        d2 = (
+            (X * X).sum(axis=1, keepdims=True)
+            - 2.0 * (X @ centers.T)
+            + (centers * centers).sum(axis=1)
+        )
+        a = d2.argmin(axis=1)
+        sse_hist.append(float(np.maximum(d2[np.arange(len(X)), a], 0.0).sum()))
+        new = centers.copy()
+        for c in range(k):
+            m = a == c
+            if m.any():
+                new[c] = X[m].mean(axis=0)
+        centers = new
+    # assignment at the RETURNED centers (assign_clusters' contract) —
+    # the in-loop `a` is at the centers entering the final update
+    d2 = (
+        (X * X).sum(axis=1, keepdims=True)
+        - 2.0 * (X @ centers.T)
+        + (centers * centers).sum(axis=1)
+    )
+    return centers, sse_hist, d2.argmin(axis=1)
+
+
+def test_kmeans_matches_numpy_reference(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    want_centers, want_sse, want_assign = _numpy_lloyd(ids, X, K, ITERS)
+
+    model = kmeans_fit(emb, "embedding", k=K, n_iter=ITERS, id_col="vec_id")
+    assert model.n_rows == len(rows) and model.iters == ITERS
+    np.testing.assert_allclose(model.centers, want_centers, rtol=0, atol=1e-8)
+    np.testing.assert_allclose(model.sse, want_sse, rtol=1e-12)
+    # Lloyd: SSE at entering centers is non-increasing
+    assert all(
+        b <= a * (1 + 1e-12) for a, b in zip(model.sse, model.sse[1:])
+    ), model.sse
+
+    got = {
+        r.vec_id: r.cluster_id
+        for r in assign_clusters(emb, model, "embedding").collect()
+    }
+    want = dict(zip(ids.tolist(), want_assign.tolist()))
+    assert got == want
+
+
+def test_kmeans_partitioning_invariant(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    a = kmeans_fit(emb, "embedding", k=K, n_iter=3, id_col="vec_id")
+    b = kmeans_fit(
+        emb.repartition(13), "embedding", k=K, n_iter=3, id_col="vec_id"
+    )
+    np.testing.assert_allclose(a.centers, b.centers, rtol=0, atol=1e-9)
+
+
+def test_kmeans_contracts(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty corpus"):
+        kmeans_fit(empty, "embedding", k=2)
+    tiny = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="exceeds the corpus size"):
+        kmeans_fit(tiny, "embedding", k=3)
+    m = kmeans_fit(tiny, "embedding", k=2, n_iter=2)
+    with pytest.raises(ValueError, match="already exists"):
+        assign_clusters(
+            assign_clusters(tiny, m, "embedding"), m, "embedding"
+        )
+
+
+def test_balanced_sample_quota_and_determinism(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    model = kmeans_fit(emb, "embedding", k=K, n_iter=3, id_col="vec_id")
+    assigned = assign_clusters(emb, model, "embedding")
+    sizes = {
+        r.cluster_id: r.n
+        for r in assigned.groupBy("cluster_id").agg(F.count("*").alias("n")).collect()
+    }
+    cap = 20
+    bal = sample_balanced_by_cluster(
+        assigned, "cluster_id", n_per_cluster=cap, id_col="vec_id"
+    )
+    got = {
+        r.cluster_id: r.n
+        for r in bal.groupBy("cluster_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == {c: min(cap, n) for c, n in sizes.items()}
+    # deterministic pick (no RNG): same id set on re-run
+    pick = lambda: sorted(r.vec_id for r in bal.select("vec_id").collect())
+    assert pick() == pick()
+    # the kept ids per cluster are exactly the md5-smallest ones
+    kept = {r.vec_id for r in bal.collect()}
+    by_cluster: dict = {}
+    for r in assigned.collect():
+        by_cluster.setdefault(r.cluster_id, []).append(r.vec_id)
+    for c, ids in by_cluster.items():
+        want = set(
+            sorted(
+                ids,
+                key=lambda i: hashlib.md5(f"bal|{i}".encode()).hexdigest(),
+            )[:cap]
+        )
+        assert {i for i in kept if i in set(ids)} == want
