@@ -71,6 +71,15 @@ HEADLINE = [
     # path — per-doc cost is the number that matters)
     "q_bm25_topk",
     "q_media_jpeg_prog",
+    # round-12 addition: the per-epoch corpus permutation (range
+    # exchange + offset pass — the operator every training run executes
+    # once per epoch; its plan pin is the whole point: one Arrow node,
+    # no single-partition window). q_kmeans_balance and
+    # q_split_leakage_safe are NOT here for the same reason as the IVF
+    # semantic dedup lane above: at fixture scale their walls are
+    # iteration/checkpoint constants — their cost curves live in the
+    # decade table (tools/probe_round12_decade.py, SCALE.md).
+    "q_epoch_shuffle",
 ]
 
 # per-query protocol: ONE untimed warm-up execution (pays plan codegen,
@@ -115,6 +124,7 @@ PLAN_PINS: dict[str, dict] = {
     "q_substring_dedup": {"arrow_max": 0},  # md5 grams + windows, pure JVM
     "q_bm25_topk": {"arrow_max": 0},  # tokenize/agg/joins all JVM; the ≤5-element sum is an interpreted HOF, not Arrow
     "q_media_jpeg_prog": {"arrow_max": 2},  # synth corpus + decode: exactly two MapInPandas
+    "q_epoch_shuffle": {"arrow_max": 0, "window_free": True},  # pure JVM (monotonic-id rank + broadcast offsets); a Window node here is the single-partition regression
 }
 
 # Streaming state pins (round 8): the stateful lanes' peak state-store
@@ -235,7 +245,14 @@ def _plan_profile(df) -> dict:
     # matches the FlatMapGroupsInPandas prefix — subtract so a stateful
     # node isn't double-counted into arrow_nodes
     counts["FlatMapGroupsInPandas"] -= counts["FlatMapGroupsInPandasWithState"]
-    return {"arrow_nodes": sum(counts.values()), **{k: v for k, v in counts.items() if v}}
+    return {
+        "arrow_nodes": sum(counts.values()),
+        # for window_free pins: any window exec node ("Window [", Window
+        # GroupLimit, RunningWindowFunction) — the single-partition
+        # global-sort regression a total-ordering lane must never plan
+        "window_nodes": plan.count("Window"),
+        **{k: v for k, v in counts.items() if v},
+    }
 
 
 def main() -> None:
@@ -316,6 +333,11 @@ def main() -> None:
             # so the zero-shuffle check runs the bare plan once through
             # a noop write (no aggregation stage) and requires EXACTLY
             # zero bytes.
+            if pin.get("window_free") and prof["window_nodes"] > 0:
+                violations.append(
+                    f"{name}: pinned window-free but the plan has"
+                    f" {prof['window_nodes']} Window node(s)"
+                )
             if pin.get("shuffle_free"):
                 nz0 = _shuffle_totals(spark)
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

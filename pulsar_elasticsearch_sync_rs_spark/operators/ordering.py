@@ -17,19 +17,30 @@ but staying in DataFrame/Arrow land:
      every partition holds a contiguous key range);
   2. one cheap counting pass over the ALREADY-SORTED checkpointed
      partitions (≤ numPartitions skinny rows to the driver);
-  3. one Arrow pass that adds ``offset[partition] + local_rank`` — no
-     further shuffle, no window.
+  3. one PURE-JVM projection that adds ``offset[partition] +
+     local_rank`` — ``monotonically_increasing_id()`` over the
+     materialized sorted partitions encodes the within-partition rank
+     in its low 33 bits, and the per-partition offsets ride a
+     broadcast join — no Arrow crossing, no further shuffle, no
+     window. (The first cut of this operator assigned positions in a
+     ``mapInPandas`` pass; at 60M rows the Arrow round-trip WAS the
+     wall — 42.9 s vs 6.6 s for this plan, SCALE.md round-12 table.)
 
 The sorted frame is lazily ``localCheckpoint``-ed so the range sort is
 paid ONCE, not re-executed by the counting job (the per-call persist
-would leak the CacheManager entry — layout.py rule).
+would leak the CacheManager entry — layout.py rule), and so the id
+assignment reads a FIXED materialization (both the counting job and
+the projection see identical partition row orders).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
+
+# monotonically_increasing_id(): partition id in the upper 31 bits,
+# within-partition record number in the lower 33
+_MID_PARTITION_STRIDE = 1 << 33
 
 
 def global_index(
@@ -52,10 +63,12 @@ def global_index(
     :func:`epoch_shuffle`'s md5, when cross-run determinism matters).
 
     Scale: one range exchange (the sort every total order costs), one
-    ≤ numPartitions-row count collect, one Arrow pass. Contrast with
-    ``row_number().over(Window.orderBy(...))``, which plans a single
-    partition holding the full dataset — the pytest pins this plan
-    shape (no WindowExec, rangepartitioning present)."""
+    ≤ numPartitions-row count collect, one pure-JVM projection (the
+    offsets ride a broadcast join, so partition counts in the
+    hundreds of thousands stay fine — no giant CASE expression).
+    Contrast with ``row_number().over(Window.orderBy(...))``, which
+    plans a single partition holding the full dataset — the pytest
+    pins this plan shape (no WindowExec)."""
     if order_col not in df.columns:
         raise ValueError(f"global_index: no column {order_col!r}")
     if out_col in df.columns:
@@ -67,39 +80,32 @@ def global_index(
     ranged = (
         df.repartitionByRange(n_parts, F.col(order_col))
         .sortWithinPartitions(order_col)
-        .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=False)
     )
-    counts = ranged.groupBy("__pid").count().collect()
-    offsets: dict[int, int] = {}
+    # both derived columns are evaluated over the CHECKPOINTED (already
+    # sorted, order-frozen) partitions, so the low 33 bits of the
+    # monotonic id ARE the within-partition sorted rank
+    with_ids = ranged.withColumn("__pid", F.spark_partition_id()).withColumn(
+        "__mid", F.monotonically_increasing_id()
+    )
+    counts = with_ids.groupBy("__pid").count().collect()
+    spark = df.sparkSession
     acc = int(start)
+    off_rows = []
     for r in sorted(counts, key=lambda r: r["__pid"]):
-        offsets[int(r["__pid"])] = acc
+        off_rows.append((int(r["__pid"]), acc))
         acc += int(r["count"])
-
-    out_fields = [f for f in ranged.schema.fields if f.name != "__pid"]
-    schema = T.StructType(out_fields + [T.StructField(out_col, T.LongType())])
-    cols = [f.name for f in out_fields]
-
-    def add_pos(batches):
-        import numpy as np
-
-        # one task == one checkpointed partition; batches arrive in
-        # the partition's sorted order, so a running counter is the
-        # local rank
-        seen = 0
-        off = None
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            if off is None:
-                off = offsets[int(pdf["__pid"].iloc[0])]
-            out = pdf[cols].copy()
-            out[out_col] = np.arange(seen, seen + len(pdf), dtype=np.int64) + off
-            seen += len(pdf)
-            yield out
-
-    return ranged.mapInPandas(add_pos, schema)
+    if not off_rows:
+        return df.withColumn(out_col, F.lit(None).cast("long"))
+    offs = spark.createDataFrame(off_rows, "__pid int, __off long")
+    local_rank = F.col("__mid") - (
+        F.col("__pid").cast("long") * F.lit(_MID_PARTITION_STRIDE)
+    )
+    return (
+        with_ids.join(F.broadcast(offs), "__pid")
+        .withColumn(out_col, F.col("__off") + local_rank)
+        .drop("__pid", "__mid", "__off")
+    )
 
 
 def epoch_shuffle(
