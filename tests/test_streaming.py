@@ -2606,3 +2606,108 @@ def test_sessionize_state_eviction_plateau(spark, tmpdir):
     assert got.groupBy("user_id", "session_start").count().filter(
         "count > 1"
     ).count() == 0
+
+
+def test_streaming_cdc_ingest_out_of_order_and_replay(spark, tmpdir):
+    """streaming/cdc_ingest.run_cdc_ingest: a CDC stream merged into
+    the partitioned SCD2 snapshot per micro-batch with splice
+    semantics. Pins (1) stream ≡ one-shot ordered batch apply even when
+    batches ARRIVE out of chronological order (including a D-before-I
+    orphan whose insert comes in a later trigger), (2) replaying the
+    whole stream against a FRESH checkpoint leaves the snapshot
+    byte-identical (splice idempotency — the foreachBatch exactly-once
+    story), and (3) only-splice is accepted."""
+    import datetime as dt
+    from collections import Counter
+
+    from pulsar_elasticsearch_sync_rs_spark.operators.cdc import (
+        persist_scd2_partitioned,
+        scd2_apply,
+    )
+    from pulsar_elasticsearch_sync_rs_spark.streaming.cdc_ingest import (
+        run_cdc_ingest,
+    )
+
+    T0 = dt.datetime(2020, 1, 1)
+    T1 = dt.datetime(2021, 1, 1)
+    T2 = dt.datetime(2022, 1, 1)
+    T3 = dt.datetime(2023, 1, 1)
+    base = spark.createDataFrame(
+        [(k, 10.0 * k, T0, None, True) for k in (1, 2, 3, 4)],
+        "k long, v double, valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+    base_dir = os.path.join(tmpdir, "scd2")
+    persist_scd2_partitioned(base, base_dir, key="k", n_parts=4)
+
+    # arrival order != ts order: the LATER events land first, and key
+    # 9's delete (T3) arrives one trigger before its insert (T1)
+    batches = [
+        [(1, 12.0, "U", T2), (9, 0.0, "D", T3)],
+        [(1, 11.5, "U", T1), (9, 90.0, "I", T1)],
+        [(2, 0.0, "D", T2)],
+    ]
+    src_dir = os.path.join(tmpdir, "cdc_src")
+    for i, rows in enumerate(batches):
+        (
+            spark.createDataFrame(rows, "k long, v double, op string, ts timestamp")
+            .coalesce(1)
+            .write.mode("append" if i else "overwrite")
+            .parquet(src_dir)
+        )
+
+    def start(ckpt):
+        stream = (
+            spark.readStream.schema("k long, v double, op string, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        q = run_cdc_ingest(
+            stream,
+            base_dir,
+            ckpt,
+            key="k",
+            attrs=["v"],
+            n_parts=4,
+            available_now=True,
+        )
+        q.awaitTermination(120)
+        return q
+
+    start(os.path.join(tmpdir, "ckpt1"))
+
+    def snap():
+        return Counter(
+            (r.k, r.v, r.valid_from, r.valid_to, r.is_current)
+            for r in spark.read.parquet(base_dir)
+            .select("k", "v", "valid_from", "valid_to", "is_current")
+            .collect()
+        )
+
+    got = snap()
+    ordered = spark.createDataFrame(
+        sorted(sum(batches, []), key=lambda r: r[3]),
+        "k long, v double, op string, ts timestamp",
+    )
+    want = Counter(
+        (r.k, r.v, r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_apply(base, ordered, key="k", attrs=["v"]).collect()
+    )
+    assert got == want
+    # the out-of-order pair resolved chronologically: 9 = [T1, T3)
+    assert (9, 90.0, T1, T3, False) in got
+
+    # replay: fresh checkpoint re-processes every file; splice
+    # idempotency must leave the snapshot unchanged
+    start(os.path.join(tmpdir, "ckpt2"))
+    assert snap() == got
+
+    # only splice is replay-safe under foreachBatch
+    with pytest.raises(ValueError, match="splice"):
+        run_cdc_ingest(
+            spark.readStream.schema("k long, v double, op string, ts timestamp").parquet(src_dir),
+            base_dir,
+            os.path.join(tmpdir, "ckpt3"),
+            key="k",
+            attrs=["v"],
+            on_late="error",
+        )
