@@ -236,9 +236,10 @@ def scd2_apply(
             base.join(F.broadcast(chg_summary.select(key)), key, "left_semi")
             .select(key)
             .distinct()
+            .withColumn("__present", F.lit(True))
         )
-        orphan = chg_summary.filter(F.col("__first_op") == "D").join(
-            F.broadcast(present), key, "left_anti"
+        probe = chg_summary.filter(F.col("__first_op") == "D").join(
+            F.broadcast(present), key, "left"
         )
         guard = F.raise_error(
             F.concat(
@@ -251,11 +252,21 @@ def scd2_apply(
                       "persist a tombstone"),
             )
         )
-        orphan_rows = orphan.select(
+        # the raise rides a FILTER whose predicate references the join's
+        # RIGHT side (__present), so Catalyst can neither prune it (a
+        # bare .count() or a projection that drops to_col would prune a
+        # column-borne guard — and a pruned guard here would not merely
+        # skip the check, it would LEAK the orphan as a phantom null row
+        # into the result) nor push it below the join (a left-side-only
+        # predicate gets pushed under the anti/left join and then fires
+        # for PRESENT keys too — both are round-12 review findings).
+        # Present keys evaluate to null→isNotNull=false and drop; absent
+        # keys evaluate the raise. The clean case contributes 0 rows.
+        orphan_rows = probe.filter(
+            F.when(F.col("__present").isNull(), guard).isNotNull()
+        ).select(
             *[
-                guard.cast(to_type).alias(to_col)
-                if c == to_col
-                else F.col(key).cast(key_type).alias(key)
+                F.col(key).cast(key_type).alias(key)
                 if c == key
                 else F.lit(None).cast(base.schema[c].dataType).alias(c)
                 for c in base.columns

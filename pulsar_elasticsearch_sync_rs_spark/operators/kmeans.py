@@ -75,6 +75,10 @@ def kmeans_fit(
     the numpy twin can mirror it)."""
     if k < 1:
         raise ValueError("kmeans_fit: k must be >= 1")
+    if n_iter < 1:
+        # zero iterations would skip the loop and return seed vectors
+        # with n_rows=0 — a "fitted" model that never saw the corpus
+        raise ValueError("kmeans_fit: n_iter must be >= 1")
     seed_rows = (
         df.select(F.col(vec_col))
         .orderBy(F.md5(F.col(id_col).cast("string")))

@@ -127,6 +127,11 @@ def epoch_shuffle(
     md5 is one narrow projection; everything else is
     :func:`global_index` (one range exchange — at 100 TB the shuffle
     IS the product, there is no cheaper total permutation)."""
+    if "__shuffle_key" in df.columns:
+        raise ValueError(
+            "epoch_shuffle: column '__shuffle_key' already exists "
+            "(reserved as the internal sort key)"
+        )
     key = F.md5(
         F.concat(
             F.lit(f"ep{int(epoch)}|"), F.col(id_col).cast("string")

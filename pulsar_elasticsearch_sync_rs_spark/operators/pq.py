@@ -1065,13 +1065,19 @@ def delete_from_ivfpq_index(
         ).schema.fields
     }[id_col]
     existing = _load_tombstone_ids(spark, root, id_col)
-    pending_before = existing.count() if existing is not None else 0
+
+    def pending_now() -> int:
+        # counted lazily: only the empty-batch early returns need the
+        # standalone figure (the normal path's union-distinct count
+        # subsumes it — round-12 review finding)
+        return existing.count() if existing is not None else 0
+
     if isinstance(ids, DataFrame):
         df = ids.select(F.col(id_col).cast(id_type)).distinct()
     else:
         ids = list(ids)
         if not ids:
-            return {"n_tombstoned": 0, "n_pending": pending_before}
+            return {"n_tombstoned": 0, "n_pending": pending_now()}
         df = (
             spark.createDataFrame([(x,) for x in ids], [id_col])
             .select(F.col(id_col).cast(id_type))
@@ -1079,7 +1085,7 @@ def delete_from_ivfpq_index(
         )
     n = df.count()
     if n == 0:
-        return {"n_tombstoned": 0, "n_pending": pending_before}
+        return {"n_tombstoned": 0, "n_pending": pending_now()}
     # exact post-write backlog (union distinct, both sides tiny) — the
     # ceiling check must not refuse spuriously on re-deletes of
     # already-tombstoned ids

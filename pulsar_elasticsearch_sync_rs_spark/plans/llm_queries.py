@@ -3108,7 +3108,11 @@ def q_kmeans_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     model = kmeans_fit(emb, "embedding", k=8, n_iter=5, id_col="vec_id")
-    assigned = assign_clusters(emb, model, "embedding")
+    # the join below consumes `assigned` twice — pay the Arrow
+    # assignment pass once (lazy, so a plan-only inspection stays free)
+    assigned = assign_clusters(emb, model, "embedding").localCheckpoint(
+        eager=False
+    )
     balanced = sample_balanced_by_cluster(
         assigned, "cluster_id", n_per_cluster=30, id_col="vec_id"
     )

@@ -499,6 +499,14 @@ def test_scd2_apply_orphan_delete_raises(spark):
     )
     with pytest.raises(Exception, match="absent from the snapshot"):
         scd2_apply(base, orphan, key="k", attrs=["v"]).collect()
+    # this guard rides a FILTER, so unlike the column-borne boundary
+    # guards it fires on EVERY action — a bare count() and a
+    # projection that drops the validity columns both raise (and can
+    # never leak a phantom orphan row into the result)
+    with pytest.raises(Exception, match="absent from the snapshot"):
+        scd2_apply(base, orphan, key="k", attrs=["v"]).count()
+    with pytest.raises(Exception, match="absent from the snapshot"):
+        scd2_apply(base, orphan, key="k", attrs=["v"]).select("k").count()
 
     # within-batch D-before-I is the same orphan class (the delete's
     # insert never arrived) and must also raise

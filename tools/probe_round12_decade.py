@@ -76,16 +76,20 @@ def main():
     print("# kmeans_fit decade (k=8, n_iter=3, dim=64)")
     for n in (100_000, 1_000_000):
         # materialize the synthetic input OUTSIDE the timed section so
-        # the probe measures the fit, not the generator
-        emb = synth_embeddings(spark, n).localCheckpoint(eager=True)
+        # the probe measures the fit, not the generator. persist(), not
+        # localCheckpoint: unpersist() on a checkpoint is a no-op (the
+        # blocks linger until GC) and the freed memory matters — the
+        # next decade step must not be timed against this step's blocks
+        emb = synth_embeddings(spark, n).persist()
+        emb.count()
         w = best_of(lambda: kmeans_fit(emb, "embedding", k=8, n_iter=3, id_col="vec_id"))
         print(f"kmeans n={n}: {w:.2f}s")
-        emb.unpersist()
+        emb.unpersist(blocking=True)
 
     print("# epoch_shuffle decade (noop write)")
     for n in (600_000, 6_000_000, 60_000_000):
-        ids = spark.range(n).withColumnRenamed("id", "doc_id")
-        ids = ids.localCheckpoint(eager=True)
+        ids = spark.range(n).withColumnRenamed("id", "doc_id").persist()
+        ids.count()
 
         def run():
             epoch_shuffle(ids, "doc_id", epoch=7).write.format("noop").mode(
@@ -94,7 +98,7 @@ def main():
 
         w = best_of(run)
         print(f"epoch_shuffle n={n}: {w:.2f}s")
-        ids.unpersist()
+        ids.unpersist(blocking=True)
 
     spark.stop()
 
