@@ -250,6 +250,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_epoch_shuffle": _wrap(L.q_epoch_shuffle),  # deterministic epoch permutation: range-exchange global index, no single-partition window
         "q_split_leakage_safe": _wrap(L.q_split_leakage_safe),  # cluster-grain train/val/test split: near-dup families never straddle splits
         "q_kmeans_balance": _wrap(L.q_kmeans_balance),  # full-corpus Lloyd k-means + cluster-balanced cap (rows-only; numpy-parity pytest)
+        "q_curriculum_order": _wrap(L.q_curriculum_order),  # quality-decile curriculum enumeration via the no-window global index
     }
 
 
@@ -306,4 +307,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "q_zorder_scan": A.ORACLE_ZORDER_SCAN,
         "q_epoch_shuffle": L.ORACLE_EPOCH_SHUFFLE,
         "q_split_leakage_safe": L.ORACLE_SPLIT_LEAKAGE_SAFE,
+        "q_curriculum_order": L.ORACLE_CURRICULUM_ORDER,
     }

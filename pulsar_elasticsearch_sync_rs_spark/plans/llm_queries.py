@@ -3127,3 +3127,77 @@ def q_kmeans_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum data ordering: every document's 0-based position in a
+    quality-descending training order — docs bucket into quality
+    deciles (floor(quality·10), clamped) and enumerate highest-decile
+    first, shuffled WITHIN a decile by the deterministic md5 stream.
+    The curriculum-learning data layout: easy/clean data first, without
+    trusting a dense score as a sort key (equal scores are common, so
+    the md5 tiebreak keeps range partitions balanced where a raw
+    score sort would skew them).
+
+    Composition: quality_score (C4 heuristics, pure JVM) → two-level
+    composite sort key → operators/ordering.global_index (range
+    exchange + monotonic-id rank — no single-partition window). Fully
+    hash-oracled: the same decile arithmetic, lpad key and md5 stream
+    reproduce every position in DuckDB."""
+    from pulsar_elasticsearch_sync_rs_spark.functions.text import quality_score
+    from pulsar_elasticsearch_sync_rs_spark.operators.ordering import (
+        global_index,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    decile = F.least(F.floor(quality_score("text") * 10), F.lit(9)).cast("int")
+    sort_key = F.concat(
+        F.lpad((F.lit(9) - decile).cast("string"), 2, "0"),
+        F.lit("|"),
+        F.md5(F.concat(F.lit("cur|"), F.col("doc_id").cast("string"))),
+    )
+    ordered = global_index(
+        docs.select(
+            "doc_id", decile.alias("q_decile"), sort_key.alias("__ck")
+        ),
+        "__ck",
+        out_col="pos",
+    )
+    return ordered.select("pos", "doc_id", "q_decile")
+
+
+ORACLE_CURRICULUM_ORDER = r"""
+WITH toks AS (
+  SELECT doc_id, text,
+    list_filter(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'), t -> t <> '') AS t,
+    list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+'), t -> t <> '') AS tl
+  FROM documents
+), feat AS (
+  SELECT doc_id,
+    CAST(len(t) AS DOUBLE) AS n_tok,
+    CASE WHEN len(t) > 0
+         THEN CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t)
+         ELSE 0.0 END AS mean_wlen,
+    CASE WHEN length(text) > 0
+         THEN CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / length(text)
+         ELSE 0.0 END AS punct_ratio,
+    CASE WHEN len(tl) > 0
+         THEN CAST(len(list_filter(tl, x -> list_contains(['the','and','of','to','a','in','is','it'], x))) AS DOUBLE) / len(tl)
+         ELSE 0.0 END AS sw_ratio
+  FROM toks
+), scored AS (
+  SELECT doc_id,
+    CAST(least(CAST(floor(round(
+      least(n_tok / 50.0, 1.0) * 0.3
+      + (CASE WHEN mean_wlen >= 3 AND mean_wlen <= 10 THEN 1.0 ELSE 0.5 END) * 0.2
+      + (1.0 - least(punct_ratio * 5, 1.0)) * 0.25
+      + least(sw_ratio * 4, 1.0) * 0.25, 6) * 10) AS BIGINT), 9) AS INTEGER) AS q_decile
+  FROM feat
+)
+SELECT
+  ROW_NUMBER() OVER (ORDER BY
+    lpad(CAST(9 - q_decile AS VARCHAR), 2, '0') || '|' || md5('cur|' || CAST(doc_id AS VARCHAR))
+  ) - 1 AS pos,
+  doc_id, q_decile
+FROM scored
+"""
