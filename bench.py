@@ -197,6 +197,9 @@ THROUGHPUT_PINS: dict[str, int] = {
     # regression leaves
     "curation": 120,
     "curation_nd": 45,
+    # round-12 lane: measured 8.9k msgs/s quiet (100k changes through
+    # 4 partitioned splice merges); same ~4× host envelope
+    "cdc": 2_000,
 }
 THROUGHPUT_PIN_SF = 0.1
 
@@ -772,6 +775,67 @@ def stream_throughput(spark, sf_dir: str, violations: list[str] | None = None) -
         n_docs = spark.read.parquet(docs_src).count()
         docs_schema = spark.read.parquet(docs_src).schema
 
+        # CDC lane inputs: the events become a change log (unique
+        # (k, ts) by construction — event_id is unique), 4 part files =
+        # 4 micro-batches; the seed snapshot (half the key domain open)
+        # is written ONCE and copytree'd per rep so seeding cost stays
+        # off the ingestion clock
+        cdc_src = os.path.join(tmp, "cdc_src")
+        (
+            ev_norm.select(
+                F.col("event_id").alias("k"),
+                F.col("value").cast("double").alias("v"),
+                F.when(F.col("event_id") % 10 < 7, F.lit("I"))
+                .when(F.col("event_id") % 10 < 9, F.lit("U"))
+                .otherwise(F.lit("D"))
+                .alias("op"),
+                F.col("pt").alias("ts"),
+            )
+            .repartition(4)
+            .write.parquet(cdc_src)
+        )
+        n_cdc = spark.read.parquet(cdc_src).count()
+        cdc_seed_dir = os.path.join(tmp, "cdc_seed")
+        from pulsar_elasticsearch_sync_rs_spark.operators.cdc import (
+            persist_scd2_partitioned,
+        )
+
+        persist_scd2_partitioned(
+            spark.read.parquet(cdc_src)
+            .filter(F.col("k") % 2 == 0)
+            .select(
+                "k",
+                "v",
+                F.lit("2023-01-01").cast("timestamp").alias("valid_from"),
+                F.lit(None).cast("timestamp").alias("valid_to"),
+                F.lit(True).alias("is_current"),
+            ),
+            cdc_seed_dir,
+            key="k",
+            n_parts=16,
+        )
+
+        def start_cdc(ckpt, out):
+            from pulsar_elasticsearch_sync_rs_spark.streaming.cdc_ingest import (
+                run_cdc_ingest,
+            )
+
+            shutil.copytree(cdc_seed_dir, out)
+            stream = (
+                spark.readStream.schema("k long, v double, op string, ts timestamp")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(cdc_src)
+            )
+            return run_cdc_ingest(
+                stream,
+                out,
+                ckpt,
+                key="k",
+                attrs=["v"],
+                n_parts=16,
+                available_now=True,
+            )
+
         def start_curation(ckpt, out):
             from pulsar_elasticsearch_sync_rs_spark.streaming.curation import (
                 run_curation_ingest,
@@ -864,6 +928,10 @@ def stream_throughput(spark, sf_dir: str, violations: list[str] | None = None) -
             "curation_nd": run_lane(
                 "curation_nd", start_curation_nd, n_input_override=n_docs
             ),
+            # CDC → SCD2 continuous merge: change events per wall
+            # second through the partitioned splice (streaming/
+            # cdc_ingest.py); output rows = final snapshot versions
+            "cdc": run_lane("cdc", start_cdc, n_input_override=n_cdc),
         }
         # compaction's whole point, checked from the directories the
         # run leaves behind (last rep's checkpoints):
