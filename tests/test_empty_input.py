@@ -33,6 +33,7 @@ EXPECTED_RAISE = {
     "q_knn_ivfpq_pca",  # PCA front: same no-model-on-no-vectors contract
     "q_knn_ivfpq_auto",  # selector runs pca_fit first: same contract
     "q_quality_lr",  # IRLS classifier: same contract
+    "q_kmeans_balance",  # Lloyd fit: same no-model-on-no-vectors contract
 }
 
 
