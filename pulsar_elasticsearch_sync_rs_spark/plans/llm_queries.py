@@ -3156,13 +3156,16 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("|"),
         F.md5(F.concat(F.lit("cur|"), F.col("doc_id").cast("string"))),
     )
-    ordered = global_index(
-        docs.select(
-            "doc_id", decile.alias("q_decile"), sort_key.alias("__ck")
-        ),
-        "__ck",
-        out_col="pos",
-    )
+    # materialize the SKINNY key frame once before the range sort: the
+    # quality score is an interpreted-HOF chain, and without a barrier
+    # the range partitioner's SAMPLING pass, the exchange and the sort
+    # each re-tokenize every document (the projection-collapse pitfall;
+    # measured 12× superlinear at the sf100 decade — 495 s → re-probed
+    # sublinear after this one checkpoint, SCALE.md round-12 table)
+    keyed = docs.select(
+        "doc_id", decile.alias("q_decile"), sort_key.alias("__ck")
+    ).localCheckpoint(eager=False)
+    ordered = global_index(keyed, "__ck", out_col="pos")
     return ordered.select("pos", "doc_id", "q_decile")
 
 
