@@ -522,7 +522,7 @@ def stream_throughput(spark, sf_dir: str, violations: list[str] | None = None) -
 
         def run_lane(
             name: str, start_query, msgs_from_output: bool = False, count_output=None,
-            n_input_override: int | None = None,
+            n_input_override: int | None = None, pre=None,
         ) -> dict:
             # same protocol as the batch queries: ONE untimed warm-up
             # run (pays state-store init, sink codegen, Python-worker
@@ -534,9 +534,23 @@ def stream_throughput(spark, sf_dir: str, violations: list[str] | None = None) -
             for rep in range(3):
                 ckpt = os.path.join(tmp, f"ckpt_{name}_{rep}")
                 out = os.path.join(tmp, f"out_{name}_{rep}")
+                if pre is not None:
+                    # per-rep setup that must stay OFF the clock (e.g.
+                    # the cdc lane's seed-snapshot copy)
+                    pre(ckpt, out)
                 t0 = _time.perf_counter()
                 q = start_query(ckpt, out)
-                q.awaitTermination(300)
+                finished = q.awaitTermination(300)
+                if not finished:
+                    # unchecked, a timed-out rep records a ~300 s wall
+                    # while the query keeps running and races the next
+                    # rep's reads — stop it and fail the bench loudly
+                    q.stop()
+                    if violations is not None:
+                        violations.append(
+                            f"stream/{name}: rep {rep} exceeded 300s and"
+                            " was stopped (throughput figure invalid)"
+                        )
                 if rep > 0:
                     walls.append(_time.perf_counter() - t0)
                 state = _state_profile(q)
@@ -815,12 +829,14 @@ def stream_throughput(spark, sf_dir: str, violations: list[str] | None = None) -
             n_parts=16,
         )
 
+        def pre_cdc(ckpt, out):
+            shutil.copytree(cdc_seed_dir, out)
+
         def start_cdc(ckpt, out):
             from pulsar_elasticsearch_sync_rs_spark.streaming.cdc_ingest import (
                 run_cdc_ingest,
             )
 
-            shutil.copytree(cdc_seed_dir, out)
             stream = (
                 spark.readStream.schema("k long, v double, op string, ts timestamp")
                 .option("maxFilesPerTrigger", 1)
@@ -931,7 +947,7 @@ def stream_throughput(spark, sf_dir: str, violations: list[str] | None = None) -
             # CDC → SCD2 continuous merge: change events per wall
             # second through the partitioned splice (streaming/
             # cdc_ingest.py); output rows = final snapshot versions
-            "cdc": run_lane("cdc", start_cdc, n_input_override=n_cdc),
+            "cdc": run_lane("cdc", start_cdc, n_input_override=n_cdc, pre=pre_cdc),
         }
         # compaction's whole point, checked from the directories the
         # run leaves behind (last rep's checkpoints):

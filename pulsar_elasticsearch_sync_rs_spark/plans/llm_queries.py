@@ -3151,8 +3151,14 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     decile = F.least(F.floor(quality_score("text") * 10), F.lit(9)).cast("int")
+    # two-step select: deriving the sort key from the ALIASED decile
+    # keeps exactly ONE instance of the interpreted quality chain in
+    # the plan — referencing `decile` directly in both columns would
+    # instantiate the HOF subtree twice (subexpression elimination
+    # skips lambda-bearing trees; round-12 review finding, plan-pinned
+    # in tests/test_extra_oracles.py)
     sort_key = F.concat(
-        F.lpad((F.lit(9) - decile).cast("string"), 2, "0"),
+        F.lpad((F.lit(9) - F.col("q_decile")).cast("string"), 2, "0"),
         F.lit("|"),
         F.md5(F.concat(F.lit("cur|"), F.col("doc_id").cast("string"))),
     )
@@ -3162,9 +3168,11 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each re-tokenize every document (the projection-collapse pitfall;
     # measured 12× superlinear at the sf100 decade — 495 s → re-probed
     # sublinear after this one checkpoint, SCALE.md round-12 table)
-    keyed = docs.select(
-        "doc_id", decile.alias("q_decile"), sort_key.alias("__ck")
-    ).localCheckpoint(eager=False)
+    keyed = (
+        docs.select("doc_id", decile.alias("q_decile"))
+        .select("doc_id", "q_decile", sort_key.alias("__ck"))
+        .localCheckpoint(eager=False)
+    )
     ordered = global_index(keyed, "__ck", out_col="pos")
     return ordered.select("pos", "doc_id", "q_decile")
 

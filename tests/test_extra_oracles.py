@@ -87,3 +87,41 @@ def test_approx_quantiles_rank_bracket(spark, sf_dir):
         assert b["p49"] <= r["approx_p50"] <= b["p51"], (et, r, b)
         assert b["p98"] <= r["approx_p99"] <= b["vmax"], (et, r, b)
 
+
+
+def test_curriculum_key_frame_single_quality_chain(spark, sf_dir):
+    """Round-12 review pin: q_curriculum_order's key projection must
+    instantiate the interpreted quality-score HOF chain exactly ONCE —
+    deriving the sort key from the aliased decile column, not from the
+    raw expression (which doubles the dominant per-doc cost; Spark's
+    subexpression elimination skips lambda-bearing trees)."""
+    from pyspark.sql import functions as F
+
+    from pulsar_elasticsearch_sync_rs_spark.functions.text import (
+        quality_score,
+    )
+    from pulsar_elasticsearch_sync_rs_spark.sources.batch import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    decile = F.least(F.floor(quality_score("text") * 10), F.lit(9)).cast("int")
+    sort_key = F.concat(
+        F.lpad((F.lit(9) - F.col("q_decile")).cast("string"), 2, "0"),
+        F.lit("|"),
+        F.md5(F.concat(F.lit("cur|"), F.col("doc_id").cast("string"))),
+    )
+    keyed = docs.select("doc_id", decile.alias("q_decile")).select(
+        "doc_id", "q_decile", sort_key.alias("__ck")
+    )
+    plan = keyed._jdf.queryExecution().executedPlan().toString()
+    base = (
+        docs.select("doc_id", decile.alias("q_decile"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the key projection must not multiply the HOF chain beyond what a
+    # single decile projection already contains
+    assert plan.count("aggregate(") == base.count("aggregate("), (
+        plan.count("aggregate("),
+        base.count("aggregate("),
+    )
