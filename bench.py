@@ -239,6 +239,16 @@ def _shuffle_totals(spark) -> tuple[int, int] | None:
     )
 
 
+# Window EXEC node tokens, not the bare substring "Window" (round-12
+# ADVICE: a column/table literally named "window..." or a time-window
+# operator in a future pinned lane would trip a false violation):
+# WindowExec prints as "Window [", plus the group-limit / running /
+# pandas window variants
+_WINDOW_NODE_RE = __import__("re").compile(
+    r"Window\s*\[|WindowGroupLimit|RunningWindowFunction|WindowInPandas"
+)
+
+
 def _plan_profile(df) -> dict:
     """Executed-plan profile AFTER the action ran (AQE final plan):
     Python-crossing node count per kind + total."""
@@ -250,10 +260,10 @@ def _plan_profile(df) -> dict:
     counts["FlatMapGroupsInPandas"] -= counts["FlatMapGroupsInPandasWithState"]
     return {
         "arrow_nodes": sum(counts.values()),
-        # for window_free pins: any window exec node ("Window [", Window
-        # GroupLimit, RunningWindowFunction) — the single-partition
-        # global-sort regression a total-ordering lane must never plan
-        "window_nodes": plan.count("Window"),
+        # for window_free pins: any window exec node — the
+        # single-partition global-sort regression a total-ordering
+        # lane must never plan
+        "window_nodes": len(_WINDOW_NODE_RE.findall(plan)),
         **{k: v for k, v in counts.items() if v},
     }
 
@@ -551,10 +561,14 @@ def stream_throughput(spark, sf_dir: str, violations: list[str] | None = None) -
                             f"stream/{name}: rep {rep} exceeded 300s and"
                             " was stopped (throughput figure invalid)"
                         )
-                if rep > 0:
+                # a timed-out rep's ~300 s wall must NOT flow into the
+                # reported msgs/s (round-12 ADVICE: the JSON would carry
+                # a garbage figure readable apart from the violations
+                # list) — only completed timed reps contribute
+                if rep > 0 and finished:
                     walls.append(_time.perf_counter() - t0)
                 state = _state_profile(q)
-            wall = min(walls)
+            wall = min(walls) if walls else None
             last_out = os.path.join(tmp, f"out_{name}_2")
             n_out = (
                 count_output(last_out)
@@ -568,16 +582,21 @@ def stream_throughput(spark, sf_dir: str, violations: list[str] | None = None) -
             n_msgs = n_out if msgs_from_output else (
                 n_input if n_input_override is None else n_input_override
             )
-            rate = round(n_msgs / wall)
+            rate = None if wall is None else round(n_msgs / wall)
             print(
-                f"# stream/{name}: {n_msgs} msgs in {wall:.3f}s = {rate} msgs/s"
+                f"# stream/{name}: {n_msgs} msgs in"
+                f" {'TIMEOUT' if wall is None else f'{wall:.3f}s'} = {rate} msgs/s"
                 f" best of {[round(w, 3) for w in walls]} ({n_out} output rows)"
                 f" [state_rows={state['state_rows_max']}"
                 f" state_mem={state['state_mem_mb_max']}MB"
                 f" wm_dropped={state['rows_dropped_by_watermark']}]",
                 file=sys.stderr,
             )
-            lane = {"msgs": n_msgs, "wall_sec": round(wall, 3), "msgs_per_sec": rate}
+            lane = {
+                "msgs": n_msgs,
+                "wall_sec": None if wall is None else round(wall, 3),
+                "msgs_per_sec": rate,
+            }
             if state["state_rows_max"] or state["state_mem_mb_max"]:
                 lane["state"] = state
             bound = STATE_PINS.get(name)
@@ -591,7 +610,12 @@ def stream_throughput(spark, sf_dir: str, violations: list[str] | None = None) -
             sf_tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
             at_pinned_sf = sf_tag == str(THROUGHPUT_PIN_SF)
             floor = THROUGHPUT_PINS.get(name) if at_pinned_sf else None
-            if floor is not None and violations is not None and rate < floor:
+            if (
+                floor is not None
+                and violations is not None
+                and rate is not None
+                and rate < floor
+            ):
                 violations.append(
                     f"stream/{name}: {rate} msgs/s below the catastrophic"
                     f"-regression floor {floor} (quiet-host steady state per"

@@ -218,22 +218,31 @@ def scd2_apply(
     )
     if on_late == "error":
         # orphan deletes (round-11 ADVICE, medium): a key whose FIRST
-        # change is a 'D' and that has NO row in the snapshot is the
-        # D-before-I arrival — in an ordered log the matching insert
-        # would already be in base, so its absence IS the out-of-order
-        # signal. The two guards above can't see it (both ride base
-        # rows; an absent key has none), the opened branch filters 'D'
-        # out, and the no-op-delete fast path drops it — so without
-        # this branch the later, earlier-ts insert applies cleanly and
-        # resurrects the key as open-forever. Detection requires one
-        # extra probe of base (key-column-pruned broadcast semi, output
-        # bounded by the touched keys' version count); the raise rides
-        # the result evaluation like the other guards. Keys present in
-        # base with a leading 'D' are legitimate (they close the open
-        # version) and never reach the anti-join's output.
+        # change is a 'D' and that has NO OPEN version in the snapshot
+        # has nothing to delete — in an ordered log a 'D' is only ever
+        # emitted for a live key, so the arrival is out of order (the
+        # matching insert hasn't landed yet, or the key was already
+        # deleted and this 'D' is a duplicate/late replay). The two
+        # guards above can't see it (both ride base rows keyed off the
+        # OPEN version or closed-interval containment; a 'D' at a ts
+        # after the last closure touches neither), the opened branch
+        # filters 'D' out, and the no-op-delete fast path drops it —
+        # so without this branch the later, earlier-ts insert applies
+        # cleanly and resurrects the key as open-forever. Presence is
+        # probed against base.filter(is_current), NOT all base rows: a
+        # key whose versions are all closed has no open version for a
+        # leading 'D' to close, and treating it as "present" silently
+        # swallowed exactly the event class this guard exists to catch
+        # (round-12 ADVICE, medium). Detection is one extra probe of
+        # the open-version set (key-column-pruned broadcast semi,
+        # output bounded by the touched keys); the raise rides the
+        # result evaluation like the other guards. Keys WITH an open
+        # version and a leading 'D' are legitimate (they close it) and
+        # never reach this probe's output.
         key_type = base.schema[key].dataType
         present = (
-            base.join(F.broadcast(chg_summary.select(key)), key, "left_semi")
+            base.filter(F.col(current_col))
+            .join(F.broadcast(chg_summary.select(key)), key, "left_semi")
             .select(key)
             .distinct()
             .withColumn("__present", F.lit(True))
@@ -245,11 +254,12 @@ def scd2_apply(
             F.concat(
                 F.lit("scd2_apply: 'D' for key "),
                 F.col(key).cast("string"),
-                F.lit(" absent from the snapshot at ts "),
+                F.lit(" with no open version at ts "),
                 F.col("__first_ts").cast("string"),
                 F.lit(" — the matching insert has not arrived "
-                      "(D-before-I); re-run with on_late='splice' to "
-                      "persist a tombstone"),
+                      "(D-before-I) or the key is already deleted; "
+                      "re-run with on_late='splice' to persist a "
+                      "tombstone"),
             )
         )
         # the raise rides a FILTER whose predicate references the join's

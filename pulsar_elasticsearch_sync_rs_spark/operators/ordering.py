@@ -73,6 +73,15 @@ def global_index(
         raise ValueError(f"global_index: no column {order_col!r}")
     if out_col in df.columns:
         raise ValueError(f"global_index: column {out_col!r} already exists")
+    # round-12 ADVICE: withColumn would silently OVERWRITE a same-named
+    # input column and the final drop() would then delete the caller's
+    # data — fail loudly like the other reserved-name guards
+    for reserved in ("__pid", "__mid", "__off"):
+        if reserved in df.columns:
+            raise ValueError(
+                f"global_index: column {reserved!r} already exists "
+                "(reserved as an internal projection column)"
+            )
     n_parts = int(
         num_partitions
         or df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")

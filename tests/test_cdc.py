@@ -497,15 +497,15 @@ def test_scd2_apply_orphan_delete_raises(spark):
     orphan = spark.createDataFrame(
         [(9, 0.0, "D", T1)], "k int, v double, op string, ts timestamp"
     )
-    with pytest.raises(Exception, match="absent from the snapshot"):
+    with pytest.raises(Exception, match="no open version"):
         scd2_apply(base, orphan, key="k", attrs=["v"]).collect()
     # this guard rides a FILTER, so unlike the column-borne boundary
     # guards it fires on EVERY action — a bare count() and a
     # projection that drops the validity columns both raise (and can
     # never leak a phantom orphan row into the result)
-    with pytest.raises(Exception, match="absent from the snapshot"):
+    with pytest.raises(Exception, match="no open version"):
         scd2_apply(base, orphan, key="k", attrs=["v"]).count()
-    with pytest.raises(Exception, match="absent from the snapshot"):
+    with pytest.raises(Exception, match="no open version"):
         scd2_apply(base, orphan, key="k", attrs=["v"]).select("k").count()
 
     # within-batch D-before-I is the same orphan class (the delete's
@@ -514,7 +514,7 @@ def test_scd2_apply_orphan_delete_raises(spark):
         [(9, 0.0, "D", T1), (9, 90.0, "I", T2)],
         "k int, v double, op string, ts timestamp",
     )
-    with pytest.raises(Exception, match="absent from the snapshot"):
+    with pytest.raises(Exception, match="no open version"):
         scd2_apply(base, dbi, key="k", attrs=["v"]).collect()
 
     # ordered I-then-D on a brand-new key stays legal: one closed version
@@ -550,6 +550,54 @@ def test_scd2_apply_orphan_delete_raises(spark):
     sp = scd2_apply(base, orphan, key="k", attrs=["v"], on_late="splice")
     t = [r for r in sp.filter("k = 9").collect()]
     assert len(t) == 1 and t[0].valid_from == t[0].valid_to == T1
+
+
+def test_scd2_apply_orphan_delete_on_fully_closed_key_raises(spark):
+    """Round-12 ADVICE (medium): the orphan-delete guard's presence
+    probe must ride the OPEN-version set, not all base rows. A 'D' for
+    a key whose versions are all closed has nothing to close — the
+    close-current join misses, the opened branch filters 'D', and the
+    event previously vanished silently, the same out-of-order class
+    the guard was added for (its insert hasn't arrived, or it is a
+    duplicate delete). Error mode now raises; splice persists the
+    tombstone and converges when the insert lands."""
+    import pytest
+
+    # key 5 existed once and is fully closed [T0, T1); no open version
+    closed = spark.createDataFrame(
+        [(5, 50.0, T0, T1, False)],
+        "k int, v double, valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+    dup_d = spark.createDataFrame(
+        [(5, 0.0, "D", T2)], "k int, v double, op string, ts timestamp"
+    )
+    with pytest.raises(Exception, match="no open version"):
+        scd2_apply(closed, dup_d, key="k", attrs=["v"]).collect()
+    # the filter-borne guard fires on every action shape
+    with pytest.raises(Exception, match="no open version"):
+        scd2_apply(closed, dup_d, key="k", attrs=["v"]).count()
+
+    # splice mode: the D persists as a zero-length tombstone beside the
+    # closed history, and the late insert rebuilds [T1b, T2) chronology
+    sp = scd2_apply(
+        closed, dup_d, key="k", attrs=["v"], on_late="splice"
+    ).localCheckpoint(eager=True)
+    got = {
+        (r.v, r.valid_from, r.valid_to, r.is_current) for r in sp.collect()
+    }
+    assert got == {(50.0, T0, T1, False), (None, T2, T2, False)}, got
+
+    # an I-then-D batch on the fully-closed key in ERROR mode stays
+    # legal (ordered events after the closure): a new closed version
+    ordered = spark.createDataFrame(
+        [(5, 55.0, "I", T1), (5, 0.0, "D", T2)],
+        "k int, v double, op string, ts timestamp",
+    )
+    k5 = {
+        (r.v, r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_apply(closed, ordered, key="k", attrs=["v"]).collect()
+    }
+    assert k5 == {(50.0, T0, T1, False), (55.0, T1, T2, False)}
 
 
 def test_scd2_apply_ntz_batch_cast_to_snapshot_dtype(spark):

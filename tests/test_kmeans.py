@@ -140,3 +140,64 @@ def test_balanced_sample_quota_and_determinism(spark, sf_dir):
             )[:cap]
         )
         assert {i for i in kept if i in set(ids)} == want
+
+
+def test_balanced_sample_two_stage_bounded(spark, sf_dir):
+    """Round-12 VERDICT fix pinned: the sampler's per-cluster window
+    must sort only the LOCALLY-CAPPED survivor set, never the full
+    corpus — the one-window form hash-partitioned everything into
+    |clusters| reducer tasks (8 tasks × ~12.5 TB at 100 TB). Pins:
+    (a) the stage-1 narrow cap is shuffle-free and its survivor count
+    is bounded by partitions × clusters × n; (b) the full operator's
+    plan caps through MapInPandas before the window and recovers the
+    payload via a semi join; (c) rows are identical to the one-window
+    spec (the md5 order is total)."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.kmeans import (
+        _local_cap_per_cluster,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings").repartition(7)
+    model = kmeans_fit(emb, "embedding", k=K, n_iter=2, id_col="vec_id")
+    assigned = assign_clusters(emb, model, "embedding").localCheckpoint(
+        eager=True
+    )
+    n = 5
+    skinny = assigned.select(
+        "vec_id",
+        "cluster_id",
+        F.md5(F.concat(F.lit("bal|"), F.col("vec_id").cast("string"))).alias(
+            "__bal_key"
+        ),
+    )
+    capped = _local_cap_per_cluster(skinny, "cluster_id", "__bal_key", n)
+    n_parts = assigned.rdd.getNumPartitions()
+    k_clusters = assigned.select("cluster_id").distinct().count()
+    # fixture partitions are far below Arrow's 10k-row batch size, so
+    # one batch per partition — the bound is exact here, conservative
+    # (batches × clusters × n) in general
+    assert capped.count() <= n_parts * k_clusters * n
+    # the narrow cap plans NO exchange (stage 1 must not shuffle the
+    # corpus — that concentration is what the rewrite removed)
+    cap_plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in cap_plan and "MapInPandas" in cap_plan
+
+    bal = sample_balanced_by_cluster(
+        assigned, "cluster_id", n_per_cluster=n, id_col="vec_id"
+    )
+    got = sorted(r.vec_id for r in bal.collect())
+    plan = bal._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan and "LeftSemi" in plan
+    # identical rows to the one-window specification
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy("cluster_id").orderBy(
+            F.md5(F.concat(F.lit("bal|"), F.col("vec_id").cast("string")))
+        )
+    )
+    spec = (
+        assigned.withColumn("__rk", rk)
+        .filter(F.col("__rk") <= n)
+        .drop("__rk")
+    )
+    assert got == sorted(r.vec_id for r in spec.collect())
