@@ -106,6 +106,120 @@ def quality_score(text: Column | str) -> Column:
     )
 
 
+# --- Arrow fast-path twin of quality_score -------------------------
+#
+# quality_score above is an interpreted higher-order-function chain
+# (CodegenFallback): every document pays per-element boxed evaluation
+# of the tokenize/aggregate lambdas. That form is kept because the
+# DuckDB oracle reproduces it expression-for-expression; but the
+# round-12 sf100 curriculum probe showed the interpreted chain IS the
+# production lane's wall. The twin below computes the IDENTICAL
+# values (equality pinned in tests/test_operators.py at the grading
+# fixtures plus adversarial boundary strings) through five vectorized
+# pandas str.count passes + exact integer arithmetic:
+#
+#   n_tok        = count of maximal non-whitespace runs
+#   sum(len(tok))= length − whitespace-char count   (integers < 2^53,
+#                  so the HOF's sequential double sum is bit-equal)
+#   n_punct      = count of ASCII \p{Punct} chars
+#   n_sw         = whole-token stopword matches on the lowered text
+#
+# and then the same double expression tree in the same associativity.
+# The only non-trivial parity point is Spark's round(double, 6), which
+# goes through BigDecimal(Double.toString(x)).setScale(6, HALF_UP) —
+# shortest-decimal-repr rounding. The vectorized floor(x·1e6 + .5)
+# agrees except when x·1e6 sits within float error of a .5 boundary;
+# those rows (|frac − .5| < 1e-6, i.e. ~1-in-5e5 uniformly) are
+# re-rounded exactly via decimal.Decimal(repr(x)) — repr() is the same
+# shortest-repr algorithm as Double.toString.
+
+# Java/Spark \s is ASCII-only; Python \s is Unicode — share the
+# explicit class (the token_count parity rule)
+_WS_CLASS = r"[ \t\n\x0B\f\r]"
+# Java \p{Punct} = the 32 ASCII punctuation chars, as ranges
+_PUNCT_CLASS = r"[!-/:-@\[-`{-~]"
+
+
+def _quality_score_numpy(texts):
+    """The kernel: pandas Series[str] -> scores float64 ndarray.
+    Exact value parity with quality_score INCLUDING the null quirk:
+    the expression form scores NULL text 0.65, not NULL — size(null
+    array) is null, ``least`` skips null operands (len_score → 1.0),
+    the null-condition ``when``s fall to their 0.0 otherwise-branches
+    (wlen 0.5, punct 1.0, sw 0.0) and the weighted sum lands on
+    1.0·0.3 + 0.5·0.2 + 1.0·0.25 + 0.0·0.25 = 0.65 (verified against
+    the live expression in tests/test_text_fast.py)."""
+    import decimal
+
+    import numpy as np
+
+    isnull = texts.isna().to_numpy()
+    s = texts.fillna("")
+    n_chars = s.str.len().to_numpy(dtype=np.float64)
+    n_tok = s.str.count(_WS_CLASS.replace("[", "[^", 1) + "+").to_numpy(
+        dtype=np.float64
+    )
+    n_ws = s.str.count(_WS_CLASS).to_numpy(dtype=np.float64)
+    sum_tok_len = n_chars - n_ws  # exact: both integer-valued
+    n_punct = s.str.count(_PUNCT_CLASS).to_numpy(dtype=np.float64)
+    low = s.str.lower()
+    sw_alt = "|".join(STOPWORDS["en"])
+    n_sw = low.str.count(
+        rf"(?:^|(?<={_WS_CLASS}))(?:{sw_alt})(?={_WS_CLASS}|$)"
+    ).to_numpy(dtype=np.float64)
+    n_tok_low = low.str.count(
+        _WS_CLASS.replace("[", "[^", 1) + "+"
+    ).to_numpy(dtype=np.float64)
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mean_wlen = np.where(n_tok > 0, sum_tok_len / n_tok, 0.0)
+        punct_ratio = np.where(n_chars > 0, n_punct / n_chars, 0.0)
+        sw_ratio = np.where(n_tok_low > 0, n_sw / n_tok_low, 0.0)
+    len_score = np.minimum(n_tok / 50.0, 1.0)
+    wlen_score = np.where((mean_wlen >= 3) & (mean_wlen <= 10), 1.0, 0.5)
+    punct_score = 1.0 - np.minimum(punct_ratio * 5, 1.0)
+    sw_score = np.minimum(sw_ratio * 4, 1.0)
+    # same left-assoc tree as the Column expression
+    raw = (
+        (len_score * 0.3 + wlen_score * 0.2) + punct_score * 0.25
+    ) + sw_score * 0.25
+
+    y = raw * 1e6
+    f = np.floor(y)
+    frac = y - f
+    out = np.where(frac >= 0.5, f + 1.0, f) / 1e6
+    # boundary rows: exact shortest-repr HALF_UP, the Spark semantics
+    for i in np.nonzero(np.abs(frac - 0.5) < 1e-6)[0]:
+        out[i] = float(
+            decimal.Decimal(repr(float(raw[i]))).quantize(
+                decimal.Decimal("0.000001"),
+                rounding=decimal.ROUND_HALF_UP,
+            )
+        )
+    out[isnull] = 0.65  # the expression form's null-text constant
+    return out
+
+
+def quality_score_fast(text: Column | str) -> Column:
+    """Arrow (pandas-UDF) twin of :func:`quality_score` — identical
+    values, vectorized evaluation. Use in production lanes where the
+    score is a throughput term (curriculum ordering, streaming
+    curation gates); keep :func:`quality_score` where a plan must stay
+    pure-JVM/expression-shaped. NULL text scores 0.65 — the expression
+    form's (quirky but load-bearing) constant, see the kernel."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    # no signature type hints: locally-imported pd makes them strings
+    # PySpark's hint inference rejects; the explicit returnType rules
+    @F.pandas_udf(T.DoubleType())
+    def _q(s):
+        return pd.Series(_quality_score_numpy(s))
+
+    return _q(F.col(text) if isinstance(text, str) else text)
+
+
 def lang_guess(text: Column | str) -> Column:
     """N-gram/stopword language-ID heuristic: score each candidate
     language by stopword hits, pick the argmax (ties -> first language

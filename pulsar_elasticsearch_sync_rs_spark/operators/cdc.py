@@ -487,7 +487,11 @@ def scd2_apply_partitioned(
         r["pb"] for r in changes.select(pb.alias("pb")).distinct().collect()
     ]
     if not buckets:
-        return {"changed_buckets": [], "rows_written": 0}
+        return {
+            "changed_buckets": [],
+            "rows_written": 0,
+            "orphan_tombstones_by_bucket": {},
+        }
     base = spark.read.parquet(base_dir).filter(F.col("pb").isin(buckets))
     cols = [key, *attrs, from_col, to_col, current_col]
     merged = scd2_apply(
@@ -504,6 +508,22 @@ def scd2_apply_partitioned(
     ).withColumn("pb", pb)
     merged = merged.localCheckpoint(eager=True)
     n = merged.count()
+    # orphan-tombstone census over the buckets being rewritten anyway
+    # (one pass over the eager checkpoint, no extra base read): splice
+    # persists a zero-length [ts, ts) row per D-before-I until the
+    # insert arrives, and a buggy upstream that never sends the insert
+    # grows this set without bound — the streaming runner watches the
+    # per-bucket counts (streaming/cdc_ingest.py) the way pq.py's
+    # max_pending bounds the IVF-PQ delete backlog
+    tombs_by_bucket = {
+        int(r["pb"]): int(r["n"])
+        for r in merged.filter(
+            F.col(to_col).isNotNull() & (F.col(to_col) == F.col(from_col))
+        )
+        .groupBy("pb")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
     (
         merged.repartition("pb")
         .write.mode("overwrite")
@@ -511,7 +531,16 @@ def scd2_apply_partitioned(
         .partitionBy("pb")
         .parquet(base_dir)
     )
-    return {"changed_buckets": sorted(buckets), "rows_written": n}
+    return {
+        "changed_buckets": sorted(buckets),
+        "rows_written": n,
+        # every changed bucket reports, including an explicit 0 — the
+        # runner's running census must DRAIN when inserts land, which
+        # a hits-only dict would silently never do
+        "orphan_tombstones_by_bucket": {
+            b: tombs_by_bucket.get(b, 0) for b in sorted(buckets)
+        },
+    }
 
 
 def scd2_as_of(

@@ -159,6 +159,73 @@ def kmeans_fit(
     )
 
 
+def persist_kmeans_model(spark, path: str, model: KMeansModel) -> None:
+    """Write a fitted clustering as a small at-rest artifact — centers
+    as one parquet table (k rows of ARRAY<DOUBLE> — exact binary
+    round trip, so a loaded model assigns BIT-IDENTICALLY) plus a JSON
+    meta sidecar (SSE history, corpus size, iteration count). The
+    PQ/IVF indexes persist their codebooks (operators/pq.py
+    persist_pq_index); a DoReMi-style pipeline reuses ONE clustering
+    across sessions for assignment/balance/curriculum the same way —
+    without this the fit re-runs per session. Written through the
+    Spark writer so the artifact lives on whatever filesystem ``path``
+    names (the _save_ndarray rule). Retrain-versioning, when a corpus
+    drifts, rides the IVF-PQ ``_CURRENT``-marker recipe unchanged —
+    persist each fit under ``path/<version>`` and repoint."""
+    import json
+    import posixpath
+
+    centers = np.asarray(model.centers, dtype=np.float64)
+    rows = [
+        (int(i), [float(x) for x in centers[i]])
+        for i in range(centers.shape[0])
+    ]
+    (
+        spark.createDataFrame(rows, "row_id INT, center ARRAY<DOUBLE>")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(posixpath.join(path, "centers"))
+    )
+    meta = {
+        # float(x) → json repr → float round-trips doubles exactly
+        "sse": [float(s) for s in model.sse],
+        "n_rows": int(model.n_rows),
+        "iters": int(model.iters),
+    }
+    (
+        spark.createDataFrame([(json.dumps(meta),)], "meta string")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(posixpath.join(path, "meta"))
+    )
+
+
+def load_kmeans_model(spark, path: str) -> KMeansModel:
+    """Read back a :func:`persist_kmeans_model` artifact — a bounded
+    driver read (k·d doubles + the scalar history). The loaded model
+    is value-identical to the fitted one: assignment over it matches
+    bit-for-bit (pinned in tests/test_kmeans.py)."""
+    import json
+    import posixpath
+
+    rows = (
+        spark.read.parquet(posixpath.join(path, "centers"))
+        .orderBy("row_id")
+        .collect()
+    )
+    if not rows:
+        raise ValueError(f"load_kmeans_model: no centers under {path}")
+    centers = np.array([r["center"] for r in rows], dtype=np.float64)
+    meta_row = spark.read.parquet(posixpath.join(path, "meta")).first()
+    meta = json.loads(meta_row["meta"])
+    return KMeansModel(
+        centers=centers,
+        sse=[float(s) for s in meta["sse"]],
+        n_rows=int(meta["n_rows"]),
+        iters=int(meta["iters"]),
+    )
+
+
 def assign_clusters(
     df: DataFrame,
     model: KMeansModel,

@@ -149,3 +149,88 @@ def epoch_shuffle(
     return global_index(
         df.withColumn("__shuffle_key", key), "__shuffle_key", out_col
     ).drop("__shuffle_key")
+
+
+def persist_ordered(
+    df: DataFrame,
+    path: str,
+    pos_col: str = "pos",
+    n_files: int = 8,
+    max_records_per_file: int | None = None,
+    mode: str = "overwrite",
+    pre_ranged: bool = False,
+) -> None:
+    """Write an enumerated frame as the at-rest training LAYOUT: files
+    and row groups each own a contiguous, disjoint ``pos_col`` range,
+    so a reader scanning ``pos BETWEEN a AND b`` (a data loader
+    streaming one epoch slice, a resume from step N) prunes whole
+    files/row groups from the parquet footers and reads ~(b−a)/n of
+    the bytes. This is the missing half of :func:`epoch_shuffle` at
+    100 TB: a training job consumes the LAYOUT, not a DataFrame of
+    positions — shuffle once per epoch at write time, then every
+    reader streams its position range with no shuffle at all.
+
+    ``pre_ranged=True`` skips the range exchange + sort for frames
+    taken STRAIGHT from :func:`global_index` / :func:`epoch_shuffle`
+    (their output is already range-partitioned with ``pos`` ascending
+    within and across partitions — positions are offsets over the
+    sorted checkpoint), so the epoch write pays exactly ONE shuffle
+    (the permutation itself), not two. The footer-stats pytest
+    witnesses the contract either way — a caller that passes
+    ``pre_ranged=True`` on a re-shuffled frame produces overlapping
+    row-group ranges, which that test (and any skip-rate probe)
+    exposes immediately.
+
+    ``max_records_per_file`` bounds file size for parallel planning
+    (splits preserve partition order, so each split file still owns a
+    contiguous run)."""
+    if pos_col not in df.columns:
+        raise ValueError(f"persist_ordered: no column {pos_col!r}")
+    out = df if pre_ranged else (
+        df.repartitionByRange(n_files, F.col(pos_col)).sortWithinPartitions(
+            pos_col
+        )
+    )
+    writer = out.write.mode(mode)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
+    writer.parquet(path)
+
+
+def persist_epoch_layout(
+    df: DataFrame,
+    id_col: str,
+    epoch: int,
+    path: str,
+    pos_col: str = "pos",
+    max_records_per_file: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """:func:`epoch_shuffle` + :func:`persist_ordered` in one pass —
+    the per-epoch data-loader artifact. One range exchange total (the
+    permutation's own), written with tight per-file position runs; at
+    100 TB the epoch prep is a single full shuffle and every trainer
+    rank then reads exactly its position slice via footer pruning
+    (:func:`read_position_range`)."""
+    persist_ordered(
+        epoch_shuffle(df, id_col, epoch, out_col=pos_col),
+        path,
+        pos_col=pos_col,
+        max_records_per_file=max_records_per_file,
+        mode=mode,
+        pre_ranged=True,
+    )
+
+
+def read_position_range(
+    spark, path: str, start: int, end: int, pos_col: str = "pos"
+) -> DataFrame:
+    """The data-loader read: rows with ``start <= pos <= end`` from a
+    :func:`persist_ordered` layout. The predicate is two INT-literal
+    comparisons on a long column, so it reaches the parquet scan as
+    PushedFilters and prunes every file/row group whose footer range
+    misses the band (plan + skip-rate pinned in tests/test_ordering.py)
+    — the scan cost is proportional to the slice, not the corpus."""
+    return spark.read.parquet(path).filter(
+        (F.col(pos_col) >= int(start)) & (F.col(pos_col) <= int(end))
+    )

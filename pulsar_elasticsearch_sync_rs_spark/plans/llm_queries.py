@@ -3040,6 +3040,85 @@ FROM documents
 """
 
 
+# the previous q_epoch_layout_scan scratch dir (at most one), reclaimed
+# on the next invocation within the same process (q_zorder_scan recipe)
+_EPOCH_LAYOUT_LAST: list[str] = []
+
+
+def q_epoch_layout_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The epoch layout AS AN ARTIFACT (operators/ordering.py
+    persist_epoch_layout + read_position_range): write documents in
+    the epoch-3 permutation order — files/row groups each owning a
+    contiguous disjoint position run — then stream back the central
+    ~10% position band the way a trainer rank resuming mid-epoch
+    would, and aggregate it. The oracle computes the same band over
+    ROW_NUMBER on the identical md5 stream, so the round trip is fully
+    hash-checked: layout must be semantics-invisible, which is what
+    makes it a free scale lever (the q_zorder_scan discipline applied
+    to the training-loader read path).
+
+    Scale: the write is ONE range exchange (the permutation itself —
+    persist_ordered(pre_ranged=True) adds no second shuffle); the band
+    read prunes every non-intersecting file/row group from the parquet
+    footers (skip rate + PushedFilters pinned in
+    tests/test_ordering.py) — a 10% slice reads ~10% of the bytes at
+    any corpus size."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from pulsar_elasticsearch_sync_rs_spark.operators.ordering import (
+        persist_epoch_layout,
+        read_position_range,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    prev = _EPOCH_LAYOUT_LAST.pop(0) if _EPOCH_LAYOUT_LAST else None
+    if prev:
+        shutil.rmtree(prev, ignore_errors=True)
+    path = tempfile.mkdtemp(prefix="spark_graft_epoch_layout_")
+    _EPOCH_LAYOUT_LAST.append(path)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    persist_epoch_layout(
+        docs, "doc_id", epoch=3, path=path, max_records_per_file=64
+    )
+    n = docs.count()
+    # integer band arithmetic, not n*0.45 floats: a float product that
+    # lands 1 ulp under an integer decimal product would floor one off
+    # from the oracle's DECIMAL arithmetic
+    lo, hi = (n * 45) // 100, (n * 55) // 100
+    band = read_position_range(spark, path, lo, hi)
+    # constant group key (empty-input totality: 0 rows -> 0 groups);
+    # text survives the round trip — length sum proves payload fidelity
+    return band.groupBy(F.lit("all").alias("grp")).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("doc_id").alias("sum_doc"),
+        F.min("pos").alias("min_pos"),
+        F.max("pos").alias("max_pos"),
+        F.sum(F.length("text")).alias("sum_text_len"),
+    )
+
+
+ORACLE_EPOCH_LAYOUT_SCAN = """
+WITH ord AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5('ep3|' || CAST(doc_id AS VARCHAR))) - 1 AS pos,
+         doc_id, text
+  FROM documents
+), b AS (
+  SELECT (count(*) * 45) // 100 AS lo,
+         (count(*) * 55) // 100 AS hi
+  FROM documents
+)
+SELECT 'all' AS grp, count(*) AS n_rows,
+  CAST(sum(doc_id) AS BIGINT) AS sum_doc,
+  min(pos) AS min_pos, max(pos) AS max_pos,
+  CAST(sum(length(text)) AS BIGINT) AS sum_text_len
+FROM ord, b
+WHERE pos >= b.lo AND pos <= b.hi
+GROUP BY grp
+"""
+
+
 # decorrelated from TRAIN_SPLIT_SALT (that stream hashes doc_id; this
 # one hashes CLUSTER ids, but several lanes run both over the same
 # table and independent permutations keep the decisions independent)
@@ -3139,18 +3218,27 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     the md5 tiebreak keeps range partitions balanced where a raw
     score sort would skew them).
 
-    Composition: quality_score (C4 heuristics, pure JVM) → two-level
-    composite sort key → operators/ordering.global_index (range
-    exchange + monotonic-id rank — no single-partition window). Fully
-    hash-oracled: the same decile arithmetic, lpad key and md5 stream
-    reproduce every position in DuckDB."""
-    from pulsar_elasticsearch_sync_rs_spark.functions.text import quality_score
+    Composition: quality_score_fast (the Arrow twin — value-identical
+    to the C4-heuristics HOF chain, equality pinned in
+    tests/test_text_fast.py; the round-12 sf100 probe showed the
+    INTERPRETED chain was this lane's wall, 169 s of per-element boxed
+    lambda evaluation) → two-level composite sort key →
+    operators/ordering.global_index (range exchange + monotonic-id
+    rank — no single-partition window). Fully hash-oracled: the same
+    decile arithmetic, lpad key and md5 stream reproduce every
+    position in DuckDB — the twin's exact value parity is what keeps
+    the hash green."""
+    from pulsar_elasticsearch_sync_rs_spark.functions.text import (
+        quality_score_fast,
+    )
     from pulsar_elasticsearch_sync_rs_spark.operators.ordering import (
         global_index,
     )
 
     docs = read_table(spark, sf_dir, "documents")
-    decile = F.least(F.floor(quality_score("text") * 10), F.lit(9)).cast("int")
+    decile = F.least(
+        F.floor(quality_score_fast("text") * 10), F.lit(9)
+    ).cast("int")
     # two-step select: deriving the sort key from the ALIASED decile
     # keeps exactly ONE instance of the interpreted quality chain in
     # the plan — referencing `decile` directly in both columns would

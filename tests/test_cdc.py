@@ -192,7 +192,11 @@ def test_scd2_apply_partitioned_rewrites_only_changed_buckets(spark, sf_dir, tmp
     rep0 = scd2_apply_partitioned(
         spark, base_dir, empty, key="k", attrs=["v"], n_parts=n_parts
     )
-    assert rep0 == {"changed_buckets": [], "rows_written": 0}
+    assert rep0 == {
+        "changed_buckets": [],
+        "rows_written": 0,
+        "orphan_tombstones_by_bucket": {},
+    }
 
 
 def test_scd2_partitioned_change_key_dtype_mismatch_is_safe(spark, tmp_path):

@@ -142,6 +142,48 @@ def test_balanced_sample_quota_and_determinism(spark, sf_dir):
         assert {i for i in kept if i in set(ids)} == want
 
 
+def test_kmeans_model_persist_load_roundtrip(spark, sf_dir, tmp_path):
+    """Round-12 VERDICT item 3: a fitted clustering is a reusable
+    at-rest artifact. The loaded model must be VALUE-IDENTICAL — exact
+    center bits (ARRAY<DOUBLE> round trip), exact SSE history — so
+    assignment from the artifact matches the in-memory fit
+    bit-for-bit across sessions."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.kmeans import (
+        load_kmeans_model,
+        persist_kmeans_model,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    model = kmeans_fit(emb, "embedding", k=K, n_iter=3, id_col="vec_id")
+    path = str(tmp_path / "km_model")
+    persist_kmeans_model(spark, path, model)
+    loaded = load_kmeans_model(spark, path)
+
+    assert (loaded.centers == model.centers).all()  # exact, not allclose
+    assert loaded.sse == model.sse
+    assert loaded.n_rows == model.n_rows and loaded.iters == model.iters
+
+    a = {
+        r.vec_id: r.cluster_id
+        for r in assign_clusters(emb, model, "embedding").collect()
+    }
+    b = {
+        r.vec_id: r.cluster_id
+        for r in assign_clusters(emb, loaded, "embedding").collect()
+    }
+    assert a == b
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no centers"):
+        # overwrite-empty centers dir: loader fails loudly, never a
+        # silently-degenerate model
+        spark.createDataFrame(
+            [], "row_id int, center array<double>"
+        ).write.mode("overwrite").parquet(path + "/centers")
+        load_kmeans_model(spark, path)
+
+
 def test_balanced_sample_two_stage_bounded(spark, sf_dir):
     """Round-12 VERDICT fix pinned: the sampler's per-cluster window
     must sort only the LOCALLY-CAPPED survivor set, never the full

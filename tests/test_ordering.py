@@ -96,3 +96,102 @@ def test_epoch_shuffle_matches_reference_and_is_stable(spark, sf_dir):
         "doc_id",
         "pos",
     }
+
+
+def test_global_index_reserved_column_guards(spark):
+    """Round-12 ADVICE: a caller column named __pid/__mid/__off would
+    be silently overwritten and dropped — fail loudly instead."""
+    base = spark.createDataFrame([(1,)], "id long")
+    for c in ("__pid", "__mid", "__off"):
+        with pytest.raises(ValueError, match="reserved"):
+            global_index(base.withColumn(c, F.lit(0)), "id")
+
+
+def _pos_rowgroup_ranges(path):
+    """(min, max, n_rows) of `pos` for every row group of every file."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for fname in files:
+            if not fname.endswith(".parquet"):
+                continue
+            meta = pq.ParquetFile(os.path.join(root, fname)).metadata
+            idx = meta.schema.names.index("pos")
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(idx).statistics
+                out.append((st.min, st.max, meta.row_group(rg).num_rows))
+    return out
+
+
+def test_persist_epoch_layout_footer_pruned_position_reads(
+    spark, sf_dir, tmp_path
+):
+    """The data-loader artifact (round-12 VERDICT item 2): the epoch
+    layout's files/row groups must each own a CONTIGUOUS DISJOINT
+    position run covering 0..n−1 exactly — witnessed from the parquet
+    footers, not asserted — and a position-band read must (a) push the
+    band to the scan, (b) touch only the row groups whose footer range
+    intersects it, and (c) return exactly the epoch_shuffle rows."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.ordering import (
+        persist_epoch_layout,
+        read_position_range,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    path = str(tmp_path / "epoch3")
+    persist_epoch_layout(
+        docs, "doc_id", epoch=3, path=path, max_records_per_file=40
+    )
+
+    ranges = _pos_rowgroup_ranges(path)
+    assert len(ranges) >= 8, "need many row groups for pruning to mean anything"
+    # disjoint contiguous runs covering 0..n-1: sorted by min, each
+    # range is exactly its row count wide and starts where the
+    # previous ended — the pre_ranged write preserved the global order
+    ranges.sort()
+    nxt = 0
+    for mn, mx, cnt in ranges:
+        assert mn == nxt and mx == mn + cnt - 1, (mn, mx, cnt, nxt)
+        nxt = mx + 1
+    assert nxt == n
+
+    # central ~10% band: the footer skip-rate — only the intersecting
+    # row groups are readable under the pushed predicate
+    lo, hi = int(n * 0.45), int(n * 0.55)
+    hit = [r for r in ranges if not (r[1] < lo or r[0] > hi)]
+    assert len(hit) <= max(2, len(ranges) // 4), (
+        f"band [{lo},{hi}] hits {len(hit)}/{len(ranges)} row groups — "
+        "layout not pruning"
+    )
+
+    band = read_position_range(spark, path, lo, hi)
+    plan = band._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThanOrEqual(pos," in plan and "LessThanOrEqual(pos," in plan
+    got = {(r.pos, r.doc_id) for r in band.collect()}
+    want = {
+        (r.pos, r.doc_id)
+        for r in epoch_shuffle(docs, "doc_id", epoch=3).collect()
+        if lo <= r.pos <= hi
+    }
+    assert got == want and len(got) == hi - lo + 1
+
+    # the general (re-range) writer gives the same layout contract for
+    # any enumerated frame — e.g. a curriculum order written later
+    from pulsar_elasticsearch_sync_rs_spark.operators.ordering import (
+        persist_ordered,
+    )
+
+    cur = global_index(docs, "doc_id", out_col="pos")
+    path2 = str(tmp_path / "curriculum")
+    persist_ordered(cur, path2, n_files=4, max_records_per_file=40)
+    r2 = sorted(_pos_rowgroup_ranges(path2))
+    nxt = 0
+    for mn, mx, cnt in r2:
+        assert mn == nxt and mx == mn + cnt - 1
+        nxt = mx + 1
+    assert nxt == n
