@@ -140,6 +140,30 @@ _WS_CLASS = r"[ \t\n\x0B\f\r]"
 _PUNCT_CLASS = r"[!-/:-@\[-`{-~]"
 
 
+def _round6_half_up(raw):
+    """Vectorized Spark ``round(double, 6)``: floor(x·1e6 + .5) with
+    the rows inside float error of a .5 boundary re-rounded exactly
+    via shortest-repr decimal HALF_UP (repr() shares Double.toString's
+    shortest-decimal algorithm). Shared by every fast-twin kernel so
+    the rounding seam is implemented once."""
+    import decimal
+
+    import numpy as np
+
+    y = raw * 1e6
+    f = np.floor(y)
+    frac = y - f
+    out = np.where(frac >= 0.5, f + 1.0, f) / 1e6
+    for i in np.nonzero(np.abs(frac - 0.5) < 1e-6)[0]:
+        out[i] = float(
+            decimal.Decimal(repr(float(raw[i]))).quantize(
+                decimal.Decimal("0.000001"),
+                rounding=decimal.ROUND_HALF_UP,
+            )
+        )
+    return out
+
+
 def _quality_score_numpy(texts):
     """The kernel: pandas Series[str] -> scores float64 ndarray.
     Exact value parity with quality_score INCLUDING the null quirk:
@@ -149,8 +173,6 @@ def _quality_score_numpy(texts):
     (wlen 0.5, punct 1.0, sw 0.0) and the weighted sum lands on
     1.0·0.3 + 0.5·0.2 + 1.0·0.25 + 0.0·0.25 = 0.65 (verified against
     the live expression in tests/test_text_fast.py)."""
-    import decimal
-
     import numpy as np
 
     isnull = texts.isna().to_numpy()
@@ -184,18 +206,7 @@ def _quality_score_numpy(texts):
         (len_score * 0.3 + wlen_score * 0.2) + punct_score * 0.25
     ) + sw_score * 0.25
 
-    y = raw * 1e6
-    f = np.floor(y)
-    frac = y - f
-    out = np.where(frac >= 0.5, f + 1.0, f) / 1e6
-    # boundary rows: exact shortest-repr HALF_UP, the Spark semantics
-    for i in np.nonzero(np.abs(frac - 0.5) < 1e-6)[0]:
-        out[i] = float(
-            decimal.Decimal(repr(float(raw[i]))).quantize(
-                decimal.Decimal("0.000001"),
-                rounding=decimal.ROUND_HALF_UP,
-            )
-        )
+    out = _round6_half_up(raw)
     out[isnull] = 0.65  # the expression form's null-text constant
     return out
 
@@ -218,6 +229,89 @@ def quality_score_fast(text: Column | str) -> Column:
         return pd.Series(_quality_score_numpy(s))
 
     return _q(F.col(text) if isinstance(text, str) else text)
+
+
+def _repetition_signals_numpy(texts):
+    """Python twin of :func:`repetition_signals` over a pandas Series:
+    returns (n_toks float64 w/ NaN-for-null, dup_word_frac,
+    top_bigram_frac) with exact value parity — tokens via
+    :func:`py_ws_tokens` on the LOWERED text (the HOF tokenizes
+    lower(text)), the same IEEE division order, and the shared
+    HALF_UP 6-dp rounding. Null text: n NULL, fracs 0.0 (the HOF's
+    null-condition whens fall to their otherwise branches)."""
+    from collections import Counter
+
+    import numpy as np
+
+    k = len(texts)
+    n_arr = np.zeros(k, dtype=np.float64)
+    dup = np.zeros(k, dtype=np.float64)
+    top = np.zeros(k, dtype=np.float64)
+    isnull = texts.isna().to_numpy()
+    for i, t in enumerate(texts):
+        if not isinstance(t, str):
+            continue
+        toks = py_ws_tokens(t.lower())
+        n = len(toks)
+        n_arr[i] = n
+        if n > 0:
+            dup[i] = 1.0 - float(len(set(toks))) / float(n)
+        if n >= 2:
+            bigrams = Counter(
+                f"{a} {b}" for a, b in zip(toks, toks[1:])
+            )
+            top[i] = float(max(bigrams.values())) / float(n - 1)
+    dup = _round6_half_up(dup)
+    top = _round6_half_up(top)
+    dup[isnull] = 0.0
+    top[isnull] = 0.0
+    n_arr[isnull] = np.nan
+    return n_arr, dup, top
+
+
+def text_signals_fast(text: Column | str) -> Column:
+    """ONE Arrow pass computing every curation-gate signal — a struct
+    ``(quality, n_toks, dup_word_frac, top_bigram_frac)`` with exact
+    value parity to :func:`quality_score` + :func:`repetition_signals`
+    (equality pinned in tests/test_text_fast.py). The production gate
+    (streaming/curation.py, q_llm_pipeline) evaluates three
+    interpreted HOF chains per document through the expression forms;
+    this twin crosses the text once and hands back four scalars.
+    Reference the RETURNED column's fields (``sig["quality"]`` …) so
+    the single UDF expression is shared — Catalyst collapses equal
+    PythonUDF calls into one ArrowEvalPython evaluation (plan-pinned
+    in the tests)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("quality", T.DoubleType()),
+            T.StructField("n_toks", T.LongType()),
+            T.StructField("dup_word_frac", T.DoubleType()),
+            T.StructField("top_bigram_frac", T.DoubleType()),
+        ]
+    )
+
+    # no signature type hints (locally-imported pd; returnType rules)
+    @F.pandas_udf(schema)
+    def _sig(s):
+        q = _quality_score_numpy(s)
+        n_arr, dup, top = _repetition_signals_numpy(s)
+        out = pd.DataFrame(
+            {
+                "quality": q,
+                # nullable Int64: NaN → NULL for null text, like
+                # size(null array) under the expression form
+                "n_toks": pd.array(n_arr, dtype="Int64"),
+                "dup_word_frac": dup,
+                "top_bigram_frac": top,
+            }
+        )
+        return out
+
+    return _sig(F.col(text) if isinstance(text, str) else text)
 
 
 def lang_guess(text: Column | str) -> Column:

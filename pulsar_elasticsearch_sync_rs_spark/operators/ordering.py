@@ -222,6 +222,35 @@ def persist_epoch_layout(
     )
 
 
+def position_shards(
+    spark, path: str, n_ranks: int, pos_col: str = "pos"
+) -> list[tuple[int, int, int]]:
+    """Balanced contiguous position ranges for ``n_ranks`` data-loader
+    ranks over a :func:`persist_ordered` layout: ``[(rank, lo, hi)]``
+    with hi inclusive, sizes differing by at most one, disjoint and
+    covering ``0..n−1`` (positions are gap-free by the global_index
+    contract). Each trainer rank then calls
+    :func:`read_position_range` with its bounds and scans only its
+    slice via footer pruning — the standard sharded-epoch read, with
+    the LAYOUT (not a shuffle service) doing the distribution. Ranks
+    beyond the row count get empty ranges (lo > hi), never an error —
+    a 1000-rank job over a small validation set must not crash. The
+    count is one column-pruned scan of the layout's own files; at
+    100 TB prefer caching its result beside the layout rather than
+    re-counting per rank."""
+    if n_ranks < 1:
+        raise ValueError("position_shards: n_ranks must be >= 1")
+    n = spark.read.parquet(path).count()
+    base, rem = divmod(n, n_ranks)
+    out = []
+    lo = 0
+    for r in range(n_ranks):
+        size = base + (1 if r < rem else 0)
+        out.append((r, lo, lo + size - 1))
+        lo += size
+    return out
+
+
 def read_position_range(
     spark, path: str, start: int, end: int, pos_col: str = "pos"
 ) -> DataFrame:

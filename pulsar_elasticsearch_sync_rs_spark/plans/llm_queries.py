@@ -1791,17 +1791,21 @@ def q_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     text crosses the wire exactly once — into the packer's
     range partition."""
     from pulsar_elasticsearch_sync_rs_spark.functions.text import (
-        quality_score,
-        repetition_signals,
+        text_signals_fast,
     )
     from pulsar_elasticsearch_sync_rs_spark.operators.packing import pack_sequences
 
     docs = read_table(spark, sf_dir, "documents")
-    _, dup_word_frac, top_bigram_frac = repetition_signals("text")
+    # round 13: the gate rides the ONE-PASS Arrow signals kernel —
+    # value-identical to the quality_score × repetition_signals
+    # expression forms (equality pinned in tests/test_text_fast.py, so
+    # the hash oracle below is unchanged), but three interpreted HOF
+    # chains per doc collapse into a single text crossing
+    sig = text_signals_fast("text")
     gated = docs.filter(
-        (quality_score("text") >= 0.65)
-        & (dup_word_frac <= 0.6)
-        & (top_bigram_frac <= 0.1)
+        (sig["quality"] >= 0.65)
+        & (sig["dup_word_frac"] <= 0.6)
+        & (sig["top_bigram_frac"] <= 0.1)
     )
 
     # decontamination as a filter: benchmark docs out, gram-hit docs

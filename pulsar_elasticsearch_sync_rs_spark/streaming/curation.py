@@ -56,7 +56,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.text import quality_score, repetition_signals, word_shingles
+from ..functions.text import word_shingles
 from ..operators.decontaminate import (
     DEFAULT_MAX_BROADCAST_GRAMS,
     _guarded,
@@ -759,12 +759,19 @@ def run_curation_ingest(
 
     marker_dir = os.path.join(checkpoint_dir, "counted")
     counted_batches: set[int] = set()  # fast path; markers are the truth
-    _, dup_word_frac, top_bigram_frac = repetition_signals(text_col)
     if gate_pred is None:
+        # round 13: the default gate rides the one-pass Arrow signals
+        # kernel — value-identical to the quality_score ×
+        # repetition_signals expression forms (equality pinned in
+        # tests/test_text_fast.py), one text crossing instead of three
+        # interpreted HOF chains per doc
+        from ..functions.text import text_signals_fast
+
+        sig = text_signals_fast(text_col)
         gate_pred = (
-            (quality_score(text_col) >= quality_min)
-            & (dup_word_frac <= dup_word_max)
-            & (top_bigram_frac <= top_bigram_max)
+            (sig["quality"] >= quality_min)
+            & (sig["dup_word_frac"] <= dup_word_max)
+            & (sig["top_bigram_frac"] <= top_bigram_max)
         )
 
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:

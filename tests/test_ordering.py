@@ -195,3 +195,52 @@ def test_persist_epoch_layout_footer_pruned_position_reads(
         assert mn == nxt and mx == mn + cnt - 1
         nxt = mx + 1
     assert nxt == n
+
+
+def test_position_shards_balanced_disjoint_total(spark, sf_dir, tmp_path):
+    """The sharded-epoch read: ranks get contiguous ranges differing
+    by ≤1 in size, disjoint, covering 0..n−1; each rank's
+    read_position_range returns exactly its slice of the permutation
+    (every row to exactly one rank); surplus ranks get empty ranges
+    rather than errors."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.ordering import (
+        persist_epoch_layout,
+        position_shards,
+        read_position_range,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    path = str(tmp_path / "epoch_shards")
+    persist_epoch_layout(docs, "doc_id", epoch=5, path=path,
+                         max_records_per_file=40)
+
+    shards = position_shards(spark, path, 7)
+    sizes = [hi - lo + 1 for _, lo, hi in shards]
+    assert sum(sizes) == n and max(sizes) - min(sizes) <= 1
+    assert shards[0][1] == 0 and shards[-1][2] == n - 1
+    for (_, _, h0), (_, l1, _) in zip(shards, shards[1:]):
+        assert l1 == h0 + 1
+
+    seen: dict = {}
+    for r, lo, hi in shards:
+        for row in read_position_range(spark, path, lo, hi).collect():
+            assert row.pos not in seen
+            seen[row.pos] = (r, row.doc_id)
+    assert len(seen) == n
+    # shard union == the epoch permutation
+    want = {
+        r.pos: r.doc_id
+        for r in epoch_shuffle(docs, "doc_id", epoch=5).collect()
+    }
+    assert {p: d for p, (_, d) in seen.items()} == want
+
+    # more ranks than rows: empty tails, no crash
+    over = position_shards(spark, path, n + 5)
+    assert sum(max(0, hi - lo + 1) for _, lo, hi in over) == n
+    assert all(hi < lo for _, lo, hi in over[n:])
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_ranks"):
+        position_shards(spark, path, 0)

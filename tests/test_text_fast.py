@@ -124,6 +124,59 @@ def test_quality_score_fast_half_up_boundary(spark):
     assert all(r.hof == r.fast for r in rows)
 
 
+def test_text_signals_fast_matches_hof_exactly(spark, sf_dir):
+    """The combined one-pass gate kernel (quality + n_toks +
+    repetition signals as one struct): exact parity with the three
+    expression forms on the fixture corpus AND the adversarial set,
+    and the struct's fields must share ONE ArrowEvalPython evaluation
+    (referencing four fields must not run the kernel four times)."""
+    from pulsar_elasticsearch_sync_rs_spark.functions.text import (
+        repetition_signals,
+        text_signals_fast,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    adv = spark.createDataFrame(
+        [(10_000 + i, t) for i, t in enumerate(ADVERSARIAL)]
+        + [(99_999, None)],
+        "doc_id long, text string",
+    )
+    both = docs.unionByName(adv)
+    n, dup, top = repetition_signals("text")
+    sig = text_signals_fast("text")
+    rows = both.select(
+        "doc_id",
+        quality_score("text").alias("q_hof"),
+        n.alias("n_hof"),
+        dup.alias("dup_hof"),
+        top.alias("top_hof"),
+        sig["quality"].alias("q_fast"),
+        sig["n_toks"].alias("n_fast"),
+        sig["dup_word_frac"].alias("dup_fast"),
+        sig["top_bigram_frac"].alias("top_fast"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.q_hof == r.q_fast, (r.doc_id, r.q_hof, r.q_fast)
+        assert r.n_hof == r.n_fast, (r.doc_id, r.n_hof, r.n_fast)
+        assert r.dup_hof == r.dup_fast, (r.doc_id, r.dup_hof, r.dup_fast)
+        assert r.top_hof == r.top_fast, (r.doc_id, r.top_hof, r.top_fast)
+
+    # one kernel evaluation feeds all four field references (probe on
+    # a single-branch frame — a union legitimately plans one
+    # ArrowEvalPython per child, still one evaluation per row)
+    plan = (
+        docs.select(
+            sig["quality"], sig["n_toks"], sig["dup_word_frac"],
+            sig["top_bigram_frac"],
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("ArrowEvalPython") == 1
+
+
 def test_curriculum_order_fast_twin_values_and_plan(spark, sf_dir):
     """q_curriculum_order rides the Arrow twin (its sf100 wall was the
     interpreted chain): positions must be identical to the HOF
