@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -244,7 +245,7 @@ def _shuffle_totals(spark) -> tuple[int, int] | None:
 # operator in a future pinned lane would trip a false violation):
 # WindowExec prints as "Window [", plus the group-limit / running /
 # pandas window variants
-_WINDOW_NODE_RE = __import__("re").compile(
+_WINDOW_NODE_RE = re.compile(
     r"Window\s*\[|WindowGroupLimit|RunningWindowFunction|WindowInPandas"
 )
 
@@ -541,6 +542,7 @@ def stream_throughput(spark, sf_dir: str, violations: list[str] | None = None) -
             # availableNow reprocesses the full input every time
             walls = []
             state = None
+            last_finished = True
             for rep in range(3):
                 ckpt = os.path.join(tmp, f"ckpt_{name}_{rep}")
                 out = os.path.join(tmp, f"out_{name}_{rep}")
@@ -567,13 +569,22 @@ def stream_throughput(spark, sf_dir: str, violations: list[str] | None = None) -
                 # list) — only completed timed reps contribute
                 if rep > 0 and finished:
                     walls.append(_time.perf_counter() - t0)
+                last_finished = finished
                 state = _state_profile(q)
             wall = min(walls) if walls else None
+            # a stopped (timed-out) final rep leaves a PARTIAL sink —
+            # counting it would feed msgs_from_output lanes a garbage
+            # msgs/s that reads as valid beside the violation
+            # (round-13 review finding)
             last_out = os.path.join(tmp, f"out_{name}_2")
             n_out = (
-                count_output(last_out)
-                if count_output
-                else spark.read.parquet(last_out).count()
+                (
+                    count_output(last_out)
+                    if count_output
+                    else spark.read.parquet(last_out).count()
+                )
+                if last_finished
+                else None
             )
             # the ETL lane counts OUTPUT rows (the exact metric BENCH_r2/
             # r3 recorded — identical to input only while nothing dead-
@@ -582,7 +593,11 @@ def stream_throughput(spark, sf_dir: str, violations: list[str] | None = None) -
             n_msgs = n_out if msgs_from_output else (
                 n_input if n_input_override is None else n_input_override
             )
-            rate = None if wall is None else round(n_msgs / wall)
+            rate = (
+                None
+                if wall is None or n_msgs is None
+                else round(n_msgs / wall)
+            )
             print(
                 f"# stream/{name}: {n_msgs} msgs in"
                 f" {'TIMEOUT' if wall is None else f'{wall:.3f}s'} = {rate} msgs/s"
@@ -600,7 +615,7 @@ def stream_throughput(spark, sf_dir: str, violations: list[str] | None = None) -
             if state["state_rows_max"] or state["state_mem_mb_max"]:
                 lane["state"] = state
             bound = STATE_PINS.get(name)
-            if bound is not None and violations is not None:
+            if bound is not None and violations is not None and n_out is not None:
                 limit = bound(ev_norm, n_out)
                 if state["state_rows_max"] > limit:
                     violations.append(

@@ -240,9 +240,12 @@ def scd2_apply(
         # version and a leading 'D' are legitimate (they close it) and
         # never reach this probe's output.
         key_type = base.schema[key].dataType
+        # `cur` IS the open-version set the close-current branch rides —
+        # reusing it (not re-deriving base.filter(is_current)) keeps the
+        # guard's notion of "open" from ever diverging from the branch
+        # it protects (round-13 review finding)
         present = (
-            base.filter(F.col(current_col))
-            .join(F.broadcast(chg_summary.select(key)), key, "left_semi")
+            cur.join(F.broadcast(chg_summary.select(key)), key, "left_semi")
             .select(key)
             .distinct()
             .withColumn("__present", F.lit(True))
@@ -494,6 +497,22 @@ def scd2_apply_partitioned(
         }
     base = spark.read.parquet(base_dir).filter(F.col("pb").isin(buckets))
     cols = [key, *attrs, from_col, to_col, current_col]
+    # PRE-merge tombstone counts over the same pruned read (skinny
+    # validity columns only): the streaming runner's backlog ceiling
+    # must fire on GROWTH (post > pre for this batch), not on at-rest
+    # totals — an at-rest trigger both poisons checkpoint replay (the
+    # re-applied batch re-counts the same tombstones and re-raises
+    # before any remediating insert batch can run) and false-positives
+    # on historical seed tombstones in a first-touched bucket
+    # (round-13 review findings #1 and #3)
+    is_tomb = F.col(to_col).isNotNull() & (F.col(to_col) == F.col(from_col))
+    pre_tombs = {
+        int(r["pb"]): int(r["n"])
+        for r in base.filter(is_tomb)
+        .groupBy("pb")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
     merged = scd2_apply(
         base.select(*cols),
         changes,
@@ -517,9 +536,7 @@ def scd2_apply_partitioned(
     # max_pending bounds the IVF-PQ delete backlog
     tombs_by_bucket = {
         int(r["pb"]): int(r["n"])
-        for r in merged.filter(
-            F.col(to_col).isNotNull() & (F.col(to_col) == F.col(from_col))
-        )
+        for r in merged.filter(is_tomb)
         .groupBy("pb")
         .agg(F.count("*").alias("n"))
         .collect()
@@ -536,9 +553,14 @@ def scd2_apply_partitioned(
         "rows_written": n,
         # every changed bucket reports, including an explicit 0 — the
         # runner's running census must DRAIN when inserts land, which
-        # a hits-only dict would silently never do
+        # a hits-only dict would silently never do. Pre counts ride
+        # along so the runner can distinguish growth (this batch minted
+        # new orphans) from standing state (replay / seed history).
         "orphan_tombstones_by_bucket": {
             b: tombs_by_bucket.get(b, 0) for b in sorted(buckets)
+        },
+        "orphan_tombstones_pre_by_bucket": {
+            b: pre_tombs.get(b, 0) for b in sorted(buckets)
         },
     }
 

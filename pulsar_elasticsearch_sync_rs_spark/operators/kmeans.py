@@ -217,6 +217,11 @@ def load_kmeans_model(spark, path: str) -> KMeansModel:
         raise ValueError(f"load_kmeans_model: no centers under {path}")
     centers = np.array([r["center"] for r in rows], dtype=np.float64)
     meta_row = spark.read.parquet(posixpath.join(path, "meta")).first()
+    if meta_row is None:
+        # a killed persist between its two (non-atomic) writes leaves
+        # an empty meta dir — fail loudly naming the artifact, like
+        # the empty-centers branch above
+        raise ValueError(f"load_kmeans_model: no meta under {path}")
     meta = json.loads(meta_row["meta"])
     return KMeansModel(
         centers=centers,

@@ -57,15 +57,24 @@ class CdcIngestStats:
     def __init__(self) -> None:
         self.tombstones_by_bucket: dict[int, int] = {}
         self.batches_applied: int = 0
+        # tombstones the LAST batch minted (post − pre over its touched
+        # buckets, floored at 0) — the ceiling's growth signal
+        self.last_batch_growth: int = 0
 
     @property
     def orphan_tombstones(self) -> int:
         """Known at-rest orphan-tombstone backlog (touched buckets)."""
         return sum(self.tombstones_by_bucket.values())
 
-    def _absorb(self, by_bucket: dict[int, int]) -> None:
+    def _absorb(
+        self, by_bucket: dict[int, int], pre_by_bucket: dict[int, int]
+    ) -> None:
         # post-merge counts REPLACE per bucket (including explicit 0s
         # — that is how the backlog drains when inserts land)
+        self.last_batch_growth = max(
+            0,
+            sum(by_bucket.values()) - sum(pre_by_bucket.values()),
+        )
         self.tombstones_by_bucket.update(by_bucket)
         self.batches_applied += 1
 
@@ -99,12 +108,17 @@ def run_cdc_ingest(
     Pass a :class:`CdcIngestStats` as ``stats`` to observe the
     orphan-tombstone backlog and batch count from the driver.
     ``max_orphan_tombstones`` is the enforced ceiling (the
-    ``pq.py max_pending`` pattern): when the known backlog exceeds it
-    AFTER a batch lands, the batch raises and the query fails loudly —
-    the operator refuses to let a broken upstream grow unbounded
-    zero-length state. The failing batch is already durably applied
-    and splice replay is idempotent, so a restart after fixing the
-    upstream resumes cleanly."""
+    ``pq.py max_pending`` pattern): when a batch GROWS the tombstone
+    set (post-merge > pre-merge over its touched buckets) and the
+    known backlog exceeds the ceiling, the batch raises and the query
+    fails loudly — the operator refuses to let a broken upstream grow
+    unbounded zero-length state. The growth condition, not the at-rest
+    total, is what fires (round-13 review): a checkpoint-replayed
+    batch re-merges idempotently (post == pre) and passes, so a
+    restart after fixing the upstream resumes cleanly and reaches the
+    remediating insert batches; likewise historical seed tombstones in
+    a first-touched bucket never false-trigger — only a batch that
+    MINTS new orphans past the ceiling fails."""
     if on_late != "splice":
         raise ValueError(
             "run_cdc_ingest: only on_late='splice' is replay-safe under "
@@ -138,18 +152,26 @@ def run_cdc_ingest(
             ts_col=ts_col,
             on_late="splice",
         )
-        stats._absorb(result["orphan_tombstones_by_bucket"])
+        stats._absorb(
+            result["orphan_tombstones_by_bucket"],
+            result["orphan_tombstones_pre_by_bucket"],
+        )
         backlog = stats.orphan_tombstones
         if (
             max_orphan_tombstones is not None
+            and stats.last_batch_growth > 0
             and backlog > max_orphan_tombstones
         ):
             raise ValueError(
-                f"run_cdc_ingest: {backlog} orphan tombstones at rest "
-                f"exceed max_orphan_tombstones={max_orphan_tombstones} — "
-                "the upstream is emitting deletes whose inserts never "
+                f"run_cdc_ingest: batch {batch_id} minted "
+                f"{stats.last_batch_growth} new orphan tombstone(s) and "
+                f"the known backlog ({backlog}) exceeds "
+                f"max_orphan_tombstones={max_orphan_tombstones} — the "
+                "upstream is emitting deletes whose inserts never "
                 "arrive (D-before-I that never resolves); fix the "
-                "producer and restart (splice replay is idempotent)"
+                "producer and restart (splice replay is idempotent and "
+                "a replayed batch mints nothing, so the stream resumes "
+                "and drains once the inserts land)"
             )
 
     writer = (

@@ -2833,4 +2833,31 @@ def test_streaming_cdc_tombstone_backlog_census_and_ceiling(spark, tmpdir):
             raise q.exception()
     # the batch that tripped the ceiling is still durably applied
     # (splice is idempotent — a post-fix restart resumes cleanly)
-    assert s3.orphan_tombstones == 4
+    assert s3.orphan_tombstones == 4 and s3.last_batch_growth == 4
+
+    # restart lifecycle (round-13 review: the ceiling must fire on
+    # GROWTH, not on the at-rest total — an at-rest trigger would
+    # poison checkpoint replay forever): the upstream is 'fixed' (the
+    # late inserts land as a new source file), the stream restarts on
+    # the SAME checkpoint with the SAME ceiling. The replayed D batch
+    # re-merges idempotently (mints nothing → passes), the insert
+    # batch drains the backlog, and the query completes cleanly.
+    (
+        spark.createDataFrame(
+            [(200 + i, 2.0 * i, "I", T1) for i in range(4)], schema
+        )
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(d2_src)
+    )
+    s4 = CdcIngestStats()
+    run(
+        d2_src,
+        os.path.join(tmpdir, "ck3"),  # same checkpoint — replay path
+        s4,
+        max_orphan_tombstones=2,
+    )
+    assert s4.orphan_tombstones == 0
+    fixed = spark.read.parquet(base_dir).filter("k >= 200")
+    assert fixed.filter("valid_to = valid_from").count() == 0
+    assert fixed.count() == 4  # one closed [T1, T2) version each
