@@ -495,7 +495,7 @@ def test_scd2_apply_matches_interval_model(spark_global, changes, base_keys):
     if orphan:
         import pytest
 
-        with pytest.raises(Exception, match="absent from the snapshot"):
+        with pytest.raises(Exception, match="no open version"):
             scd2_apply(base, ch, key="k", attrs=["v"]).collect()
         return
     rows = Counter(
