@@ -121,7 +121,7 @@ PLAN_PINS: dict[str, dict] = {
     "q_knn_cosine": {"arrow_max": 1},
     "q_embed_neardup_ivf": {"arrow_max": 2},  # assign + within-cell cosine
     "q_knn_pq": {"arrow_max": 3},  # train/encode + probe ADC + re-rank
-    "q_llm_pipeline": {"arrow_max": 2},  # the packing kernel + the one-pass gate signals kernel (round 13: 3 interpreted HOF chains -> 1 Arrow crossing)
+    "q_llm_pipeline": {"arrow_max": 1},  # at most the packing kernel (the gate stays expression-form — the Arrow twin lost the sf100 A/B, SCALE.md round 13)
     "q_substring_dedup": {"arrow_max": 0},  # md5 grams + windows, pure JVM
     "q_bm25_topk": {"arrow_max": 0},  # tokenize/agg/joins all JVM; the ≤5-element sum is an interpreted HOF, not Arrow
     "q_media_jpeg_prog": {"arrow_max": 2},  # synth corpus + decode: exactly two MapInPandas

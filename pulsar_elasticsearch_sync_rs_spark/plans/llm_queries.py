@@ -1791,21 +1791,28 @@ def q_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     text crosses the wire exactly once — into the packer's
     range partition."""
     from pulsar_elasticsearch_sync_rs_spark.functions.text import (
-        text_signals_fast,
+        quality_score,
+        repetition_signals,
     )
     from pulsar_elasticsearch_sync_rs_spark.operators.packing import pack_sequences
 
     docs = read_table(spark, sf_dir, "documents")
-    # round 13: the gate rides the ONE-PASS Arrow signals kernel —
-    # value-identical to the quality_score × repetition_signals
-    # expression forms (equality pinned in tests/test_text_fast.py, so
-    # the hash oracle below is unchanged), but three interpreted HOF
-    # chains per doc collapse into a single text crossing
-    sig = text_signals_fast("text")
+    # Gate stays in EXPRESSION form — a deliberate, measured choice
+    # (round-13 sf100 A/B, SCALE.md): the one-pass Arrow signals twin
+    # (text_signals_fast) wins at micro-batch grain (streaming
+    # curation +69%) and at sf0.1 (4.5 vs 5.2 s), but LOSES 1.5× at
+    # the 5M-doc decade (308.5 vs 208.9 s) — the gate subtree is
+    # re-evaluated by the decontaminate gram side and the keys build,
+    # and each Arrow re-evaluation re-crosses the full text column,
+    # while the interpreted chains re-run JVM-side off the live scan.
+    # Materializing the gated frame once (localCheckpoint) narrowed
+    # Arrow to 231 s but HOF+checkpoint read 329 s — the text-sized
+    # checkpoint write costs more than repeated JVM gate evals save.
+    _, dup_word_frac, top_bigram_frac = repetition_signals("text")
     gated = docs.filter(
-        (sig["quality"] >= 0.65)
-        & (sig["dup_word_frac"] <= 0.6)
-        & (sig["top_bigram_frac"] <= 0.1)
+        (quality_score("text") >= 0.65)
+        & (dup_word_frac <= 0.6)
+        & (top_bigram_frac <= 0.1)
     )
 
     # decontamination as a filter: benchmark docs out, gram-hit docs
