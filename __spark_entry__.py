@@ -252,6 +252,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kmeans_balance": _wrap(L.q_kmeans_balance),  # full-corpus Lloyd k-means + cluster-balanced cap (rows-only; numpy-parity pytest)
         "q_curriculum_order": _wrap(L.q_curriculum_order),  # quality-decile curriculum enumeration via the no-window global index
         "q_epoch_layout_scan": _wrap(L.q_epoch_layout_scan),  # persisted epoch layout round-trip: footer-pruned position-band read
+        "q_epoch_sharded_read": _wrap(L.q_epoch_sharded_read),  # N-rank sharded epoch read: sidecar-resolved shards, footer-pruned slice per rank
     }
 
 
@@ -310,4 +311,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "q_split_leakage_safe": L.ORACLE_SPLIT_LEAKAGE_SAFE,
         "q_curriculum_order": L.ORACLE_CURRICULUM_ORDER,
         "q_epoch_layout_scan": L.ORACLE_EPOCH_LAYOUT_SCAN,
+        "q_epoch_sharded_read": L.ORACLE_EPOCH_SHARDED_READ,
     }

@@ -490,10 +490,13 @@ def scd2_apply_partitioned(
         r["pb"] for r in changes.select(pb.alias("pb")).distinct().collect()
     ]
     if not buckets:
+        # same shape as the normal return — callers (CdcIngestStats.
+        # _absorb) index both tombstone dicts unconditionally
         return {
             "changed_buckets": [],
             "rows_written": 0,
             "orphan_tombstones_by_bucket": {},
+            "orphan_tombstones_pre_by_bucket": {},
         }
     base = spark.read.parquet(base_dir).filter(F.col("pb").isin(buckets))
     cols = [key, *attrs, from_col, to_col, current_col]

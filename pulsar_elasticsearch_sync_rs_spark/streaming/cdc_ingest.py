@@ -69,12 +69,15 @@ class CdcIngestStats:
     def _absorb(
         self, by_bucket: dict[int, int], pre_by_bucket: dict[int, int]
     ) -> None:
+        # growth = sum of PER-BUCKET positive deltas, not a netted
+        # cross-bucket sum — a batch that drains N tombstones in one
+        # bucket while minting N fresh D-before-I orphans in another
+        # would net to 0 and slip the ceiling (round-13 ADVICE)
+        self.last_batch_growth = sum(
+            max(0, n - pre_by_bucket.get(b, 0)) for b, n in by_bucket.items()
+        )
         # post-merge counts REPLACE per bucket (including explicit 0s
         # — that is how the backlog drains when inserts land)
-        self.last_batch_growth = max(
-            0,
-            sum(by_bucket.values()) - sum(pre_by_bucket.values()),
-        )
         self.tombstones_by_bucket.update(by_bucket)
         self.batches_applied += 1
 

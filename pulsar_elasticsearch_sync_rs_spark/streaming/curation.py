@@ -49,8 +49,12 @@ is the standard streaming first-wins divergence, same as
 
 from __future__ import annotations
 
+import contextlib
 import hashlib
 import os
+
+# reentrant no-op context for the opt-out stage_timings path
+_nullcm = contextlib.nullcontext()
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -624,6 +628,7 @@ def run_curation_ingest(
     compact_every: int | None = None,
     contamination_max_frac: float | None = None,
     gate_pred=None,
+    stage_timings: list | None = None,
 ):
     """Start the curation ingestion stream; returns the StreamingQuery.
 
@@ -717,6 +722,15 @@ def run_curation_ingest(
     grows one-per-trigger forever (see ``compact_index_batches``).
     Compaction is idempotent, so a failure surfacing through the batch
     (and the supervisor's restart) re-runs it safely.
+
+    ``stage_timings`` (opt-in, profiling/observability): a caller list
+    that receives one dict per micro-batch with driver-measured walls
+    of the batch's action groups — ``signature`` (the eager banded-
+    signature checkpoint, which also materializes gate → decontaminate
+    → sha dedup), ``corpus_write`` (verify joins + anti-join + land),
+    ``sha_slice`` / ``band_slice`` (index appends), ``counters`` and
+    ``compact``. Driver-side ``perf_counter`` around existing actions
+    — zero extra Spark jobs.
     """
     # replay-safety guard: every write this job makes is a per-batch
     # overwrite, but the TRANSPORT is caller-supplied — an id-less ES
@@ -775,8 +789,26 @@ def run_curation_ingest(
         )
 
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import time as _time
+
         spark = batch_df.sparkSession
         counts: dict[str, int] = {}
+        walls: dict[str, float] = {"batch_id": batch_id}
+
+        def _timed(name: str):
+            class _T:
+                def __enter__(self):
+                    self.t0 = _time.perf_counter()
+
+                def __exit__(self, *exc):
+                    walls[name] = round(
+                        walls.get(name, 0.0)
+                        + _time.perf_counter()
+                        - self.t0,
+                        3,
+                    )
+
+            return _T() if stage_timings is not None else _nullcm
         # counters apply once per batch_id even across in-process
         # restarts that REBUILD this closure (run_supervised calls the
         # caller's start_query per restart, so the in-memory set alone
@@ -869,14 +901,15 @@ def run_curation_ingest(
             # slice write — eager checkpoint caps that at one job and
             # truncates the lineage the slice write would otherwise
             # drag through the band-table read
-            bands_b = minhash_bands(
-                deduped,
-                text=text_col,
-                id_col=id_col,
-                num_hashes=nd_num_hashes,
-                bands=nd_bands,
-                shingle_k=nd_shingle_k,
-            ).localCheckpoint(eager=True)
+            with _timed("signature"):
+                bands_b = minhash_bands(
+                    deduped,
+                    text=text_col,
+                    id_col=id_col,
+                    num_hashes=nd_num_hashes,
+                    bands=nd_bands,
+                    shingle_k=nd_shingle_k,
+                ).localCheckpoint(eager=True)
             new_t = deduped.select(
                 F.col(id_col).alias("__new"), F.col(text_col).alias("__ta")
             )
@@ -976,44 +1009,58 @@ def run_curation_ingest(
         admitted = admitted.persist()
         try:
             if count_this_batch:
-                counts["curation_gated"] = counts["curation_input"] - gated.count()
-                n_clean = clean.count()
-                counts["curation_contaminated"] = (
-                    counts["curation_input"] - counts["curation_gated"] - n_clean
-                )
-                n_admitted = admitted.count()
-                n_near = near_deduped.count() if rate_limits else n_admitted
-                n_deduped = (
-                    deduped.count() if near_dup_threshold is not None else n_near
-                )
-                counts["curation_duplicate"] = n_clean - n_deduped
-                counts["curation_near_duplicate"] = n_deduped - n_near
-                counts["curation_rate_dropped"] = n_near - n_admitted
-                counts["curation_admitted"] = n_admitted
+                with _timed("counters"):
+                    counts["curation_gated"] = (
+                        counts["curation_input"] - gated.count()
+                    )
+                    n_clean = clean.count()
+                    counts["curation_contaminated"] = (
+                        counts["curation_input"]
+                        - counts["curation_gated"]
+                        - n_clean
+                    )
+                    n_admitted = admitted.count()
+                    n_near = (
+                        near_deduped.count() if rate_limits else n_admitted
+                    )
+                    n_deduped = (
+                        deduped.count()
+                        if near_dup_threshold is not None
+                        else n_near
+                    )
+                    counts["curation_duplicate"] = n_clean - n_deduped
+                    counts["curation_near_duplicate"] = n_deduped - n_near
+                    counts["curation_rate_dropped"] = n_near - n_admitted
+                    counts["curation_admitted"] = n_admitted
 
-            admitted.drop("__sha").write.mode("overwrite").parquet(
-                os.path.join(out_dir, f"batch={batch_id}")
-            )
-            _write_sha_slice(
-                admitted.select(
-                    F.col("__sha").alias("sha"), F.col(id_col).alias("doc_id")
-                ),
-                table,
-                sha_dir,
-                batch_id,
-                n_buckets,
-            )
-            if near_dup_threshold is not None:
-                _write_bucketed_slice(
-                    bands_b.join(admitted.select(id_col), id_col, "left_semi"),
-                    b_table,
-                    bands_dir,
+            with _timed("corpus_write"):
+                admitted.drop("__sha").write.mode("overwrite").parquet(
+                    os.path.join(out_dir, f"batch={batch_id}")
+                )
+            with _timed("sha_slice"):
+                _write_sha_slice(
+                    admitted.select(
+                        F.col("__sha").alias("sha"), F.col(id_col).alias("doc_id")
+                    ),
+                    table,
+                    sha_dir,
                     batch_id,
                     n_buckets,
-                    bucket_col="band_hash",
-                    cols=["band_id", "band_hash", id_col],
-                    ddl_cols=band_ddl,
                 )
+            if near_dup_threshold is not None:
+                with _timed("band_slice"):
+                    _write_bucketed_slice(
+                        bands_b.join(
+                            admitted.select(id_col), id_col, "left_semi"
+                        ),
+                        b_table,
+                        bands_dir,
+                        batch_id,
+                        n_buckets,
+                        bucket_col="band_hash",
+                        cols=["band_id", "band_hash", id_col],
+                        ddl_cols=band_ddl,
+                    )
             if transport is not None:
                 indexed = admitted.select(
                     F.concat(
@@ -1054,15 +1101,20 @@ def run_curation_ingest(
         # reader of the indexes can be in flight (foreachBatch is
         # sequential) — fold closed slices before the next one starts
         if compact_every and batch_id > 0 and batch_id % int(compact_every) == 0:
-            compact_sha_index(spark, sha_dir, sha_table=table, n_buckets=n_buckets)
-            if near_dup_threshold is not None:
-                compact_bands_index(
-                    spark,
-                    bands_dir,
-                    bands_table=b_table,
-                    n_buckets=n_buckets,
-                    id_col=id_col,
+            with _timed("compact"):
+                compact_sha_index(
+                    spark, sha_dir, sha_table=table, n_buckets=n_buckets
                 )
+                if near_dup_threshold is not None:
+                    compact_bands_index(
+                        spark,
+                        bands_dir,
+                        bands_table=b_table,
+                        n_buckets=n_buckets,
+                        id_col=id_col,
+                    )
+        if stage_timings is not None:
+            stage_timings.append(walls)
 
     writer = stream_docs.writeStream.foreachBatch(ingest_batch).option(
         "checkpointLocation", checkpoint_dir

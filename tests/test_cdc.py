@@ -196,6 +196,7 @@ def test_scd2_apply_partitioned_rewrites_only_changed_buckets(spark, sf_dir, tmp
         "changed_buckets": [],
         "rows_written": 0,
         "orphan_tombstones_by_bucket": {},
+        "orphan_tombstones_pre_by_bucket": {},
     }
 
 

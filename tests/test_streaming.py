@@ -2861,3 +2861,29 @@ def test_streaming_cdc_tombstone_backlog_census_and_ceiling(spark, tmpdir):
     fixed = spark.read.parquet(base_dir).filter("k >= 200")
     assert fixed.filter("valid_to = valid_from").count() == 0
     assert fixed.count() == 4  # one closed [T1, T2) version each
+
+
+def test_cdc_census_growth_is_per_bucket_positive_deltas():
+    """Round-13 ADVICE: a batch that drains N tombstones in bucket A
+    while minting N fresh D-before-I orphans in bucket B must report
+    growth N, not a netted 0 — the ceiling exists to catch NEW orphan
+    creation regardless of concurrent drainage elsewhere."""
+    from pulsar_elasticsearch_sync_rs_spark.streaming.cdc_ingest import (
+        CdcIngestStats,
+    )
+
+    s = CdcIngestStats()
+    # seed: bucket 0 holds 3 orphans, bucket 1 holds 0
+    s._absorb({0: 3, 1: 0}, {0: 0, 1: 0})
+    assert s.last_batch_growth == 3 and s.orphan_tombstones == 3
+    # drain 3 in bucket 0, mint 3 in bucket 1: net 0 across buckets,
+    # but the ceiling signal must see the 3 NEW orphans
+    s._absorb({0: 0, 1: 3}, {0: 3, 1: 0})
+    assert s.last_batch_growth == 3
+    assert s.orphan_tombstones == 3
+    # pure drainage reports zero growth (replay-safe: ceiling silent)
+    s._absorb({1: 0}, {1: 3})
+    assert s.last_batch_growth == 0 and s.orphan_tombstones == 0
+    # a bucket absent from pre (first touch) counts fully as growth
+    s._absorb({2: 2}, {})
+    assert s.last_batch_growth == 2 and s.orphan_tombstones == 2
