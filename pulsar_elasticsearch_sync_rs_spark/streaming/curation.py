@@ -251,7 +251,12 @@ def prior_sha_anti_join(
 
 
 def _write_sha_slice(
-    pairs: DataFrame, sha_table: str, sha_dir: str, batch_id: int, n_buckets: int
+    pairs: DataFrame,
+    sha_table: str,
+    sha_dir: str,
+    batch_id: int,
+    n_buckets: int,
+    lineage_safe: bool = False,
 ) -> None:
     """Land this batch's (sha, doc_id) pairs as the ``batch=<id>``
     partition of the bucketed index. First write creates the table
@@ -273,6 +278,7 @@ def _write_sha_slice(
         bucket_col="sha",
         cols=["sha", "doc_id"],
         ddl_cols="sha STRING, doc_id BIGINT",
+        lineage_safe=lineage_safe,
     )
 
 
@@ -285,13 +291,23 @@ def _write_bucketed_slice(
     bucket_col: str,
     cols: list[str],
     ddl_cols: str,
+    lineage_safe: bool = False,
 ) -> None:
     """Shared write path of the per-batch bucketed indexes (sha,
     bands). The slice's lineage typically contains the anti-join that
     READS this same table; SQL INSERT OVERWRITE rejects
     read-your-own-target plans, so the (bounded, per-batch) slice is
     materialized first — which is also the correct failure order: the
-    rows are fixed before the target partition is touched."""
+    rows are fixed before the target partition is touched.
+
+    ``lineage_safe=True`` (round-14 curation_nd lift): the CALLER
+    vouches the frame's lineage is already truncated of any read of
+    ``table`` (e.g. it derives only from eager localCheckpoints) — the
+    defensive checkpoint is skipped, saving one Spark job per slice
+    per micro-batch. The explicit bucket-column repartition stays
+    either way: without it each upstream task writes its own set of
+    n_buckets bucket files (tasks × buckets tiny files per
+    partition)."""
     spark = df.sparkSession
     if not _bucketed_table_ready(spark, table, path, n_buckets, ddl_cols, bucket_col):
         (
@@ -306,11 +322,9 @@ def _write_bucketed_slice(
         )
         _write_bucket_spec(spark, path, bucket_col, n_buckets)
         return
-    slice_df = (
-        df.select(*cols)
-        .repartition(n_buckets, bucket_col)
-        .localCheckpoint(eager=True)
-    )
+    slice_df = df.select(*cols).repartition(n_buckets, bucket_col)
+    if not lineage_safe:
+        slice_df = slice_df.localCheckpoint(eager=True)
     view = f"{table}_slice"
     slice_df.createOrReplaceTempView(view)
     try:
@@ -1005,8 +1019,18 @@ def run_curation_ingest(
         else:
             admitted = near_deduped
 
-        # admitted feeds ≥2 writes (+ counters) — persist once
-        admitted = admitted.persist()
+        # admitted feeds ≥2 writes (+ counters). EAGER localCheckpoint,
+        # not persist (round-14 profile): the checkpoint both pays the
+        # chain exactly once AND truncates the lineage of every
+        # downstream write — the slice INSERTs below no longer carry a
+        # logical read of their own target table, so their defensive
+        # per-slice checkpoints (one extra Spark job each per
+        # micro-batch) are skipped via lineage_safe=True. (A lazy
+        # persist kept the full logical plan under the cache, and
+        # INSERT OVERWRITE's read-your-own-target analysis sees the
+        # LOGICAL plan — the cache never protected it.)
+        with _timed("admit_ckpt"):
+            admitted = admitted.localCheckpoint(eager=True)
         try:
             if count_this_batch:
                 with _timed("counters"):
@@ -1046,6 +1070,7 @@ def run_curation_ingest(
                     sha_dir,
                     batch_id,
                     n_buckets,
+                    lineage_safe=True,  # admitted is checkpoint-rooted
                 )
             if near_dup_threshold is not None:
                 with _timed("band_slice"):
@@ -1060,6 +1085,9 @@ def run_curation_ingest(
                         bucket_col="band_hash",
                         cols=["band_id", "band_hash", id_col],
                         ddl_cols=band_ddl,
+                        # both sides are eager checkpoints — no read of
+                        # the bands table survives in this lineage
+                        lineage_safe=True,
                     )
             if transport is not None:
                 indexed = admitted.select(
@@ -1091,7 +1119,9 @@ def run_curation_ingest(
                     registry.inc(k, v)
                 counted_batches.add(batch_id)
         finally:
-            admitted.unpersist()
+            # admitted is a localCheckpoint (reclaimed by the
+            # ContextCleaner when the frame is GC'd — the bands_b
+            # convention), not a persist; only the caches unpersist
             if near_dup_threshold is not None:
                 deduped.unpersist()
             if count_this_batch:
