@@ -253,6 +253,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_curriculum_order": _wrap(L.q_curriculum_order),  # quality-decile curriculum enumeration via the no-window global index
         "q_epoch_layout_scan": _wrap(L.q_epoch_layout_scan),  # persisted epoch layout round-trip: footer-pruned position-band read
         "q_epoch_sharded_read": _wrap(L.q_epoch_sharded_read),  # N-rank sharded epoch read: sidecar-resolved shards, footer-pruned slice per rank
+        "q_interleave_mix": _wrap(L.q_interleave_mix),  # blendable-dataset layout: weighted deterministic interleave, ratio held in every slice
     }
 
 
@@ -312,4 +313,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "q_curriculum_order": L.ORACLE_CURRICULUM_ORDER,
         "q_epoch_layout_scan": L.ORACLE_EPOCH_LAYOUT_SCAN,
         "q_epoch_sharded_read": L.ORACLE_EPOCH_SHARDED_READ,
+        "q_interleave_mix": L.ORACLE_INTERLEAVE_MIX,
     }

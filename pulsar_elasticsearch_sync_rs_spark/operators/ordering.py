@@ -358,6 +358,101 @@ def read_position_range(
     )
 
 
+def interleave_by_weight(
+    df: DataFrame,
+    source_col: str,
+    weights: dict[str, int],
+    id_col: str,
+    out_col: str = "pos",
+) -> DataFrame:
+    """Deterministic WEIGHTED INTERLEAVE of a multi-source corpus —
+    the "blendable dataset" layout every mixture-trained LLM loader
+    implements (NeMo/Megatron blending; reference behavior: the
+    reference interleaves per-topic streams into one sink order,
+    `src/pulsar.rs` multi-topic consume loop): every row gets a global
+    position such that EVERY contiguous position slice carries the
+    sources in the requested ratio (deviation ≤ ~1 doc per source per
+    slice boundary — the Bresenham property), rather than
+    concatenating sources or relying on random shuffling to mix them.
+    q_domain_mix decides HOW MANY docs of each source survive;
+    this operator decides WHERE they sit, so a trainer rank reading
+    positions [a, b) gets the target mixture without any shuffle at
+    read time.
+
+    Mechanism (exact integer arithmetic, engine-portable): per-source
+    rank r via ONE :func:`global_index` over (source, id) — ranks
+    within a source are contiguous under that order, so per-source
+    rank = global rank − the source's offset (one tiny agg +
+    broadcast); interleave key = (r + 1) · (L / w_source) with L =
+    lcm(weights) — the classic smallest-virtual-time-first schedule —
+    tie-broken by (source, id) via a fixed-width zero-padded string
+    key (lexicographic == numeric by construction); final position =
+    :func:`global_index` over that key.
+
+    Scale: two range exchanges (both over a SKINNY projection if the
+    caller selects first) + two ≤ numPartitions-row collects; no
+    window, no UDF. Sources absent from ``weights`` raise (silent
+    drop or weight-1 defaulting would corrupt the mixture contract).
+    Output = input columns + ``out_col``."""
+    import math
+
+    if not weights:
+        raise ValueError("interleave_by_weight: weights must be non-empty")
+    for s, w in weights.items():
+        if int(w) < 1:
+            raise ValueError(
+                f"interleave_by_weight: weight for {s!r} must be >= 1"
+            )
+    present = [
+        r[0]
+        for r in df.select(source_col).distinct().collect()
+    ]
+    unknown = [s for s in present if s not in weights]
+    if unknown:
+        raise ValueError(
+            f"interleave_by_weight: sources {unknown!r} have no weight "
+            "(explicit weights only - a default would corrupt the mixture)"
+        )
+    lcm = 1
+    for w in weights.values():
+        lcm = lcm * int(w) // math.gcd(lcm, int(w))
+    # per-source contiguous ranks: one global_index over (source, id)
+    skey = F.concat_ws(
+        "|", F.col(source_col), F.lpad(F.col(id_col).cast("string"), 19, "0")
+    )
+    ranked = global_index(
+        df.withColumn("__skey", skey), "__skey", out_col="__grank"
+    ).drop("__skey")
+    offs = {
+        r[source_col]: int(r["n"])
+        for r in ranked.groupBy(source_col)
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    acc = 0
+    off_expr = F.lit(None).cast("long")
+    stride_expr = F.lit(None).cast("long")
+    for s in sorted(offs):  # same order the (source, id) sort produced
+        off_expr = F.when(F.col(source_col) == s, F.lit(acc)).otherwise(
+            off_expr
+        )
+        stride_expr = F.when(
+            F.col(source_col) == s, F.lit(lcm // int(weights[s]))
+        ).otherwise(stride_expr)
+        acc += offs[s]
+    vkey = (F.col("__grank") - off_expr + F.lit(1)) * stride_expr
+    # fixed-width composite: numeric order == lexicographic order
+    ikey = F.concat_ws(
+        "|",
+        F.lpad(vkey.cast("string"), 19, "0"),
+        F.col(source_col),
+        F.lpad(F.col(id_col).cast("string"), 19, "0"),
+    )
+    return global_index(
+        ranked.withColumn("__ikey", ikey), "__ikey", out_col=out_col
+    ).drop("__ikey", "__grank")
+
+
 def persist_epoch_layout_versioned(
     df: DataFrame,
     id_col: str,

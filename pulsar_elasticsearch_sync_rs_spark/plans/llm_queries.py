@@ -3255,6 +3255,53 @@ FROM ranked GROUP BY rank ORDER BY rank
 """
 
 
+def q_interleave_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted corpus interleave (operators/ordering.py
+    interleave_by_weight): the blendable-dataset LAYOUT — every doc
+    gets a global position such that any contiguous position slice
+    carries the languages in the configured ratio (weight = 1 +
+    (ascii(lang[0]) % 4), a closed-form rule both engines compute), so
+    a trainer rank reading positions [a, b) gets the target mixture
+    with NO read-time shuffle. Complements q_domain_mix: that lane
+    decides how many docs of each source survive, this one decides
+    WHERE they sit. Output = the full (pos, doc_id, lang) mapping,
+    hash-oracled against the same virtual-time schedule computed via
+    ROW_NUMBER — the strongest witness (every single position must
+    agree).
+
+    Scale: two skinny range exchanges (the global_index shape — no
+    window, no UDF); the absolute virtual keys differ from the
+    oracle's only by a shared constant factor (lcm basis), which
+    cannot reorder."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.ordering import (
+        interleave_by_weight,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    langs = [r[0] for r in docs.select("lang").distinct().collect()]
+    weights = {lang: 1 + (ord(lang[0]) % 4) for lang in langs}
+    return interleave_by_weight(
+        docs, "lang", weights, "doc_id", out_col="pos"
+    ).select("pos", "doc_id", "lang")
+
+
+ORACLE_INTERLEAVE_MIX = """
+WITH r AS (
+  SELECT doc_id, lang,
+    1 + (ascii(substr(lang, 1, 1)) % 4) AS wt,
+    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rnk
+  FROM documents
+), k AS (
+  SELECT doc_id, lang,
+    lpad(CAST(rnk * (12 // wt) AS VARCHAR), 19, '0')
+      || '|' || lang || '|' || lpad(CAST(doc_id AS VARCHAR), 19, '0') AS ikey
+  FROM r
+)
+SELECT ROW_NUMBER() OVER (ORDER BY ikey) - 1 AS pos, doc_id, lang
+FROM k ORDER BY pos
+"""
+
+
 # decorrelated from TRAIN_SPLIT_SALT (that stream hashes doc_id; this
 # one hashes CLUSTER ids, but several lanes run both over the same
 # table and independent permutations keep the decisions independent)

@@ -420,3 +420,54 @@ def test_epoch_sharded_read_per_shard_bytes(spark, sf_dir, tmp_path):
         covered += bytes_read
     # union of shards lists every file at least once (full coverage)
     assert covered >= total
+
+
+def test_interleave_by_weight_mixture_property(spark, sf_dir):
+    """The blendable-dataset contract: before any source exhausts, a
+    length-n prefix of the interleaved order contains each source in
+    its weight ratio (deviation bounded by the source count — the
+    Bresenham/virtual-time property); plus the loud-failure guards."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.ordering import (
+        interleave_by_weight,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    weights = {"de": 1, "en": 2, "es": 2, "fr": 3, "zh": 3}
+    out = interleave_by_weight(docs, "lang", weights, "doc_id")
+    rows = sorted(
+        (r.pos, r.lang) for r in out.select("pos", "lang").collect()
+    )
+    n = len(rows)
+    assert [p for p, _ in rows] == list(range(n))  # gap-free total order
+
+    counts = {lang: 0 for lang in weights}
+    for _, lang in rows:
+        counts[lang] += 1
+    # exhaustion vtime per source: n_s * (L / w_s); before the FIRST
+    # exhaustion every source is still feeding the schedule
+    lcm = 6
+    first_exhaust_v = min(
+        counts[s] * (lcm // w) for s, w in weights.items()
+    )
+    # docs scheduled strictly before that vtime
+    horizon = sum(
+        min(counts[s], first_exhaust_v * w // lcm)
+        for s, w in weights.items()
+    )
+    w_total = sum(weights.values())
+    for cut in (w_total, horizon // 3, horizon // 2, horizon):
+        prefix = rows[:cut]
+        got = {lang: 0 for lang in weights}
+        for _, lang in prefix:
+            got[lang] += 1
+        for s, w in weights.items():
+            expect = cut * w / w_total
+            assert abs(got[s] - expect) <= len(weights), (
+                cut, s, got[s], expect)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no weight"):
+        interleave_by_weight(docs, "lang", {"en": 2}, "doc_id")
+    with _pytest.raises(ValueError, match=">= 1"):
+        interleave_by_weight(docs, "lang", {**weights, "en": 0}, "doc_id")
