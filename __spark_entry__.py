@@ -254,6 +254,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_epoch_layout_scan": _wrap(L.q_epoch_layout_scan),  # persisted epoch layout round-trip: footer-pruned position-band read
         "q_epoch_sharded_read": _wrap(L.q_epoch_sharded_read),  # N-rank sharded epoch read: sidecar-resolved shards, footer-pruned slice per rank
         "q_interleave_mix": _wrap(L.q_interleave_mix),  # blendable-dataset layout: weighted deterministic interleave, ratio held in every slice
+        "q_epoch_two_level": _wrap(L.q_epoch_two_level),  # two-level block epoch shuffle: per-epoch skinny metadata job, corpus never moves
     }
 
 
@@ -314,4 +315,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "q_epoch_layout_scan": L.ORACLE_EPOCH_LAYOUT_SCAN,
         "q_epoch_sharded_read": L.ORACLE_EPOCH_SHARDED_READ,
         "q_interleave_mix": L.ORACLE_INTERLEAVE_MIX,
+        "q_epoch_two_level": L.ORACLE_EPOCH_TWO_LEVEL,
     }

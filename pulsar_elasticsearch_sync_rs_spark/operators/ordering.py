@@ -358,6 +358,132 @@ def read_position_range(
     )
 
 
+def epoch_shuffle_two_level(
+    df: DataFrame,
+    id_col: str,
+    epoch: int,
+    block_size: int,
+    pos_col: str = "pos",
+    out_col: str = "pos2",
+) -> DataFrame:
+    """TWO-LEVEL (block) epoch shuffle — the practice every large-scale
+    loader (tf.data interleave+shuffle, WebDataset shard shuffling)
+    actually uses at the 100 TB grain, where :func:`epoch_shuffle`'s
+    exact permutation costs a full-corpus range exchange PER EPOCH:
+    fix a base layout once (``pos_col`` from :func:`global_index` /
+    :func:`persist_epoch_layout`, gap-free from 0), then derive each
+    epoch's order by (1) permuting the ``block_size``-sized position
+    BLOCKS by ``md5("ep{e}|b{block}")`` and (2) permuting rows WITHIN
+    each block by ``md5("ep{e}|{id}")``. New position = permuted-block
+    offset + within-block rank.
+
+    What this buys at scale: the permutation METADATA (id → pos2)
+    computes over a SKINNY projection — one hash exchange of ~16 B/doc
+    for the bounded per-block window plus a ≤ n_blocks-row enumeration
+    — and the corpus text never moves: a reader streams the EXISTING
+    layout's blocks in permuted order (block ≡ file when the layout
+    was written with ``max_records_per_file == block_size``, which the
+    pytest witnesses from the ``_meta.json`` sidecar), shuffling
+    within a block-sized buffer. Epoch N+1 is a metadata job, not a
+    data rewrite. The trade-off is the standard one: block-level
+    locality survives (rows of one block stay adjacent), which is why
+    the base layout should itself be a :func:`epoch_shuffle` output,
+    not arrival order.
+
+    Deterministic, engine-portable (DuckDB renders identical md5 hex),
+    gap-free: out positions are exactly 0..n−1. No single-partition
+    window anywhere — the within-block window partitions by block
+    (≤ block_size rows each) and the block enumeration runs on the
+    ≤ n_blocks skinny frame."""
+    if int(block_size) < 1:
+        raise ValueError("epoch_shuffle_two_level: block_size must be >= 1")
+    from pyspark.sql import Window
+
+    r = int(block_size)
+    n = df.count()
+    if n == 0:
+        return df.withColumn(out_col, F.lit(None).cast("long"))
+    n_blocks = (n + r - 1) // r
+    short = n - r * (n_blocks - 1)  # size of the LAST source block
+    block = (F.col(pos_col) / F.lit(r)).cast("long")
+    bkey = F.md5(F.concat(F.lit(f"ep{int(epoch)}|b"), block.cast("string")))
+    wkey = F.md5(
+        F.concat(F.lit(f"ep{int(epoch)}|"), F.col(id_col).cast("string"))
+    )
+    # block permutation over the SKINNY distinct-block frame
+    blocks = global_index(
+        df.sparkSession.range(n_blocks)
+        .select(F.col("id").alias("__blk"))
+        .withColumn(
+            "__bkey",
+            F.md5(F.concat(F.lit(f"ep{int(epoch)}|b"), F.col("__blk").cast("string"))),
+        ),
+        "__bkey",
+        out_col="__brank",
+    ).drop("__bkey")
+    short_rank = int(
+        blocks.filter(F.col("__blk") == n_blocks - 1).first()["__brank"]
+    )
+    # offset of a block in the permuted order: brank·r, minus the
+    # short block's deficit for every block scheduled after it
+    deficit = r - short
+    offset = (F.col("__brank") * F.lit(r)) - F.when(
+        F.col("__brank") > short_rank, F.lit(deficit)
+    ).otherwise(F.lit(0))
+    within = (
+        F.row_number().over(
+            Window.partitionBy("__blk").orderBy("__wkey", id_col)
+        )
+        - 1
+    )
+    return (
+        df.withColumn("__blk", block)
+        .withColumn("__wkey", wkey)
+        .withColumn("__within", within)
+        .join(F.broadcast(blocks), "__blk")
+        .withColumn(out_col, (offset + F.col("__within")).cast("long"))
+        .drop("__blk", "__wkey", "__within", "__brank")
+    )
+
+
+def persist_block_aligned(
+    df: DataFrame,
+    path: str,
+    block_size: int,
+    pos_col: str = "pos",
+    num_partitions: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """The physical artifact :func:`epoch_shuffle_two_level` streams:
+    every parquet FILE is exactly one ``block_size``-row position
+    block (the last block may be short), so "read blocks in permuted
+    order" is literally "read files in permuted order". Mechanism:
+    hash-repartition by block id (whole blocks stay together), sort by
+    position within partitions (blocks appear ascending and complete —
+    the short block is the max block id, so it sorts last in its
+    partition), and split files every ``block_size`` rows — the splits
+    land exactly on block boundaries. One hash exchange; files own
+    contiguous DISJOINT position runs (block-grain, not globally
+    sorted), and the ``_meta.json`` sidecar records them as usual."""
+    r = int(block_size)
+    if r < 1:
+        raise ValueError("persist_block_aligned: block_size must be >= 1")
+    if pos_col not in df.columns:
+        raise ValueError(f"persist_block_aligned: no column {pos_col!r}")
+    n_parts = int(
+        num_partitions
+        or df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    block = (F.col(pos_col) / F.lit(r)).cast("long")
+    out = df.repartition(n_parts, block).sortWithinPartitions(pos_col)
+    (
+        out.write.mode(mode)
+        .option("maxRecordsPerFile", r)
+        .parquet(path)
+    )
+    _write_layout_meta(path, pos_col)
+
+
 def interleave_by_weight(
     df: DataFrame,
     source_col: str,

@@ -3255,6 +3255,65 @@ FROM ranked GROUP BY rank ORDER BY rank
 """
 
 
+def q_epoch_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level (block) epoch shuffle (operators/ordering.py
+    epoch_shuffle_two_level): from a fixed base enumeration, epoch 7's
+    order permutes 64-row position BLOCKS and rows WITHIN each block —
+    the tf.data/WebDataset shard-shuffling model, which at 100 TB
+    makes every epoch a SKINNY-metadata job (one ~16 B/doc hash
+    exchange for the bounded per-block window; the corpus text never
+    moves — readers stream the existing layout's blocks in permuted
+    order) instead of :func:`q_epoch_shuffle`'s full-corpus range
+    exchange per epoch. Output = the full (pos2, doc_id) mapping,
+    hash-oracled against the identical md5 block/within schedule via
+    ROW_NUMBER — every position must agree.
+
+    Scale: the only corpus-wide exchange hashes (pos, doc_id, two md5
+    keys); the block frame is ≤ n_blocks rows end-to-end; no
+    single-partition window (the within window partitions by block)."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.ordering import (
+        epoch_shuffle_two_level,
+        global_index,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    base = global_index(docs, "doc_id", out_col="pos")
+    out = epoch_shuffle_two_level(
+        base, "doc_id", epoch=7, block_size=64, pos_col="pos", out_col="pos2"
+    )
+    return out.select("pos2", "doc_id")
+
+
+ORACLE_EPOCH_TWO_LEVEL = """
+WITH base AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS pos FROM documents
+), nb AS (
+  SELECT count(*) AS n,
+         (count(*) + 63) // 64 AS n_blocks
+  FROM documents
+), brank AS (
+  SELECT b, ROW_NUMBER() OVER (ORDER BY md5('ep7|b' || CAST(b AS VARCHAR))) - 1 AS brk
+  FROM (SELECT DISTINCT pos // 64 AS b FROM base)
+), sr AS (
+  SELECT brk AS short_rank FROM brank, nb WHERE b = nb.n_blocks - 1
+), within AS (
+  SELECT pos // 64 AS b, doc_id,
+    ROW_NUMBER() OVER (
+      PARTITION BY pos // 64
+      ORDER BY md5('ep7|' || CAST(doc_id AS VARCHAR)), doc_id
+    ) - 1 AS w
+  FROM base
+)
+SELECT CAST(br.brk * 64
+  - CASE WHEN br.brk > sr.short_rank
+         THEN 64 - (nb.n - 64 * (nb.n_blocks - 1)) ELSE 0 END
+  + wi.w AS BIGINT) AS pos2,
+  wi.doc_id
+FROM within wi JOIN brank br USING (b), sr, nb
+ORDER BY pos2
+"""
+
+
 def q_interleave_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted corpus interleave (operators/ordering.py
     interleave_by_weight): the blendable-dataset LAYOUT — every doc
