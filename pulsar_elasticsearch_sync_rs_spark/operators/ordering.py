@@ -204,7 +204,9 @@ def persist_ordered(
 _META_NAME = "_meta.json"
 
 
-def _write_layout_meta(path: str, pos_col: str) -> None:
+def _write_layout_meta(
+    path: str, pos_col: str, extra: dict | None = None
+) -> None:
     """Round-13 VERDICT item 2: the writer knows n and the per-file
     position runs at write time — record them as a tiny JSON sidecar
     so :func:`position_shards` (called once per trainer RANK) never
@@ -257,6 +259,8 @@ def _write_layout_meta(path: str, pos_col: str) -> None:
                 have_stats = False
             files.append(entry)
     doc: dict = {"n": int(n_total), "pos_col": pos_col, "files": files}
+    if extra:
+        doc.update(extra)
     if have_stats and files:
         doc["pos_min"] = min(f["pos_min"] for f in files)
         doc["pos_max"] = max(f["pos_max"] for f in files)
@@ -481,7 +485,151 @@ def persist_block_aligned(
         .option("maxRecordsPerFile", r)
         .parquet(path)
     )
-    _write_layout_meta(path, pos_col)
+    _write_layout_meta(path, pos_col, extra={"block_size": r})
+
+
+def epoch_block_shards(
+    path: str, epoch: int, n_ranks: int
+) -> list[tuple[int, list[str]]]:
+    """Rank → file-list resolution for the two-level epoch read over a
+    :func:`persist_block_aligned` layout: permute the layout's files
+    (≡ blocks) by ``md5("ep{e}|b{block}")`` — the SAME schedule
+    :func:`epoch_shuffle_two_level` uses — and deal them to
+    ``n_ranks`` ranks in contiguous runs of the permuted order, sizes
+    differing by ≤ 1 file. Pure sidecar arithmetic (`_meta.json` —
+    no Spark session, no scan, the position_shards discipline): 1000
+    ranks cost 1000 JSON reads. Each rank then reads ONLY its files
+    (:func:`read_epoch_block_shard`) — 1/N of the corpus bytes, no
+    filter evaluation, no rewrite, for EVERY epoch."""
+    import hashlib
+    import os
+
+    if n_ranks < 1:
+        raise ValueError("epoch_block_shards: n_ranks must be >= 1")
+    meta = read_layout_meta(path)
+    if meta is None:
+        raise ValueError(
+            f"epoch_block_shards: no _meta.json under {path} - write the "
+            "layout with persist_block_aligned"
+        )
+    files = meta["files"]
+    if not files:
+        return [(r, []) for r in range(n_ranks)]
+    # the writer records block_size; max-run inference is only the
+    # fallback for a foreign aligned layout (wrong when every block is
+    # short of the writer's size — e.g. a single sub-block file)
+    block_size = int(
+        meta.get("block_size")
+        or max(f["pos_max"] - f["pos_min"] + 1 for f in files)
+    )
+    # file ≡ block: every run starts on a block boundary and only the
+    # last block may be short — refuse a misaligned layout loudly
+    for f in files:
+        if f["pos_min"] % block_size != 0:
+            raise ValueError(
+                f"epoch_block_shards: {f['path']} starts at pos "
+                f"{f['pos_min']} (not a multiple of {block_size}) - layout "
+                "is not block-aligned"
+            )
+    permuted = sorted(
+        files,
+        key=lambda f: hashlib.md5(
+            f"ep{int(epoch)}|b{f['pos_min'] // block_size}".encode()
+        ).hexdigest(),
+    )
+    base, rem = divmod(len(permuted), n_ranks)
+    out = []
+    i = 0
+    for r in range(n_ranks):
+        size = base + (1 if r < rem else 0)
+        out.append(
+            (r, [os.path.join(path, f["path"]) for f in permuted[i:i + size]])
+        )
+        i += size
+    return out
+
+
+def read_epoch_block_shard(
+    spark,
+    path: str,
+    epoch: int,
+    rank: int,
+    n_ranks: int,
+    id_col: str,
+    pos_col: str = "pos",
+    out_col: str = "pos2",
+) -> DataFrame:
+    """One rank's slice of the two-level epoch order, read from the
+    block-aligned layout: load ONLY the rank's files (resolved by
+    :func:`epoch_block_shards` — a listing of 1/N of the corpus, no
+    predicate needed) and attach each row's epoch position
+    ``out_col`` via the closed-form within-block md5 rank + the
+    global block offsets (both from sidecar arithmetic + one bounded
+    per-block window over the rank's own rows). The union of all
+    ranks' frames is exactly :func:`epoch_shuffle_two_level`'s output
+    (pytest-pinned) — distribution by LAYOUT, not by shuffle."""
+    from pyspark.sql import Window
+
+    meta = read_layout_meta(path)
+    files = meta["files"] if meta else []
+    block_size = int(
+        (meta or {}).get("block_size")
+        or (max(f["pos_max"] - f["pos_min"] + 1 for f in files) if files else 1)
+    )
+    n = int(meta["n"]) if meta else 0
+    n_blocks = (n + block_size - 1) // block_size if n else 0
+    shard_files = dict(epoch_block_shards(path, epoch, n_ranks))[rank]
+    if not shard_files:
+        return (
+            spark.read.parquet(path)
+            .limit(0)
+            .withColumn(out_col, F.lit(None).cast("long"))
+        )
+    df = spark.read.parquet(*shard_files)
+    # same arithmetic as epoch_shuffle_two_level, over this rank only
+    import hashlib as _hl
+
+    r = block_size
+    short = n - r * (n_blocks - 1)
+    deficit = r - short
+    branks = {
+        b: i
+        for i, b in enumerate(
+            sorted(
+                range(n_blocks),
+                key=lambda b: _hl.md5(
+                    f"ep{int(epoch)}|b{b}".encode()
+                ).hexdigest(),
+            )
+        )
+    }
+    short_rank = branks[n_blocks - 1]
+    block = (F.col(pos_col) / F.lit(r)).cast("long")
+    wkey = F.md5(
+        F.concat(F.lit(f"ep{int(epoch)}|"), F.col(id_col).cast("string"))
+    )
+    # block→brank rides a broadcast join (≤ n_blocks skinny rows), not
+    # a literal map expression — 100k+ blocks would blow the plan size
+    branks_df = spark.createDataFrame(
+        [(int(b), int(v)) for b, v in branks.items()],
+        "__blk long, __brank long",
+    )
+    offset = (F.col("__brank") * F.lit(r)) - F.when(
+        F.col("__brank") > short_rank, F.lit(deficit)
+    ).otherwise(F.lit(0))
+    within = (
+        F.row_number().over(
+            Window.partitionBy("__blk").orderBy("__wkey", id_col)
+        )
+        - 1
+    )
+    return (
+        df.withColumn("__blk", block)
+        .withColumn("__wkey", wkey)
+        .join(F.broadcast(branks_df), "__blk")
+        .withColumn(out_col, (offset + within).cast("long"))
+        .drop("__blk", "__wkey", "__brank")
+    )
 
 
 def interleave_by_weight(

@@ -554,3 +554,67 @@ def test_epoch_two_level_block_structure_and_file_alignment(
         base.limit(0), "doc_id", epoch=1, block_size=r
     )
     assert empty.count() == 0
+
+
+def test_epoch_block_shard_read_union_equals_two_level(
+    spark, sf_dir, tmp_path
+):
+    """The reader side of the two-level epoch (distribution by LAYOUT):
+    epoch_block_shards deals the block-aligned layout's files to ranks
+    from sidecar arithmetic alone (no session), each rank's
+    read_epoch_block_shard loads ONLY its files, and the union over
+    ranks reproduces epoch_shuffle_two_level's mapping EXACTLY —
+    positions disjoint, covering, value-identical."""
+    import pytest as _pytest
+
+    from pulsar_elasticsearch_sync_rs_spark.operators.ordering import (
+        epoch_block_shards,
+        epoch_shuffle_two_level,
+        global_index,
+        persist_block_aligned,
+        read_epoch_block_shard,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    base = global_index(docs, "doc_id", out_col="pos")
+    r = 40
+    path = str(tmp_path / "blocks")
+    persist_block_aligned(base, path, block_size=r, num_partitions=4)
+
+    n_ranks = 3
+    shards = epoch_block_shards(path, epoch=7, n_ranks=n_ranks)
+    all_files = [f for _, fs in shards for f in fs]
+    assert len(all_files) == len(set(all_files)) == (n + r - 1) // r
+    sizes = [len(fs) for _, fs in shards]
+    assert max(sizes) - min(sizes) <= 1
+
+    got = {}
+    for rank, files in shards:
+        part = read_epoch_block_shard(
+            spark, path, epoch=7, rank=rank, n_ranks=n_ranks, id_col="doc_id"
+        )
+        for row in part.collect():
+            assert row.pos2 not in got
+            got[row.pos2] = row.doc_id
+    want = {
+        row.pos2: row.doc_id
+        for row in epoch_shuffle_two_level(
+            base, "doc_id", epoch=7, block_size=r
+        ).collect()
+    }
+    assert got == want and len(got) == n
+
+    # surplus ranks get empty frames, never errors
+    over = epoch_block_shards(path, epoch=7, n_ranks=n + 99)
+    assert sum(len(fs) for _, fs in over) == (n + r - 1) // r
+
+    # a misaligned layout (range-written) is refused loudly
+    from pulsar_elasticsearch_sync_rs_spark.operators.ordering import (
+        persist_ordered,
+    )
+
+    bad = str(tmp_path / "misaligned")
+    persist_ordered(base, bad, n_files=4, max_records_per_file=r)
+    with _pytest.raises(ValueError, match="not block-aligned"):
+        epoch_block_shards(bad, epoch=7, n_ranks=2)
