@@ -225,3 +225,90 @@ def chunk_documents(
             " ", F.slice("__toks", F.col("__b") + 1, end - F.col("__b"))
         ).alias("text_chunk"),
     )
+
+
+def pack_bins_by_length(
+    df: DataFrame,
+    n_tok_col: str,
+    id_col: str,
+    capacity: int,
+) -> DataFrame:
+    """LENGTH-CLASS bin packing — the no-cross-document-attention
+    alternative to :func:`pack_sequences`: instead of concatenating the
+    corpus into one token stream (documents share and straddle
+    windows), each bin holds ONLY whole documents of a single token
+    length, ``capacity // length`` of them — so no attention mask ever
+    spans two documents and no document splits. The price is padding
+    waste (``capacity − n_docs·length`` per bin), which this operator
+    reports per bin; grouping equal lengths is the standard
+    histogram-based packing compromise (near-optimal waste for
+    natural-corpus length distributions, fully parallel, deterministic
+    — the sequential first-fit-decreasing heuristic it approximates
+    cannot be computed distributively).
+
+    Documents longer than ``capacity`` get a dedicated bin each
+    (effective length clamped to ``capacity`` — the downstream
+    truncation convention); zero-token docs emit nothing (same rule as
+    :func:`pack_sequences`).
+
+    Scale shape: NO per-class window — a boilerplate-heavy crawl puts
+    millions of docs in one length class, and ``Window.partitionBy
+    (length)`` would hand that whole class to one task. Per-class
+    ranks come from ONE :func:`~pulsar_elasticsearch_sync_rs_spark.
+    operators.ordering.global_index` over the (class, id) composite
+    (range exchange of a ~16-byte projection) minus broadcast class
+    offsets — the interleave_by_weight recipe, skew-proof by
+    construction.
+
+    Returns one row per bin: ``(len_class, bin_idx, n_docs,
+    fill_tokens, waste_tokens)``."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.ordering import (
+        global_index,
+    )
+
+    c = int(capacity)
+    if c < 1:
+        raise ValueError("pack_bins_by_length: capacity must be >= 1")
+    eff = F.least(F.col(n_tok_col), F.lit(c))
+    base = (
+        df.filter(F.col(n_tok_col) > 0)
+        .select(
+            F.col(id_col),
+            eff.cast("long").alias("__cls"),
+        )
+    )
+    key = F.concat_ws(
+        "|",
+        F.lpad(F.col("__cls").cast("string"), 10, "0"),
+        F.lpad(F.col(id_col).cast("string"), 19, "0"),
+    )
+    ranked = global_index(
+        base.withColumn("__ckey", key), "__ckey", out_col="__grank"
+    ).drop("__ckey")
+    offs = (
+        ranked.groupBy("__cls").agg(F.min("__grank").alias("__coff"))
+    )
+    per_bin = F.floor(F.lit(c) / F.col("__cls"))
+    binned = (
+        ranked.join(F.broadcast(offs), "__cls")
+        .withColumn(
+            "__bin",
+            F.floor((F.col("__grank") - F.col("__coff")) / per_bin),
+        )
+    )
+    return (
+        binned.groupBy(
+            F.col("__cls").alias("len_class"),
+            F.col("__bin").cast("long").alias("bin_idx"),
+        )
+        .agg(F.count("*").alias("n_docs"))
+        .select(
+            "len_class",
+            "bin_idx",
+            "n_docs",
+            (F.col("n_docs") * F.col("len_class")).alias("fill_tokens"),
+            (F.lit(c) - F.col("n_docs") * F.col("len_class")).alias(
+                "waste_tokens"
+            ),
+        )
+    )

@@ -3220,9 +3220,17 @@ def q_epoch_sharded_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         for rank, lo, hi in shards
         if lo <= hi
     ]
-    union = per_rank[0]
-    for df in per_rank[1:]:
-        union = union.unionByName(df)
+    if per_rank:
+        union = per_rank[0]
+        for df in per_rank[1:]:
+            union = union.unionByName(df)
+    else:
+        # empty corpus: every shard is empty (lo > hi) — aggregate an
+        # empty frame of the union's shape (0 rows → 0 groups, the
+        # empty-input totality contract)
+        union = read_position_range(spark, path, 0, -1).select(
+            F.lit(0).alias("rank"), "pos", "doc_id", "text"
+        )
     return union.groupBy("rank").agg(
         F.count("*").alias("n_rows"),
         F.sum("doc_id").alias("sum_doc"),
@@ -3252,6 +3260,50 @@ SELECT rank, count(*) AS n_rows,
   min(pos) AS min_pos, max(pos) AS max_pos,
   CAST(sum(length(text)) AS BIGINT) AS sum_text_len
 FROM ranked GROUP BY rank ORDER BY rank
+"""
+
+
+def q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-class bin packing (operators/packing.pack_bins_by_length)
+    at capacity 256 — the no-cross-document-attention packing variant:
+    bins hold only whole documents of one token length, 256//len per
+    bin, waste reported per bin. Completes the packing family beside
+    q_seq_pack (concat-then-chunk) and q_token_budget. Output: every
+    bin's (len_class, bin_idx, n_docs, fill_tokens, waste_tokens),
+    hash-oracled via the identical per-class rank arithmetic.
+
+    Scale: per-class ranks ride ONE skinny range exchange (the
+    global_index recipe) — no per-class window, so a mega-class
+    (millions of boilerplate docs of one length) cannot skew a task."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.packing import (
+        pack_bins_by_length,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count_ws("text").alias("n_tok")
+    )
+    return pack_bins_by_length(docs, "n_tok", "doc_id", capacity=256)
+
+
+ORACLE_PACK_BINS = r"""
+WITH t AS (
+  SELECT doc_id,
+    len(list_filter(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'), x -> x <> '')) AS n_tok
+  FROM documents
+), cls AS (
+  SELECT doc_id, least(n_tok, 256) AS cls FROM t WHERE n_tok > 0
+), r AS (
+  SELECT cls, doc_id,
+    ROW_NUMBER() OVER (PARTITION BY cls ORDER BY doc_id) - 1 AS rnk
+  FROM cls
+), b AS (
+  SELECT cls, rnk // (256 // cls) AS bin_idx FROM r
+)
+SELECT CAST(cls AS BIGINT) AS len_class, CAST(bin_idx AS BIGINT) AS bin_idx,
+  count(*) AS n_docs,
+  CAST(count(*) * cls AS BIGINT) AS fill_tokens,
+  CAST(256 - count(*) * cls AS BIGINT) AS waste_tokens
+FROM b GROUP BY cls, bin_idx ORDER BY len_class, bin_idx
 """
 
 
@@ -3338,6 +3390,12 @@ def q_interleave_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
     langs = [r[0] for r in docs.select("lang").distinct().collect()]
+    if not langs:
+        # empty corpus: no sources to weigh — 0 rows, same schema
+        # (the empty-input totality contract)
+        return docs.select(
+            F.lit(None).cast("long").alias("pos"), "doc_id", "lang"
+        )
     weights = {lang: 1 + (ord(lang[0]) % 4) for lang in langs}
     return interleave_by_weight(
         docs, "lang", weights, "doc_id", out_col="pos"

@@ -138,3 +138,65 @@ def test_chunk_documents_overlap_semantics(spark):
     # so the start-4 window (a verbatim suffix) is suppressed
     assert got[(5, 0)]["text_chunk"] == "y0 y1 y2 y3 y4"
     assert (5, 1) not in got
+
+
+def test_pack_bins_by_length_invariants(spark, sf_dir):
+    """Length-class bin packing: every non-empty doc lands in exactly
+    one bin, no bin exceeds capacity, bins of a class hold exactly
+    capacity//class docs except the class's last, over-long docs get
+    dedicated bins, and the reported fill/waste add up."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from pulsar_elasticsearch_sync_rs_spark.functions.text import (
+        token_count_ws,
+    )
+    from pulsar_elasticsearch_sync_rs_spark.operators.packing import (
+        pack_bins_by_length,
+    )
+    from pulsar_elasticsearch_sync_rs_spark.sources.batch import read_table
+
+    C = 256
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count_ws("text").alias("n_tok")
+    )
+    n_docs = docs.filter(F.col("n_tok") > 0).count()
+    bins = pack_bins_by_length(docs, "n_tok", "doc_id", capacity=C).collect()
+
+    assert sum(b.n_docs for b in bins) == n_docs  # total placement
+    from collections import defaultdict
+
+    by_class = defaultdict(list)
+    for b in bins:
+        assert 1 <= b.len_class <= C
+        assert b.fill_tokens == b.n_docs * b.len_class <= C
+        assert b.waste_tokens == C - b.fill_tokens >= 0
+        by_class[b.len_class].append(b)
+    for cls, bl in by_class.items():
+        k = C // cls
+        bl.sort(key=lambda b: b.bin_idx)
+        assert [b.bin_idx for b in bl] == list(range(len(bl)))
+        for b in bl[:-1]:
+            assert b.n_docs == k  # all but the last bin are full
+        assert 1 <= bl[-1].n_docs <= k
+
+    # planted: over-long and zero-token docs
+    synth = spark.createDataFrame(
+        [(1, 500), (2, 300), (3, 0), (4, 128), (5, 128), (6, 128)],
+        "doc_id long, n_tok long",
+    )
+    out = {
+        (b.len_class, b.bin_idx): b
+        for b in pack_bins_by_length(synth, "n_tok", "doc_id", capacity=C).collect()
+    }
+    # the two over-long docs clamp to class 256, one per bin
+    assert out[(256, 0)].n_docs == 1 and out[(256, 1)].n_docs == 1
+    assert out[(256, 0)].waste_tokens == 0
+    # three 128-token docs: 2 per bin -> one full, one half bin
+    assert out[(128, 0)].n_docs == 2 and out[(128, 0)].waste_tokens == 0
+    assert out[(128, 1)].n_docs == 1 and out[(128, 1)].waste_tokens == 128
+    # the zero-token doc appears nowhere
+    assert sum(b.n_docs for b in out.values()) == 5
+
+    with _pytest.raises(ValueError, match="capacity"):
+        pack_bins_by_length(synth, "n_tok", "doc_id", capacity=0)
