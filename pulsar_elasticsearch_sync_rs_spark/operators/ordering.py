@@ -68,7 +68,16 @@ def global_index(
     hundreds of thousands stay fine — no giant CASE expression).
     Contrast with ``row_number().over(Window.orderBy(...))``, which
     plans a single partition holding the full dataset — the pytest
-    pins this plan shape (no WindowExec)."""
+    pins this plan shape (no WindowExec).
+
+    Pass a SKINNY projection: the internal ``localCheckpoint`` is a
+    materialization barrier Catalyst cannot prune columns through, so
+    every input column is range-exchanged AND stored even if the
+    caller immediately drops it (measured: enumerating the full
+    documents table for a (pos, id) output checkpointed 11 GB of text
+    and ran 4× slower at 5M docs — round-14 decade probe). Enumerate
+    (id, order key), join payload back by id — unless the POINT is to
+    move the payload into position order (persist_epoch_layout)."""
     if order_col not in df.columns:
         raise ValueError(f"global_index: no column {order_col!r}")
     if out_col in df.columns:

@@ -3065,7 +3065,14 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         epoch_shuffle,
     )
 
-    docs = read_table(spark, sf_dir, "documents")
+    # enumerate the SKINNY projection: global_index's internal
+    # localCheckpoint is a materialization BARRIER — Catalyst cannot
+    # prune columns through it, so passing the full table here
+    # checkpointed 11 GB of text at sf100 for a (pos, doc_id) output
+    # (measured 123 s vs ~30 s skinny; round-14 decade probe). Callers
+    # that need payload in epoch order join it back by id, or use
+    # persist_epoch_layout which moves the text ON PURPOSE (once).
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
     return epoch_shuffle(docs, "doc_id", epoch=7).select("pos", "doc_id")
 
 
