@@ -45,7 +45,7 @@ _MID_PARTITION_STRIDE = 1 << 33
 
 def global_index(
     df: DataFrame,
-    order_col: str,
+    order_col: str | list[str],
     out_col: str = "pos",
     start: int = 0,
     num_partitions: int | None = None,
@@ -77,9 +77,17 @@ def global_index(
     documents table for a (pos, id) output checkpointed 11 GB of text
     and ran 4× slower at 5M docs — round-14 decade probe). Enumerate
     (id, order key), join payload back by id — unless the POINT is to
-    move the payload into position order (persist_epoch_layout)."""
-    if order_col not in df.columns:
-        raise ValueError(f"global_index: no column {order_col!r}")
+    move the payload into position order (persist_epoch_layout).
+
+    ``order_col`` may be a LIST of columns — lexicographic composite
+    order. Prefer native numeric columns over packed fixed-width
+    strings: sorting (long, short-string) composites measured 1.8×
+    faster than the equivalent 32-char hex string at 50M rows
+    (round-14 sort-key A/B, SCALE.md)."""
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    for c in order_cols:
+        if c not in df.columns:
+            raise ValueError(f"global_index: no column {c!r}")
     if out_col in df.columns:
         raise ValueError(f"global_index: column {out_col!r} already exists")
     # round-12 ADVICE: withColumn would silently OVERWRITE a same-named
@@ -96,8 +104,8 @@ def global_index(
         or df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
     ranged = (
-        df.repartitionByRange(n_parts, F.col(order_col))
-        .sortWithinPartitions(order_col)
+        df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
         .localCheckpoint(eager=False)
     )
     # both derived columns are evaluated over the CHECKPOINTED (already
@@ -145,19 +153,30 @@ def epoch_shuffle(
     md5 is one narrow projection; everything else is
     :func:`global_index` (one range exchange — at 100 TB the shuffle
     IS the product, there is no cheaper total permutation)."""
-    if "__shuffle_key" in df.columns:
-        raise ValueError(
-            "epoch_shuffle: column '__shuffle_key' already exists "
-            "(reserved as the internal sort key)"
-        )
+    for reserved in ("__shuffle_key", "__shuffle_pref"):
+        if reserved in df.columns:
+            raise ValueError(
+                f"epoch_shuffle: column {reserved!r} already exists "
+                "(reserved as an internal sort key)"
+            )
     key = F.md5(
         F.concat(
             F.lit(f"ep{int(epoch)}|"), F.col(id_col).cast("string")
         )
     )
+    # sort by (60-bit numeric prefix, full hex): IDENTICAL total order
+    # (the prefix is a monotone function of the first 15 hex chars and
+    # the full key breaks its ties), but the compares run on a long
+    # instead of a 32-byte string — 1.8× faster at 50M rows (round-14
+    # sort-key A/B; the fourth-decade superlinearity was compare-bound)
+    pref = F.conv(F.substring(key, 1, 15), 16, 10).cast("long")
     return global_index(
-        df.withColumn("__shuffle_key", key), "__shuffle_key", out_col
-    ).drop("__shuffle_key")
+        df.withColumn("__shuffle_pref", pref).withColumn(
+            "__shuffle_key", key
+        ),
+        ["__shuffle_pref", "__shuffle_key"],
+        out_col,
+    ).drop("__shuffle_key", "__shuffle_pref")
 
 
 def persist_ordered(
@@ -686,6 +705,10 @@ def interleave_by_weight(
             raise ValueError(
                 f"interleave_by_weight: weight for {s!r} must be >= 1"
             )
+    if "__vkey" in df.columns or "__grank" in df.columns:
+        raise ValueError(
+            "interleave_by_weight: columns '__vkey'/'__grank' are reserved"
+        )
     present = [
         r[0]
         for r in df.select(source_col).distinct().collect()
@@ -699,13 +722,12 @@ def interleave_by_weight(
     lcm = 1
     for w in weights.values():
         lcm = lcm * int(w) // math.gcd(lcm, int(w))
-    # per-source contiguous ranks: one global_index over (source, id)
-    skey = F.concat_ws(
-        "|", F.col(source_col), F.lpad(F.col(id_col).cast("string"), 19, "0")
-    )
+    # per-source contiguous ranks: one global_index over the NATIVE
+    # (source, id) composite — no packed-string key (the round-14
+    # sort-key A/B: numeric compares beat fixed-width strings)
     ranked = global_index(
-        df.withColumn("__skey", skey), "__skey", out_col="__grank"
-    ).drop("__skey")
+        df, [source_col, id_col], out_col="__grank"
+    )
     offs = {
         r[source_col]: int(r["n"])
         for r in ranked.groupBy(source_col)
@@ -724,16 +746,13 @@ def interleave_by_weight(
         ).otherwise(stride_expr)
         acc += offs[s]
     vkey = (F.col("__grank") - off_expr + F.lit(1)) * stride_expr
-    # fixed-width composite: numeric order == lexicographic order
-    ikey = F.concat_ws(
-        "|",
-        F.lpad(vkey.cast("string"), 19, "0"),
-        F.col(source_col),
-        F.lpad(F.col(id_col).cast("string"), 19, "0"),
-    )
+    # native (virtual-time, source, id) composite — identical order to
+    # the former zero-padded string key, long compares instead
     return global_index(
-        ranked.withColumn("__ikey", ikey), "__ikey", out_col=out_col
-    ).drop("__ikey", "__grank")
+        ranked.withColumn("__vkey", vkey),
+        ["__vkey", source_col, id_col],
+        out_col=out_col,
+    ).drop("__vkey", "__grank")
 
 
 def persist_epoch_layout_versioned(

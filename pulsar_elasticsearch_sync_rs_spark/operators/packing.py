@@ -277,14 +277,9 @@ def pack_bins_by_length(
             eff.cast("long").alias("__cls"),
         )
     )
-    key = F.concat_ws(
-        "|",
-        F.lpad(F.col("__cls").cast("string"), 10, "0"),
-        F.lpad(F.col(id_col).cast("string"), 19, "0"),
-    )
     ranked = global_index(
-        base.withColumn("__ckey", key), "__ckey", out_col="__grank"
-    ).drop("__ckey")
+        base, ["__cls", id_col], out_col="__grank"
+    )
     offs = (
         ranked.groupBy("__cls").agg(F.min("__grank").alias("__coff"))
     )
