@@ -3552,11 +3552,11 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instantiate the HOF subtree twice (subexpression elimination
     # skips lambda-bearing trees; round-12 review finding, plan-pinned
     # in tests/test_extra_oracles.py)
-    sort_key = F.concat(
-        F.lpad((F.lit(9) - F.col("q_decile")).cast("string"), 2, "0"),
-        F.lit("|"),
-        F.md5(F.concat(F.lit("cur|"), F.col("doc_id").cast("string"))),
-    )
+    # NATIVE numeric composite (round-14 sort-key rule): inverted
+    # decile as an int, then the 60-bit md5 prefix, then the full hex
+    # as tiebreak — identical total order to the former packed string
+    # ("09|<hex>"), long compares instead of 35-byte string compares
+    cur_md5 = F.md5(F.concat(F.lit("cur|"), F.col("doc_id").cast("string")))
     # materialize the SKINNY key frame once before the range sort: the
     # quality score is an interpreted-HOF chain, and without a barrier
     # the range partitioner's SAMPLING pass, the exchange and the sort
@@ -3565,10 +3565,18 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sublinear after this one checkpoint, SCALE.md round-12 table)
     keyed = (
         docs.select("doc_id", decile.alias("q_decile"))
-        .select("doc_id", "q_decile", sort_key.alias("__ck"))
+        .select(
+            "doc_id",
+            "q_decile",
+            (F.lit(9) - F.col("q_decile")).alias("__cd"),
+            F.conv(F.substring(cur_md5, 1, 15), 16, 10)
+            .cast("long")
+            .alias("__cp"),
+            cur_md5.alias("__ck"),
+        )
         .localCheckpoint(eager=False)
     )
-    ordered = global_index(keyed, "__ck", out_col="pos")
+    ordered = global_index(keyed, ["__cd", "__cp", "__ck"], out_col="pos")
     return ordered.select("pos", "doc_id", "q_decile")
 
 
