@@ -605,3 +605,145 @@ def test_scd2_splice_shuffled_batches_match_sequential(
         if r.valid_to is None or r.valid_to != r.valid_from
     )
     assert rows == Counter(want)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    n=st.integers(min_value=0, max_value=120),
+    block=st.integers(min_value=1, max_value=50),
+    epoch=st.integers(min_value=0, max_value=5),
+)
+def test_two_level_epoch_is_block_contiguous_permutation(
+    spark_global, n, block, epoch
+):
+    """epoch_shuffle_two_level over arbitrary (n, block_size, epoch):
+    positions are an exact permutation of 0..n-1 and each source
+    block's rows occupy one contiguous run — the python-model replica
+    (same md5 schedules) agrees position-for-position."""
+    import hashlib
+
+    from pulsar_elasticsearch_sync_rs_spark.operators.ordering import (
+        epoch_shuffle_two_level,
+        global_index,
+    )
+
+    from pyspark.sql import functions as F
+
+    spark = spark_global
+    df = spark.range(n).select(F.col("id").alias("doc_id"))
+    base = global_index(df, "doc_id", out_col="pos")
+    out = {
+        r.doc_id: r.pos2
+        for r in epoch_shuffle_two_level(
+            base, "doc_id", epoch=epoch, block_size=block
+        ).collect()
+    }
+    # python model: identical closed-form schedule
+    n_blocks = (n + block - 1) // block if n else 0
+    order = sorted(
+        range(n_blocks),
+        key=lambda b: hashlib.md5(f"ep{epoch}|b{b}".encode()).hexdigest(),
+    )
+    model = {}
+    pos2 = 0
+    for b in order:
+        members = [d for d in range(n) if d // block == b]
+        members.sort(
+            key=lambda d: (
+                hashlib.md5(f"ep{epoch}|{d}".encode()).hexdigest(),
+                d,
+            )
+        )
+        for d in members:
+            model[d] = pos2
+            pos2 += 1
+    assert out == model
+    assert sorted(out.values()) == list(range(n))
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    counts=st.lists(
+        st.integers(min_value=0, max_value=25), min_size=1, max_size=4
+    ),
+    weights=st.lists(
+        st.integers(min_value=1, max_value=4), min_size=4, max_size=4
+    ),
+)
+def test_interleave_matches_virtual_time_model(spark_global, counts, weights):
+    """interleave_by_weight over arbitrary per-source counts and
+    weights: the output equals the smallest-virtual-time-first model
+    computed in plain python (same exact integer arithmetic), and is
+    a gap-free permutation."""
+    import math
+
+    from pulsar_elasticsearch_sync_rs_spark.operators.ordering import (
+        interleave_by_weight,
+    )
+
+    spark = spark_global
+    srcs = [f"s{i}" for i in range(len(counts))]
+    w = {s: weights[i] for i, s in enumerate(srcs)}
+    rows = []
+    nid = 0
+    for i, s in enumerate(srcs):
+        for _ in range(counts[i]):
+            rows.append((nid, s))
+            nid += 1
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = {
+        r.doc_id: r.pos
+        for r in interleave_by_weight(df, "src", w, "doc_id").collect()
+    }
+    lcm = 1
+    for v in w.values():
+        lcm = lcm * v // math.gcd(lcm, v)
+    keyed = []
+    for s in srcs:
+        ids = sorted(d for d, src in rows if src == s)
+        for rank, d in enumerate(ids):
+            keyed.append(((rank + 1) * (lcm // w[s]), s, d))
+    keyed.sort()
+    model = {d: i for i, (_, _, d) in enumerate(keyed)}
+    assert out == model
+    assert sorted(out.values()) == list(range(len(rows)))
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    toks=st.lists(
+        st.integers(min_value=0, max_value=40), min_size=0, max_size=40
+    ),
+    cap=st.integers(min_value=1, max_value=24),
+)
+def test_pack_bins_matches_greedy_class_model(spark_global, toks, cap):
+    """pack_bins_by_length over arbitrary token counts and capacity:
+    bins match the per-class k=cap//len fill model exactly, every
+    non-empty doc placed once, no bin over capacity."""
+    from collections import Counter
+
+    from pulsar_elasticsearch_sync_rs_spark.operators.packing import (
+        pack_bins_by_length,
+    )
+
+    spark = spark_global
+    rows = [(i, t) for i, t in enumerate(toks)]
+    df = spark.createDataFrame(rows or [(0, 0)], "doc_id long, n_tok long")
+    if not rows:
+        df = df.limit(0)
+    got = {
+        (b.len_class, b.bin_idx): (b.n_docs, b.fill_tokens, b.waste_tokens)
+        for b in pack_bins_by_length(df, "n_tok", "doc_id", capacity=cap).collect()
+    }
+    cls_counts = Counter(min(t, cap) for t in toks if t > 0)
+    model = {}
+    for cls, n in cls_counts.items():
+        k = cap // cls
+        full, rem = divmod(n, k)
+        for b in range(full):
+            model[(cls, b)] = (k, k * cls, cap - k * cls)
+        if rem:
+            model[(cls, full)] = (rem, rem * cls, cap - rem * cls)
+    assert got == model
