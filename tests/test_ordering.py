@@ -618,3 +618,59 @@ def test_epoch_block_shard_read_union_equals_two_level(
     persist_ordered(base, bad, n_files=4, max_records_per_file=r)
     with _pytest.raises(ValueError, match="not block-aligned"):
         epoch_block_shards(bad, epoch=7, n_ranks=2)
+
+
+def test_multi_epoch_reads_never_rewrite_the_layout(spark, sf_dir, tmp_path):
+    """The operational point of the two-level scheme, witnessed: ONE
+    block-aligned layout serves THREE epochs of rank-sharded reads —
+    each epoch's union matches its exact two-level mapping — and the
+    parquet files' (mtime, size) are BYTE-UNTOUCHED across all of it:
+    epoch N+1 moved zero data."""
+    import os
+
+    from pulsar_elasticsearch_sync_rs_spark.operators.ordering import (
+        epoch_block_shards,
+        epoch_shuffle_two_level,
+        global_index,
+        persist_block_aligned,
+        read_epoch_block_shard,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    base = global_index(docs, "doc_id", out_col="pos")
+    r = 40
+    path = str(tmp_path / "one_layout")
+    persist_block_aligned(base, path, block_size=r, num_partitions=4)
+
+    def file_state():
+        out = {}
+        for root, dirs, files in os.walk(path):
+            for f in files:
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                out[p] = (st.st_mtime_ns, st.st_size)
+        return out
+
+    before = file_state()
+    orders = set()
+    for epoch in (1, 2, 3):
+        got = {}
+        for rank in range(4):
+            part = read_epoch_block_shard(
+                spark, path, epoch=epoch, rank=rank, n_ranks=4,
+                id_col="doc_id",
+            )
+            for row in part.collect():
+                assert row.pos2 not in got
+                got[row.pos2] = row.doc_id
+        want = {
+            row.pos2: row.doc_id
+            for row in epoch_shuffle_two_level(
+                base, "doc_id", epoch=epoch, block_size=r
+            ).collect()
+        }
+        assert got == want and len(got) == n
+        orders.add(tuple(got[p] for p in range(n)))
+    assert len(orders) == 3  # three genuinely different epoch orders
+    assert file_state() == before, "an epoch read modified the layout"
