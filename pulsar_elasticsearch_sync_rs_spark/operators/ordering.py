@@ -365,6 +365,15 @@ def position_shards(
         n = int(meta["n"])
         lo = int(meta.get("pos_min", 0))
     else:
+        if spark is None:
+            # fail with the actual cause, not an AttributeError on
+            # None.read (round-14 review finding): the sidecar-free
+            # path NEEDS a session for the fallback count
+            raise ValueError(
+                f"position_shards: no usable _meta.json under {path} "
+                f"(absent, foreign, or pos_col != {pos_col!r}) and no "
+                "SparkSession given for the fallback count"
+            )
         n = spark.read.parquet(path).count()
         lo = 0
     base, rem = divmod(n, n_ranks)
@@ -429,6 +438,12 @@ def epoch_shuffle_two_level(
     ≤ n_blocks skinny frame."""
     if int(block_size) < 1:
         raise ValueError("epoch_shuffle_two_level: block_size must be >= 1")
+    for reserved in ("__blk", "__wkey", "__within", "__brank"):
+        if reserved in df.columns:
+            raise ValueError(
+                f"epoch_shuffle_two_level: column {reserved!r} already "
+                "exists (reserved as an internal projection column)"
+            )
     from pyspark.sql import Window
 
     r = int(block_size)
@@ -540,7 +555,11 @@ def epoch_block_shards(
             f"epoch_block_shards: no _meta.json under {path} - write the "
             "layout with persist_block_aligned"
         )
-    files = meta["files"]
+    # zero-row part files (an empty corpus writes one) carry no pos
+    # stats and no data — they belong to no block; dropping them keeps
+    # the empty-input totality contract (round-14 review finding,
+    # confirmed by execution)
+    files = [f for f in meta["files"] if f.get("n_rows", 0) > 0]
     if not files:
         return [(r, []) for r in range(n_ranks)]
     # the writer records block_size; max-run inference is only the
@@ -614,6 +633,12 @@ def read_epoch_block_shard(
             .withColumn(out_col, F.lit(None).cast("long"))
         )
     df = spark.read.parquet(*shard_files)
+    for reserved in ("__blk", "__wkey", "__brank"):
+        if reserved in df.columns:
+            raise ValueError(
+                f"read_epoch_block_shard: layout column {reserved!r} "
+                "collides with an internal projection column"
+            )
     # same arithmetic as epoch_shuffle_two_level, over this rank only
     import hashlib as _hl
 
@@ -709,16 +734,6 @@ def interleave_by_weight(
         raise ValueError(
             "interleave_by_weight: columns '__vkey'/'__grank' are reserved"
         )
-    present = [
-        r[0]
-        for r in df.select(source_col).distinct().collect()
-    ]
-    unknown = [s for s in present if s not in weights]
-    if unknown:
-        raise ValueError(
-            f"interleave_by_weight: sources {unknown!r} have no weight "
-            "(explicit weights only - a default would corrupt the mixture)"
-        )
     lcm = 1
     for w in weights.values():
         lcm = lcm * int(w) // math.gcd(lcm, int(w))
@@ -728,23 +743,34 @@ def interleave_by_weight(
     ranked = global_index(
         df, [source_col, id_col], out_col="__grank"
     )
+    # per-source offsets read DIRECTLY from the rank frame
+    # (min(__grank) per source — classes are contiguous under the
+    # (source, id) sort), not by accumulating python-sorted counts:
+    # the latter silently assumed python str order == Spark's sort
+    # order (round-14 review finding). The same collect doubles as the
+    # unknown-source validation, replacing the separate distinct scan
+    # the operator previously paid per call.
     offs = {
-        r[source_col]: int(r["n"])
+        r[source_col]: int(r["off"])
         for r in ranked.groupBy(source_col)
-        .agg(F.count("*").alias("n"))
+        .agg(F.min("__grank").alias("off"))
         .collect()
     }
-    acc = 0
+    unknown = [s for s in offs if s not in weights]
+    if unknown:
+        raise ValueError(
+            f"interleave_by_weight: sources {unknown!r} have no weight "
+            "(explicit weights only - a default would corrupt the mixture)"
+        )
     off_expr = F.lit(None).cast("long")
     stride_expr = F.lit(None).cast("long")
-    for s in sorted(offs):  # same order the (source, id) sort produced
-        off_expr = F.when(F.col(source_col) == s, F.lit(acc)).otherwise(
+    for s, off in offs.items():
+        off_expr = F.when(F.col(source_col) == s, F.lit(off)).otherwise(
             off_expr
         )
         stride_expr = F.when(
             F.col(source_col) == s, F.lit(lcm // int(weights[s]))
         ).otherwise(stride_expr)
-        acc += offs[s]
     vkey = (F.col("__grank") - off_expr + F.lit(1)) * stride_expr
     # native (virtual-time, source, id) composite — identical order to
     # the former zero-padded string key, long compares instead
@@ -850,5 +876,9 @@ def prune_epoch_layouts(path: str, keep: int = 1) -> dict:
             continue
         shutil.rmtree(os.path.join(path, d))
         deleted.append(d)
-    kept = sorted(retained) + [cur] + [d for n, d in epochs if n > cur_n]
+    # numeric epoch order (preds is already numeric-sorted) — a string
+    # sort would file ep10 before ep2 (round-14 review finding)
+    kept = [d for d in preds if d in retained] + [cur] + [
+        d for n, d in epochs if n > cur_n
+    ]
     return {"current": cur, "kept": kept, "deleted": deleted}

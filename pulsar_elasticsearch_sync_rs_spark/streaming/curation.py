@@ -741,9 +741,10 @@ def run_curation_ingest(
     that receives one dict per micro-batch with driver-measured walls
     of the batch's action groups — ``signature`` (the eager banded-
     signature checkpoint, which also materializes gate → decontaminate
-    → sha dedup), ``corpus_write`` (verify joins + anti-join + land),
-    ``sha_slice`` / ``band_slice`` (index appends), ``counters`` and
-    ``compact``. Driver-side ``perf_counter`` around existing actions
+    → sha dedup), ``admit_ckpt`` (the eager admitted-batch checkpoint
+    — the verify joins + anti-join; often the dominant wall),
+    ``corpus_write`` (the land), ``sha_slice`` / ``band_slice``
+    (index appends), ``counters`` and ``compact``. Driver-side ``perf_counter`` around existing actions
     — zero extra Spark jobs.
     """
     # replay-safety guard: every write this job makes is a per-batch

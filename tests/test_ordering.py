@@ -674,3 +674,68 @@ def test_multi_epoch_reads_never_rewrite_the_layout(spark, sf_dir, tmp_path):
         orders.add(tuple(got[p] for p in range(n)))
     assert len(orders) == 3  # three genuinely different epoch orders
     assert file_state() == before, "an epoch read modified the layout"
+
+
+def test_round14_review_regressions(spark, tmp_path):
+    """Round-14 review-pass pins: (1) epoch_block_shards over an
+    EMPTY block-aligned layout returns empty shards (the zero-row
+    part file carries no pos stats — was a KeyError); (2)
+    position_shards(None, …) on a sidecar-less layout raises a
+    pointed ValueError, not AttributeError on None.read; (3)
+    epoch_shuffle_two_level refuses reserved caller columns loudly;
+    (4) prune_epoch_layouts reports kept epochs in NUMERIC order past
+    ep10."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from pulsar_elasticsearch_sync_rs_spark.operators.ordering import (
+        epoch_block_shards,
+        epoch_shuffle_two_level,
+        global_index,
+        persist_block_aligned,
+        position_shards,
+        prune_epoch_layouts,
+        resolve_epoch_layout,
+    )
+
+    # (1) empty layout → empty shards, no crash
+    empty = global_index(
+        spark.range(0).select(F.col("id").alias("doc_id")), "doc_id",
+        out_col="pos",
+    )
+    p_empty = str(tmp_path / "empty_layout")
+    persist_block_aligned(empty, p_empty, block_size=4, num_partitions=2)
+    shards = epoch_block_shards(p_empty, epoch=1, n_ranks=3)
+    assert shards == [(0, []), (1, []), (2, [])]
+
+    # (2) sidecar-less + spark=None → pointed error
+    base = global_index(
+        spark.range(20).select(F.col("id").alias("doc_id")), "doc_id",
+        out_col="pos",
+    )
+    p2 = str(tmp_path / "no_sidecar")
+    persist_block_aligned(base, p2, block_size=4, num_partitions=2)
+    os.remove(os.path.join(p2, "_meta.json"))
+    with _pytest.raises(ValueError, match="no usable _meta.json"):
+        position_shards(None, p2, 3)
+
+    # (3) reserved caller columns refused
+    with _pytest.raises(ValueError, match="reserved"):
+        epoch_shuffle_two_level(
+            base.withColumn("__blk", F.lit(0)), "doc_id", epoch=1,
+            block_size=4,
+        )
+
+    # (4) kept report numeric past ep10
+    root = str(tmp_path / "many_epochs")
+    os.makedirs(root)
+    for ep in (2, 9, 10, 11):
+        os.makedirs(os.path.join(root, f"ep{ep}"))
+    with open(os.path.join(root, "_CURRENT"), "w") as fh:
+        fh.write("ep11")
+    rep = prune_epoch_layouts(root, keep=2)
+    assert rep["kept"] == ["ep9", "ep10", "ep11"]
+    assert rep["deleted"] == ["ep2"]
+    assert resolve_epoch_layout(root).endswith("ep11")
