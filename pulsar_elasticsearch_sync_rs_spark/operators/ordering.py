@@ -239,77 +239,68 @@ def _write_layout_meta(
     position runs at write time — record them as a tiny JSON sidecar
     so :func:`position_shards` (called once per trainer RANK) never
     re-counts the corpus. Sourced from the freshly-written parquet
-    FOOTERS (pyarrow, zero data scan, exact — the same witness the
-    contiguity pytest reads), so the meta is correct for any write
-    mode including append. Driver-local ``os`` envelope, same as the
-    ``_CURRENT`` marker protocol (operators/pq.py); written atomically
-    (tmp + rename) so a reader never sees a torn sidecar."""
-    import json
-    import os
+    FOOTERS (zero data scan, exact — the same witness the contiguity
+    pytest reads), so the meta is correct for any write mode including
+    append. Round-15: the envelope rides :mod:`layout_io` — local
+    ``os``+pyarrow for scheme-less paths, the Hadoop FileSystem API +
+    parquet-mr footers for ``hdfs://``/``s3a://``/``file://`` paths —
+    so the whole sidecar protocol (no-count shards, zero-rewrite epoch
+    reads, ``_CURRENT`` versioning) works on remote storage. Written
+    atomically (tmp + overwrite-rename) so a reader never sees a torn
+    sidecar."""
+    from . import layout_io
 
-    import pyarrow.parquet as pq
-
-    if not os.path.isdir(path):
-        # remote-fs layout (hdfs://, s3://): the local-fs sidecar
-        # protocol doesn't apply — readers fall back to the count
+    if not layout_io.isdir(path):
         return
-    files = []
-    n_total = 0
-    have_stats = True
-    for root, dirs, fnames in os.walk(path):
-        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
-        for fname in sorted(fnames):
-            if not fname.endswith(".parquet"):
-                continue
-            full = os.path.join(root, fname)
-            meta = pq.ParquetFile(full).metadata
-            n_rows = meta.num_rows
-            n_total += n_rows
-            entry = {
-                "path": os.path.relpath(full, path),
-                "n_rows": int(n_rows),
-            }
-            try:
-                idx = meta.schema.names.index(pos_col)
-                mins, maxs = [], []
-                for rg in range(meta.num_row_groups):
-                    st = meta.row_group(rg).column(idx).statistics
-                    if st is None or st.min is None:
-                        raise ValueError("no stats")
-                    mins.append(st.min)
-                    maxs.append(st.max)
-                if mins:
-                    entry["pos_min"] = int(min(mins))
-                    entry["pos_max"] = int(max(maxs))
-                else:
-                    have_stats = False
-            except (ValueError, KeyError):
-                have_stats = False
-            files.append(entry)
-    doc: dict = {"n": int(n_total), "pos_col": pos_col, "files": files}
+    entries = _footer_entries(path, pos_col, layout_io.list_parquet_relpaths(path))
+    _publish_layout_meta(path, pos_col, entries, extra)
+
+
+def _footer_entries(
+    path: str, pos_col: str, relpaths: list[str]
+) -> list[dict]:
+    """One sidecar entry per parquet file, from the footers only."""
+    from . import layout_io
+
+    entries = []
+    for rel in relpaths:
+        n_rows, pos_min, pos_max = layout_io.parquet_pos_stats(
+            layout_io.join(path, rel), pos_col
+        )
+        entry = {"path": rel, "n_rows": int(n_rows)}
+        if pos_min is not None:
+            entry["pos_min"] = int(pos_min)
+            entry["pos_max"] = int(pos_max)
+        entries.append(entry)
+    return entries
+
+
+def _publish_layout_meta(
+    path: str, pos_col: str, entries: list[dict], extra: dict | None = None
+) -> None:
+    from . import layout_io
+
+    doc: dict = {
+        "n": int(sum(f["n_rows"] for f in entries)),
+        "pos_col": pos_col,
+        "files": entries,
+    }
     if extra:
         doc.update(extra)
-    if have_stats and files:
-        doc["pos_min"] = min(f["pos_min"] for f in files)
-        doc["pos_max"] = max(f["pos_max"] for f in files)
-    tmp = os.path.join(path, _META_NAME + ".tmp")
-    with open(tmp, "w", encoding="utf-8") as fh:
-        json.dump(doc, fh)
-    os.replace(tmp, os.path.join(path, _META_NAME))
+    if entries and all("pos_min" in f for f in entries):
+        doc["pos_min"] = min(f["pos_min"] for f in entries)
+        doc["pos_max"] = max(f["pos_max"] for f in entries)
+    layout_io.write_json_atomic(path, _META_NAME, doc)
 
 
 def read_layout_meta(path: str) -> dict | None:
     """The :func:`persist_ordered` sidecar, or None when absent (a
     layout written by an older writer or another engine — callers fall
-    back to counting)."""
-    import json
-    import os
+    back to counting). Scheme-aware: remote layouts read the sidecar
+    through the Hadoop FS API (a driver FS call, never a Spark job)."""
+    from . import layout_io
 
-    p = os.path.join(path, _META_NAME)
-    if not os.path.exists(p):
-        return None
-    with open(p, encoding="utf-8") as fh:
-        return json.load(fh)
+    return layout_io.read_json(layout_io.join(path, _META_NAME))
 
 
 def persist_epoch_layout(
@@ -361,6 +352,12 @@ def position_shards(
     if n_ranks < 1:
         raise ValueError("position_shards: n_ranks must be >= 1")
     meta = read_layout_meta(path)
+    if meta is not None and not _layout_meta_fresh(path, meta):
+        # a foreign writer appended parquet files without rewriting the
+        # sidecar: trusting the stale n would silently hand out shard
+        # ranges that miss rows — prefer the loud count fallback
+        # (round-14 ADVICE). One directory listing, still no scan.
+        meta = None
     if meta is not None and meta.get("pos_col") == pos_col:
         n = int(meta["n"])
         lo = int(meta.get("pos_min", 0))
@@ -385,6 +382,18 @@ def position_shards(
     return out
 
 
+def _layout_meta_fresh(path: str, meta: dict) -> bool:
+    """Cheap sidecar staleness check (round-14 ADVICE): the recorded
+    file list must equal the directory's actual parquet files — a
+    layout appended to by a writer that doesn't maintain `_meta.json`
+    fails this and callers fall back to counting instead of silently
+    mis-sharding. One listing, no footer reads, no Spark job."""
+    from . import layout_io
+
+    recorded = {f["path"] for f in meta.get("files", [])}
+    return recorded == set(layout_io.list_parquet_relpaths(path))
+
+
 def read_position_range(
     spark, path: str, start: int, end: int, pos_col: str = "pos"
 ) -> DataFrame:
@@ -399,6 +408,33 @@ def read_position_range(
     )
 
 
+def _block_permutation(epoch: int, n_blocks: int) -> tuple[int, ...]:
+    """brank[b] for every block b — the md5-ordered block permutation
+    both the metadata job and the per-rank readers share. Computed
+    driver-side (n_blocks keys, ~100k at the 100 TB grain) and CACHED
+    per (epoch, n_blocks): 1000 rank calls in one driver pay the
+    O(n_blocks log n_blocks) sort once, not per call (round-14
+    ADVICE). The hex order is identical to sorting the same md5 keys
+    in Spark or DuckDB, so every consumer agrees."""
+    import hashlib
+
+    order = sorted(
+        range(n_blocks),
+        key=lambda b: hashlib.md5(f"ep{int(epoch)}|b{b}".encode()).hexdigest(),
+    )
+    branks = [0] * n_blocks
+    for i, b in enumerate(order):
+        branks[b] = i
+    return tuple(branks)
+
+
+# per-epoch permutations are small (n_blocks ints); a handful of
+# epochs in flight at once is the realistic ceiling
+from functools import lru_cache as _lru_cache
+
+_block_permutation = _lru_cache(maxsize=8)(_block_permutation)
+
+
 def epoch_shuffle_two_level(
     df: DataFrame,
     id_col: str,
@@ -406,6 +442,7 @@ def epoch_shuffle_two_level(
     block_size: int,
     pos_col: str = "pos",
     out_col: str = "pos2",
+    n: int | None = None,
 ) -> DataFrame:
     """TWO-LEVEL (block) epoch shuffle — the practice every large-scale
     loader (tf.data interleave+shuffle, WebDataset shard shuffling)
@@ -434,8 +471,15 @@ def epoch_shuffle_two_level(
     Deterministic, engine-portable (DuckDB renders identical md5 hex),
     gap-free: out positions are exactly 0..n−1. No single-partition
     window anywhere — the within-block window partitions by block
-    (≤ block_size rows each) and the block enumeration runs on the
-    ≤ n_blocks skinny frame."""
+    (≤ block_size rows each) and the block permutation is driver-side
+    arithmetic over ≤ n_blocks keys (shared, cached, with the sharded
+    readers), shipped as a skinny broadcast frame.
+
+    Pass ``n`` (the corpus row count — the layout's `_meta.json`
+    sidecar already knows it, see :func:`read_layout_meta`) and the
+    whole permutation METADATA job launches ZERO extra Spark jobs
+    before the output action: no ``df.count()``, no block-frame probe
+    (round-14 VERDICT item 6; the pytest counts jobs)."""
     if int(block_size) < 1:
         raise ValueError("epoch_shuffle_two_level: block_size must be >= 1")
     for reserved in ("__blk", "__wkey", "__within", "__brank"):
@@ -447,29 +491,25 @@ def epoch_shuffle_two_level(
     from pyspark.sql import Window
 
     r = int(block_size)
-    n = df.count()
+    n = df.count() if n is None else int(n)
     if n == 0:
         return df.withColumn(out_col, F.lit(None).cast("long"))
     n_blocks = (n + r - 1) // r
     short = n - r * (n_blocks - 1)  # size of the LAST source block
     block = (F.col(pos_col) / F.lit(r)).cast("long")
-    bkey = F.md5(F.concat(F.lit(f"ep{int(epoch)}|b"), block.cast("string")))
     wkey = F.md5(
         F.concat(F.lit(f"ep{int(epoch)}|"), F.col(id_col).cast("string"))
     )
-    # block permutation over the SKINNY distinct-block frame
-    blocks = global_index(
-        df.sparkSession.range(n_blocks)
-        .select(F.col("id").alias("__blk"))
-        .withColumn(
-            "__bkey",
-            F.md5(F.concat(F.lit(f"ep{int(epoch)}|b"), F.col("__blk").cast("string"))),
-        ),
-        "__bkey",
-        out_col="__brank",
-    ).drop("__bkey")
-    short_rank = int(
-        blocks.filter(F.col("__blk") == n_blocks - 1).first()["__brank"]
+    # block permutation: driver-side closed form (cached), shipped as a
+    # ≤ n_blocks-row broadcast — the same arithmetic the per-rank
+    # readers use, so metadata job and sharded reads agree by
+    # construction (it previously rode a distributed global_index over
+    # range(n_blocks) plus a .first() probe: two extra jobs per epoch)
+    branks = _block_permutation(int(epoch), n_blocks)
+    short_rank = branks[n_blocks - 1]
+    blocks = df.sparkSession.createDataFrame(
+        [(int(b), int(v)) for b, v in enumerate(branks)],
+        "__blk long, __brank long",
     )
     # offset of a block in the permuted order: brank·r, minus the
     # short block's deficit for every block scheduled after it
@@ -545,7 +585,8 @@ def epoch_block_shards(
     (:func:`read_epoch_block_shard`) — 1/N of the corpus bytes, no
     filter evaluation, no rewrite, for EVERY epoch."""
     import hashlib
-    import os
+
+    from . import layout_io
 
     if n_ranks < 1:
         raise ValueError("epoch_block_shards: n_ranks must be >= 1")
@@ -562,6 +603,17 @@ def epoch_block_shards(
     files = [f for f in meta["files"] if f.get("n_rows", 0) > 0]
     if not files:
         return [(r, []) for r in range(n_ranks)]
+    # a foreign layout can record rows without position statistics
+    # (pos col absent from the footer stats) — refuse with the pointed
+    # error, not a KeyError two lines down (round-14 ADVICE)
+    no_stats = [f["path"] for f in files if "pos_min" not in f]
+    if no_stats:
+        raise ValueError(
+            f"epoch_block_shards: {len(no_stats)} file(s) under {path} "
+            f"carry no {meta.get('pos_col', 'pos')!r} statistics (e.g. "
+            f"{no_stats[0]}) - layout is not block-aligned; write it "
+            "with persist_block_aligned"
+        )
     # the writer records block_size; max-run inference is only the
     # fallback for a foreign aligned layout (wrong when every block is
     # short of the writer's size — e.g. a single sub-block file)
@@ -590,7 +642,7 @@ def epoch_block_shards(
     for r in range(n_ranks):
         size = base + (1 if r < rem else 0)
         out.append(
-            (r, [os.path.join(path, f["path"]) for f in permuted[i:i + size]])
+            (r, [layout_io.join(path, f["path"]) for f in permuted[i:i + size]])
         )
         i += size
     return out
@@ -617,6 +669,8 @@ def read_epoch_block_shard(
     (pytest-pinned) — distribution by LAYOUT, not by shuffle."""
     from pyspark.sql import Window
 
+    from . import layout_io
+
     meta = read_layout_meta(path)
     files = meta["files"] if meta else []
     block_size = int(
@@ -640,31 +694,28 @@ def read_epoch_block_shard(
                 "collides with an internal projection column"
             )
     # same arithmetic as epoch_shuffle_two_level, over this rank only
-    import hashlib as _hl
-
     r = block_size
     short = n - r * (n_blocks - 1)
     deficit = r - short
-    branks = {
-        b: i
-        for i, b in enumerate(
-            sorted(
-                range(n_blocks),
-                key=lambda b: _hl.md5(
-                    f"ep{int(epoch)}|b{b}".encode()
-                ).hexdigest(),
-            )
-        )
-    }
+    # the full permutation is cached per (epoch, n_blocks) — 1000 rank
+    # calls in one driver sort the md5 keys ONCE (round-14 ADVICE) —
+    # and the shipped frame is restricted to the RANK'S OWN blocks
+    # (the shard files' pos_min ranges), not all n_blocks
+    branks = _block_permutation(int(epoch), n_blocks)
     short_rank = branks[n_blocks - 1]
+    rank_blocks = sorted(
+        {int(f["pos_min"]) // r for f in meta["files"]
+         if f.get("n_rows", 0) > 0
+         and layout_io.join(path, f["path"]) in set(shard_files)}
+    )
     block = (F.col(pos_col) / F.lit(r)).cast("long")
     wkey = F.md5(
         F.concat(F.lit(f"ep{int(epoch)}|"), F.col(id_col).cast("string"))
     )
-    # block→brank rides a broadcast join (≤ n_blocks skinny rows), not
-    # a literal map expression — 100k+ blocks would blow the plan size
+    # block→brank rides a broadcast join (skinny rows), not a literal
+    # map expression — 100k+ blocks would blow the plan size
     branks_df = spark.createDataFrame(
-        [(int(b), int(v)) for b, v in branks.items()],
+        [(int(b), int(branks[b])) for b in rank_blocks],
         "__blk long, __brank long",
     )
     offset = (F.col("__brank") * F.lit(r)) - F.when(
@@ -712,9 +763,10 @@ def interleave_by_weight(
     rank = global rank − the source's offset (one tiny agg +
     broadcast); interleave key = (r + 1) · (L / w_source) with L =
     lcm(weights) — the classic smallest-virtual-time-first schedule —
-    tie-broken by (source, id) via a fixed-width zero-padded string
-    key (lexicographic == numeric by construction); final position =
-    :func:`global_index` over that key.
+    and final position = :func:`global_index` over the NATIVE
+    (virtual-time, source, id) composite, ties broken by the
+    (source, id) columns directly (long/native compares — the
+    round-14 sort-key A/B retired the old fixed-width string key).
 
     Scale: two range exchanges (both over a SKINNY projection if the
     caller selects first) + two ≤ numPartitions-row collects; no
@@ -730,10 +782,11 @@ def interleave_by_weight(
             raise ValueError(
                 f"interleave_by_weight: weight for {s!r} must be >= 1"
             )
-    if "__vkey" in df.columns or "__grank" in df.columns:
-        raise ValueError(
-            "interleave_by_weight: columns '__vkey'/'__grank' are reserved"
-        )
+    for reserved in ("__vkey", "__grank", "__soff", "__sstride"):
+        if reserved in df.columns:
+            raise ValueError(
+                f"interleave_by_weight: column {reserved!r} is reserved"
+            )
     lcm = 1
     for w in weights.values():
         lcm = lcm * int(w) // math.gcd(lcm, int(w))
@@ -762,20 +815,47 @@ def interleave_by_weight(
             f"interleave_by_weight: sources {unknown!r} have no weight "
             "(explicit weights only - a default would corrupt the mixture)"
         )
-    off_expr = F.lit(None).cast("long")
-    stride_expr = F.lit(None).cast("long")
-    for s, off in offs.items():
-        off_expr = F.when(F.col(source_col) == s, F.lit(off)).otherwise(
-            off_expr
+    if len(offs) <= 16:
+        # few sources (the typical mixture): inline literal CASE —
+        # no extra plan node
+        off_expr = F.lit(None).cast("long")
+        stride_expr = F.lit(None).cast("long")
+        for s, off in offs.items():
+            off_expr = F.when(F.col(source_col) == s, F.lit(off)).otherwise(
+                off_expr
+            )
+            stride_expr = F.when(
+                F.col(source_col) == s, F.lit(lcm // int(weights[s]))
+            ).otherwise(stride_expr)
+        vkeyed = ranked.withColumn(
+            "__vkey", (F.col("__grank") - off_expr + F.lit(1)) * stride_expr
         )
-        stride_expr = F.when(
-            F.col(source_col) == s, F.lit(lcm // int(weights[s]))
-        ).otherwise(stride_expr)
-    vkey = (F.col("__grank") - off_expr + F.lit(1)) * stride_expr
+    else:
+        # high-cardinality source column: a chained WHEN per source
+        # reproduces the giant-CASE plan shape global_index's own
+        # notes avoid — ship (source, off, stride) as a broadcast
+        # join instead (round-14 ADVICE)
+        src_type = dict(ranked.dtypes)[source_col]
+        sos = ranked.sparkSession.createDataFrame(
+            [
+                (s, int(off), int(lcm // int(weights[s])))
+                for s, off in offs.items()
+            ],
+            f"`{source_col}` {src_type}, __soff long, __sstride long",
+        )
+        vkeyed = (
+            ranked.join(F.broadcast(sos), source_col)
+            .withColumn(
+                "__vkey",
+                (F.col("__grank") - F.col("__soff") + F.lit(1))
+                * F.col("__sstride"),
+            )
+            .drop("__soff", "__sstride")
+        )
     # native (virtual-time, source, id) composite — identical order to
     # the former zero-padded string key, long compares instead
     return global_index(
-        ranked.withColumn("__vkey", vkey),
+        vkeyed,
         ["__vkey", source_col, id_col],
         out_col=out_col,
     ).drop("__vkey", "__grank")
@@ -796,11 +876,14 @@ def persist_epoch_layout_versioned(
     loader. A trainer that resolved epoch N keeps streaming a COMPLETE
     artifact while epoch N+1 is being written; the marker repoint
     (atomic ``os.replace``) is the only visibility switch, and
-    :func:`prune_epoch_layouts` bounds retention afterwards. Returns
-    the epoch directory written."""
-    import os
+    :func:`prune_epoch_layouts` bounds retention afterwards. Scheme-
+    aware via :mod:`layout_io` — on ``hdfs://``/``s3a://`` the marker
+    repoint rides ``FileContext.rename(OVERWRITE)``, the same
+    atomicity contract as the local ``os.replace``. Returns the epoch
+    directory written."""
+    from . import layout_io
 
-    epoch_dir = os.path.join(path, f"ep{int(epoch)}")
+    epoch_dir = layout_io.join(path, f"ep{int(epoch)}")
     persist_epoch_layout(
         df,
         id_col,
@@ -809,11 +892,8 @@ def persist_epoch_layout_versioned(
         pos_col=pos_col,
         max_records_per_file=max_records_per_file,
     )
-    os.makedirs(path, exist_ok=True)
-    tmp = os.path.join(path, "_CURRENT.tmp")
-    with open(tmp, "w", encoding="utf-8") as fh:
-        fh.write(f"ep{int(epoch)}")
-    os.replace(tmp, os.path.join(path, "_CURRENT"))  # atomic repoint
+    layout_io.makedirs(path)
+    layout_io.write_text_atomic(path, "_CURRENT", f"ep{int(epoch)}")
     return epoch_dir
 
 
@@ -823,23 +903,22 @@ def resolve_epoch_layout(path: str, epoch: int | None = None) -> str:
     checkpoint — else the ``_CURRENT``-marked epoch. Raises on a
     missing epoch or absent marker rather than guessing: a trainer
     reading the wrong permutation is silent data corruption."""
-    import os
+    from . import layout_io
 
     if epoch is not None:
-        d = os.path.join(path, f"ep{int(epoch)}")
-        if not os.path.isdir(d):
+        d = layout_io.join(path, f"ep{int(epoch)}")
+        if not layout_io.isdir(d):
             raise ValueError(
                 f"resolve_epoch_layout: no epoch {epoch} under {path} "
                 "(pruned or never written)"
             )
         return d
-    marker = os.path.join(path, "_CURRENT")
-    if not os.path.exists(marker):
+    text = layout_io.read_text(layout_io.join(path, "_CURRENT"))
+    if text is None:
         raise ValueError(f"resolve_epoch_layout: no _CURRENT marker in {path}")
-    with open(marker, encoding="utf-8") as fh:
-        name = fh.read().strip()
-    d = os.path.join(path, name)
-    if not name or not os.path.isdir(d):
+    name = text.strip()
+    d = layout_io.join(path, name)
+    if not name or not layout_io.isdir(d):
         raise ValueError(
             f"resolve_epoch_layout: _CURRENT names {name!r} which is absent"
         )
@@ -856,17 +935,16 @@ def prune_epoch_layouts(path: str, keep: int = 1) -> dict:
     yet). Same quiesce rule as ``prune_ivfpq_versions``: run once no
     reader can still hold a pre-repoint root. Returns
     ``{"current", "kept", "deleted"}``."""
-    import os
-    import shutil
+    from . import layout_io
 
-    cur = os.path.basename(resolve_epoch_layout(path))
+    cur = resolve_epoch_layout(path).rstrip("/").rsplit("/", 1)[-1]
     cur_n = int(cur[2:])
     epochs = sorted(
         (int(d[2:]), d)
-        for d in os.listdir(path)
+        for d in layout_io.list_names(path)
         if d.startswith("ep")
         and d[2:].isdigit()
-        and os.path.isdir(os.path.join(path, d))
+        and layout_io.isdir(layout_io.join(path, d))
     )
     preds = [d for n, d in epochs if n < cur_n]
     retained = set(preds[len(preds) - min(len(preds), max(0, int(keep))):])
@@ -874,7 +952,7 @@ def prune_epoch_layouts(path: str, keep: int = 1) -> dict:
     for d in preds:
         if d in retained:
             continue
-        shutil.rmtree(os.path.join(path, d))
+        layout_io.rmtree(layout_io.join(path, d))
         deleted.append(d)
     # numeric epoch order (preds is already numeric-sorted) — a string
     # sort would file ep10 before ep2 (round-14 review finding)
