@@ -571,6 +571,125 @@ def persist_block_aligned(
     _write_layout_meta(path, pos_col, extra={"block_size": r})
 
 
+def append_block_aligned(
+    df_new: DataFrame,
+    path: str,
+    order_col: str | list[str],
+    pos_col: str = "pos",
+) -> dict:
+    """Round-14 VERDICT item 2 — the GROWING-corpus story for the
+    block-aligned layout, so incremental ingest (the engine's
+    streaming dedup admits new docs continuously) never forces a full
+    rewrite of the one artifact the two-level scheme promised to keep
+    byte-stable. New rows get positions ``n .. n+m−1`` (enumerated by
+    ``order_col`` among themselves — one range exchange over the NEW
+    slice only) and land as NEW whole blocks; ``_meta.json`` is
+    updated incrementally (footer reads for the new files only). The
+    small-tail compaction rule: when the existing layout ends in a
+    short block (n % block_size ≠ 0), that ONE file's rows are
+    re-written together with the first new rows so the filled block
+    stays file ≡ block — every other pre-existing file is
+    byte-untouched (the pytest reuses the mtime/size witness), and
+    the invariant ``only the LAST block may be short`` survives, so
+    :func:`epoch_block_shards` simply deals the enlarged block set
+    next epoch.
+
+    Not concurrent-reader-safe across the tail rewrite (a reader
+    holding the pre-append sidecar can race the tail file's delete) —
+    same quiesce rule as :func:`prune_epoch_layouts`; use
+    :func:`persist_epoch_layout_versioned` when readers must never
+    block. Returns ``{"appended", "n", "tail_rewritten",
+    "new_files"}``."""
+    from . import layout_io
+
+    spark = df_new.sparkSession
+    meta = read_layout_meta(path)
+    if meta is None or "block_size" not in meta:
+        raise ValueError(
+            f"append_block_aligned: no block-aligned _meta.json under "
+            f"{path} - write the base layout with persist_block_aligned"
+        )
+    if meta.get("pos_col") != pos_col:
+        raise ValueError(
+            f"append_block_aligned: layout orders by "
+            f"{meta.get('pos_col')!r}, not {pos_col!r}"
+        )
+    if not _layout_meta_fresh(path, meta):
+        raise ValueError(
+            f"append_block_aligned: _meta.json under {path} disagrees "
+            "with the directory listing (foreign writer?) - rebuild the "
+            "layout with persist_block_aligned"
+        )
+    if pos_col in df_new.columns:
+        raise ValueError(
+            f"append_block_aligned: {pos_col!r} is assigned here - "
+            "pass the new rows WITHOUT positions"
+        )
+    r = int(meta["block_size"])
+    n_old = int(meta["n"])
+    old_entries = [f for f in meta["files"] if f.get("n_rows", 0) > 0]
+    layout_cols = set(spark.read.parquet(path).columns)
+    if set(df_new.columns) != layout_cols - {pos_col}:
+        raise ValueError(
+            "append_block_aligned: new-row columns "
+            f"{sorted(df_new.columns)} do not match the layout's "
+            f"{sorted(layout_cols - {pos_col})}"
+        )
+    m = df_new.count()
+    if m == 0:
+        return {"appended": 0, "n": n_old, "tail_rewritten": False,
+                "new_files": []}
+
+    new_rows = global_index(df_new, order_col, out_col=pos_col, start=n_old)
+    tail = n_old % r
+    tail_entry = None
+    if tail:
+        tb = (n_old // r) * r  # short block's first position
+        cands = [f for f in old_entries if f.get("pos_min") == tb]
+        if len(cands) != 1:
+            raise ValueError(
+                f"append_block_aligned: expected exactly one tail file "
+                f"at pos {tb} under {path}, found {len(cands)} - layout "
+                "is not block-aligned"
+            )
+        tail_entry = cands[0]
+        tail_rows = spark.read.parquet(
+            layout_io.join(path, tail_entry["path"])
+        )
+        combined = tail_rows.unionByName(new_rows.select(*tail_rows.columns))
+    else:
+        combined = new_rows
+
+    recorded = {f["path"] for f in meta["files"]}
+    block = (F.col(pos_col) / F.lit(r)).cast("long")
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_parts = max(1, min(n_parts, ((m + tail) + r - 1) // r))
+    (
+        combined.repartition(n_parts, block)
+        .sortWithinPartitions(pos_col)
+        .write.mode("append")
+        .option("maxRecordsPerFile", r)
+        .parquet(path)
+    )
+    if tail_entry is not None:
+        layout_io.delete_file(layout_io.join(path, tail_entry["path"]))
+    new_files = [
+        p for p in layout_io.list_parquet_relpaths(path) if p not in recorded
+    ]
+    entries = [
+        f
+        for f in meta["files"]
+        if tail_entry is None or f["path"] != tail_entry["path"]
+    ] + _footer_entries(path, pos_col, new_files)
+    _publish_layout_meta(path, pos_col, entries, extra={"block_size": r})
+    return {
+        "appended": int(m),
+        "n": n_old + int(m),
+        "tail_rewritten": tail_entry is not None,
+        "new_files": new_files,
+    }
+
+
 def epoch_block_shards(
     path: str, epoch: int, n_ranks: int
 ) -> list[tuple[int, list[str]]]:

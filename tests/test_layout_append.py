@@ -1,0 +1,203 @@
+"""Round-15 VERDICT item 2: append/compaction for the block-aligned
+base layout — a growing corpus extends the layout with NEW whole
+blocks (file ≡ block preserved) instead of forcing the full rewrite
+the two-level scheme exists to avoid. Witnesses: every pre-existing
+FULL block's file is byte-untouched (mtime/size), the short tail block
+is compacted exactly once, positions stay gap-free over n+m, and the
+enlarged block set serves sharded two-level epoch reads that match the
+exact mapping."""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, ".")
+
+from pulsar_elasticsearch_sync_rs_spark.operators import layout_io
+from pulsar_elasticsearch_sync_rs_spark.operators.ordering import (
+    append_block_aligned,
+    epoch_block_shards,
+    epoch_shuffle_two_level,
+    global_index,
+    persist_block_aligned,
+    position_shards,
+    read_epoch_block_shard,
+    read_layout_meta,
+)
+
+
+def _docs(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.concat(F.lit("d"), F.format_string("%05d", F.col("id"))).alias(
+            "doc_id"
+        )
+    )
+
+
+def _file_stats(path):
+    meta = read_layout_meta(path)
+    return {
+        f["path"]: layout_io.file_stat(layout_io.join(path, f["path"]))
+        for f in meta["files"]
+    }
+
+
+def _assert_layout_sound(spark, path, n, r):
+    meta = read_layout_meta(path)
+    assert meta["n"] == n and meta["block_size"] == r
+    rows = spark.read.parquet(path).collect()
+    assert sorted(row.pos for row in rows) == list(range(n))
+    # file ≡ block: every file starts on a block boundary, only the
+    # last block short
+    entries = [f for f in meta["files"] if f["n_rows"] > 0]
+    for f in entries:
+        assert f["pos_min"] % r == 0
+        assert f["n_rows"] == f["pos_max"] - f["pos_min"] + 1
+        if f["pos_max"] != n - 1:
+            assert f["n_rows"] == r
+    return {row.doc_id: row.pos for row in rows}
+
+
+def test_append_fills_tail_and_adds_whole_blocks(spark, tmp_path):
+    """78 rows at block 16 → tail of 14; append 50: the tail file is
+    compacted (once), every FULL old block is byte-untouched, and the
+    128-row layout serves exact sharded epoch reads."""
+    r = 16
+    path = str(tmp_path / "grow")
+    base = global_index(_docs(spark, 0, 78), "doc_id", out_col="pos")
+    persist_block_aligned(base, path, block_size=r, num_partitions=3)
+    before = _file_stats(path)
+    tail_files = {
+        f["path"]
+        for f in read_layout_meta(path)["files"]
+        if f.get("n_rows", 0) > 0 and f["pos_min"] == (78 // r) * r
+    }
+    assert len(tail_files) == 1
+
+    rep = append_block_aligned(_docs(spark, 78, 128), path, "doc_id")
+    assert rep["appended"] == 50 and rep["n"] == 128
+    assert rep["tail_rewritten"] is True
+
+    mapping = _assert_layout_sound(spark, path, 128, r)
+    # old docs keep their positions (0..77 were already assigned);
+    # new docs are enumerated by order_col after them
+    assert [d for d, p in sorted(mapping.items(), key=lambda kv: kv[1])] == [
+        f"d{i:05d}" for i in range(128)
+    ]
+
+    after = _file_stats(path)
+    untouched = {p for p in before if p not in tail_files}
+    assert untouched <= set(after)
+    for p in untouched:
+        assert after[p] == before[p]  # byte-identity witness
+    assert not (tail_files & set(after))  # tail file gone (compacted)
+
+    # the enlarged block set serves the two-level epoch read exactly
+    layout_df = spark.read.parquet(path)
+    want = {
+        (row.doc_id, row.pos2)
+        for row in epoch_shuffle_two_level(
+            layout_df, "doc_id", epoch=4, block_size=r,
+            n=read_layout_meta(path)["n"],
+        ).collect()
+    }
+    got = set()
+    for rank, _files in epoch_block_shards(path, epoch=4, n_ranks=3):
+        for row in read_epoch_block_shard(
+            spark, path, epoch=4, rank=rank, n_ranks=3, id_col="doc_id"
+        ).collect():
+            got.add((row.doc_id, row.pos2))
+    assert got == want and len(got) == 128
+    # and the no-count shard resolution is fresh again post-append
+    shards = position_shards(None, path, 5)
+    assert sum(hi - lo + 1 for _, lo, hi in shards) == 128
+
+
+def test_append_without_tail_touches_nothing(spark, tmp_path):
+    """n % block_size == 0: zero pre-existing files rewritten."""
+    r = 8
+    path = str(tmp_path / "grow_aligned")
+    base = global_index(_docs(spark, 0, 32), "doc_id", out_col="pos")
+    persist_block_aligned(base, path, block_size=r, num_partitions=2)
+    before = _file_stats(path)
+    rep = append_block_aligned(_docs(spark, 32, 45), path, "doc_id")
+    assert rep["tail_rewritten"] is False and rep["n"] == 45
+    after = _file_stats(path)
+    for p, st in before.items():
+        assert after[p] == st
+    _assert_layout_sound(spark, path, 45, r)
+
+
+def test_append_smaller_than_tail_deficit_and_repeated(spark, tmp_path):
+    """Appends smaller than the tail deficit just regrow the short
+    block; repeated appends keep the invariant (each compacts at most
+    the current tail)."""
+    r = 10
+    path = str(tmp_path / "grow_small")
+    base = global_index(_docs(spark, 0, 7), "doc_id", out_col="pos")
+    persist_block_aligned(base, path, block_size=r, num_partitions=1)
+    n = 7
+    for step in (2, 5, 9, 30):
+        rep = append_block_aligned(_docs(spark, n, n + step), path, "doc_id")
+        n += step
+        assert rep["n"] == n
+        _assert_layout_sound(spark, path, n, r)
+
+
+def test_append_on_remote_path(spark, tmp_path):
+    """The append story through the Hadoop FS API (file:// stand-in):
+    incremental sidecar update, tail delete, byte-identity for full
+    blocks."""
+    r = 12
+    path = "file://" + str(tmp_path / "grow_remote")
+    base = global_index(_docs(spark, 0, 30), "doc_id", out_col="pos")
+    persist_block_aligned(base, path, block_size=r, num_partitions=2)
+    before = _file_stats(path)
+    full_before = {
+        f["path"]
+        for f in read_layout_meta(path)["files"]
+        if f.get("n_rows", 0) == r
+    }
+    rep = append_block_aligned(_docs(spark, 30, 60), path, "doc_id")
+    assert rep["n"] == 60 and rep["tail_rewritten"] is True
+    _assert_layout_sound(spark, path, 60, r)
+    after = _file_stats(path)
+    for p in full_before:
+        assert after[p] == before[p]
+
+
+def test_append_guards(spark, tmp_path):
+    r = 8
+    path = str(tmp_path / "grow_guards")
+    base = global_index(_docs(spark, 0, 20), "doc_id", out_col="pos")
+    persist_block_aligned(base, path, block_size=r, num_partitions=2)
+
+    # positions are assigned here — refuse pre-positioned rows
+    with pytest.raises(ValueError, match="WITHOUT positions"):
+        append_block_aligned(base, path, "doc_id")
+    # schema drift refused
+    with pytest.raises(ValueError, match="do not match"):
+        append_block_aligned(
+            _docs(spark, 20, 25).withColumn("extra", F.lit(1)),
+            path, "doc_id",
+        )
+    # no sidecar / non-block-aligned layout refused
+    import os
+
+    os.remove(os.path.join(path, "_meta.json"))
+    with pytest.raises(ValueError, match="persist_block_aligned"):
+        append_block_aligned(_docs(spark, 20, 25), path, "doc_id")
+    # stale sidecar (foreign append) refused loudly
+    persist_block_aligned(base, path, block_size=r, num_partitions=2)
+    spark.read.parquet(path).limit(3).write.mode("append").parquet(path)
+    with pytest.raises(ValueError, match="disagrees"):
+        append_block_aligned(_docs(spark, 20, 25), path, "doc_id")
+    # empty append is a no-op
+    path2 = str(tmp_path / "grow_noop")
+    persist_block_aligned(base, path2, block_size=r, num_partitions=2)
+    rep = append_block_aligned(_docs(spark, 0, 0), path2, "doc_id")
+    assert rep == {"appended": 0, "n": 20, "tail_rewritten": False,
+                   "new_files": []}
