@@ -256,6 +256,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_interleave_mix": _wrap(L.q_interleave_mix),  # blendable-dataset layout: weighted deterministic interleave, ratio held in every slice
         "q_epoch_two_level": _wrap(L.q_epoch_two_level),  # two-level block epoch shuffle: per-epoch skinny metadata job, corpus never moves
         "q_pack_bins": _wrap(L.q_pack_bins),  # length-class bin packing: whole-doc bins, no cross-doc attention, waste reported
+        "q_loader_compose": _wrap(L.q_loader_compose),  # full loader: interleave -> block-aligned layout -> sharded two-level epoch read by metadata
     }
 
 
@@ -318,4 +319,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "q_interleave_mix": L.ORACLE_INTERLEAVE_MIX,
         "q_epoch_two_level": L.ORACLE_EPOCH_TWO_LEVEL,
         "q_pack_bins": L.ORACLE_PACK_BINS,
+        "q_loader_compose": L.ORACLE_LOADER_COMPOSE,
     }

@@ -739,3 +739,56 @@ def test_round14_review_regressions(spark, tmp_path):
     assert rep["kept"] == ["ep9", "ep10", "ep11"]
     assert rep["deleted"] == ["ep2"]
     assert resolve_epoch_layout(root).endswith("ep11")
+
+
+def test_loader_compose_rank_slice_mixture(spark, sf_dir, tmp_path):
+    """Round-15 VERDICT item 3, the property the composed loader lane
+    (q_loader_compose) buys: a rank's two-level shard is a set of
+    whole base BLOCKS, and every such block is a contiguous slice of
+    the interleaved order — so each block the rank streams carries the
+    configured language mixture (deviation ≤ #sources, the Bresenham
+    bound), before any source exhausts."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.ordering import (
+        epoch_block_shards,
+        interleave_by_weight,
+        persist_block_aligned,
+        read_epoch_block_shard,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    weights = {"de": 1, "en": 2, "es": 2, "fr": 3, "zh": 3}
+    mixed = interleave_by_weight(docs, "lang", weights, "doc_id")
+    counts = {
+        r["lang"]: r["cnt"]
+        for r in mixed.groupBy("lang").agg(F.count("*").alias("cnt")).collect()
+    }
+    lcm = 6
+    first_exhaust_v = min(counts[s] * (lcm // w) for s, w in weights.items())
+    horizon = sum(
+        min(counts[s], first_exhaust_v * w // lcm) for s, w in weights.items()
+    )
+
+    r = 64
+    path = str(tmp_path / "loader_mix")
+    persist_block_aligned(mixed, path, block_size=r, num_partitions=4)
+    w_total = sum(weights.values())
+    n_checked = 0
+    for rank, files in epoch_block_shards(path, epoch=2, n_ranks=3):
+        if not files:
+            continue
+        rows = read_epoch_block_shard(
+            spark, path, epoch=2, rank=rank, n_ranks=3, id_col="doc_id"
+        ).select("pos", "lang").collect()
+        by_block: dict[int, dict[str, int]] = {}
+        for row in rows:
+            by_block.setdefault(row.pos // r, {}).setdefault(row.lang, 0)
+            by_block[row.pos // r][row.lang] += 1
+        for b, langs in by_block.items():
+            if (b + 1) * r > horizon:
+                continue  # block extends past a source's exhaustion
+            for s, w in weights.items():
+                expect = r * w / w_total
+                assert abs(langs.get(s, 0) - expect) <= len(weights), (
+                    rank, b, s, langs.get(s, 0), expect)
+            n_checked += 1
+    assert n_checked >= 3  # the witness is non-vacuous
