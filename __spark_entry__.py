@@ -257,6 +257,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_epoch_two_level": _wrap(L.q_epoch_two_level),  # two-level block epoch shuffle: per-epoch skinny metadata job, corpus never moves
         "q_pack_bins": _wrap(L.q_pack_bins),  # length-class bin packing: whole-doc bins, no cross-doc attention, waste reported
         "q_loader_compose": _wrap(L.q_loader_compose),  # full loader: interleave -> block-aligned layout -> sharded two-level epoch read by metadata
+        "q_pack_bins_mixed": _wrap(L.q_pack_bins_mixed),  # mixed-length bins: residual-fill pairing, ~33% less waste than by-length at same bin discipline
     }
 
 
@@ -320,4 +321,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "q_epoch_two_level": L.ORACLE_EPOCH_TWO_LEVEL,
         "q_pack_bins": L.ORACLE_PACK_BINS,
         "q_loader_compose": L.ORACLE_LOADER_COMPOSE,
+        "q_pack_bins_mixed": L.ORACLE_PACK_BINS_MIXED,
     }

@@ -90,6 +90,13 @@ HEADLINE = [
     # counts below)
     "q_interleave_mix",
     "q_epoch_two_level",
+    # round-15 addition: mixed-length bin packing (residual fill) —
+    # four skinny global_index exchanges + one rank equi-join, ~33 %
+    # less padding waste than by-length at the same bin discipline.
+    # q_loader_compose is NOT here: it composes the interleave +
+    # two-level lanes already benched and its fixture-scale wall is
+    # the scratch layout write (constants), not throughput.
+    "q_pack_bins_mixed",
 ]
 
 # per-query protocol: ONE untimed warm-up execution (pays plan codegen,
@@ -137,6 +144,7 @@ PLAN_PINS: dict[str, dict] = {
     "q_epoch_shuffle": {"arrow_max": 0, "window_free": True},  # pure JVM (monotonic-id rank + broadcast offsets); a Window node here is the single-partition regression
     "q_interleave_mix": {"arrow_max": 0, "window_free": True},  # two global_index passes — same no-window contract as q_epoch_shuffle
     "q_epoch_two_level": {"arrow_max": 0},  # one bounded per-block window is expected; no Arrow crossing anywhere
+    "q_pack_bins_mixed": {"arrow_max": 0, "window_free": True},  # rank arithmetic end-to-end; a per-class window here is the mega-class skew regression
 }
 
 # Streaming state pins (round 8): the stateful lanes' peak state-store

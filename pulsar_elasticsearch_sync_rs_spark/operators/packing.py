@@ -307,3 +307,149 @@ def pack_bins_by_length(
             ),
         )
     )
+
+
+def pack_bins_residual_fill(
+    df: DataFrame,
+    n_tok_col: str,
+    id_col: str,
+    capacity: int,
+) -> DataFrame:
+    """MIXED-length bin packing (round-14 VERDICT item 5):
+    :func:`pack_bins_by_length` wastes ``capacity mod length`` per bin
+    — at natural corpus lengths 30–40 % of every bin. This variant
+    keeps the same primary packing for the LARGE classes (length >
+    capacity/4, i.e. ≤ 3 docs/bin — where the residual is biggest)
+    and then fills each large bin's residual with ONE complementary
+    small-class document, matched in closed form:
+
+      1. large bins enumerated by DESCENDING residual (partial last
+         bins included at their true residual), global bin rank j;
+      2. small docs (length ≤ capacity/4) enumerated by DESCENDING
+         length, global rank s;
+      3. small doc s fills bin j = s iff its length fits that bin's
+         residual — both sequences descend, so the greedy "biggest
+         filler into biggest hole" matching is a rank EQUALITY, no
+         sequential state;
+      4. unfilled small docs pack by-length among themselves.
+
+    Total bins never exceed by-length's (fillers create no bins,
+    removing docs never grows a class's bin count), so total waste =
+    bins·capacity − tokens is ≤ by-length ALWAYS and measurably below
+    it on natural mixtures (−33 % at the sf0.01 fixture, pytest-
+    pinned). Deterministic, engine-portable — the whole schedule is
+    rank arithmetic both engines compute identically.
+
+    Scale shape: NO per-class or global window over the doc stream —
+    four :func:`~pulsar_elasticsearch_sync_rs_spark.operators.
+    ordering.global_index` range exchanges (large docs, the BIN frame
+    — n/k rows, small docs, unfilled small docs), each over a ≤
+    16-byte projection, plus broadcast class-offset joins; the
+    filler match is an equi-join on the rank. A mega-class cannot
+    skew a task (the pack_bins_by_length argument, unchanged).
+
+    Returns one row per bin: ``(len_class, bin_idx, n_docs,
+    fill_tokens, waste_tokens)`` — ``len_class`` is the PRIMARY class
+    (large bins report their filler inside ``n_docs``/
+    ``fill_tokens``); large/small classes are disjoint so the key
+    stays unique."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.ordering import (
+        global_index,
+    )
+
+    c = int(capacity)
+    if c < 1:
+        raise ValueError("pack_bins_residual_fill: capacity must be >= 1")
+    eff = F.least(F.col(n_tok_col), F.lit(c))
+    base = df.filter(F.col(n_tok_col) > 0).select(
+        F.col(id_col), eff.cast("long").alias("__cls")
+    )
+    big = base.filter(F.col("__cls") * 4 > c)
+    small = base.filter(F.col("__cls") * 4 <= c)
+
+    # ----- tier 1: large classes pack by length (true residuals) ----
+    per_bin = F.floor(F.lit(c) / F.col("__cls"))
+    ranked_big = global_index(big, ["__cls", id_col], out_col="__grank")
+    boffs = ranked_big.groupBy("__cls").agg(F.min("__grank").alias("__coff"))
+    big_binned = ranked_big.join(F.broadcast(boffs), "__cls").withColumn(
+        "__bin", F.floor((F.col("__grank") - F.col("__coff")) / per_bin)
+    )
+    bins = (
+        big_binned.groupBy("__cls", "__bin")
+        .agg(F.count("*").alias("__dib"))
+        .withColumn("__res", F.lit(c) - F.col("__dib") * F.col("__cls"))
+        .withColumn("__negres", -F.col("__res"))
+    )
+    # global fill order over the BIN frame (n/k rows, skinny)
+    bins_j = global_index(
+        bins, ["__negres", "__cls", "__bin"], out_col="__j"
+    ).drop("__negres")
+
+    # ----- tier 2: small docs descend into the residuals ------------
+    small_s = global_index(
+        small.withColumn("__negcls", -F.col("__cls")),
+        ["__negcls", id_col],
+        out_col="__s",
+    ).drop("__negcls")
+    fills = (
+        small_s.select(
+            F.col(id_col).alias("__fid"),
+            F.col("__cls").alias("__fcls"),
+            "__s",
+        )
+        .join(bins_j, F.col("__s") == F.col("__j"))
+        .filter(F.col("__fcls") <= F.col("__res"))
+        .select("__fid", "__fcls", "__cls", "__bin")
+    )
+    large_rows = (
+        bins_j.join(
+            fills.select(
+                "__cls", "__bin", F.col("__fcls").alias("__fill_len")
+            ),
+            ["__cls", "__bin"],
+            "left",
+        )
+        .select(
+            F.col("__cls").alias("len_class"),
+            F.col("__bin").cast("long").alias("bin_idx"),
+            (
+                F.col("__dib")
+                + F.when(F.col("__fill_len").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("n_docs"),
+            (
+                F.col("__dib") * F.col("__cls")
+                + F.coalesce(F.col("__fill_len"), F.lit(0))
+            ).cast("long").alias("fill_tokens"),
+        )
+        .withColumn("waste_tokens", F.lit(c) - F.col("fill_tokens"))
+    )
+
+    # ----- tier 3: unfilled small docs pack by length ---------------
+    unfilled = small.join(
+        fills.select(F.col("__fid").alias(id_col)), id_col, "left_anti"
+    )
+    ranked_un = global_index(unfilled, ["__cls", id_col], out_col="__ur")
+    uoffs = ranked_un.groupBy("__cls").agg(F.min("__ur").alias("__uoff"))
+    small_rows = (
+        ranked_un.join(F.broadcast(uoffs), "__cls")
+        .withColumn(
+            "__bin", F.floor((F.col("__ur") - F.col("__uoff")) / per_bin)
+        )
+        .groupBy(
+            F.col("__cls").alias("len_class"),
+            F.col("__bin").cast("long").alias("bin_idx"),
+        )
+        .agg(F.count("*").alias("n_docs"))
+        .select(
+            "len_class",
+            "bin_idx",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            (F.col("n_docs") * F.col("len_class"))
+            .cast("long")
+            .alias("fill_tokens"),
+            (F.lit(c) - F.col("n_docs") * F.col("len_class"))
+            .cast("long")
+            .alias("waste_tokens"),
+        )
+    )
+    return large_rows.unionByName(small_rows)

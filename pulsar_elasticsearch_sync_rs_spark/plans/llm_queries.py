@@ -3314,6 +3314,83 @@ FROM b GROUP BY cls, bin_idx ORDER BY len_class, bin_idx
 """
 
 
+def q_pack_bins_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-length bin packing (operators/packing.py
+    pack_bins_residual_fill) at capacity 256: large-class bins keep
+    the no-cross-document-attention discipline but each residual is
+    filled with ONE complementary small doc via the descending
+    rank-equality match — measured waste at the grading fixtures is
+    ~33 % below q_pack_bins' by-length packing (pytest-pinned), with
+    the same no-per-class-window scale shape (four skinny
+    global_index exchanges, broadcast offsets, one rank equi-join).
+    Hash-oracled: the oracle replays the identical rank arithmetic —
+    per-class ranks, true-residual bin enumeration, the filler match
+    and the leftover re-pack — so every bin's occupancy must agree."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.packing import (
+        pack_bins_residual_fill,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count_ws("text").alias("n_tok")
+    )
+    return pack_bins_residual_fill(docs, "n_tok", "doc_id", capacity=256)
+
+
+ORACLE_PACK_BINS_MIXED = r"""
+WITH t AS (
+  SELECT doc_id,
+    len(list_filter(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'), x -> x <> '')) AS n_tok
+  FROM documents
+), cls AS (
+  SELECT doc_id, least(n_tok, 256) AS cls FROM t WHERE n_tok > 0
+), big AS (
+  SELECT doc_id, cls FROM cls WHERE cls * 4 > 256
+), small AS (
+  SELECT doc_id, cls FROM cls WHERE cls * 4 <= 256
+), br AS (
+  SELECT cls, doc_id,
+    ROW_NUMBER() OVER (PARTITION BY cls ORDER BY doc_id) - 1 AS rnk
+  FROM big
+), bins AS (
+  SELECT cls, rnk // (256 // cls) AS bin_idx, count(*) AS dib
+  FROM br GROUP BY cls, rnk // (256 // cls)
+), binsj AS (
+  SELECT cls, bin_idx, dib, 256 - dib * cls AS res,
+    ROW_NUMBER() OVER (ORDER BY dib * cls - 256, cls, bin_idx) - 1 AS j
+  FROM bins
+), sr AS (
+  SELECT doc_id, cls,
+    ROW_NUMBER() OVER (ORDER BY -cls, doc_id) - 1 AS s
+  FROM small
+), fills AS (
+  SELECT b.cls AS bcls, b.bin_idx, s.cls AS fcls, s.doc_id AS fid
+  FROM binsj b JOIN sr s ON s.s = b.j AND s.cls <= b.res
+), large_rows AS (
+  SELECT CAST(b.cls AS BIGINT) AS len_class,
+    CAST(b.bin_idx AS BIGINT) AS bin_idx,
+    CAST(b.dib + CASE WHEN f.fid IS NULL THEN 0 ELSE 1 END AS BIGINT) AS n_docs,
+    CAST(b.dib * b.cls + COALESCE(f.fcls, 0) AS BIGINT) AS fill_tokens
+  FROM binsj b
+  LEFT JOIN fills f ON f.bcls = b.cls AND f.bin_idx = b.bin_idx
+), ur AS (
+  SELECT cls, doc_id,
+    ROW_NUMBER() OVER (PARTITION BY cls ORDER BY doc_id) - 1 AS rnk
+  FROM sr
+  WHERE NOT EXISTS (SELECT 1 FROM fills f WHERE f.fid = sr.doc_id)
+), small_rows AS (
+  SELECT CAST(cls AS BIGINT) AS len_class,
+    CAST(rnk // (256 // cls) AS BIGINT) AS bin_idx,
+    CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(count(*) * cls AS BIGINT) AS fill_tokens
+  FROM ur GROUP BY cls, rnk // (256 // cls)
+)
+SELECT len_class, bin_idx, n_docs, fill_tokens,
+  CAST(256 - fill_tokens AS BIGINT) AS waste_tokens
+FROM (SELECT * FROM large_rows UNION ALL SELECT * FROM small_rows)
+ORDER BY len_class, bin_idx
+"""
+
+
 def q_epoch_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-level (block) epoch shuffle (operators/ordering.py
     epoch_shuffle_two_level): from a fixed base enumeration, epoch 7's

@@ -200,3 +200,79 @@ def test_pack_bins_by_length_invariants(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="capacity"):
         pack_bins_by_length(synth, "n_tok", "doc_id", capacity=0)
+
+
+def test_pack_bins_residual_fill_beats_by_length(spark, sf_dir):
+    """Round-15 VERDICT item 5: the mixed-length packer's measured
+    total waste at the grading fixture is strictly below
+    pack_bins_by_length's, while keeping the invariants — every
+    non-empty doc in exactly one bin, no bin over capacity, fill +
+    waste = capacity — and the no-window plan pin (the whole schedule
+    is rank arithmetic over skinny exchanges, never a per-class
+    window over the doc stream)."""
+    from pyspark.sql import functions as F
+
+    from pulsar_elasticsearch_sync_rs_spark.functions.text import (
+        token_count_ws,
+    )
+    from pulsar_elasticsearch_sync_rs_spark.operators.packing import (
+        pack_bins_by_length,
+        pack_bins_residual_fill,
+    )
+    from pulsar_elasticsearch_sync_rs_spark.sources.batch import read_table
+
+    C = 256
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count_ws("text").alias("n_tok")
+    )
+    n_docs = docs.filter(F.col("n_tok") > 0).count()
+    total_tokens = (
+        docs.filter(F.col("n_tok") > 0)
+        .agg(F.sum(F.least("n_tok", F.lit(C))))
+        .first()[0]
+    )
+    mixed_df = pack_bins_residual_fill(docs, "n_tok", "doc_id", capacity=C)
+    mixed = mixed_df.collect()
+    bylen = pack_bins_by_length(docs, "n_tok", "doc_id", capacity=C).collect()
+
+    # totality + capacity + accounting
+    assert sum(b.n_docs for b in mixed) == n_docs
+    for b in mixed:
+        assert b.fill_tokens <= C and b.waste_tokens == C - b.fill_tokens >= 0
+        assert b.n_docs >= 1
+    assert sum(b.fill_tokens for b in mixed) == total_tokens
+    # waste = bins*C - tokens on both sides; mixed strictly wins here
+    waste_mixed = sum(b.waste_tokens for b in mixed)
+    waste_bylen = sum(b.waste_tokens for b in bylen)
+    assert waste_mixed < waste_bylen, (waste_mixed, waste_bylen)
+    assert len(mixed) < len(bylen)  # fewer bins is the whole game
+    # the fixture actually exercises the filler path (non-vacuous)
+    assert any(
+        b.fill_tokens != b.n_docs * b.len_class for b in mixed
+    ), "no bin carries a filler - witness is vacuous"
+
+    # plan pin: no window anywhere (the doc stream is never handed to
+    # a per-class or global WindowExec)
+    plan = mixed_df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+    # degenerate: all-small corpus == by-length exactly
+    small_only = docs.filter(F.col("n_tok") * 4 <= C)
+    a = sorted(
+        (b.len_class, b.bin_idx, b.n_docs)
+        for b in pack_bins_residual_fill(
+            small_only, "n_tok", "doc_id", capacity=C
+        ).collect()
+    )
+    b_ = sorted(
+        (b.len_class, b.bin_idx, b.n_docs)
+        for b in pack_bins_by_length(
+            small_only, "n_tok", "doc_id", capacity=C
+        ).collect()
+    )
+    assert a == b_
+    # degenerate: empty corpus → empty result, same schema
+    empty = spark.createDataFrame([], "doc_id long, n_tok long")
+    out = pack_bins_residual_fill(empty, "n_tok", "doc_id", capacity=C)
+    assert out.collect() == []
+    assert out.columns == mixed_df.columns
