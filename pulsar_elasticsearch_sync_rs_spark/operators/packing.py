@@ -340,116 +340,198 @@ def pack_bins_residual_fill(
     pinned). Deterministic, engine-portable — the whole schedule is
     rank arithmetic both engines compute identically.
 
-    Scale shape: NO per-class or global window over the doc stream —
-    four :func:`~pulsar_elasticsearch_sync_rs_spark.operators.
-    ordering.global_index` range exchanges (large docs, the BIN frame
-    — n/k rows, small docs, unfilled small docs), each over a ≤
-    16-byte projection, plus broadcast class-offset joins; the
-    filler match is an equi-join on the rank. A mega-class cannot
-    skew a task (the pack_bins_by_length argument, unchanged).
+    Scale shape — the key observation: because docs of one length are
+    interchangeable, the BIN-level result is fully determined by the
+    class HISTOGRAM. One ``groupBy(class)`` aggregation (map-side
+    combined, ≤ ``capacity`` result rows collected — the interleave
+    offsets discipline) feeds driver arithmetic that derives every
+    per-class constant (bin counts, residual-group fill order, each
+    small class's filler quota F_m = how many of its docs descend
+    into large-bin residuals); bins are then GENERATED distributively
+    — ``spark.range(n_bins)`` + two broadcast range-joins against
+    ≤ 2·capacity-row constant tables — with no window, no
+    global_index, no doc-stream shuffle beyond the one aggregation.
+    (The first cut ran FOUR global_index range exchanges + an
+    anti-join for the same answer; at fixture scale that was 5.0 s of
+    pure barrier constants — round-15 bench.) A mega-class cannot
+    skew a task: its docs collapse into one histogram row.
 
     Returns one row per bin: ``(len_class, bin_idx, n_docs,
     fill_tokens, waste_tokens)`` — ``len_class`` is the PRIMARY class
     (large bins report their filler inside ``n_docs``/
     ``fill_tokens``); large/small classes are disjoint so the key
     stays unique."""
-    from pulsar_elasticsearch_sync_rs_spark.operators.ordering import (
-        global_index,
-    )
+    import math
 
     c = int(capacity)
     if c < 1:
         raise ValueError("pack_bins_residual_fill: capacity must be >= 1")
+    spark = df.sparkSession
     eff = F.least(F.col(n_tok_col), F.lit(c))
-    base = df.filter(F.col(n_tok_col) > 0).select(
-        F.col(id_col), eff.cast("long").alias("__cls")
-    )
-    big = base.filter(F.col("__cls") * 4 > c)
-    small = base.filter(F.col("__cls") * 4 <= c)
+    hist = {
+        int(r["__cls"]): int(r["cnt"])
+        for r in df.filter(F.col(n_tok_col) > 0)
+        .groupBy(eff.cast("long").alias("__cls"))
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
 
-    # ----- tier 1: large classes pack by length (true residuals) ----
-    per_bin = F.floor(F.lit(c) / F.col("__cls"))
-    ranked_big = global_index(big, ["__cls", id_col], out_col="__grank")
-    boffs = ranked_big.groupBy("__cls").agg(F.min("__grank").alias("__coff"))
-    big_binned = ranked_big.join(F.broadcast(boffs), "__cls").withColumn(
-        "__bin", F.floor((F.col("__grank") - F.col("__coff")) / per_bin)
-    )
-    bins = (
-        big_binned.groupBy("__cls", "__bin")
-        .agg(F.count("*").alias("__dib"))
-        .withColumn("__res", F.lit(c) - F.col("__dib") * F.col("__cls"))
-        .withColumn("__negres", -F.col("__res"))
-    )
-    # global fill order over the BIN frame (n/k rows, skinny)
-    bins_j = global_index(
-        bins, ["__negres", "__cls", "__bin"], out_col="__j"
-    ).drop("__negres")
+    # ---- driver arithmetic over the ≤ capacity-row histogram -------
+    large = {m: n for m, n in hist.items() if m * 4 > c}
+    small = {m: n for m, n in hist.items() if m * 4 <= c}
+    # residual groups: per class, the full bins share one residual and
+    # the partial last bin (if any) has its own — ordered by
+    # (residual DESC, class, bin_idx), which assigns every large bin
+    # its global fill rank j in closed form
+    groups = []  # (residual, cls, start_bin, n_bins_in_group)
+    for m, n in large.items():
+        k = c // m
+        b_total = math.ceil(n / k)
+        partial = n - k * (b_total - 1)  # docs in the last bin, 1..k
+        if partial == k:
+            groups.append((c - k * m, m, 0, b_total))
+        else:
+            if b_total > 1:
+                groups.append((c - k * m, m, 0, b_total - 1))
+            groups.append((c - partial * m, m, b_total - 1, 1))
+    groups.sort(key=lambda g: (-g[0], g[1], g[2]))
+    j0, g_off = 0, []
+    for res, m, start, cnt in groups:
+        g_off.append((res, m, start, cnt, j0))
+        j0 += cnt
+    n_large_bins = j0
+    # small classes descend (length DESC) into the j-ordered residuals:
+    # class m's docs occupy fill ranks [desc_off_m, desc_off_m + n_m),
+    # and the first F_m of them fit (res(j) is non-increasing in j, so
+    # "fits" is a prefix — F_m = docs with rank ≤ T_m = last j with
+    # res(j) >= m, clamped to the bin count and the class size)
+    desc_off, acc = {}, 0
+    for m in sorted(small, reverse=True):
+        desc_off[m] = acc
+        acc += small[m]
+    fquota = {}
+    for m in small:
+        t_m = -1
+        for res, _m, _s, cnt, off in g_off:  # res DESC over groups
+            if res >= m:
+                t_m = off + cnt - 1
+            else:
+                break
+        f = max(0, min(t_m + 1, n_large_bins) - desc_off[m])
+        fquota[m] = min(f, small[m])
 
-    # ----- tier 2: small docs descend into the residuals ------------
-    small_s = global_index(
-        small.withColumn("__negcls", -F.col("__cls")),
-        ["__negcls", id_col],
-        out_col="__s",
-    ).drop("__negcls")
-    fills = (
-        small_s.select(
-            F.col(id_col).alias("__fid"),
-            F.col("__cls").alias("__fcls"),
-            "__s",
-        )
-        .join(bins_j, F.col("__s") == F.col("__j"))
-        .filter(F.col("__fcls") <= F.col("__res"))
-        .select("__fid", "__fcls", "__cls", "__bin")
-    )
-    large_rows = (
-        bins_j.join(
-            fills.select(
-                "__cls", "__bin", F.col("__fcls").alias("__fill_len")
-            ),
-            ["__cls", "__bin"],
-            "left",
-        )
-        .select(
-            F.col("__cls").alias("len_class"),
-            F.col("__bin").cast("long").alias("bin_idx"),
-            (
-                F.col("__dib")
-                + F.when(F.col("__fill_len").isNotNull(), 1).otherwise(0)
-            ).cast("long").alias("n_docs"),
-            (
-                F.col("__dib") * F.col("__cls")
-                + F.coalesce(F.col("__fill_len"), F.lit(0))
-            ).cast("long").alias("fill_tokens"),
-        )
-        .withColumn("waste_tokens", F.lit(c) - F.col("fill_tokens"))
+    out_schema = (
+        "len_class long, bin_idx long, n_docs long, fill_tokens long, "
+        "waste_tokens long"
     )
 
-    # ----- tier 3: unfilled small docs pack by length ---------------
-    unfilled = small.join(
-        fills.select(F.col("__fid").alias(id_col)), id_col, "left_anti"
-    )
-    ranked_un = global_index(unfilled, ["__cls", id_col], out_col="__ur")
-    uoffs = ranked_un.groupBy("__cls").agg(F.min("__ur").alias("__uoff"))
-    small_rows = (
-        ranked_un.join(F.broadcast(uoffs), "__cls")
-        .withColumn(
-            "__bin", F.floor((F.col("__ur") - F.col("__uoff")) / per_bin)
+    # ---- large bins: generated from range + the constant tables ----
+    if n_large_bins:
+        cls_rows, lo = [], 0
+        for m, n in sorted(large.items()):
+            k = c // m
+            b_total = math.ceil(n / k)
+            full_off = next(
+                (g[4] for g in g_off if g[1] == m and g[2] == 0), -1
+            )
+            # the partial bin's group (start_bin = b_total−1, count 1);
+            # absent when the last bin is full — and when b_total == 1
+            # this matches the class's only group, whose j0 equals
+            # full_off + 0, so either branch of the j expression agrees
+            part_off = next(
+                (g[4] for g in g_off
+                 if g[1] == m and g[2] == b_total - 1 and g[3] == 1),
+                -1,
+            )
+            cls_rows.append(
+                (m, lo, lo + b_total, k, n, full_off, part_off, b_total)
+            )
+            lo += b_total
+        ctab = F.broadcast(
+            spark.createDataFrame(
+                cls_rows,
+                "cls long, lo long, hi long, k long, n long, "
+                "full_off long, part_off long, b long",
+            )
         )
-        .groupBy(
-            F.col("__cls").alias("len_class"),
-            F.col("__bin").cast("long").alias("bin_idx"),
+        ftab = F.broadcast(
+            spark.createDataFrame(
+                [
+                    (int(m), int(desc_off[m]), int(desc_off[m] + fquota[m]))
+                    for m in small
+                    if fquota[m] > 0
+                ],
+                "fcls long, flo long, fhi long",
+            )
         )
-        .agg(F.count("*").alias("n_docs"))
-        .select(
-            "len_class",
-            "bin_idx",
-            F.col("n_docs").cast("long").alias("n_docs"),
-            (F.col("n_docs") * F.col("len_class"))
-            .cast("long")
-            .alias("fill_tokens"),
-            (F.lit(c) - F.col("n_docs") * F.col("len_class"))
-            .cast("long")
-            .alias("waste_tokens"),
+        bin_idx = F.col("id") - F.col("lo")
+        dib = F.least(F.col("k"), F.col("n") - bin_idx * F.col("k"))
+        j = F.when(
+            (F.col("part_off") >= 0) & (bin_idx == F.col("b") - 1),
+            F.col("part_off"),
+        ).otherwise(F.col("full_off") + bin_idx)
+        large_rows = (
+            spark.range(lo)
+            .join(ctab, (F.col("id") >= F.col("lo")) & (F.col("id") < F.col("hi")))
+            .withColumn("__bin", bin_idx)
+            .withColumn("__dib", dib)
+            .withColumn("__j", j)
+            .join(
+                ftab,
+                (F.col("__j") >= F.col("flo")) & (F.col("__j") < F.col("fhi")),
+                "left",
+            )
+            .select(
+                F.col("cls").alias("len_class"),
+                F.col("__bin").cast("long").alias("bin_idx"),
+                (
+                    F.col("__dib")
+                    + F.when(F.col("fcls").isNotNull(), 1).otherwise(0)
+                ).cast("long").alias("n_docs"),
+                (
+                    F.col("__dib") * F.col("cls")
+                    + F.coalesce(F.col("fcls"), F.lit(0))
+                ).cast("long").alias("fill_tokens"),
+            )
+            .withColumn(
+                "waste_tokens",
+                (F.lit(c) - F.col("fill_tokens")).cast("long"),
+            )
         )
-    )
+    else:
+        large_rows = spark.createDataFrame([], out_schema)
+
+    # ---- small leftover bins: same range + constant-table shape ----
+    srows, lo2 = [], 0
+    for m in sorted(small):
+        left = small[m] - fquota[m]
+        if left <= 0:
+            continue
+        k = c // m
+        b_total = math.ceil(left / k)
+        srows.append((m, lo2, lo2 + b_total, k, left))
+        lo2 += b_total
+    if srows:
+        stab = F.broadcast(
+            spark.createDataFrame(
+                srows, "cls long, lo long, hi long, k long, n long"
+            )
+        )
+        bin_idx2 = F.col("id") - F.col("lo")
+        nd = F.least(F.col("k"), F.col("n") - bin_idx2 * F.col("k"))
+        small_rows = (
+            spark.range(lo2)
+            .join(stab, (F.col("id") >= F.col("lo")) & (F.col("id") < F.col("hi")))
+            .select(
+                F.col("cls").alias("len_class"),
+                bin_idx2.cast("long").alias("bin_idx"),
+                nd.cast("long").alias("n_docs"),
+                (nd * F.col("cls")).cast("long").alias("fill_tokens"),
+                (F.lit(c) - nd * F.col("cls")).cast("long").alias(
+                    "waste_tokens"
+                ),
+            )
+        )
+    else:
+        small_rows = spark.createDataFrame([], out_schema)
     return large_rows.unionByName(small_rows)

@@ -67,6 +67,14 @@ from ..operators.decontaminate import (
     bench_gram_set,
 )
 
+# history-verify candidate ids at or below this count ride an In-filter
+# pushed into the corpus parquet scan (row-group pruning on the id
+# column's footer stats); above it, the broadcast-semi-join fallback
+# (still ids only — never pair×text rows). The cap bounds both the
+# driver collect and the literal list Catalyst has to carry.
+_HIST_ISIN_MAX = 10_000
+
+
 def _sha_table_name(sha_dir: str) -> str:
     """Deterministic catalog name for the bucketed sha index rooted at
     ``sha_dir`` — bucket metadata lives in the metastore, so the index
@@ -809,6 +817,7 @@ def run_curation_ingest(
         spark = batch_df.sparkSession
         counts: dict[str, int] = {}
         walls: dict[str, float] = {"batch_id": batch_id}
+        _batch_t0 = _time.perf_counter()
 
         def _timed(name: str):
             class _T:
@@ -889,7 +898,9 @@ def run_curation_ingest(
         # batch cost); the unbounded history never re-shuffles.
         # _sha_table_ready is filesystem-truth: a cross-process restart
         # re-registers the surviving history instead of skipping dedup
-        if _sha_table_ready(spark, table, sha_dir, n_buckets):
+        with _timed("sha_ready"):
+            sha_ready = _sha_table_ready(spark, table, sha_dir, n_buckets)
+        if sha_ready:
             deduped = prior_sha_anti_join(
                 spark, table, deduped, exclude_batch=batch_id, n_buckets=n_buckets
             )
@@ -932,8 +943,14 @@ def run_curation_ingest(
             within = candidates_from_bands(
                 bands_b, id_col=id_col, max_bucket=nd_max_bucket
             )
-            jac_w = make_jaccard_verify_udf(nd_shingle_k)
-            within_losers = (
+            # ONE verify pass for both candidate families (round-15
+            # profile): within-batch pairs and history pairs used to
+            # run separate jaccard-UDF joins — two ArrowEval stages
+            # plus their join scaffolding per micro-batch. Both reduce
+            # to the same shape, (candidate text pair → loser id), so
+            # they union BEFORE the UDF and one Arrow crossing
+            # verifies everything.
+            within_pairs = (
                 within.join(
                     new_t.withColumnRenamed("__new", "id_a"), "id_a"
                 )
@@ -942,14 +959,15 @@ def run_curation_ingest(
                     .withColumnRenamed("__ta", "__tb"),
                     "id_b",
                 )
-                .filter(jac_w("__ta", "__tb") >= near_dup_threshold)
-                .select(F.col("id_b").alias(id_col))
+                .select(F.col("id_b").alias("__loser"), "__ta", "__tb")
             )
-            losers = within_losers
+            verify_pairs = within_pairs
 
-            if _bucketed_table_ready(
-                spark, b_table, bands_dir, n_buckets, band_ddl, "band_hash"
-            ):
+            with _timed("bands_ready"):
+                bands_ready = _bucketed_table_ready(
+                    spark, b_table, bands_dir, n_buckets, band_ddl, "band_hash"
+                )
+            if bands_ready:
                 prior_b = (
                     spark.table(b_table)
                     .filter(F.col("batch") != batch_id)
@@ -957,19 +975,28 @@ def run_curation_ingest(
                 )
                 # SHARED operator, roles kept: (new_id, old_id) pairs
                 # with the history mega-bucket hub degrade — the one
-                # degrade contract lives in cross_band_candidates
-                cross = (
-                    cross_band_candidates(
-                        bands_b.repartition(n_buckets, "band_hash"),
-                        prior_b,
-                        id_col=id_col,
-                        max_bucket=nd_max_bucket,
-                        keep_roles=True,
+                # degrade contract lives in cross_band_candidates.
+                # EAGER checkpoint of the skinny pair rows (round-15
+                # profile): cand_hist below feeds a BROADCAST build,
+                # and broadcast builds re-execute their whole subtree
+                # (no ReuseExchange across jobs — SKILL.md) — without
+                # the checkpoint the bucket join + distinct ran TWICE
+                # per micro-batch (once for the broadcast, once in the
+                # verify join).
+                with _timed("cross_ckpt"):
+                    cross = (
+                        cross_band_candidates(
+                            bands_b.repartition(n_buckets, "band_hash"),
+                            prior_b,
+                            id_col=id_col,
+                            max_bucket=nd_max_bucket,
+                            keep_roles=True,
+                        )
+                        .withColumnRenamed("new_id", "__new")
+                        .withColumnRenamed("old_id", "__hist")
+                        .distinct()
+                        .localCheckpoint(eager=True)
                     )
-                    .withColumnRenamed("new_id", "__new")
-                    .withColumnRenamed("old_id", "__hist")
-                    .distinct()
-                )
                 # verify against history TEXT pulled from the landed
                 # corpus. Partition filter excludes the slice a REPLAY
                 # of this batch is about to overwrite: its ids can't be
@@ -981,24 +1008,53 @@ def run_curation_ingest(
                 # the 8 GB broadcast limit): the corpus text is scanned
                 # once, semi-reduced to candidate docs, and only that
                 # bounded slice enters the verify join.
-                cand_hist = cross.select("__hist").distinct()
-                hist_t = (
-                    spark.read.parquet(out_dir)
-                    .filter(F.col("batch") != batch_id)
-                    .select(
-                        F.col(id_col).alias("__hist"),
-                        F.col(text_col).alias("__tb"),
+                # cross is a materialized checkpoint, so sizing the
+                # candidate set costs one tiny cached-scan job — and
+                # that job replaces the broadcast BUILD job the
+                # history read used to pay every batch. Three regimes:
+                # empty (the common clean-stream case) skips the
+                # history verify wholesale; small pushes the candidate
+                # ids INTO the corpus scan as an In-filter (reaches
+                # the parquet scan → row-group pruning on doc_id
+                # stats: the scan reads ~the candidate slices, not
+                # the corpus); large keeps the broadcast semi-join
+                # (ids only, bounded).
+                cand_ids = [
+                    r["__hist"]
+                    for r in cross.select("__hist")
+                    .distinct()
+                    .limit(_HIST_ISIN_MAX + 1)
+                    .collect()
+                ]
+                if cand_ids:
+                    hist_corpus = (
+                        spark.read.parquet(out_dir)
+                        .filter(F.col("batch") != batch_id)
+                        .select(
+                            F.col(id_col).alias("__hist"),
+                            F.col(text_col).alias("__tb"),
+                        )
                     )
-                    .join(F.broadcast(cand_hist), "__hist")
-                )
-                jac_c = make_jaccard_verify_udf(nd_shingle_k)
-                cross_losers = (
-                    cross.join(new_t, "__new")
-                    .join(hist_t, "__hist")
-                    .filter(jac_c("__ta", "__tb") >= near_dup_threshold)
-                    .select(F.col("__new").alias(id_col))
-                )
-                losers = losers.unionByName(cross_losers)
+                    if len(cand_ids) <= _HIST_ISIN_MAX:
+                        hist_t = hist_corpus.filter(
+                            F.col("__hist").isin(cand_ids)
+                        )
+                    else:
+                        cand_hist = cross.select("__hist").distinct()
+                        hist_t = hist_corpus.join(
+                            F.broadcast(cand_hist), "__hist"
+                        )
+                    cross_pairs = (
+                        cross.join(new_t, "__new")
+                        .join(hist_t, "__hist")
+                        .select(F.col("__new").alias("__loser"), "__ta", "__tb")
+                    )
+                    verify_pairs = verify_pairs.unionByName(cross_pairs)
+
+            jac = make_jaccard_verify_udf(nd_shingle_k)
+            losers = verify_pairs.filter(
+                jac("__ta", "__tb") >= near_dup_threshold
+            ).select(F.col("__loser").alias(id_col))
 
             near_deduped = deduped.join(
                 losers.distinct(), id_col, "left_anti"
@@ -1145,6 +1201,7 @@ def run_curation_ingest(
                         id_col=id_col,
                     )
         if stage_timings is not None:
+            walls["batch_total"] = round(_time.perf_counter() - _batch_t0, 3)
             stage_timings.append(walls)
 
     writer = stream_docs.writeStream.foreachBatch(ingest_batch).option(

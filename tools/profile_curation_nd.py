@@ -82,11 +82,14 @@ def main() -> None:
         for k, v in t.items():
             if k != "batch_id":
                 agg[k] = round(agg.get(k, 0.0) + v, 3)
-    print("TOTALS", json.dumps(agg))
+    batch_total = agg.pop("batch_total", 0.0)
+    print("TOTALS", json.dumps(agg), f"batch_total={batch_total}")
     print(
-        "unattributed",
-        round(wall - sum(agg.values()), 1),
-        "s (stream machinery + lazy stages materialized by first action)",
+        "in-batch untimed",
+        round(batch_total - sum(agg.values()), 1),
+        "s; stream machinery",
+        round(wall - batch_total, 1),
+        "s (trigger planning, offset/commit logs, listing)",
     )
     shutil.rmtree(tmp, ignore_errors=True)
 
