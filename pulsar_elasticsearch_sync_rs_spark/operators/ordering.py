@@ -256,12 +256,26 @@ def _write_layout_meta(
     _publish_layout_meta(path, pos_col, entries, extra)
 
 
+# remote layouts above this file count gather their per-file stats
+# with ONE distributed Spark job instead of the driver-side footer
+# loop: each py4j footer read costs ~20 ms of gateway round-trips
+# (measured round 15 — a 100k-file layout would crawl for ~30 min),
+# while a column-pruned groupBy(input_file_name) pass reads ~8 B/row
+# of ONE column fully parallel. Local layouts always use pyarrow
+# footers (0.2 ms/file — never worth a job).
+_FOOTER_JOB_MIN_FILES = 64
+
+
 def _footer_entries(
     path: str, pos_col: str, relpaths: list[str]
 ) -> list[dict]:
-    """One sidecar entry per parquet file, from the footers only."""
+    """One sidecar entry per parquet file — pyarrow/parquet-mr footers
+    for local or few-file layouts, the distributed stats job above the
+    threshold."""
     from . import layout_io
 
+    if layout_io.is_remote(path) and len(relpaths) > _FOOTER_JOB_MIN_FILES:
+        return _footer_entries_job(path, pos_col, relpaths)
     entries = []
     for rel in relpaths:
         n_rows, pos_min, pos_max = layout_io.parquet_pos_stats(
@@ -272,6 +286,55 @@ def _footer_entries(
             entry["pos_min"] = int(pos_min)
             entry["pos_max"] = int(pos_max)
         entries.append(entry)
+    return entries
+
+
+def _footer_entries_job(
+    path: str, pos_col: str, relpaths: list[str]
+) -> list[dict]:
+    """Per-file (n_rows, pos_min, pos_max) via one column-pruned
+    distributed aggregation — exact same values the footer statistics
+    carry (row-group min/max over non-null longs ≡ row min/max).
+    Zero-row part files produce no groups; they are re-attached with
+    ``n_rows: 0`` so the sidecar's file list (the freshness witness)
+    stays complete."""
+    from urllib.parse import unquote
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise ValueError(
+            f"_footer_entries_job: no active SparkSession for the "
+            f"distributed stats pass over {path!r}"
+        )
+    df = spark.read.parquet(path)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    has_pos = pos_col in df.columns
+    if has_pos:
+        aggs += [
+            F.min(pos_col).alias("__mn"),
+            F.max(pos_col).alias("__mx"),
+            F.count(pos_col).alias("__nn"),
+        ]
+    rows = (
+        df.groupBy(F.input_file_name().alias("__f")).agg(*aggs).collect()
+    )
+    by_base: dict[str, dict] = {}
+    for r in rows:
+        base = unquote(r["__f"]).rstrip("/").rsplit("/", 1)[-1]
+        entry = {"n_rows": int(r["__n"])}
+        # nulls in pos would break the min/max ≡ footer-stats identity
+        # — record no stats then, same as the footer path
+        if has_pos and r["__mn"] is not None and r["__nn"] == r["__n"]:
+            entry["pos_min"] = int(r["__mn"])
+            entry["pos_max"] = int(r["__mx"])
+        by_base[base] = entry
+    entries = []
+    for rel in relpaths:
+        base = rel.rsplit("/", 1)[-1]
+        got = by_base.get(base, {"n_rows": 0})
+        entries.append({"path": rel, **got})
     return entries
 
 

@@ -241,3 +241,54 @@ def test_two_level_with_sidecar_n_launches_zero_jobs(
         ).collect()
     }
     assert {(row.doc_id, row.pos2) for row in fed.collect()} == want
+
+
+def test_remote_many_file_sidecar_uses_stats_job(spark, tmp_path):
+    """Round-15: a remote layout above _FOOTER_JOB_MIN_FILES gathers
+    its sidecar stats with one distributed column-pruned pass instead
+    of the ~20 ms/file driver py4j footer crawl — and the entries are
+    IDENTICAL to what the footer loop records on the same files."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.ordering import (
+        _FOOTER_JOB_MIN_FILES,
+        _footer_entries,
+        read_layout_meta,
+    )
+
+    path = "file://" + str(tmp_path / "many")
+    n = 3000
+    (
+        spark.range(n)
+        .select(F.col("id").alias("pos"), F.col("id").alias("doc_id"))
+        .repartitionByRange(4, "pos")
+        .sortWithinPartitions("pos")
+        .write.option("maxRecordsPerFile", 20)
+        .parquet(path)
+    )
+    from pulsar_elasticsearch_sync_rs_spark.operators.ordering import (
+        _write_layout_meta,
+    )
+
+    _write_layout_meta(path, "pos")
+    meta = read_layout_meta(path)
+    rels = [f["path"] for f in meta["files"]]
+    assert len(rels) > _FOOTER_JOB_MIN_FILES  # the job path actually ran
+    assert meta["n"] == n
+    # contiguous, exact, gap-free — footer-grade fidelity
+    ranges = sorted(
+        (f["pos_min"], f["pos_max"], f["n_rows"]) for f in meta["files"]
+    )
+    nxt = 0
+    for mn, mx, cnt in ranges:
+        assert mn == nxt and cnt == mx - mn + 1
+        nxt = mx + 1
+    assert nxt == n
+    # cross-check a sample against the per-file footer reader
+    sample = rels[:: max(1, len(rels) // 7)]
+    from pulsar_elasticsearch_sync_rs_spark.operators import layout_io
+
+    for rel in sample:
+        nr, mn, mx = layout_io.parquet_pos_stats(
+            layout_io.join(path, rel), "pos"
+        )
+        rec = next(f for f in meta["files"] if f["path"] == rel)
+        assert (rec["n_rows"], rec["pos_min"], rec["pos_max"]) == (nr, mn, mx)
