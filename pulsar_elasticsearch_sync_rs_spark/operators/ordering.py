@@ -35,6 +35,8 @@ the projection see identical partition row orders).
 
 from __future__ import annotations
 
+from functools import lru_cache as _lru_cache
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -254,6 +256,10 @@ def _write_layout_meta(
         return
     entries = _footer_entries(path, pos_col, layout_io.list_parquet_relpaths(path))
     _publish_layout_meta(path, pos_col, entries, extra)
+    # every publish invalidates the read path's per-process listing
+    # cache: a same-process reader of a just-rewritten layout must
+    # re-list, not judge freshness against the previous generation
+    _listing_cached.cache_clear()
 
 
 # remote layouts above this file count gather their per-file stats
@@ -276,6 +282,14 @@ def _footer_entries(
 
     if layout_io.is_remote(path) and len(relpaths) > _FOOTER_JOB_MIN_FILES:
         return _footer_entries_job(path, pos_col, relpaths)
+    return _footer_entries_loop(path, pos_col, relpaths)
+
+
+def _footer_entries_loop(
+    path: str, pos_col: str, relpaths: list[str]
+) -> list[dict]:
+    from . import layout_io
+
     entries = []
     for rel in relpaths:
         n_rows, pos_min, pos_max = layout_io.parquet_pos_stats(
@@ -320,6 +334,13 @@ def _footer_entries_job(
     rows = (
         df.groupBy(F.input_file_name().alias("__f")).agg(*aggs).collect()
     )
+    # entries key on the file BASENAME (Spark part names embed a task
+    # UUID, so collisions require a hand-built layout) — if one ever
+    # appears, fall back to the exact per-file footer loop rather than
+    # misattribute stats
+    bases = [rel.rsplit("/", 1)[-1] for rel in relpaths]
+    if len(set(bases)) != len(bases):
+        return _footer_entries_loop(path, pos_col, relpaths)
     by_base: dict[str, dict] = {}
     for r in rows:
         base = unquote(r["__f"]).rstrip("/").rsplit("/", 1)[-1]
@@ -415,11 +436,12 @@ def position_shards(
     if n_ranks < 1:
         raise ValueError("position_shards: n_ranks must be >= 1")
     meta = read_layout_meta(path)
-    if meta is not None and not _layout_meta_fresh(path, meta):
+    if meta is not None and not _layout_meta_fresh(path, meta, cached=True):
         # a foreign writer appended parquet files without rewriting the
         # sidecar: trusting the stale n would silently hand out shard
         # ranges that miss rows — prefer the loud count fallback
-        # (round-14 ADVICE). One directory listing, still no scan.
+        # (round-14 ADVICE). One directory listing per process (shared
+        # across the rank-resolution burst), still no scan.
         meta = None
     if meta is not None and meta.get("pos_col") == pos_col:
         n = int(meta["n"])
@@ -445,16 +467,41 @@ def position_shards(
     return out
 
 
-def _layout_meta_fresh(path: str, meta: dict) -> bool:
+def _listing_cached(path: str) -> frozenset:
+    """One parquet-file listing per (process, layout path) — the READ
+    path's freshness witness. A remote listing costs py4j round trips
+    per file, and shard resolution is a burst (every rank resolves at
+    once), so the burst shares one listing instead of paying
+    files × ranks gateway calls. Writers (append_block_aligned) use
+    the UNCACHED listing and invalidate this cache after publishing,
+    so a same-process append never reads its own stale snapshot."""
+    from . import layout_io
+
+    return frozenset(layout_io.list_parquet_relpaths(path))
+
+
+_listing_cached = _lru_cache(maxsize=32)(_listing_cached)
+
+
+def _layout_meta_fresh(path: str, meta: dict, cached: bool = False) -> bool:
     """Cheap sidecar staleness check (round-14 ADVICE): the recorded
     file list must equal the directory's actual parquet files — a
     layout appended to by a writer that doesn't maintain `_meta.json`
     fails this and callers fall back to counting instead of silently
-    mis-sharding. One listing, no footer reads, no Spark job."""
+    mis-sharding. One listing, no footer reads, no Spark job;
+    ``cached=True`` (the per-rank read path) shares one listing per
+    process — a stale cache can only cause a spurious, SAFE
+    fallback-to-count or a pre-append view, never a silent
+    wrong-shard."""
     from . import layout_io
 
     recorded = {f["path"] for f in meta.get("files", [])}
-    return recorded == set(layout_io.list_parquet_relpaths(path))
+    listing = (
+        _listing_cached(path)
+        if cached
+        else frozenset(layout_io.list_parquet_relpaths(path))
+    )
+    return recorded == listing
 
 
 def read_position_range(
@@ -493,8 +540,6 @@ def _block_permutation(epoch: int, n_blocks: int) -> tuple[int, ...]:
 
 # per-epoch permutations are small (n_blocks ints); a handful of
 # epochs in flight at once is the realistic ceiling
-from functools import lru_cache as _lru_cache
-
 _block_permutation = _lru_cache(maxsize=8)(_block_permutation)
 
 
@@ -745,6 +790,7 @@ def append_block_aligned(
         if tail_entry is None or f["path"] != tail_entry["path"]
     ] + _footer_entries(path, pos_col, new_files)
     _publish_layout_meta(path, pos_col, entries, extra={"block_size": r})
+    _listing_cached.cache_clear()  # same-process readers re-list
     return {
         "appended": int(m),
         "n": n_old + int(m),
@@ -885,10 +931,11 @@ def read_epoch_block_shard(
     # (the shard files' pos_min ranges), not all n_blocks
     branks = _block_permutation(int(epoch), n_blocks)
     short_rank = branks[n_blocks - 1]
+    shard_set = set(shard_files)
     rank_blocks = sorted(
         {int(f["pos_min"]) // r for f in meta["files"]
          if f.get("n_rows", 0) > 0
-         and layout_io.join(path, f["path"]) in set(shard_files)}
+         and layout_io.join(path, f["path"]) in shard_set}
     )
     block = (F.col(pos_col) / F.lit(r)).cast("long")
     wkey = F.md5(
