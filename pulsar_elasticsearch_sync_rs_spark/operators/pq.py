@@ -139,17 +139,19 @@ def _resolve_ivfpq_root(path: str) -> str:
     and atomically repointed the ``_CURRENT`` marker (the mview
     versioned-snapshot recipe, streaming/mview.py). Every reader —
     search, append, drift check — resolves through this, so a retrain
-    is one ``os.replace`` away from being visible and a reader never
-    observes a half-written artifact. Marker probing is a local-fs
-    ``os.path`` check, same deployment envelope as the mview lane."""
-    import os
+    is one atomic marker repoint away from being visible and a reader
+    never observes a half-written artifact. Marker probing rides
+    :mod:`layout_io` (round 15): local paths stay a driver ``os``
+    check, ``hdfs://``/``s3a://``/``file://`` paths go through the
+    Hadoop FS API — the same remote reach the training-layout
+    envelope has."""
+    from . import layout_io
 
-    marker = os.path.join(path, "_CURRENT")
-    if os.path.exists(marker):
-        with open(marker, encoding="utf-8") as fh:
-            version = fh.read().strip()
+    text = layout_io.read_text(layout_io.join(path, "_CURRENT"))
+    if text:
+        version = text.strip()
         if version:
-            return os.path.join(path, version)
+            return layout_io.join(path, version)
     return path
 
 
@@ -1219,14 +1221,14 @@ def maintain_ivfpq_index(
 
     Returns the input report extended with ``retrained`` and (when
     retrained) ``version``."""
-    import os
+    from . import layout_io
 
     if not report.get("needs_retrain"):
         return {**report, "retrained": False}
 
     prev = _resolve_ivfpq_root(path)
     # version counter from the marker lineage: flat root -> v1, vN -> vN+1
-    base = os.path.basename(prev)
+    base = prev.rstrip("/").rsplit("/", 1)[-1]
     n_next = int(base[1:]) + 1 if base.startswith("v") and base[1:].isdigit() else 1
     version = f"v{n_next}"
     # fold the outgoing generation's tombstones: the rebuilt artifact
@@ -1237,7 +1239,7 @@ def maintain_ivfpq_index(
         corpus = corpus.join(F.broadcast(tomb), id_col, "left_anti")
     persist_ivfpq_index(
         corpus,
-        os.path.join(path, version),
+        layout_io.join(path, version),
         id_col=id_col,
         vec_col=vec_col,
         m=m,
@@ -1245,10 +1247,9 @@ def maintain_ivfpq_index(
         nlist=nlist,
         seed=seed,
     )
-    tmp = os.path.join(path, "_CURRENT.tmp")
-    with open(tmp, "w", encoding="utf-8") as fh:
-        fh.write(version)
-    os.replace(tmp, os.path.join(path, "_CURRENT"))  # atomic repoint
+    # atomic repoint (os.replace locally; FileContext rename(OVERWRITE)
+    # on Hadoop paths)
+    layout_io.write_text_atomic(path, "_CURRENT", version)
     return {**report, "retrained": True, "version": version}
 
 
@@ -1278,27 +1279,34 @@ def prune_ivfpq_versions(path: str, keep: int = 1) -> dict:
       - the flat members while ``_CURRENT`` is absent (the flat root
         IS current then).
 
-    Same driver-local ``os.path`` envelope as ``_resolve_ivfpq_root``.
+    Same :mod:`layout_io` envelope as ``_resolve_ivfpq_root`` — local
+    ``os`` fast path, Hadoop FS API for remote paths (round 15).
     Returns ``{"current", "kept", "deleted"}``."""
     import os
-    import shutil
 
-    cur_root = os.path.abspath(_resolve_ivfpq_root(path))
-    flat_is_current = cur_root == os.path.abspath(path)
-    cur_name = "." if flat_is_current else os.path.basename(cur_root)
+    from . import layout_io
+
+    cur_root = _resolve_ivfpq_root(path)
+    if layout_io.is_remote(path):
+        flat_is_current = cur_root.rstrip("/") == path.rstrip("/")
+    else:
+        flat_is_current = os.path.abspath(cur_root) == os.path.abspath(path)
+    cur_name = (
+        "." if flat_is_current else cur_root.rstrip("/").rsplit("/", 1)[-1]
+    )
     cur_n = 0 if flat_is_current else int(cur_name[1:])
     versions = sorted(
         (int(d[1:]), d)
-        for d in os.listdir(path)
+        for d in layout_io.list_names(path)
         if d.startswith("v")
         and d[1:].isdigit()
-        and os.path.isdir(os.path.join(path, d))
+        and layout_io.isdir(layout_io.join(path, d))
     )
     # predecessors, oldest → newest: the flat generation (if it is not
     # itself current and has artifact members on disk), then v<n<cur>
     preds: list[str] = []
     if not flat_is_current and any(
-        os.path.exists(os.path.join(path, m)) for m in _FLAT_MEMBERS
+        layout_io.exists(layout_io.join(path, m)) for m in _FLAT_MEMBERS
     ):
         preds.append(".")
     preds += [d for n, d in versions if n < cur_n]
@@ -1309,12 +1317,12 @@ def prune_ivfpq_versions(path: str, keep: int = 1) -> dict:
             continue
         if d == ".":
             for member in _FLAT_MEMBERS:
-                p = os.path.join(path, member)
-                if os.path.exists(p):
-                    shutil.rmtree(p)
+                p = layout_io.join(path, member)
+                if layout_io.exists(p):
+                    layout_io.rmtree(p)
                     deleted.append(member)
         else:
-            shutil.rmtree(os.path.join(path, d))
+            layout_io.rmtree(layout_io.join(path, d))
             deleted.append(d)
     kept = sorted(retained) + [cur_name] + [d for n, d in versions if n > cur_n]
     return {"current": cur_name, "kept": kept, "deleted": deleted}

@@ -38,35 +38,33 @@ co-locates without an extra exchange.
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-
-def _current_path(state_dir: str) -> str:
-    return os.path.join(state_dir, "_CURRENT")
 
 
 def _read_marker(state_dir: str) -> tuple[str, int] | None:
     """(version, applied_batch_id) from the marker, or None before the
     first batch — the ONE reader both the skip decision and the state
-    read go through."""
-    marker = _current_path(state_dir)
-    if not os.path.exists(marker):
+    read go through. Scheme-aware via layout_io (round 15): the
+    versioned-snapshot envelope works on hdfs://s3a:// state dirs,
+    not just local disk."""
+    from ..operators import layout_io
+
+    text = layout_io.read_text(layout_io.join(state_dir, "_CURRENT"))
+    if text is None:
         return None
-    with open(marker, encoding="utf-8") as fh:
-        version, batch_id = fh.read().split()
+    version, batch_id = text.split()
     return version, int(batch_id)
 
 
 def read_view(spark, state_dir: str) -> DataFrame | None:
     """The current state of the view, or None before the first batch."""
+    from ..operators import layout_io
+
     marker = _read_marker(state_dir)
     if marker is None:
         return None
-    return spark.read.parquet(os.path.join(state_dir, marker[0]))
+    return spark.read.parquet(layout_io.join(state_dir, marker[0]))
 
 
 def maintain_count_sum_view(
@@ -89,8 +87,10 @@ def maintain_count_sum_view(
         raise ValueError(
             f"keep_versions must be >= 1 (the live version itself), got {keep_versions}"
         )
+    from ..operators import layout_io
+
     spark = stream.sparkSession
-    os.makedirs(state_dir, exist_ok=True)
+    layout_io.makedirs(state_dir)
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         marker = _read_marker(state_dir)
@@ -117,22 +117,28 @@ def maintain_count_sum_view(
             .agg(F.sum("n_rows").alias("n_rows"), F.sum("sum_value").alias("sum_value"))
         )
         version = f"v{batch_id}"
-        merged.write.mode("overwrite").parquet(os.path.join(state_dir, version))
-        tmp = _current_path(state_dir) + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as fh:
-            fh.write(f"{version} {batch_id}")
-        os.replace(tmp, _current_path(state_dir))  # atomic repoint
+        merged.write.mode("overwrite").parquet(
+            layout_io.join(state_dir, version)
+        )
+        # atomic repoint (os.replace locally; FileContext
+        # rename(OVERWRITE) on Hadoop paths)
+        layout_io.write_text_atomic(
+            state_dir, "_CURRENT", f"{version} {batch_id}"
+        )
         # retention: keep the newest ``keep_versions`` versions — a
         # grace window for external readers whose lazily-evaluated
         # read_view() DataFrame may span several commits (a reader
         # pinned to an older version than that window is reading a
         # stale snapshot anyway and should re-resolve the marker)
         versions = sorted(
-            (e for e in os.listdir(state_dir) if e.startswith("v")),
+            (e for e in layout_io.list_names(state_dir) if e.startswith("v")),
             key=lambda e: int(e[1:]),
         )
         for entry in versions[:-keep_versions]:
-            shutil.rmtree(os.path.join(state_dir, entry), ignore_errors=True)
+            try:
+                layout_io.rmtree(layout_io.join(state_dir, entry))
+            except OSError:
+                pass  # a racing reader's FS may briefly pin the dir
 
     writer = stream.writeStream.foreachBatch(merge).option(
         "checkpointLocation", checkpoint_dir

@@ -292,3 +292,109 @@ def test_remote_many_file_sidecar_uses_stats_job(spark, tmp_path):
         )
         rec = next(f for f in meta["files"] if f["path"] == rel)
         assert (rec["n_rows"], rec["pos_min"], rec["pos_max"]) == (nr, mn, mx)
+
+
+def test_remote_ivfpq_versioning_envelope(spark, sf_dir, tmp_path):
+    """Round-15: the IVF-PQ retrain/versioning envelope (the pattern
+    the training-layout _CURRENT protocol was copied from) also rides
+    layout_io now — flat build, forced retrains to v1/v2, marker
+    resolution, and predecessor pruning all on a file:// (Hadoop)
+    path."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.pq import (
+        _resolve_ivfpq_root,
+        knn_cosine_ivfpq_persisted,
+        maintain_ivfpq_index,
+        persist_ivfpq_index,
+        prune_ivfpq_versions,
+    )
+
+    emb = (
+        read_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .limit(300)
+    )
+    path = "file://" + str(tmp_path / "ivfpq_remote")
+    persist_ivfpq_index(emb, path, nlist=4)
+    assert _resolve_ivfpq_root(path) == path  # flat root is current
+
+    # force two retrains through the maintenance path (the drift
+    # detector is exercised elsewhere; here the envelope is the DUT)
+    out1 = maintain_ivfpq_index(
+        spark, emb, path, {"needs_retrain": True}, nlist=4
+    )
+    assert out1["retrained"] and out1["version"] == "v1"
+    assert _resolve_ivfpq_root(path) == f"{path}/v1"
+    out2 = maintain_ivfpq_index(
+        spark, emb, path, {"needs_retrain": True}, nlist=4
+    )
+    assert out2["version"] == "v2"
+    assert _resolve_ivfpq_root(path) == f"{path}/v2"
+
+    # the marker-resolved artifact answers queries on the remote path
+    queries = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    hits = knn_cosine_ivfpq_persisted(spark, path, emb, queries, k=3)
+    assert hits.count() == 9
+
+    # prune: flat generation + v1 are predecessors; keep=1 retains v1
+    rep = prune_ivfpq_versions(path, keep=1)
+    assert rep["current"] == "v2" and rep["kept"][-1] == "v2"
+    assert "v1" in rep["kept"] and "v1" not in rep["deleted"]
+    assert "codes" in rep["deleted"]  # the flat members went
+    assert layout_io.exists(f"{path}/v1/codes")
+    assert not layout_io.exists(f"{path}/codes")
+    # and the marker-resolved search still works post-prune
+    assert (
+        knn_cosine_ivfpq_persisted(spark, path, emb, queries, k=3).count()
+        == 9
+    )
+
+
+def test_remote_mview_marker_roundtrip(spark, tmp_path):
+    """Round-15: the mview versioned-snapshot marker protocol reads/
+    writes through layout_io — witnessed on a file:// state dir with a
+    real availableNow stream."""
+    import time
+
+    from pulsar_elasticsearch_sync_rs_spark.streaming.mview import (
+        maintain_count_sum_view,
+        read_view,
+    )
+
+    src = str(tmp_path / "src")
+    (
+        spark.range(100)
+        .select(
+            (F.col("id") % 5).alias("k"),
+            F.col("id").cast("double").alias("v"),
+        )
+        .repartition(2)
+        .write.parquet(src)
+    )
+    state = "file://" + str(tmp_path / "state")
+    stream = (
+        spark.readStream.schema("k long, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = maintain_count_sum_view(
+        stream,
+        ["k"],
+        "v",
+        state,
+        str(tmp_path / "ckpt"),
+        available_now=True,
+        keep_versions=1,
+    )
+    q.awaitTermination(120)
+    view = read_view(spark, state)
+    assert view is not None
+    rows = {r["k"]: (r["n_rows"], float(r["sum_value"])) for r in view.collect()}
+    assert sum(n for n, _ in rows.values()) == 100
+    assert rows[0][1] == sum(float(i) for i in range(0, 100, 5))
+    # retention pruned to one live version on the remote path
+    versions = [
+        e for e in layout_io.list_names(state) if e.startswith("v")
+    ]
+    assert len(versions) == 1
