@@ -201,3 +201,99 @@ def test_append_guards(spark, tmp_path):
     rep = append_block_aligned(_docs(spark, 0, 0), path2, "doc_id")
     assert rep == {"appended": 0, "n": 20, "tail_rewritten": False,
                    "new_files": []}
+
+
+def test_curation_ingest_feeds_block_aligned_layout(spark, sf_dir, tmp_path):
+    """The operational composition round-15's append story exists for:
+    streaming curation ADMITS docs batch by batch, and each landed
+    batch=<id> slice appends to ONE block-aligned training layout —
+    no rewrite of prior batches' full blocks (byte-identity held
+    across appends), positions gap-free over the whole admitted
+    corpus, and the final layout serves exact sharded two-level epoch
+    reads. Ingest → curate → layout, end to end."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pulsar_elasticsearch_sync_rs_spark.sources.batch import read_table
+    from pulsar_elasticsearch_sync_rs_spark.streaming.curation import (
+        run_curation_ingest,
+    )
+
+    docs_src = str(tmp_path / "docs_src")
+    docs = read_table(spark, sf_dir, "documents")
+    docs.limit(120).repartition(3).write.parquet(docs_src)
+    bench = docs.limit(0)  # no decontamination hits — not the DUT here
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(docs_src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_src)
+    )
+    out_dir = str(tmp_path / "curated")
+    q = run_curation_ingest(
+        stream,
+        bench,
+        out_dir,
+        str(tmp_path / "sha"),
+        str(tmp_path / "ckpt"),
+        n=5,
+        available_now=True,
+    )
+    q.awaitTermination(300)
+
+    # feed the layout batch by batch (landed order = arrival order)
+    layout = str(tmp_path / "train_layout")
+    r = 16
+    batches = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(out_dir)
+        if d.startswith("batch=")
+    )
+    assert len(batches) >= 2  # the composition is actually incremental
+    total = 0
+    full_stats: dict[str, tuple] = {}
+    for b in batches:
+        slice_df = spark.read.parquet(f"{out_dir}/batch={b}").select(
+            "doc_id", "text", "lang", "source"
+        )
+        if total == 0:
+            base = global_index(slice_df, "doc_id", out_col="pos")
+            persist_block_aligned(base, layout, block_size=r,
+                                  num_partitions=2)
+            total = slice_df.count()
+        else:
+            rep = append_block_aligned(slice_df, layout, "doc_id")
+            total += rep["appended"]
+        # snapshot full blocks after each step; assert prior entries
+        # never changed (tail rewrites replace the file NAME, so any
+        # surviving name must be byte-identical)
+        meta = read_layout_meta(layout)
+        for f in meta["files"]:
+            if f.get("n_rows") == r:
+                st = layout_io.file_stat(layout_io.join(layout, f["path"]))
+                if f["path"] in full_stats:
+                    assert full_stats[f["path"]] == st
+                full_stats[f["path"]] = st
+
+    meta = read_layout_meta(layout)
+    admitted = spark.read.parquet(out_dir).count()
+    assert meta["n"] == total == admitted
+    rows = spark.read.parquet(layout)
+    assert sorted(
+        row.pos for row in rows.select("pos").collect()
+    ) == list(range(total))
+    # the grown layout serves the zero-rewrite epoch read exactly
+    want = {
+        (row.doc_id, row.pos2)
+        for row in epoch_shuffle_two_level(
+            rows, "doc_id", epoch=3, block_size=r, n=meta["n"]
+        ).collect()
+    }
+    got = set()
+    for rank, files in epoch_block_shards(layout, epoch=3, n_ranks=4):
+        for row in read_epoch_block_shard(
+            spark, layout, epoch=3, rank=rank, n_ranks=4, id_col="doc_id"
+        ).collect():
+            got.add((row.doc_id, row.pos2))
+    assert got == want and len(got) == total
