@@ -91,8 +91,9 @@ HEADLINE = [
     "q_interleave_mix",
     "q_epoch_two_level",
     # round-15 addition: mixed-length bin packing (residual fill) —
-    # four skinny global_index exchanges + one rank equi-join, ~33 %
-    # less padding waste than by-length at the same bin discipline.
+    # one map-side-combined histogram agg + driver interval arithmetic
+    # + broadcast range-joins; three fill rounds take padding waste
+    # ~46 % below by-length at the same bin discipline.
     # q_loader_compose is NOT here: it composes the interleave +
     # two-level lanes already benched and its fixture-scale wall is
     # the scratch layout write (constants), not throughput.

@@ -3336,6 +3336,11 @@ def q_pack_bins_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_bins_residual_fill(docs, "n_tok", "doc_id", capacity=256)
 
 
+# three fill ROUNDS, each the same closed-form block: bins re-ranked
+# by current residual desc, remaining small docs re-ranked by length
+# desc, filler s drops into bin j=s iff it fits. Bin-grain here (the
+# fixture affords it); the engine computes the identical schedule at
+# INTERVAL grain so its driver state stays O(classes · rounds).
 ORACLE_PACK_BINS_MIXED = r"""
 WITH t AS (
   SELECT doc_id,
@@ -3354,29 +3359,65 @@ WITH t AS (
 ), bins AS (
   SELECT cls, rnk // (256 // cls) AS bin_idx, count(*) AS dib
   FROM br GROUP BY cls, rnk // (256 // cls)
-), binsj AS (
+), b0 AS (
   SELECT cls, bin_idx, dib, 256 - dib * cls AS res,
-    ROW_NUMBER() OVER (ORDER BY dib * cls - 256, cls, bin_idx) - 1 AS j
+    0 AS nfill, 0 AS addtok
   FROM bins
-), sr AS (
-  SELECT doc_id, cls,
-    ROW_NUMBER() OVER (ORDER BY -cls, doc_id) - 1 AS s
+), j1 AS (
+  SELECT b0.*, ROW_NUMBER() OVER (ORDER BY -res, cls, bin_idx) - 1 AS j
+  FROM b0
+), s1 AS (
+  SELECT doc_id, cls, ROW_NUMBER() OVER (ORDER BY -cls, doc_id) - 1 AS s
   FROM small
-), fills AS (
-  SELECT b.cls AS bcls, b.bin_idx, s.cls AS fcls, s.doc_id AS fid
-  FROM binsj b JOIN sr s ON s.s = b.j AND s.cls <= b.res
+), f1 AS (
+  SELECT j.cls AS bcls, j.bin_idx AS bidx, s.cls AS fcls, s.doc_id AS fid
+  FROM j1 j JOIN s1 s ON s.s = j.j AND s.cls <= j.res
+), b1 AS (
+  SELECT j.cls, j.bin_idx, j.dib, j.res - COALESCE(f.fcls, 0) AS res,
+    j.nfill + CASE WHEN f.fid IS NULL THEN 0 ELSE 1 END AS nfill,
+    j.addtok + COALESCE(f.fcls, 0) AS addtok
+  FROM j1 j LEFT JOIN f1 f ON f.bcls = j.cls AND f.bidx = j.bin_idx
+), j2 AS (
+  SELECT b1.*, ROW_NUMBER() OVER (ORDER BY -res, cls, bin_idx) - 1 AS j
+  FROM b1
+), s2 AS (
+  SELECT doc_id, cls, ROW_NUMBER() OVER (ORDER BY -cls, doc_id) - 1 AS s
+  FROM s1
+  WHERE NOT EXISTS (SELECT 1 FROM f1 WHERE f1.fid = s1.doc_id)
+), f2 AS (
+  SELECT j.cls AS bcls, j.bin_idx AS bidx, s.cls AS fcls, s.doc_id AS fid
+  FROM j2 j JOIN s2 s ON s.s = j.j AND s.cls <= j.res
+), b2 AS (
+  SELECT j.cls, j.bin_idx, j.dib, j.res - COALESCE(f.fcls, 0) AS res,
+    j.nfill + CASE WHEN f.fid IS NULL THEN 0 ELSE 1 END AS nfill,
+    j.addtok + COALESCE(f.fcls, 0) AS addtok
+  FROM j2 j LEFT JOIN f2 f ON f.bcls = j.cls AND f.bidx = j.bin_idx
+), j3 AS (
+  SELECT b2.*, ROW_NUMBER() OVER (ORDER BY -res, cls, bin_idx) - 1 AS j
+  FROM b2
+), s3 AS (
+  SELECT doc_id, cls, ROW_NUMBER() OVER (ORDER BY -cls, doc_id) - 1 AS s
+  FROM s2
+  WHERE NOT EXISTS (SELECT 1 FROM f2 WHERE f2.fid = s2.doc_id)
+), f3 AS (
+  SELECT j.cls AS bcls, j.bin_idx AS bidx, s.cls AS fcls, s.doc_id AS fid
+  FROM j3 j JOIN s3 s ON s.s = j.j AND s.cls <= j.res
+), b3 AS (
+  SELECT j.cls, j.bin_idx, j.dib, j.res - COALESCE(f.fcls, 0) AS res,
+    j.nfill + CASE WHEN f.fid IS NULL THEN 0 ELSE 1 END AS nfill,
+    j.addtok + COALESCE(f.fcls, 0) AS addtok
+  FROM j3 j LEFT JOIN f3 f ON f.bcls = j.cls AND f.bidx = j.bin_idx
 ), large_rows AS (
-  SELECT CAST(b.cls AS BIGINT) AS len_class,
-    CAST(b.bin_idx AS BIGINT) AS bin_idx,
-    CAST(b.dib + CASE WHEN f.fid IS NULL THEN 0 ELSE 1 END AS BIGINT) AS n_docs,
-    CAST(b.dib * b.cls + COALESCE(f.fcls, 0) AS BIGINT) AS fill_tokens
-  FROM binsj b
-  LEFT JOIN fills f ON f.bcls = b.cls AND f.bin_idx = b.bin_idx
+  SELECT CAST(cls AS BIGINT) AS len_class,
+    CAST(bin_idx AS BIGINT) AS bin_idx,
+    CAST(dib + nfill AS BIGINT) AS n_docs,
+    CAST(dib * cls + addtok AS BIGINT) AS fill_tokens
+  FROM b3
 ), ur AS (
   SELECT cls, doc_id,
     ROW_NUMBER() OVER (PARTITION BY cls ORDER BY doc_id) - 1 AS rnk
-  FROM sr
-  WHERE NOT EXISTS (SELECT 1 FROM fills f WHERE f.fid = sr.doc_id)
+  FROM s3
+  WHERE NOT EXISTS (SELECT 1 FROM f3 WHERE f3.fid = s3.doc_id)
 ), small_rows AS (
   SELECT CAST(cls AS BIGINT) AS len_class,
     CAST(rnk // (256 // cls) AS BIGINT) AS bin_idx,

@@ -234,6 +234,9 @@ def test_pack_bins_residual_fill_beats_by_length(spark, sf_dir):
     mixed_df = pack_bins_residual_fill(docs, "n_tok", "doc_id", capacity=C)
     mixed = mixed_df.collect()
     bylen = pack_bins_by_length(docs, "n_tok", "doc_id", capacity=C).collect()
+    one_round = pack_bins_residual_fill(
+        docs, "n_tok", "doc_id", capacity=C, rounds=1
+    ).collect()
 
     # totality + capacity + accounting
     assert sum(b.n_docs for b in mixed) == n_docs
@@ -244,7 +247,9 @@ def test_pack_bins_residual_fill_beats_by_length(spark, sf_dir):
     # waste = bins*C - tokens on both sides; mixed strictly wins here
     waste_mixed = sum(b.waste_tokens for b in mixed)
     waste_bylen = sum(b.waste_tokens for b in bylen)
-    assert waste_mixed < waste_bylen, (waste_mixed, waste_bylen)
+    waste_one = sum(b.waste_tokens for b in one_round)
+    assert waste_mixed < waste_one < waste_bylen, (
+        waste_mixed, waste_one, waste_bylen)
     assert len(mixed) < len(bylen)  # fewer bins is the whole game
     # the fixture actually exercises the filler path (non-vacuous)
     assert any(
