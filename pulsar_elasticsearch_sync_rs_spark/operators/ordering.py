@@ -885,6 +885,7 @@ def read_epoch_block_shard(
     id_col: str,
     pos_col: str = "pos",
     out_col: str = "pos2",
+    start_step: int = 0,
 ) -> DataFrame:
     """One rank's slice of the two-level epoch order, read from the
     block-aligned layout: load ONLY the rank's files (resolved by
@@ -894,7 +895,16 @@ def read_epoch_block_shard(
     global block offsets (both from sidecar arithmetic + one bounded
     per-block window over the rank's own rows). The union of all
     ranks' frames is exactly :func:`epoch_shuffle_two_level`'s output
-    (pytest-pinned) — distribution by LAYOUT, not by shuffle."""
+    (pytest-pinned) — distribution by LAYOUT, not by shuffle.
+
+    ``start_step`` is the RESUME path: a trainer restarting from
+    global step S (epoch positions ≥ S) re-issues the read and gets
+    exactly its shard's suffix. Because a rank owns a CONTIGUOUS run
+    of the permuted block order, whole files strictly below S are
+    dropped from the listing by sidecar arithmetic (never opened, let
+    alone read) and only the one boundary block pays a row filter —
+    resume cost is proportional to what remains, not to how far the
+    run had progressed."""
     from pyspark.sql import Window
 
     from . import layout_io
@@ -908,6 +918,26 @@ def read_epoch_block_shard(
     n = int(meta["n"]) if meta else 0
     n_blocks = (n + block_size - 1) // block_size if n else 0
     shard_files = dict(epoch_block_shards(path, epoch, n_ranks))[rank]
+    if shard_files and start_step > 0:
+        # permuted-order span of a file's block: [offset, offset+size)
+        # with offset = brank·r − deficit·[brank > short_rank] — keep
+        # files whose span reaches start_step
+        _branks = _block_permutation(int(epoch), n_blocks)
+        _sr = _branks[n_blocks - 1]
+        _short = n - block_size * (n_blocks - 1)
+        _def = block_size - _short
+        by_path = {
+            layout_io.join(path, f["path"]): int(f["pos_min"]) // block_size
+        for f in files if f.get("n_rows", 0) > 0}
+        kept = []
+        for fp in shard_files:
+            b = by_path[fp]
+            brk = _branks[b]
+            off = brk * block_size - (_def if brk > _sr else 0)
+            size = _short if b == n_blocks - 1 else block_size
+            if off + size > int(start_step):
+                kept.append(fp)
+        shard_files = kept
     if not shard_files:
         return (
             spark.read.parquet(path)
@@ -956,13 +986,18 @@ def read_epoch_block_shard(
         )
         - 1
     )
-    return (
+    out = (
         df.withColumn("__blk", block)
         .withColumn("__wkey", wkey)
         .join(F.broadcast(branks_df), "__blk")
         .withColumn(out_col, (offset + within).cast("long"))
         .drop("__blk", "__wkey", "__brank")
     )
+    if start_step > 0:
+        # only the boundary block's rows actually evaluate to < S —
+        # every earlier file was already dropped from the listing
+        out = out.filter(F.col(out_col) >= int(start_step))
+    return out
 
 
 def interleave_by_weight(

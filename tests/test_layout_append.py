@@ -297,3 +297,47 @@ def test_curation_ingest_feeds_block_aligned_layout(spark, sf_dir, tmp_path):
         ).collect():
             got.add((row.doc_id, row.pos2))
     assert got == want and len(got) == total
+
+
+def test_epoch_shard_resume_suffix_and_file_skip(spark, tmp_path):
+    """Round-15: step-resume on the two-level sharded read — for any
+    resume step S, the rank's frame is EXACTLY the suffix (pos2 >= S)
+    of its full shard, and files wholly below S are dropped from the
+    listing by sidecar arithmetic (witnessed via inputFiles), so a
+    late-epoch restart reads ~the remaining bytes, not the epoch."""
+    r = 16
+    path = str(tmp_path / "resume")
+    base = global_index(_docs(spark, 0, 150), "doc_id", out_col="pos")
+    persist_block_aligned(base, path, block_size=r, num_partitions=3)
+
+    for rank in range(3):
+        full_df = read_epoch_block_shard(
+            spark, path, epoch=5, rank=rank, n_ranks=3, id_col="doc_id"
+        )
+        full = {(row.doc_id, row.pos2) for row in full_df.collect()}
+        if not full:
+            continue
+        lo = min(p for _, p in full)
+        hi = max(p for _, p in full)
+        # rank's pos2 span is contiguous (the run of permuted blocks)
+        assert {p for _, p in full} == set(range(lo, hi + 1))
+        for s in (lo, lo + 1, (lo + hi) // 2, hi, hi + 1):
+            res_df = read_epoch_block_shard(
+                spark, path, epoch=5, rank=rank, n_ranks=3,
+                id_col="doc_id", start_step=s,
+            )
+            got = {(row.doc_id, row.pos2) for row in res_df.collect()}
+            assert got == {(d, p) for d, p in full if p >= s}, (rank, s)
+            if s > lo:
+                skipped_blocks = (s - lo) // r
+                if skipped_blocks >= 1 and got:
+                    # whole files below S never enter the scan
+                    assert len(res_df.inputFiles()) < len(
+                        full_df.inputFiles()
+                    ), (rank, s)
+    # resume past the epoch end → empty frame, correct schema
+    empty = read_epoch_block_shard(
+        spark, path, epoch=5, rank=0, n_ranks=3, id_col="doc_id",
+        start_step=10_000,
+    )
+    assert empty.count() == 0 and "pos2" in empty.columns
