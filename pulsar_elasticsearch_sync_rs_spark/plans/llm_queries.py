@@ -3432,6 +3432,66 @@ ORDER BY len_class, bin_idx
 """
 
 
+def q_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column table profile (operators/profiling.profile_table)
+    over the documents corpus — row count, null count, EXACT distinct
+    cardinality, min/max reprs for every column, in ONE aggregation
+    pass (the data-quality report every ingestion audit runs first).
+    Hash-oracled cell-for-cell: the oracle computes the identical
+    statistics per column and unpivots them the same way. The graded
+    lane uses exact_distinct=True so DuckDB's COUNT(DISTINCT) is the
+    ground truth; the operator's default is the one-pass HLL
+    (approx_count_distinct) for the 100 TB path.
+
+    Scale: one map-side-combined global agg (single 1-row exchange);
+    exact-distinct plans one pass with a k-column Expand of the skinny
+    projection — the documented grading-mode cost."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.profiling import (
+        profile_table,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    return profile_table(docs, exact_distinct=True).drop("dtype")
+
+
+ORACLE_PROFILE_DOCS = """
+WITH a AS (
+  SELECT 'all' AS g, count(*) AS n,
+    count(doc_id) AS nn0, count(DISTINCT doc_id) AS nd0,
+    substr(CAST(min(doc_id) AS VARCHAR), 1, 64) AS mn0,
+    substr(CAST(max(doc_id) AS VARCHAR), 1, 64) AS mx0,
+    count(text) AS nn1, count(DISTINCT text) AS nd1,
+    substr(min(text), 1, 64) AS mn1, substr(max(text), 1, 64) AS mx1,
+    count(lang) AS nn2, count(DISTINCT lang) AS nd2,
+    substr(min(lang), 1, 64) AS mn2, substr(max(lang), 1, 64) AS mx2,
+    count(source) AS nn3, count(DISTINCT source) AS nd3,
+    substr(min(source), 1, 64) AS mn3, substr(max(source), 1, 64) AS mx3,
+    count(n_chars) AS nn4, count(DISTINCT n_chars) AS nd4,
+    substr(CAST(min(n_chars) AS VARCHAR), 1, 64) AS mn4,
+    substr(CAST(max(n_chars) AS VARCHAR), 1, 64) AS mx4
+  FROM documents GROUP BY g
+)
+SELECT 'doc_id' AS col_name, CAST(n AS BIGINT) AS n_rows,
+  CAST(n - nn0 AS BIGINT) AS n_null, CAST(nd0 AS BIGINT) AS n_distinct,
+  mn0 AS min_repr, mx0 AS max_repr FROM a
+UNION ALL
+SELECT 'text', CAST(n AS BIGINT), CAST(n - nn1 AS BIGINT),
+  CAST(nd1 AS BIGINT), mn1, mx1 FROM a
+UNION ALL
+SELECT 'lang', CAST(n AS BIGINT), CAST(n - nn2 AS BIGINT),
+  CAST(nd2 AS BIGINT), mn2, mx2 FROM a
+UNION ALL
+SELECT 'source', CAST(n AS BIGINT), CAST(n - nn3 AS BIGINT),
+  CAST(nd3 AS BIGINT), mn3, mx3 FROM a
+UNION ALL
+SELECT 'n_chars', CAST(n AS BIGINT), CAST(n - nn4 AS BIGINT),
+  CAST(nd4 AS BIGINT), mn4, mx4 FROM a
+ORDER BY col_name
+"""
+
+
 def q_epoch_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-level (block) epoch shuffle (operators/ordering.py
     epoch_shuffle_two_level): from a fixed base enumeration, epoch 7's

@@ -605,3 +605,60 @@ def test_weighted_sample_semantics(spark):
     assert len({d for _, d in got}) == 3  # without replacement
     got2 = sorted((r["rank"], r["doc_id"]) for r in out.collect())
     assert got == got2
+
+
+def test_profile_table_stats_and_totality(spark):
+    """operators/profiling.profile_table: per-column nulls/distinct/
+    min-max reprs from one aggregation pass; empty tables profile to
+    ZERO rows (constant-group-key totality); guards fail loudly."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from pulsar_elasticsearch_sync_rs_spark.operators.profiling import (
+        profile_table,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "aa", None),
+            (2, "bb", 5.0),
+            (3, "aa", 7.5),
+            (4, None, 5.0),
+        ],
+        "id long, s string, v double",
+    )
+    out = {r.col_name: r for r in profile_table(df, exact_distinct=True).collect()}
+    assert set(out) == {"id", "s", "v"}
+    assert all(r.n_rows == 4 for r in out.values())
+    assert (out["id"].n_null, out["id"].n_distinct) == (0, 4)
+    assert (out["s"].n_null, out["s"].n_distinct) == (1, 2)
+    assert (out["v"].n_null, out["v"].n_distinct) == (1, 2)
+    assert (out["id"].min_repr, out["id"].max_repr) == ("1", "4")
+    assert (out["s"].min_repr, out["s"].max_repr) == ("aa", "bb")
+    assert out["id"].dtype == "bigint"
+
+    # approx path: sane on small-cardinality input (HLL is exact-ish
+    # at these sizes), same shape
+    ap = {r.col_name: r for r in profile_table(df).collect()}
+    assert ap["s"].n_distinct == 2
+
+    # repr truncation
+    long_s = spark.createDataFrame([("x" * 200,)], "t string")
+    r = profile_table(long_s, repr_len=16).collect()[0]
+    assert len(r.min_repr) == 16
+
+    # empty table → zero rows, schema intact
+    empty = profile_table(
+        spark.createDataFrame([], "id long, s string"), exact_distinct=True
+    )
+    assert empty.collect() == []
+    assert empty.columns == [
+        "col_name", "dtype", "n_rows", "n_null", "n_distinct",
+        "min_repr", "max_repr",
+    ]
+
+    # guards
+    with _pytest.raises(ValueError, match="no column"):
+        profile_table(df, ["nope"])
+    with _pytest.raises(ValueError, match="nothing to profile"):
+        profile_table(df, [])
