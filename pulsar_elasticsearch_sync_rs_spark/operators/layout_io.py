@@ -104,7 +104,16 @@ def list_parquet_relpaths(path: str) -> list[str]:
     """Relative paths of every data parquet file under ``path``,
     recursively, skipping ``_``/``.`` entries (the _SUCCESS / sidecar
     convention) — the file set a layout sidecar records, sorted."""
-    out: list[str] = []
+    return [rel for rel, _ in list_parquet_files(path)]
+
+
+def list_parquet_files(path: str) -> list[tuple[str, int]]:
+    """(relpath, size_bytes) of every data parquet file under ``path``
+    — same listing as :func:`list_parquet_relpaths`, with the byte
+    sizes the listing already carries (``FileStatus.getLen`` remotely,
+    ``os.stat`` locally) so sidecar writers can record them for free
+    (loader prefetch manifests budget by bytes, not rows)."""
+    out: list[tuple[str, int]] = []
     if is_remote(path):
         _, fs, jpath, _ = _jfs(path)
         root = fs.makeQualified(jpath).toString().rstrip("/")
@@ -119,7 +128,7 @@ def list_parquet_relpaths(path: str) -> list[str]:
             if any(p.startswith(("_", ".")) for p in parts):
                 continue
             if rel.endswith(".parquet"):
-                out.append(rel)
+                out.append((rel, int(st.getLen())))
         return sorted(out)
     for dirroot, dirs, fnames in os.walk(path):
         dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
@@ -127,8 +136,9 @@ def list_parquet_relpaths(path: str) -> list[str]:
             if fname.endswith(".parquet") and not fname.startswith(
                 ("_", ".")
             ):
+                full = os.path.join(dirroot, fname)
                 out.append(
-                    os.path.relpath(os.path.join(dirroot, fname), path)
+                    (os.path.relpath(full, path), os.stat(full).st_size)
                 )
     return sorted(out)
 

@@ -254,7 +254,11 @@ def _write_layout_meta(
 
     if not layout_io.isdir(path):
         return
-    entries = _footer_entries(path, pos_col, layout_io.list_parquet_relpaths(path))
+    sized = layout_io.list_parquet_files(path)
+    entries = _footer_entries(path, pos_col, [rel for rel, _ in sized])
+    by_rel = dict(sized)
+    for e in entries:
+        e["bytes"] = int(by_rel.get(e["path"], 0))
     _publish_layout_meta(path, pos_col, entries, extra)
     # every publish invalidates the read path's per-process listing
     # cache: a same-process reader of a just-rewritten layout must
@@ -781,14 +785,17 @@ def append_block_aligned(
     )
     if tail_entry is not None:
         layout_io.delete_file(layout_io.join(path, tail_entry["path"]))
-    new_files = [
-        p for p in layout_io.list_parquet_relpaths(path) if p not in recorded
-    ]
+    sized = layout_io.list_parquet_files(path)
+    new_files = [p for p, _ in sized if p not in recorded]
+    new_entries = _footer_entries(path, pos_col, new_files)
+    by_rel = dict(sized)
+    for e in new_entries:
+        e["bytes"] = int(by_rel.get(e["path"], 0))
     entries = [
         f
         for f in meta["files"]
         if tail_entry is None or f["path"] != tail_entry["path"]
-    ] + _footer_entries(path, pos_col, new_files)
+    ] + new_entries
     _publish_layout_meta(path, pos_col, entries, extra={"block_size": r})
     _listing_cached.cache_clear()  # same-process readers re-list
     return {
@@ -873,6 +880,65 @@ def epoch_block_shards(
             (r, [layout_io.join(path, f["path"]) for f in permuted[i:i + size]])
         )
         i += size
+    return out
+
+
+def epoch_block_manifest(
+    path: str, epoch: int, n_ranks: int
+) -> list[tuple[int, list[dict]]]:
+    """The PREFETCH MANIFEST for an external data loader: for every
+    rank, its :func:`epoch_block_shards` files IN STREAMING ORDER,
+    each with ``{"path", "bytes", "n_rows", "pos2_lo", "pos2_hi"}`` —
+    the byte budget a prefetcher needs to schedule reads ahead of the
+    training step, and the epoch-position span each file will yield
+    (inclusive), so progress/ETA and :func:`read_epoch_block_shard`'s
+    ``start_step`` resume point can be computed without opening a
+    single file. Pure sidecar + cached-permutation arithmetic — no
+    SparkSession, no scan; ``bytes`` is None for sidecars written
+    before round 15 (re-write the layout to refresh)."""
+    meta = read_layout_meta(path)
+    if meta is None:
+        raise ValueError(
+            f"epoch_block_manifest: no _meta.json under {path} - write "
+            "the layout with persist_block_aligned"
+        )
+    files = [f for f in meta["files"] if f.get("n_rows", 0) > 0]
+    n = int(meta["n"])
+    if not files or n == 0:
+        return [(r, []) for r in range(n_ranks)]
+    block_size = int(
+        meta.get("block_size")
+        or max(f["pos_max"] - f["pos_min"] + 1 for f in files)
+    )
+    n_blocks = (n + block_size - 1) // block_size
+    branks = _block_permutation(int(epoch), n_blocks)
+    short_rank = branks[n_blocks - 1]
+    short = n - block_size * (n_blocks - 1)
+    deficit = block_size - short
+    from . import layout_io
+
+    # epoch_block_shards returns layout_io.join(path, rel) strings —
+    # index the sidecar entries by the same key
+    by_path = {layout_io.join(path, f["path"]): f for f in files}
+    out = []
+    for rank, shard in epoch_block_shards(path, epoch, n_ranks):
+        entries = []
+        for fp in shard:
+            f = by_path[fp]
+            b = int(f["pos_min"]) // block_size
+            brk = branks[b]
+            off = brk * block_size - (deficit if brk > short_rank else 0)
+            size = short if b == n_blocks - 1 else block_size
+            entries.append(
+                {
+                    "path": fp,
+                    "bytes": f.get("bytes"),
+                    "n_rows": int(f["n_rows"]),
+                    "pos2_lo": int(off),
+                    "pos2_hi": int(off + size - 1),
+                }
+            )
+        out.append((rank, entries))
     return out
 
 

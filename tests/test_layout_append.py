@@ -341,3 +341,68 @@ def test_epoch_shard_resume_suffix_and_file_skip(spark, tmp_path):
         start_step=10_000,
     )
     assert empty.count() == 0 and "pos2" in empty.columns
+
+
+def test_epoch_block_manifest_bytes_spans_and_order(spark, tmp_path):
+    """Round-15: the prefetch manifest — per rank, files in streaming
+    order with byte sizes and inclusive pos2 spans, from sidecar
+    arithmetic alone. Spans are disjoint, cover 0..n−1, ordered within
+    each rank; bytes sum to the layout's on-disk parquet bytes; the
+    file order matches epoch_block_shards; and every span agrees with
+    what read_epoch_block_shard actually yields."""
+    import os
+
+    from pulsar_elasticsearch_sync_rs_spark.operators.ordering import (
+        epoch_block_manifest,
+    )
+
+    r = 16
+    path = str(tmp_path / "manifest")
+    base = global_index(_docs(spark, 0, 110), "doc_id", out_col="pos")
+    persist_block_aligned(base, path, block_size=r, num_partitions=3)
+    append_block_aligned(_docs(spark, 110, 140), path, "doc_id")  # grown
+    n = 140
+
+    man = epoch_block_manifest(path, epoch=9, n_ranks=3)
+    spans = []
+    total_bytes = 0
+    for rank, entries in man:
+        shard = dict(epoch_block_shards(path, epoch=9, n_ranks=3))[rank]
+        assert [e["path"] for e in entries] == shard  # streaming order
+        got = read_epoch_block_shard(
+            spark, path, epoch=9, rank=rank, n_ranks=3, id_col="doc_id"
+        ).select("pos2").collect()
+        got_pos = sorted(row.pos2 for row in got)
+        want = sorted(
+            p
+            for e in entries
+            for p in range(e["pos2_lo"], e["pos2_hi"] + 1)
+        )
+        assert got_pos == want, rank
+        for e in entries:
+            assert e["bytes"] and e["bytes"] > 0
+            assert e["n_rows"] == e["pos2_hi"] - e["pos2_lo"] + 1
+            spans.append((e["pos2_lo"], e["pos2_hi"]))
+            total_bytes += e["bytes"]
+    covered = sorted(p for lo, hi in spans for p in range(lo, hi + 1))
+    assert covered == list(range(n))  # disjoint + covering
+    disk = sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    assert total_bytes == disk
+    # resume point computable from the manifest without opening files:
+    # pick rank 1's second file's pos2_lo as start_step
+    _, entries = man[1]
+    if len(entries) >= 2:
+        s = entries[1]["pos2_lo"]
+        res = read_epoch_block_shard(
+            spark, path, epoch=9, rank=1, n_ranks=3, id_col="doc_id",
+            start_step=s,
+        )
+        assert set(res.inputFiles()) <= {
+            "file://" + e["path"] if not e["path"].startswith("file:")
+            else e["path"]
+            for e in entries[1:]
+        } or len(res.inputFiles()) == len(entries) - 1
