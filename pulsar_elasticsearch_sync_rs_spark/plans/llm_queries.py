@@ -3492,6 +3492,76 @@ ORDER BY col_name
 """
 
 
+def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data-quality drift (operators/profiling
+    .profile_drift): the 'src0' slice of the corpus vs everything
+    else, column by column — row/null/exact-distinct counts side by
+    side plus min/max range-equality flags, all integers/booleans so
+    the grading hash is exact. Two one-pass profiles + a ≤ #columns
+    join; drift over 100 TB costs what two profiles cost."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.profiling import (
+        profile_drift,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    cols = ["doc_id", "text", "lang", "n_chars"]
+    src0 = docs.filter(F.col("source") == "src0").select(*cols)
+    rest = docs.filter(
+        (F.col("source") != "src0") | F.col("source").isNull()
+    ).select(*cols)
+    return profile_drift(src0, rest, exact_distinct=True)
+
+
+ORACLE_PROFILE_DRIFT = """
+WITH pa AS (
+  SELECT 'all' AS g, count(*) AS n,
+    count(doc_id) AS nn0, count(DISTINCT doc_id) AS nd0,
+    substr(CAST(min(doc_id) AS VARCHAR), 1, 64) AS mn0,
+    substr(CAST(max(doc_id) AS VARCHAR), 1, 64) AS mx0,
+    count(text) AS nn1, count(DISTINCT text) AS nd1,
+    substr(min(text), 1, 64) AS mn1, substr(max(text), 1, 64) AS mx1,
+    count(lang) AS nn2, count(DISTINCT lang) AS nd2,
+    substr(min(lang), 1, 64) AS mn2, substr(max(lang), 1, 64) AS mx2,
+    count(n_chars) AS nn3, count(DISTINCT n_chars) AS nd3,
+    substr(CAST(min(n_chars) AS VARCHAR), 1, 64) AS mn3,
+    substr(CAST(max(n_chars) AS VARCHAR), 1, 64) AS mx3
+  FROM documents WHERE source = 'src0' GROUP BY g
+), pb AS (
+  SELECT 'all' AS g, count(*) AS n,
+    count(doc_id) AS nn0, count(DISTINCT doc_id) AS nd0,
+    substr(CAST(min(doc_id) AS VARCHAR), 1, 64) AS mn0,
+    substr(CAST(max(doc_id) AS VARCHAR), 1, 64) AS mx0,
+    count(text) AS nn1, count(DISTINCT text) AS nd1,
+    substr(min(text), 1, 64) AS mn1, substr(max(text), 1, 64) AS mx1,
+    count(lang) AS nn2, count(DISTINCT lang) AS nd2,
+    substr(min(lang), 1, 64) AS mn2, substr(max(lang), 1, 64) AS mx2,
+    count(n_chars) AS nn3, count(DISTINCT n_chars) AS nd3,
+    substr(CAST(min(n_chars) AS VARCHAR), 1, 64) AS mn3,
+    substr(CAST(max(n_chars) AS VARCHAR), 1, 64) AS mx3
+  FROM documents WHERE source <> 'src0' OR source IS NULL GROUP BY g
+), ua AS (
+  SELECT 'doc_id' AS col_name, n, n - nn0 AS nnull, nd0 AS nd, mn0 AS mn, mx0 AS mx FROM pa
+  UNION ALL SELECT 'text', n, n - nn1, nd1, mn1, mx1 FROM pa
+  UNION ALL SELECT 'lang', n, n - nn2, nd2, mn2, mx2 FROM pa
+  UNION ALL SELECT 'n_chars', n, n - nn3, nd3, mn3, mx3 FROM pa
+), ub AS (
+  SELECT 'doc_id' AS col_name, n, n - nn0 AS nnull, nd0 AS nd, mn0 AS mn, mx0 AS mx FROM pb
+  UNION ALL SELECT 'text', n, n - nn1, nd1, mn1, mx1 FROM pb
+  UNION ALL SELECT 'lang', n, n - nn2, nd2, mn2, mx2 FROM pb
+  UNION ALL SELECT 'n_chars', n, n - nn3, nd3, mn3, mx3 FROM pb
+)
+SELECT COALESCE(ua.col_name, ub.col_name) AS col_name,
+  CAST(ua.n AS BIGINT) AS n_rows_a, CAST(ua.nnull AS BIGINT) AS n_null_a,
+  CAST(ua.nd AS BIGINT) AS n_distinct_a,
+  CAST(ub.n AS BIGINT) AS n_rows_b, CAST(ub.nnull AS BIGINT) AS n_null_b,
+  CAST(ub.nd AS BIGINT) AS n_distinct_b,
+  (ua.mn IS NOT DISTINCT FROM ub.mn) AS same_min,
+  (ua.mx IS NOT DISTINCT FROM ub.mx) AS same_max
+FROM ua FULL OUTER JOIN ub ON ua.col_name = ub.col_name
+ORDER BY 1
+"""
+
+
 def q_epoch_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-level (block) epoch shuffle (operators/ordering.py
     epoch_shuffle_two_level): from a fixed base enumeration, epoch 7's

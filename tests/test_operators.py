@@ -662,3 +662,32 @@ def test_profile_table_stats_and_totality(spark):
         profile_table(df, ["nope"])
     with _pytest.raises(ValueError, match="nothing to profile"):
         profile_table(df, [])
+
+
+def test_profile_drift_sides_and_schema_drift(spark):
+    """profile_drift: per-column side-by-side stats with range flags;
+    a column present on one side only (schema drift) surfaces with
+    NULL stats via the full-outer join instead of vanishing."""
+    from pyspark.sql import functions as F
+
+    from pulsar_elasticsearch_sync_rs_spark.operators.profiling import (
+        profile_drift,
+    )
+
+    a = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, None)], "id long, s string"
+    )
+    b = spark.createDataFrame(
+        [(1, 5.0), (9, 6.0)], "id long, v double"
+    )
+    out = {r.col_name: r for r in profile_drift(a, b, exact_distinct=True).collect()}
+    assert set(out) == {"id", "s", "v"}
+    assert (out["id"].n_rows_a, out["id"].n_rows_b) == (3, 2)
+    assert out["id"].same_min is True  # both min(id) == 1
+    assert out["id"].same_max is False  # 3 vs 9
+    assert out["s"].n_rows_b is None and out["s"].n_null_a == 1
+    assert out["v"].n_rows_a is None and out["v"].n_distinct_b == 2
+    # identical sides → full agreement
+    same = profile_drift(a, a, exact_distinct=True).collect()
+    assert all(r.same_min and r.same_max for r in same)
+    assert all(r.n_rows_a == r.n_rows_b for r in same)
