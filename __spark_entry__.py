@@ -260,6 +260,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_bins_mixed": _wrap(L.q_pack_bins_mixed),  # mixed-length bins: 3-round residual fill, ~46% less waste than by-length at same bin discipline
         "q_profile_docs": _wrap(L.q_profile_docs),  # per-column table profile: nulls/exact-distinct/min-max in one aggregation pass
         "q_profile_drift": _wrap(L.q_profile_drift),  # column-grain drift between two corpus slices: two profiles + a tiny full-outer join
+        "q_interleave_append": _wrap(L.q_interleave_append),  # mixture-preserving growth: append continues the virtual-time schedule through the append lifecycle
     }
 
 
@@ -326,4 +327,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "q_pack_bins_mixed": L.ORACLE_PACK_BINS_MIXED,
         "q_profile_docs": L.ORACLE_PROFILE_DOCS,
         "q_profile_drift": L.ORACLE_PROFILE_DRIFT,
+        "q_interleave_append": L.ORACLE_INTERLEAVE_APPEND,
     }

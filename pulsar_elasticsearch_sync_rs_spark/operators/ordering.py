@@ -686,8 +686,9 @@ def persist_block_aligned(
 def append_block_aligned(
     df_new: DataFrame,
     path: str,
-    order_col: str | list[str],
+    order_col: str | list[str] | None = None,
     pos_col: str = "pos",
+    pre_positioned: bool = False,
 ) -> dict:
     """Round-14 VERDICT item 2 — the GROWING-corpus story for the
     block-aligned layout, so incremental ingest (the engine's
@@ -732,27 +733,60 @@ def append_block_aligned(
             "with the directory listing (foreign writer?) - rebuild the "
             "layout with persist_block_aligned"
         )
-    if pos_col in df_new.columns:
+    if pre_positioned:
+        # caller assigned positions (interleave_append's continued
+        # schedule): validate the contract this function otherwise
+        # guarantees — exactly n..n+m−1, gap-free — with one skinny agg
+        if pos_col not in df_new.columns:
+            raise ValueError(
+                f"append_block_aligned: pre_positioned=True but "
+                f"{pos_col!r} is absent from the new rows"
+            )
+    elif pos_col in df_new.columns:
         raise ValueError(
             f"append_block_aligned: {pos_col!r} is assigned here - "
-            "pass the new rows WITHOUT positions"
+            "pass the new rows WITHOUT positions (or pre_positioned=True)"
+        )
+    elif order_col is None:
+        raise ValueError(
+            "append_block_aligned: order_col is required unless "
+            "pre_positioned=True"
         )
     r = int(meta["block_size"])
     n_old = int(meta["n"])
     old_entries = [f for f in meta["files"] if f.get("n_rows", 0) > 0]
     layout_cols = set(spark.read.parquet(path).columns)
-    if set(df_new.columns) != layout_cols - {pos_col}:
+    want_cols = layout_cols if pre_positioned else layout_cols - {pos_col}
+    if set(df_new.columns) != want_cols:
         raise ValueError(
             "append_block_aligned: new-row columns "
             f"{sorted(df_new.columns)} do not match the layout's "
-            f"{sorted(layout_cols - {pos_col})}"
+            f"{sorted(want_cols)}"
         )
     m = df_new.count()
     if m == 0:
         return {"appended": 0, "n": n_old, "tail_rewritten": False,
                 "new_files": []}
 
-    new_rows = global_index(df_new, order_col, out_col=pos_col, start=n_old)
+    if pre_positioned:
+        stats = df_new.agg(
+            F.min(pos_col).alias("mn"),
+            F.max(pos_col).alias("mx"),
+            F.count_distinct(F.col(pos_col)).alias("nd"),
+        ).first()
+        if (int(stats["mn"]), int(stats["mx"]), int(stats["nd"])) != (
+            n_old, n_old + m - 1, m
+        ):
+            raise ValueError(
+                f"append_block_aligned: pre-positioned rows must cover "
+                f"exactly {n_old}..{n_old + m - 1} gap-free, got "
+                f"min={stats['mn']} max={stats['mx']} distinct={stats['nd']}"
+            )
+        new_rows = df_new
+    else:
+        new_rows = global_index(
+            df_new, order_col, out_col=pos_col, start=n_old
+        )
     tail = n_old % r
     tail_entry = None
     if tail:
@@ -1189,6 +1223,133 @@ def interleave_by_weight(
         ["__vkey", source_col, id_col],
         out_col=out_col,
     ).drop("__vkey", "__grank")
+
+
+def interleave_append(
+    df_new: DataFrame,
+    path: str,
+    source_col: str,
+    weights: dict[str, int],
+    id_col: str,
+    pos_col: str = "pos",
+    mode: str = "fresh",
+) -> dict:
+    """MIXTURE-PRESERVING GROWTH — the missing edge between
+    :func:`interleave_by_weight` (write-once blend) and
+    :func:`append_block_aligned` (growth): new docs are blended into
+    the appended position region [n, n+m) by the virtual-time
+    schedule instead of being concatenated in arrival order, and land
+    through ``append_block_aligned(pre_positioned=True)``: new whole
+    blocks, tail compaction, full blocks byte-untouched. Two blending
+    semantics, both deterministic and engine-portable:
+
+    - ``mode="fresh"`` (default): the increment is interleaved on its
+      OWN schedule (``vkey = (r' + 1) · (L / w_s)``) — every
+      contiguous slice of the appended region carries the configured
+      mixture (the plain Bresenham property), regardless of what the
+      layout's historical composition looks like. The right choice
+      when training consumes the appended region as its own stream.
+    - ``mode="continue"``: each source's rank sequence RESUMES at its
+      laid-out count (``vkey = (n_s + r' + 1) · (L / w_s)``) — a
+      deficit/catch-up scheduler: sources whose laid-out share is
+      BELOW their target ratio exhausted the old schedule early, so
+      their virtual clocks lag and their new docs front-load the
+      appended region until the GLOBAL ratios converge toward the
+      target. The right choice when the mixture contract is over the
+      whole corpus and history under-served some source. (Found by
+      the mixture pytest: continuing after an exhausted source is NOT
+      slice-mixture-preserving — it is ratio-healing. Both semantics
+      are therefore explicit, never implied.)
+
+    Scale: one column-pruned ``groupBy(source)`` over the layout (the
+    per-source offsets, ``continue`` only — one narrow column), one
+    range exchange over the NEW slice (its own global_index), plus
+    the append machinery. Weights must cover every source in the new
+    slice (same loud contract as the interleave). Returns
+    :func:`append_block_aligned`'s report."""
+    import math
+
+    if mode not in ("fresh", "continue"):
+        raise ValueError(
+            f"interleave_append: unknown mode {mode!r} "
+            "(expected 'fresh' or 'continue')"
+        )
+    if not weights:
+        raise ValueError("interleave_append: weights must be non-empty")
+    for s, w in weights.items():
+        if int(w) < 1:
+            raise ValueError(
+                f"interleave_append: weight for {s!r} must be >= 1"
+            )
+    for reserved in ("__vkey", "__nrank", "__soff", "__scnt"):
+        if reserved in df_new.columns:
+            raise ValueError(
+                f"interleave_append: column {reserved!r} is reserved"
+            )
+    spark = df_new.sparkSession
+    meta = read_layout_meta(path)
+    if meta is None or "block_size" not in meta:
+        raise ValueError(
+            f"interleave_append: no block-aligned _meta.json under "
+            f"{path} - write the base layout with persist_block_aligned"
+        )
+    n_old = int(meta["n"])
+    # per-source consumed counts from the layout (continue mode's
+    # virtual-clock resume points) — ONE column-pruned agg
+    laid = (
+        {
+            r[source_col]: int(r["c"])
+            for r in spark.read.parquet(path)
+            .groupBy(source_col)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        if mode == "continue"
+        else {}
+    )
+    lcm = 1
+    for w in weights.values():
+        lcm = lcm * int(w) // math.gcd(lcm, int(w))
+    # per-source ranks among the NEW docs (the interleave recipe)
+    ranked = global_index(df_new, [source_col, id_col], out_col="__nrank")
+    offs = {
+        r[source_col]: int(r["off"])
+        for r in ranked.groupBy(source_col)
+        .agg(F.min("__nrank").alias("off"))
+        .collect()
+    }
+    unknown = [s for s in offs if s not in weights]
+    if unknown:
+        raise ValueError(
+            f"interleave_append: sources {unknown!r} have no weight "
+            "(explicit weights only - a default would corrupt the mixture)"
+        )
+    off_expr = F.lit(None).cast("long")
+    stride_expr = F.lit(None).cast("long")
+    base_expr = F.lit(None).cast("long")
+    for s, off in offs.items():
+        off_expr = F.when(F.col(source_col) == s, F.lit(off)).otherwise(
+            off_expr
+        )
+        stride_expr = F.when(
+            F.col(source_col) == s, F.lit(lcm // int(weights[s]))
+        ).otherwise(stride_expr)
+        base_expr = F.when(
+            F.col(source_col) == s, F.lit(int(laid.get(s, 0)))
+        ).otherwise(base_expr)
+    # continued schedule: source rank resumes at n_s
+    vkey = (
+        base_expr + (F.col("__nrank") - off_expr) + F.lit(1)
+    ) * stride_expr
+    positioned = global_index(
+        ranked.withColumn("__vkey", vkey),
+        ["__vkey", source_col, id_col],
+        out_col=pos_col,
+        start=n_old,
+    ).drop("__vkey", "__nrank")
+    return append_block_aligned(
+        positioned, path, pos_col=pos_col, pre_positioned=True
+    )
 
 
 def persist_epoch_layout_versioned(

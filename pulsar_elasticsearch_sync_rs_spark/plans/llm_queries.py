@@ -3812,6 +3812,107 @@ ORDER BY pos2
 """
 
 
+# q_interleave_append scratch dir (at most one), reclaimed on the next
+# invocation within the same process (q_epoch_layout_scan recipe)
+_INTERLEAVE_APPEND_LAST: list[str] = []
+
+
+def q_interleave_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIXTURE-PRESERVING GROWTH, graded end-to-end
+    (operators/ordering.interleave_append): the corpus's ``doc_id % 5
+    != 0`` slice is blended and laid out block-aligned; the ``% 5 ==
+    0`` slice then arrives as an APPEND in ``mode="continue"`` — each
+    source's rank sequence resumes at its laid-out count, the
+    deficit/catch-up scheduler (under-served sources front-load the
+    appended region until global ratios converge; the default
+    ``fresh`` mode's per-slice mixture is pytest-pinned separately) —
+    and lands through the append lifecycle (new whole blocks, tail
+    compaction, full blocks byte-untouched). Output = the grown
+    layout's full (pos, doc_id, lang) mapping; the oracle replays the
+    original interleave AND the continued schedule in closed form, so
+    one hash equality witnesses that growth preserved the old
+    positions and scheduled the increment exactly.
+
+    Scale: the original interleave's two skinny range exchanges for
+    the base, ONE column-pruned per-source count over the layout +
+    one range exchange over the NEW slice for the append — growth
+    cost tracks the increment, not the corpus."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from pulsar_elasticsearch_sync_rs_spark.operators.ordering import (
+        interleave_append,
+        interleave_by_weight,
+        persist_block_aligned,
+    )
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .filter(F.col("lang").isNotNull() & (F.length("lang") > 0))
+    )
+    langs = [r[0] for r in docs.select("lang").distinct().collect()]
+    if not langs:
+        return docs.select(
+            F.lit(None).cast("long").alias("pos"), "doc_id", "lang"
+        ).limit(0)
+    weights = {lang: 1 + (ord(lang[0]) % 4) for lang in langs}
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+
+    prev = _INTERLEAVE_APPEND_LAST.pop(0) if _INTERLEAVE_APPEND_LAST else None
+    if prev:
+        shutil.rmtree(prev, ignore_errors=True)
+    path = tempfile.mkdtemp(prefix="spark_graft_ileave_append_")
+    _INTERLEAVE_APPEND_LAST.append(path)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+
+    mixed = interleave_by_weight(old, "lang", weights, "doc_id",
+                                 out_col="pos")
+    persist_block_aligned(mixed, path, block_size=48, num_partitions=8)
+    interleave_append(
+        new, path, "lang", weights, "doc_id", pos_col="pos",
+        mode="continue",
+    )
+    return spark.read.parquet(path).select("pos", "doc_id", "lang")
+
+
+ORACLE_INTERLEAVE_APPEND = """
+WITH base AS (
+  SELECT doc_id, lang, 1 + (ascii(substr(lang, 1, 1)) % 4) AS wt
+  FROM documents
+  WHERE lang IS NOT NULL AND lang <> ''
+), old_r AS (
+  SELECT doc_id, lang, wt,
+    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rnk
+  FROM base WHERE doc_id % 5 <> 0
+), old_m AS (
+  SELECT doc_id, lang,
+    ROW_NUMBER() OVER (ORDER BY rnk * (12 // wt), lang, doc_id) - 1 AS pos
+  FROM old_r
+), n0 AS (
+  SELECT count(*) AS n FROM old_m
+), oc AS (
+  SELECT lang, count(*) AS c FROM old_r GROUP BY lang
+), new_r AS (
+  SELECT doc_id, lang, wt,
+    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rnk
+  FROM base WHERE doc_id % 5 = 0
+), new_m AS (
+  SELECT r.doc_id, r.lang,
+    ROW_NUMBER() OVER (
+      ORDER BY (COALESCE(oc.c, 0) + r.rnk) * (12 // r.wt), r.lang, r.doc_id
+    ) - 1 AS rel
+  FROM new_r r LEFT JOIN oc ON oc.lang = r.lang
+)
+SELECT pos, doc_id, lang FROM old_m
+UNION ALL
+SELECT CAST(n0.n + rel AS BIGINT) AS pos, doc_id, lang FROM new_m, n0
+ORDER BY pos
+"""
+
+
 # decorrelated from TRAIN_SPLIT_SALT (that stream hashes doc_id; this
 # one hashes CLUSTER ids, but several lanes run both over the same
 # table and independent permutations keep the decisions independent)

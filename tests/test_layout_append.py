@@ -406,3 +406,158 @@ def test_epoch_block_manifest_bytes_spans_and_order(spark, tmp_path):
             else e["path"]
             for e in entries[1:]
         } or len(res.inputFiles()) == len(entries) - 1
+
+
+def test_interleave_append_fresh_mixture_and_byte_identity(
+    spark, sf_dir, tmp_path
+):
+    """Round-15 mixture-preserving growth, mode='fresh': the appended
+    region is interleaved on its own schedule, so its contiguous
+    prefixes carry the configured ratios (Bresenham bound); old
+    positions untouched, full old blocks byte-identical, and the
+    pre-positioned append contract is validated loudly."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.ordering import (
+        interleave_append,
+        interleave_by_weight,
+    )
+    from pulsar_elasticsearch_sync_rs_spark.sources.batch import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    weights = {"de": 1, "en": 2, "es": 2, "fr": 3, "zh": 3}
+    old = docs.filter(F.col("doc_id") % 4 != 0)
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+    r = 32
+    path = str(tmp_path / "mix_grow")
+    mixed = interleave_by_weight(old, "lang", weights, "doc_id")
+    persist_block_aligned(mixed, path, block_size=r, num_partitions=4)
+    n_old = read_layout_meta(path)["n"]
+    before = _file_stats(path)
+    full_before = {
+        f["path"]
+        for f in read_layout_meta(path)["files"]
+        if f.get("n_rows", 0) == r
+    }
+    old_map = {
+        row.doc_id: row.pos for row in spark.read.parquet(path).collect()
+    }
+
+    rep = interleave_append(new, path, "lang", weights, "doc_id")
+    m = new.count()
+    assert rep["appended"] == m and rep["n"] == n_old + m
+
+    rows = spark.read.parquet(path).collect()
+    assert sorted(row.pos for row in rows) == list(range(n_old + m))
+    grown = {row.doc_id: row.pos for row in rows}
+    for d, p in old_map.items():
+        assert grown[d] == p  # old positions untouched
+    after = _file_stats(path)
+    for p in full_before:
+        assert after[p] == before[p]  # full old blocks byte-identical
+
+    # the appended region's own prefixes carry the mixture
+    app = sorted((row.pos, row.lang) for row in rows if row.pos >= n_old)
+    counts: dict[str, int] = {}
+    for _, lang in app:
+        counts[lang] = counts.get(lang, 0) + 1
+    lcm = 6
+    first_exhaust_v = min(
+        counts.get(s, 0) * (lcm // w) for s, w in weights.items()
+    )
+    horizon = sum(
+        min(counts.get(s, 0), first_exhaust_v * w // lcm)
+        for s, w in weights.items()
+    )
+    w_total = sum(weights.values())
+    checked = 0
+    for cut in (w_total, horizon // 2, horizon):
+        if cut < w_total:
+            continue
+        got: dict[str, int] = {}
+        for _, lang in app[:cut]:
+            got[lang] = got.get(lang, 0) + 1
+        for s, w in weights.items():
+            expect = cut * w / w_total
+            assert abs(got.get(s, 0) - expect) <= len(weights), (
+                cut, s, got.get(s, 0), expect)
+        checked += 1
+    assert checked >= 2
+
+    # pre-positioned contract: wrong positions refused loudly
+    bad = new.limit(3).withColumn("pos", F.lit(999_999).cast("long"))
+    with pytest.raises(ValueError, match="gap-free"):
+        append_block_aligned(bad, path, pos_col="pos", pre_positioned=True)
+    with pytest.raises(ValueError, match="order_col is required"):
+        append_block_aligned(new.limit(3), path)
+    with pytest.raises(ValueError, match="unknown mode"):
+        interleave_append(new, path, "lang", weights, "doc_id",
+                          mode="nope")
+
+
+def test_interleave_append_continue_is_deficit_catchup(
+    spark, sf_dir, tmp_path
+):
+    """mode='continue': the appended order is EXACTLY the continued
+    virtual-time schedule (python-replayed), and the catch-up
+    direction holds — the source most under-served relative to its
+    target ratio in the old layout leads the appended region."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.ordering import (
+        interleave_append,
+        interleave_by_weight,
+    )
+    from pulsar_elasticsearch_sync_rs_spark.sources.batch import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    weights = {"de": 1, "en": 2, "es": 2, "fr": 3, "zh": 3}
+    old = docs.filter(F.col("doc_id") % 4 != 0)
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+    path = str(tmp_path / "mix_cont")
+    mixed = interleave_by_weight(old, "lang", weights, "doc_id")
+    persist_block_aligned(mixed, path, block_size=32, num_partitions=4)
+    n_old = read_layout_meta(path)["n"]
+    laid: dict[str, int] = {}
+    for row in spark.read.parquet(path).select("lang").collect():
+        laid[row.lang] = laid.get(row.lang, 0) + 1
+
+    interleave_append(new, path, "lang", weights, "doc_id",
+                      mode="continue")
+    got = [
+        (row.pos, row.doc_id, row.lang)
+        for row in spark.read.parquet(path).collect()
+        if row.pos >= n_old
+    ]
+    got.sort()
+
+    # python replay of the continued schedule
+    import math
+
+    lcm = 1
+    for w in weights.values():
+        lcm = lcm * w // math.gcd(lcm, w)
+    new_rows = sorted(
+        (row.lang, row.doc_id) for row in new.collect()
+    )
+    per_src: dict[str, int] = {}
+    keyed = []
+    for lang, did in new_rows:
+        per_src[lang] = per_src.get(lang, 0) + 1
+        vk = (laid.get(lang, 0) + per_src[lang]) * (lcm // weights[lang])
+        keyed.append((vk, lang, did))
+    keyed.sort()
+    want = [
+        (n_old + i, did, lang) for i, (vk, lang, did) in enumerate(keyed)
+    ]
+    assert got == want
+
+    # catch-up direction: the first appended doc belongs to the source
+    # with the smallest resume virtual time (the most under-served)
+    lead = min(
+        (
+            (laid.get(s, 0) + 1) * (lcm // w)
+            for s, w in weights.items()
+            if per_src.get(s)
+        ),
+    )
+    first_lang = got[0][2]
+    assert (laid.get(first_lang, 0) + 1) * (
+        lcm // weights[first_lang]
+    ) == lead
