@@ -80,6 +80,39 @@ def main() -> None:
         "base (1.0x = perfectly base-independent)"
     )
 
+    print("== interleave_append: increment-proportional growth ==")
+    from pulsar_elasticsearch_sync_rs_spark.operators.ordering import (
+        interleave_append,
+        interleave_by_weight,
+    )
+
+    weights = {"a": 1, "b": 2, "c": 3}
+
+    def with_src(d):
+        return d.withColumn(
+            "src",
+            F.element_at(
+                F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+                ((F.xxhash64("doc_id") % 3 + 3) % 3 + 1).cast("int"),
+            ).cast("string"),
+        )
+
+    for n_base in (500_000, 5_000_000):
+        base_docs = with_src(docs(spark, 0, n_base))
+        path = os.path.join(tmp, f"ileave_{n_base}")
+        mixed = interleave_by_weight(base_docs, "src", weights, "doc_id")
+        persist_block_aligned(mixed, path, block_size=4096)
+        for mode, lo in (("fresh", n_base), ("continue", n_base + 50_000)):
+            slice_docs = with_src(docs(spark, lo, lo + 50_000))
+            t0 = time.perf_counter()
+            interleave_append(
+                slice_docs, path, "src", weights, "doc_id", mode=mode
+            )
+            print(
+                f"  base={n_base:>9,} mode={mode:8s} append 50k: "
+                f"{time.perf_counter() - t0:6.2f}s"
+            )
+
     print("== pack_bins_residual_fill: decade growth ==")
     pws = {}
     for n in (500_000, 5_000_000):
