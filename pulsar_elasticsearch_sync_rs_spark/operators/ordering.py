@@ -763,17 +763,19 @@ def append_block_aligned(
             f"{sorted(df_new.columns)} do not match the layout's "
             f"{sorted(want_cols)}"
         )
-    m = df_new.count()
-    if m == 0:
-        return {"appended": 0, "n": n_old, "tail_rewritten": False,
-                "new_files": []}
-
     if pre_positioned:
+        # one skinny agg validates the gap-free contract AND yields m
+        # (no separate count job)
         stats = df_new.agg(
+            F.count(F.lit(1)).alias("m"),
             F.min(pos_col).alias("mn"),
             F.max(pos_col).alias("mx"),
             F.count_distinct(F.col(pos_col)).alias("nd"),
         ).first()
+        m = int(stats["m"])
+        if m == 0:
+            return {"appended": 0, "n": n_old, "tail_rewritten": False,
+                    "new_files": []}
         if (int(stats["mn"]), int(stats["mx"]), int(stats["nd"])) != (
             n_old, n_old + m - 1, m
         ):
@@ -784,6 +786,10 @@ def append_block_aligned(
             )
         new_rows = df_new
     else:
+        m = df_new.count()
+        if m == 0:
+            return {"appended": 0, "n": n_old, "tail_rewritten": False,
+                    "new_files": []}
         new_rows = global_index(
             df_new, order_col, out_col=pos_col, start=n_old
         )
@@ -1324,25 +1330,55 @@ def interleave_append(
             f"interleave_append: sources {unknown!r} have no weight "
             "(explicit weights only - a default would corrupt the mixture)"
         )
-    off_expr = F.lit(None).cast("long")
-    stride_expr = F.lit(None).cast("long")
-    base_expr = F.lit(None).cast("long")
-    for s, off in offs.items():
-        off_expr = F.when(F.col(source_col) == s, F.lit(off)).otherwise(
-            off_expr
+    if len(offs) <= 16:
+        off_expr = F.lit(None).cast("long")
+        stride_expr = F.lit(None).cast("long")
+        base_expr = F.lit(None).cast("long")
+        for s, off in offs.items():
+            off_expr = F.when(F.col(source_col) == s, F.lit(off)).otherwise(
+                off_expr
+            )
+            stride_expr = F.when(
+                F.col(source_col) == s, F.lit(lcm // int(weights[s]))
+            ).otherwise(stride_expr)
+            base_expr = F.when(
+                F.col(source_col) == s, F.lit(int(laid.get(s, 0)))
+            ).otherwise(base_expr)
+        # continued schedule: source rank resumes at n_s (fresh: 0)
+        keyed = ranked.withColumn(
+            "__vkey",
+            (base_expr + (F.col("__nrank") - off_expr) + F.lit(1))
+            * stride_expr,
         )
-        stride_expr = F.when(
-            F.col(source_col) == s, F.lit(lcm // int(weights[s]))
-        ).otherwise(stride_expr)
-        base_expr = F.when(
-            F.col(source_col) == s, F.lit(int(laid.get(s, 0)))
-        ).otherwise(base_expr)
-    # continued schedule: source rank resumes at n_s
-    vkey = (
-        base_expr + (F.col("__nrank") - off_expr) + F.lit(1)
-    ) * stride_expr
+    else:
+        # high-cardinality source column: broadcast the per-source
+        # constants instead of a chained WHEN (the interleave_by_weight
+        # rule, round-14 ADVICE)
+        src_type = dict(ranked.dtypes)[source_col]
+        sos = spark.createDataFrame(
+            [
+                (s, int(off), int(lcm // int(weights[s])),
+                 int(laid.get(s, 0)))
+                for s, off in offs.items()
+            ],
+            f"`{source_col}` {src_type}, __soff long, __sstride long, "
+            "__scnt long",
+        )
+        keyed = (
+            ranked.join(F.broadcast(sos), source_col)
+            .withColumn(
+                "__vkey",
+                (
+                    F.col("__scnt")
+                    + (F.col("__nrank") - F.col("__soff"))
+                    + F.lit(1)
+                )
+                * F.col("__sstride"),
+            )
+            .drop("__soff", "__sstride", "__scnt")
+        )
     positioned = global_index(
-        ranked.withColumn("__vkey", vkey),
+        keyed,
         ["__vkey", source_col, id_col],
         out_col=pos_col,
         start=n_old,

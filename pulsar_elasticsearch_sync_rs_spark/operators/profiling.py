@@ -53,6 +53,15 @@ def profile_table(
         raise ValueError(f"profile_table: no column(s) {missing!r}")
     if not cols:
         raise ValueError("profile_table: nothing to profile")
+    # the unpivot rides a stack() SQL expression carrying the column
+    # names as string literals — names with quote characters would
+    # inject into it; refuse loudly rather than mis-parse
+    bad = [c for c in cols if "'" in c or "`" in c]
+    if bad:
+        raise ValueError(
+            f"profile_table: column name(s) {bad!r} contain quote "
+            "characters - rename before profiling"
+        )
     dtypes = dict(df.dtypes)
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, c in enumerate(cols):
