@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .skew import spread_scan
+
 MEDIA_META_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -206,7 +208,9 @@ def synthesize_bmp_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             T.StructField("payload", T.BinaryType(), False),
         ]
     )
-    return df.mapInPandas(synth, schema)
+    # single-row-group fixture scans are one task; spread BEFORE the
+    # Python kernel so synthesis+decode use every core (guide §2.5)
+    return spread_scan(df).mapInPandas(synth, schema)
 
 
 def decode_bmp_features(
@@ -253,7 +257,9 @@ def synthesize_wav_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             T.StructField("payload", T.BinaryType(), False),
         ]
     )
-    return df.mapInPandas(synth, schema)
+    # single-row-group fixture scans are one task; spread BEFORE the
+    # Python kernel so synthesis+decode use every core (guide §2.5)
+    return spread_scan(df).mapInPandas(synth, schema)
 
 
 WAV_FEATURE_SCHEMA = T.StructType(
@@ -467,7 +473,9 @@ def synthesize_avi_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             T.StructField("payload", T.BinaryType(), False),
         ]
     )
-    return df.mapInPandas(synth, schema)
+    # single-row-group fixture scans are one task; spread BEFORE the
+    # Python kernel so synthesis+decode use every core (guide §2.5)
+    return spread_scan(df).mapInPandas(synth, schema)
 
 
 AVI_FRAME_SCHEMA = T.StructType(
@@ -750,7 +758,9 @@ def synthesize_png_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             T.StructField("payload", T.BinaryType(), False),
         ]
     )
-    return df.mapInPandas(synth, schema)
+    # single-row-group fixture scans are one task; spread BEFORE the
+    # Python kernel so synthesis+decode use every core (guide §2.5)
+    return spread_scan(df).mapInPandas(synth, schema)
 
 
 def decode_png_features(
@@ -1678,7 +1688,9 @@ def synthesize_jpeg_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             T.StructField("payload", T.BinaryType(), False),
         ]
     )
-    return df.mapInPandas(synth, schema)
+    # single-row-group fixture scans are one task; spread BEFORE the
+    # Python kernel so synthesis+decode use every core (guide §2.5)
+    return spread_scan(df).mapInPandas(synth, schema)
 
 
 def decode_jpeg_features(
@@ -2254,7 +2266,9 @@ def synthesize_jpeg_prog_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFr
             T.StructField("payload", T.BinaryType(), False),
         ]
     )
-    return df.mapInPandas(synth, schema)
+    # single-row-group fixture scans are one task; spread BEFORE the
+    # Python kernel so synthesis+decode use every core (guide §2.5)
+    return spread_scan(df).mapInPandas(synth, schema)
 
 
 def synthesize_jpeg_color_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -2293,7 +2307,9 @@ def synthesize_jpeg_color_corpus(df: DataFrame, id_col: str = "doc_id") -> DataF
             T.StructField("payload", T.BinaryType(), False),
         ]
     )
-    return df.mapInPandas(synth, schema)
+    # single-row-group fixture scans are one task; spread BEFORE the
+    # Python kernel so synthesis+decode use every core (guide §2.5)
+    return spread_scan(df).mapInPandas(synth, schema)
 
 
 def decode_jpeg_color_features(

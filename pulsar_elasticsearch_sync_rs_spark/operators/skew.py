@@ -81,3 +81,30 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
     return f_salted.join(d_replicated, [key, "__salt"], how).drop("__salt")
+
+
+def spread_scan(df: DataFrame, *by: str) -> DataFrame:
+    """Input-skew remedy for unsplittable scans (optimization guide
+    §2.5: "one huge unsplittable file ... repartition immediately
+    after the read"). The driver fixtures are SINGLE-ROW-GROUP parquet
+    files, so a scan is one non-empty task and every pre-exchange
+    operator riding it — Arrow decode kernels, regex gates, shingle
+    explodes, JSON parsing — runs serially no matter how many cores
+    the session has (measured round 15: the progressive-JPEG lane ran
+    3.2× faster once spread).
+
+    Scale-adaptive, not a constant: repartitions up to the session's
+    ``defaultParallelism`` ONLY when the plan currently has fewer
+    partitions. At production file counts (a 100 TB corpus is tens of
+    thousands of row groups) the check is a no-op, so this never adds
+    a gratuitous full-corpus shuffle at scale; at fixture/driver scale
+    the one tiny exchange buys full-width parallelism for everything
+    downstream. Pass ``by`` columns for deterministic hash placement
+    (e.g. the id the next operator groups on); default is round-robin
+    (exact balance; retry-deterministic via Spark's
+    sort-before-repartition).
+    """
+    n = int(df.sparkSession.sparkContext.defaultParallelism)
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n, *[F.col(c) for c in by]) if by else df.repartition(n)
