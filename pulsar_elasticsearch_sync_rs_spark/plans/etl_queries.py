@@ -34,6 +34,7 @@ from pulsar_elasticsearch_sync_rs_spark.operators.filters import (
     filter_non_empty,
 )
 from pulsar_elasticsearch_sync_rs_spark.operators.rate_limit import rate_limit_per_second
+from pulsar_elasticsearch_sync_rs_spark.operators.skew import spread_scan
 from pulsar_elasticsearch_sync_rs_spark.sources.batch import read_table
 
 # shared test config pieces (mirrored verbatim in the oracles)
@@ -317,7 +318,10 @@ def q_etl_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         debug_log_patterns=(DEBUG_PAT,),
         rate_limits={"__DEFAULT_APP__": 2},
     )
-    records = events_as_stream_records(spark, sf_dir)
+    # the whole filter->parse->sanitize->rewrite chain is narrow and
+    # otherwise runs in the scan's ONE task on the single-row-group
+    # fixture — spread first (guide §2.5; no-op at real file counts)
+    records = spread_scan(events_as_stream_records(spark, sf_dir), "event_id")
     out = etl_transform(records, cfg, tiebreaker="event_id")
     return (
         out.groupBy("app", "index")

@@ -40,6 +40,7 @@ from pulsar_elasticsearch_sync_rs_spark.operators.similarity import (
     knn_cosine_bruteforce,
     knn_cosine_lsh,
 )
+from pulsar_elasticsearch_sync_rs_spark.operators.skew import spread_scan
 from pulsar_elasticsearch_sync_rs_spark.sources.batch import read_table
 
 
@@ -1292,7 +1293,9 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         contamination_hits,
     )
 
-    docs = read_table(spark, sf_dir, "documents")
+    # spread once for both sides: the corpus shingle explode is the
+    # heavy pre-exchange work (bench side is ~1% of docs)
+    docs = spread_scan(read_table(spark, sf_dir, "documents"), "doc_id")
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     corpus = docs.filter(F.col("doc_id") % 97 != 0)
     return contamination_hits(corpus, bench, n=3)
@@ -1796,7 +1799,11 @@ def q_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pulsar_elasticsearch_sync_rs_spark.operators.packing import pack_sequences
 
-    docs = read_table(spark, sf_dir, "documents")
+    # spread the single-row-group scan BEFORE the gate: the whole
+    # gate+shingle chain otherwise runs in one task (guide §2.5);
+    # hash placement on doc_id keeps every downstream semi-join key
+    # co-partitioned and is a no-op at production file counts
+    docs = spread_scan(read_table(spark, sf_dir, "documents"), "doc_id")
     # Gate stays in EXPRESSION form — a deliberate, measured choice
     # (round-13 sf100 A/B, SCALE.md): the one-pass Arrow signals twin
     # (text_signals_fast) wins at micro-batch grain (streaming
