@@ -81,8 +81,9 @@ HEADLINE = [
     # iteration/checkpoint constants — their cost curves live in the
     # decade table (tools/probe_round12_decade.py, SCALE.md).
     "q_epoch_shuffle",
-    # round-14 additions: the blendable-dataset interleave (two skinny
-    # range exchanges, pure JVM, no window) and the two-level block
+    # round-14 additions: the blendable-dataset interleave (ONE skinny
+    # range exchange since the round-15 closed-form position rewrite,
+    # pure JVM, no window) and the two-level block
     # epoch order (the per-epoch SKINNY metadata job that replaces a
     # full-corpus range exchange; its one window partitions by block —
     # bounded — and a global/single-partition window here would be the
@@ -143,7 +144,7 @@ PLAN_PINS: dict[str, dict] = {
     "q_bm25_topk": {"arrow_max": 0},  # tokenize/agg/joins all JVM; the ≤5-element sum is an interpreted HOF, not Arrow
     "q_media_jpeg_prog": {"arrow_max": 2},  # synth corpus + decode: exactly two MapInPandas
     "q_epoch_shuffle": {"arrow_max": 0, "window_free": True},  # pure JVM (monotonic-id rank + broadcast offsets); a Window node here is the single-partition regression
-    "q_interleave_mix": {"arrow_max": 0, "window_free": True},  # two global_index passes — same no-window contract as q_epoch_shuffle
+    "q_interleave_mix": {"arrow_max": 0, "window_free": True},  # one global_index pass + closed-form positions — same no-window contract as q_epoch_shuffle
     "q_epoch_two_level": {"arrow_max": 0},  # one bounded per-block window is expected; no Arrow crossing anywhere
     "q_pack_bins_mixed": {"arrow_max": 0, "window_free": True},  # rank arithmetic end-to-end; a per-class window here is the mega-class skew regression
 }

@@ -1133,13 +1133,17 @@ def interleave_by_weight(
     rank = global rank − the source's offset (one tiny agg +
     broadcast); interleave key = (r + 1) · (L / w_source) with L =
     lcm(weights) — the classic smallest-virtual-time-first schedule —
-    and final position = :func:`global_index` over the NATIVE
-    (virtual-time, source, id) composite, ties broken by the
-    (source, id) columns directly (long/native compares — the
-    round-14 sort-key A/B retired the old fixed-width string key).
+    and final position computed in CLOSED FORM from the per-source
+    (offset, count, stride) constants (the rank of v in the merged
+    ascending (vkey, source, id) order is a sum of per-source
+    floor-division terms — see the inline derivation), so the second
+    range exchange the operator used to pay is gone (optimization
+    round 15). Above 16 sources the closed-form expression would be
+    O(sources) per row, so that path still ranks via
+    :func:`global_index` over the native composite — identical order.
 
-    Scale: two range exchanges (both over a SKINNY projection if the
-    caller selects first) + two ≤ numPartitions-row collects; no
+    Scale: ONE range exchange (over a SKINNY projection if the
+    caller selects first) + one ≤ #sources-row collect; no
     window, no UDF. Sources absent from ``weights`` raise (silent
     drop or weight-1 defaulting would corrupt the mixture contract).
     Output = input columns + ``out_col``."""
@@ -1173,12 +1177,13 @@ def interleave_by_weight(
     # order (round-14 review finding). The same collect doubles as the
     # unknown-source validation, replacing the separate distinct scan
     # the operator previously paid per call.
-    offs = {
-        r[source_col]: int(r["off"])
+    stats = {
+        r[source_col]: (int(r["off"]), int(r["cnt"]))
         for r in ranked.groupBy(source_col)
-        .agg(F.min("__grank").alias("off"))
+        .agg(F.min("__grank").alias("off"), F.count(F.lit(1)).alias("cnt"))
         .collect()
     }
+    offs = {s: off for s, (off, _) in stats.items()}
     unknown = [s for s in offs if s not in weights]
     if unknown:
         raise ValueError(
@@ -1186,8 +1191,24 @@ def interleave_by_weight(
             "(explicit weights only - a default would corrupt the mixture)"
         )
     if len(offs) <= 16:
-        # few sources (the typical mixture): inline literal CASE —
-        # no extra plan node
+        # few sources (the typical mixture): inline literal CASE for
+        # the virtual key, then a CLOSED-FORM final position — the
+        # second range exchange the operator used to pay (a
+        # global_index over (vkey, source, id)) is replaced by per-row
+        # integer arithmetic over the per-source constants
+        # (optimization round 15, guide §2.4 "remove shuffles
+        # outright"). With stride_s = L/w_s and per-source rank r,
+        # this row's key is v = (r+1)·stride_s and its rank in the
+        # ascending (vkey, source, id) order is exactly
+        #   pos = Σ_{s'} min(n_s', ⌊(v−1)/stride_s'⌋)   (rows with vkey' < v)
+        #       + Σ_{s' < s} [stride_s' divides v  AND
+        #                     v/stride_s' ≤ n_s']       (vkey ties)
+        # — vkey is strictly monotone in rank within a source, so the
+        # id tiebreak can never decide between equal (vkey, source)
+        # pairs and drops out of the formula. Source comparisons use
+        # Spark's own ordering (lit < col), the same collation the
+        # retired sort used. The oracle lanes and the virtual-time
+        # property test pin the equality.
         off_expr = F.lit(None).cast("long")
         stride_expr = F.lit(None).cast("long")
         for s, off in offs.items():
@@ -1199,6 +1220,24 @@ def interleave_by_weight(
             ).otherwise(stride_expr)
         vkeyed = ranked.withColumn(
             "__vkey", (F.col("__grank") - off_expr + F.lit(1)) * stride_expr
+        )
+        pos = None
+        for s, (_, n_s) in stats.items():
+            stride = int(lcm // int(weights[s]))
+            # integer `div`, NOT float `/`: v can exceed double's
+            # 53-bit mantissa at corpus scale; stride is our own int()
+            qm1 = F.expr(f"(__vkey - 1) div {stride}")
+            term = F.least(F.lit(n_s), qm1)
+            tie = F.when(
+                (F.lit(s) < F.col(source_col))
+                & (F.pmod(F.col("__vkey"), F.lit(stride)) == 0)
+                & (F.expr(f"__vkey div {stride}") <= F.lit(n_s)),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+            t = term + tie
+            pos = t if pos is None else pos + t
+        return vkeyed.withColumn(out_col, pos.cast("long")).drop(
+            "__vkey", "__grank"
         )
     else:
         # high-cardinality source column: a chained WHEN per source
@@ -1222,8 +1261,10 @@ def interleave_by_weight(
             )
             .drop("__soff", "__sstride")
         )
-    # native (virtual-time, source, id) composite — identical order to
-    # the former zero-padded string key, long compares instead
+    # >16 sources: the closed-form per-row sum would be an O(sources)
+    # expression per row (the giant-CASE shape); rank the native
+    # (virtual-time, source, id) composite with the range exchange
+    # instead — identical total order
     return global_index(
         vkeyed,
         ["__vkey", source_col, id_col],
@@ -1318,12 +1359,13 @@ def interleave_append(
         lcm = lcm * int(w) // math.gcd(lcm, int(w))
     # per-source ranks among the NEW docs (the interleave recipe)
     ranked = global_index(df_new, [source_col, id_col], out_col="__nrank")
-    offs = {
-        r[source_col]: int(r["off"])
+    stats = {
+        r[source_col]: (int(r["off"]), int(r["cnt"]))
         for r in ranked.groupBy(source_col)
-        .agg(F.min("__nrank").alias("off"))
+        .agg(F.min("__nrank").alias("off"), F.count(F.lit(1)).alias("cnt"))
         .collect()
     }
+    offs = {s: off for s, (off, _) in stats.items()}
     unknown = [s for s in offs if s not in weights]
     if unknown:
         raise ValueError(
@@ -1349,6 +1391,39 @@ def interleave_append(
             "__vkey",
             (base_expr + (F.col("__nrank") - off_expr) + F.lit(1))
             * stride_expr,
+        )
+        # CLOSED-FORM appended position (the interleave_by_weight
+        # derivation with per-source virtual-clock bases): among the
+        # NEW rows, source s' contributes
+        # clamp(⌊(v−1)/stride_s'⌋ − base_s', 0, m_s') rows with
+        # vkey' < v, plus the tie indicator for s' < s when v sits on
+        # s'-schedule slot base_s' < v/stride_s' ≤ base_s'+m_s'. The
+        # second range exchange (global_index over (vkey, source,
+        # id)) is gone; append_block_aligned's pre-positioned agg
+        # still independently witnesses gap-free coverage
+        # n..n+m−1 (optimization round 15).
+        pos = F.lit(int(n_old))
+        for s, (_, m_s) in stats.items():
+            stride = int(lcm // int(weights[s]))
+            base = int(laid.get(s, 0))
+            qm1 = F.expr(f"(__vkey - 1) div {stride}")
+            term = F.greatest(
+                F.lit(0), F.least(F.lit(m_s), qm1 - F.lit(base))
+            )
+            q = F.expr(f"__vkey div {stride}")
+            tie = F.when(
+                (F.lit(s) < F.col(source_col))
+                & (F.pmod(F.col("__vkey"), F.lit(stride)) == 0)
+                & (q > F.lit(base))
+                & (q <= F.lit(base + m_s)),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+            pos = pos + term + tie
+        positioned = keyed.withColumn(pos_col, pos.cast("long")).drop(
+            "__vkey", "__nrank"
+        )
+        return append_block_aligned(
+            positioned, path, pos_col=pos_col, pre_positioned=True
         )
     else:
         # high-cardinality source column: broadcast the per-source
@@ -1377,6 +1452,8 @@ def interleave_append(
             )
             .drop("__soff", "__sstride", "__scnt")
         )
+    # >16 sources: closed form would be O(sources) per row — rank the
+    # composite with the range exchange instead (identical order)
     positioned = global_index(
         keyed,
         ["__vkey", source_col, id_col],

@@ -3642,10 +3642,11 @@ def q_interleave_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROW_NUMBER — the strongest witness (every single position must
     agree).
 
-    Scale: two skinny range exchanges (the global_index shape — no
-    window, no UDF); the absolute virtual keys differ from the
-    oracle's only by a shared constant factor (lcm basis), which
-    cannot reorder."""
+    Scale: ONE skinny range exchange (the per-source rank pass) —
+    the final position is closed-form rank arithmetic since the
+    round-15 optimization (no window, no UDF); the absolute virtual
+    keys differ from the oracle's only by a shared constant factor
+    (lcm basis), which cannot reorder."""
     from pulsar_elasticsearch_sync_rs_spark.operators.ordering import (
         interleave_by_weight,
     )
@@ -3718,7 +3719,7 @@ def q_loader_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
     loader story ("blend once, lay out once, stream every epoch by
     metadata").
 
-    Scale: two skinny range exchanges (the interleave), one hash
+    Scale: one skinny range exchange (the interleave), one hash
     exchange (the layout write), then N independent file-list reads
     with no predicate, no shuffle, and zero bytes rewritten per epoch
     — at 1000 ranks over 100 TB the LAYOUT is the shuffle service."""
@@ -3840,10 +3841,11 @@ def q_interleave_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     one hash equality witnesses that growth preserved the old
     positions and scheduled the increment exactly.
 
-    Scale: the original interleave's two skinny range exchanges for
+    Scale: the original interleave's one skinny range exchange for
     the base, ONE column-pruned per-source count over the layout +
-    one range exchange over the NEW slice for the append — growth
-    cost tracks the increment, not the corpus."""
+    one range exchange over the NEW slice for the append (appended
+    positions are closed-form since round 15) — growth cost tracks
+    the increment, not the corpus."""
     import atexit
     import shutil
     import tempfile
