@@ -44,12 +44,20 @@ def lloyd_kmeans(
     an emptied center keeps its previous position)."""
     rng = np.random.default_rng(seed)
     centers = X[rng.choice(len(X), size=min(k, len(X)), replace=False)]
+    # hoist the constant ||x||² term and reuse one distance buffer:
+    # the original one-liner allocated three fresh (n, k) temporaries
+    # per iteration, each above the glibc mmap threshold, and the
+    # mmap/zero-page churn was ~8× the arithmetic (measured round 15:
+    # 16 sub-quantizer trainings 0.79 → 0.33 s). Bit-identical values:
+    # matmul out= is the same GEMM, d*(-2)+xx == xx-2·d exactly in
+    # IEEE (negation and ×2 are exact), addition order unchanged.
+    xx = (X * X).sum(axis=1, keepdims=True)
+    d = np.empty((len(X), len(centers)))
     for _ in range(max_iter):
-        d = (
-            (X * X).sum(axis=1, keepdims=True)
-            - 2.0 * (X @ centers.T)
-            + (centers * centers).sum(axis=1)
-        )
+        np.matmul(X, centers.T, out=d)
+        d *= -2.0
+        d += xx
+        d += (centers * centers).sum(axis=1)
         assign = d.argmin(axis=1)
         # vectorized mean-per-cluster (scatter-add + bincount) — the
         # per-cluster boolean-mask loop costs k full passes over X per

@@ -85,18 +85,25 @@ def make_pq_encode_udf(codebooks: np.ndarray):
     """One vectorized Arrow pass: vector → m nearest-sub-centroid codes."""
     m, ksub, dsub = codebooks.shape
 
+    # per-subspace centroid norms are batch-invariant — compute once
+    # at UDF build time, not m times per Arrow batch
+    cnorm2 = (codebooks * codebooks).sum(axis=2)
+
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def encode(vec: pd.Series) -> pd.Series:
         V = np.array(vec.tolist(), dtype=np.float64)
         codes = np.empty((len(V), m), dtype=np.int32)
+        # one reused (n, ksub) distance buffer instead of three fresh
+        # above-mmap-threshold temporaries per subspace (the Lloyd
+        # trainer's round-15 finding; same bit-identical rewrite:
+        # d·(−2)+||x||² == ||x||²−2·d exactly in IEEE float)
+        d = np.empty((len(V), ksub))
         for j in range(m):
             sub = V[:, j * dsub : (j + 1) * dsub]
-            C = codebooks[j]
-            d = (
-                (sub * sub).sum(axis=1, keepdims=True)
-                - 2.0 * (sub @ C.T)
-                + (C * C).sum(axis=1)
-            )
+            np.matmul(sub, codebooks[j].T, out=d)
+            d *= -2.0
+            d += (sub * sub).sum(axis=1, keepdims=True)
+            d += cnorm2[j]
             codes[:, j] = d.argmin(axis=1)
         return pd.Series([row.tolist() for row in codes])
 

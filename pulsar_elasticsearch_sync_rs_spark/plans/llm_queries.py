@@ -867,7 +867,17 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(ws_tokens(F.lower(F.col("text")))).alias("token")
     )
-    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    # checkpoint the skinny (doc_id, token, tf) table ONCE: tf feeds
+    # four independent subtrees (dl, dfreq→query, the corpus stats and
+    # the contrib base) and broadcast builds re-execute their whole
+    # subtree, so without the barrier the tokenize+explode pass over
+    # the full corpus ran 4× per query (guide §2.4 / §5 — measured
+    # round 15: 4 parquet scans of documents in the before-plan, 1
+    # after). Values are unchanged: tf is deterministic and the per-doc
+    # score sums in fixed token order downstream.
+    tf = (
+        toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    ).localCheckpoint()
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     # two independent 1-row aggregates cross-joined — not the corpus
     # streamed through a join against a scalar (round-10 review finding)

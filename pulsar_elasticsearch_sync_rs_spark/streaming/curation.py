@@ -814,7 +814,16 @@ def run_curation_ingest(
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         import time as _time
 
+        from ..operators.skew import spread_scan
+
         spark = batch_df.sparkSession
+        # file-source micro-batches arrive with ONE partition per input
+        # file — far below the session's cores at typical trigger sizes
+        # — and every per-doc stage below (gate, shingle explode, sha,
+        # minhash signatures, jaccard verify) would inherit that serial
+        # split (guide §2.5). Spread once per batch; no-op whenever the
+        # trigger already carries >= defaultParallelism splits.
+        batch_df = spread_scan(batch_df)
         counts: dict[str, int] = {}
         walls: dict[str, float] = {"batch_id": batch_id}
         _batch_t0 = _time.perf_counter()
