@@ -348,25 +348,41 @@ def _scd2_splice(
     tomb_rows = touched.filter(is_tomb)
     nxt_from = F.lead(from_col).over(Window.partitionBy(key).orderBy(from_col))
     base_ev = normal.withColumn("__nxt_from", nxt_from)
-    starts = base_ev.select(
-        F.col(key),
-        *[F.col(a) for a in attrs],
+    # ONE pass over the windowed base subtree: each version row emits
+    # its start event plus (when a gap follows) its delete event as a
+    # 2-slot struct array exploded in place. The previous shape fed
+    # two separate union branches, and each branch re-ran the touched
+    # scan AND the gap-detection window (round-15 optimization —
+    # guide §2.4: the merge is the CDC stream's per-batch hot path).
+    start_s = F.struct(
+        *[F.col(a).alias(a) for a in attrs],
         F.col(from_col).alias(ts_col),
         F.lit("U").alias(op_col),
         F.lit(0).alias("__src"),
     )
-    deletes = base_ev.filter(
+    delete_s = F.when(
         F.col(to_col).isNotNull()
         & (
             F.col("__nxt_from").isNull()
             | (F.col("__nxt_from") != F.col(to_col))
+        ),
+        F.struct(
+            *[F.lit(None).cast(attr_types[a]).alias(a) for a in attrs],
+            F.col(to_col).alias(ts_col),
+            F.lit("D").alias(op_col),
+            F.lit(1).alias("__src"),
+        ),
+    )
+    base_events = (
+        base_ev.select(F.col(key), F.explode(F.array(start_s, delete_s)).alias("__e"))
+        .filter(F.col("__e").isNotNull())
+        .select(
+            F.col(key),
+            *[F.col(f"__e.{a}").alias(a) for a in attrs],
+            F.col(f"__e.{ts_col}").alias(ts_col),
+            F.col(f"__e.{op_col}").alias(op_col),
+            F.col("__e.__src").alias("__src"),
         )
-    ).select(
-        F.col(key),
-        *[F.lit(None).cast(attr_types[a]).alias(a) for a in attrs],
-        F.col(to_col).alias(ts_col),
-        F.lit("D").alias(op_col),
-        F.lit(1).alias("__src"),
     )
     tomb_deletes = tomb_rows.select(
         F.col(key),
@@ -382,20 +398,27 @@ def _scd2_splice(
         F.col(op_col),
         F.lit(2).alias("__src"),
     )
-    events = (
-        starts.unionByName(deletes)
-        .unionByName(tomb_deletes)
-        .unionByName(chg_ev)
-    )
+    events = base_events.unionByName(tomb_deletes).unionByName(chg_ev)
     # (key, ts) collision: the change wins over a base boundary (it is
     # the newer statement about that instant); a base delete event at
     # the same instant as a base start cannot occur (intervals
-    # partition the lifetime). row_number, not dropDuplicates — the
-    # winner must be deterministic.
-    pick = Window.partitionBy(key, ts_col).orderBy(F.col("__src").desc())
+    # partition the lifetime). Winner selection and event sequencing
+    # share ONE key-partitioned exchange: within a key sorted by
+    # (ts, __src desc), the first row of each ts-group IS the max-__src
+    # winner (the row_number-per-(key,ts) form cost a second full
+    # exchange hashed on (key, ts)); the filter preserves partitioning
+    # and sort, so the lead/lag window below re-sorts nothing. Ties on
+    # (ts, __src) can only be content-identical delete events (null
+    # attrs, op='D'), so either pick yields the same timeline.
+    w_seq = Window.partitionBy(key).orderBy(
+        F.col(ts_col).asc(), F.col("__src").desc()
+    )
     events = (
-        events.withColumn("__rn", F.row_number().over(pick))
-        .filter(F.col("__rn") == 1)
+        events.withColumn("__prev_ts", F.lag(ts_col).over(w_seq))
+        .filter(
+            F.col("__prev_ts").isNull() | (F.col("__prev_ts") != F.col(ts_col))
+        )
+        .drop("__prev_ts")
     )
     w_key = Window.partitionBy(key).orderBy(ts_col)
     events = events.withColumn("__next_ts", F.lead(ts_col).over(w_key)).withColumn(
@@ -529,21 +552,25 @@ def scd2_apply_partitioned(
         on_late=on_late,
     ).withColumn("pb", pb)
     merged = merged.localCheckpoint(eager=True)
-    n = merged.count()
-    # orphan-tombstone census over the buckets being rewritten anyway
-    # (one pass over the eager checkpoint, no extra base read): splice
-    # persists a zero-length [ts, ts) row per D-before-I until the
-    # insert arrives, and a buggy upstream that never sends the insert
-    # grows this set without bound — the streaming runner watches the
-    # per-bucket counts (streaming/cdc_ingest.py) the way pq.py's
-    # max_pending bounds the IVF-PQ delete backlog
-    tombs_by_bucket = {
-        int(r["pb"]): int(r["n"])
-        for r in merged.filter(is_tomb)
-        .groupBy("pb")
-        .agg(F.count("*").alias("n"))
+    # row count + orphan-tombstone census in ONE aggregation over the
+    # buckets being rewritten anyway (one pass over the eager
+    # checkpoint, no extra base read — they were two separate jobs
+    # until round 15): splice persists a zero-length [ts, ts) row per
+    # D-before-I until the insert arrives, and a buggy upstream that
+    # never sends the insert grows this set without bound — the
+    # streaming runner watches the per-bucket counts
+    # (streaming/cdc_ingest.py) the way pq.py's max_pending bounds the
+    # IVF-PQ delete backlog
+    census = (
+        merged.groupBy("pb")
+        .agg(
+            F.count("*").alias("rows"),
+            F.count(F.when(is_tomb, True)).alias("n"),
+        )
         .collect()
-    }
+    )
+    n = sum(int(r["rows"]) for r in census)
+    tombs_by_bucket = {int(r["pb"]): int(r["n"]) for r in census if r["n"]}
     (
         merged.repartition("pb")
         .write.mode("overwrite")

@@ -129,11 +129,18 @@ def global_index(
     local_rank = F.col("__mid") - (
         F.col("__pid").cast("long") * F.lit(_MID_PARTITION_STRIDE)
     )
-    return (
+    out = (
         with_ids.join(F.broadcast(offs), "__pid")
         .withColumn(out_col, F.col("__off") + local_rank)
         .drop("__pid", "__mid", "__off")
     )
+    # the offsets collect already summed the exact row count — pin it
+    # on THIS frame so consumers (epoch_shuffle_two_level) skip their
+    # own count job. Safe by construction: DataFrame transformations
+    # return new objects, so the attribute never survives a filter or
+    # projection that could change the count.
+    out._graft_row_count = acc - int(start)
+    return out
 
 
 def epoch_shuffle(
@@ -603,6 +610,11 @@ def epoch_shuffle_two_level(
     from pyspark.sql import Window
 
     r = int(block_size)
+    if n is None:
+        # a frame fresh from global_index carries its exact row count
+        # (pinned by the offsets collect) — use it instead of paying a
+        # count job over the derived lineage (round-15 optimization)
+        n = getattr(df, "_graft_row_count", None)
     n = df.count() if n is None else int(n)
     if n == 0:
         return df.withColumn(out_col, F.lit(None).cast("long"))

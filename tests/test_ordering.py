@@ -53,6 +53,43 @@ def test_global_index_empty_input_total(spark):
     assert global_index(df, "id").collect() == []
 
 
+def test_global_index_pins_row_count_and_two_level_uses_it(spark):
+    """Round-15 optimization: global_index pins its exact row count on
+    the returned frame (the offsets collect already summed it), and
+    epoch_shuffle_two_level over that frame builds its permutation
+    plan with ZERO extra Spark jobs (no df.count()), with a mapping
+    identical to the explicit-n form."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.ordering import (
+        epoch_shuffle_two_level,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(137)], "doc_id long")
+    base = global_index(df, "doc_id", out_col="pos", num_partitions=4)
+    assert base._graft_row_count == 137
+    # start=k offsets the positions but not the count
+    assert global_index(df, "doc_id", out_col="p2", start=5)._graft_row_count == 137
+    # a derived frame must NOT inherit the pin (its count may differ)
+    assert not hasattr(base.filter(F.col("pos") < 10), "_graft_row_count")
+
+    sc = spark.sparkContext
+    sc.setJobGroup("two_level_pinned_n", "zero-job witness")
+    try:
+        out = epoch_shuffle_two_level(
+            base, "doc_id", epoch=3, block_size=16, out_col="pos2"
+        )
+        jobs = sc.statusTracker().getJobIdsForGroup("two_level_pinned_n")
+        assert list(jobs) == []  # plan built without a count job
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    want = {
+        (r.doc_id, r.pos2)
+        for r in epoch_shuffle_two_level(
+            base, "doc_id", epoch=3, block_size=16, out_col="pos2", n=137
+        ).collect()
+    }
+    assert {(r.doc_id, r.pos2) for r in out.collect()} == want
+
+
 def test_global_index_plan_no_window(spark):
     """The reason this operator exists: row_number().over(orderBy)
     plans a single partition holding the whole dataset. The operator's
