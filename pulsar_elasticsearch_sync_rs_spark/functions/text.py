@@ -89,20 +89,64 @@ def quality_score(text: Column | str) -> Column:
     """Composite heuristic quality score in [0,1]: rewards moderate
     length, low punctuation density, presence of stopwords, and a sane
     mean word length — the standard cheap pre-filter for LLM training
-    corpora (C4-style heuristics)."""
+    corpora (C4-style heuristics).
+
+    SINGLE-PASS shape (round-15): one ``aggregate`` traversal of the
+    token array accumulates ``(n_tok, sum_len, n_sw)`` and the
+    ``finish`` lambda assembles the whole score — so the expression
+    tokenizes the text EXACTLY once and walks the tokens exactly once,
+    no matter how the caller uses it (filters included: the previous
+    multi-reference form re-inlined the whitespace split ~6× per row
+    at every use site, and predicate pushdown re-substitutes aliases
+    so no call-site factoring could fix filter contexts — see
+    kgrams_from_tokens). Per-token ``lower`` inside the step replaces
+    the second tokenize of ``lower(text)``: the tokens are the same
+    substrings, so per-char lowercase context (incl. final-sigma) is
+    identical. The arithmetic reproduces the original associativity
+    term-for-term — bit-identical IEEE doubles, equality pinned
+    against the Arrow twin and the DuckDB oracle. NULL text scores
+    0.65 — the multi-reference form's (quirky but load-bearing)
+    constant: every ratio's when-guard fell to its otherwise-branch
+    while ``least`` skipped the NULL len term."""
     text = F.col(text) if isinstance(text, str) else text
     toks = ws_tokens(text)
-    n_tok = F.size(toks).cast("double")
-    mean_wlen = F.when(
-        n_tok > 0,
-        F.aggregate(toks, F.lit(0).cast("double"), lambda acc, t: acc + F.length(t)) / n_tok,
-    ).otherwise(F.lit(0.0))
-    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
-    wlen_score = F.when((mean_wlen >= 3) & (mean_wlen <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
-    punct_score = F.lit(1.0) - F.least(punct_ratio(text) * 5, F.lit(1.0))
-    sw_score = F.least(stopword_ratio(text) * 4, F.lit(1.0))
-    return F.round(
-        len_score * 0.3 + wlen_score * 0.2 + punct_score * 0.25 + sw_score * 0.25, 6
+    sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    zero = F.struct(
+        F.lit(0).alias("n"),
+        F.lit(0).cast("double").alias("sum_len"),
+        F.lit(0).alias("n_sw"),
+    )
+
+    def step(acc, t):
+        return F.struct(
+            (acc["n"] + F.lit(1)).alias("n"),
+            (acc["sum_len"] + F.length(t)).alias("sum_len"),
+            (
+                acc["n_sw"] + F.array_contains(sw, F.lower(t)).cast("int")
+            ).alias("n_sw"),
+        )
+
+    def finish(acc):
+        n_tok = acc["n"].cast("double")
+        mean_wlen = F.when(n_tok > 0, acc["sum_len"] / n_tok).otherwise(F.lit(0.0))
+        len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+        wlen_score = F.when(
+            (mean_wlen >= 3) & (mean_wlen <= 10), F.lit(1.0)
+        ).otherwise(F.lit(0.5))
+        punct_score = F.lit(1.0) - F.least(punct_ratio(text) * 5, F.lit(1.0))
+        sw_ratio = F.when(
+            acc["n"] > 0, acc["n_sw"].cast("double") / acc["n"].cast("double")
+        ).otherwise(F.lit(0.0))
+        sw_score = F.least(sw_ratio * 4, F.lit(1.0))
+        return F.round(
+            len_score * 0.3 + wlen_score * 0.2 + punct_score * 0.25 + sw_score * 0.25,
+            6,
+        )
+
+    # NULL text: aggregate(NULL, …) is NULL, but the multi-reference
+    # form scored 0.65 (see docstring) — preserve it explicitly
+    return F.when(text.isNull(), F.lit(0.65)).otherwise(
+        F.aggregate(toks, zero, step, finish)
     )
 
 
@@ -314,37 +358,35 @@ def text_signals_fast(text: Column | str) -> Column:
     return _sig(F.col(text) if isinstance(text, str) else text)
 
 
-def lang_guess(text: Column | str) -> Column:
-    """N-gram/stopword language-ID heuristic: score each candidate
-    language by stopword hits, pick the argmax (ties -> first language
-    in sorted order, pinned for oracle parity).
+def _lang_zero() -> Column:
+    return F.struct(*[F.lit(0).alias(f"s_{lg}") for lg in sorted(STOPWORDS)])
 
-    Single-pass shape: ONE `aggregate` traversal accumulates all
-    per-language counters in a struct. The naive form (one
-    `filter`+`size` per language) inlines the tokenize subtree N_langs
-    times and walks the token array N_langs times — these higher-order
-    functions are interpreted (CodegenFallback), so the redundancy is
-    paid at full per-element-boxing price."""
-    text = F.col(text) if isinstance(text, str) else text
-    toks = ws_tokens(F.lower(text))
+
+def _lang_step(acc: Column, t: Column) -> Column:
+    return F.struct(
+        *[
+            (
+                acc[f"s_{lg}"]
+                + F.array_contains(
+                    F.array(*[F.lit(w) for w in STOPWORDS[lg]]), t
+                ).cast("int")
+            ).alias(f"s_{lg}")
+            for lg in sorted(STOPWORDS)
+        ]
+    )
+
+
+def lang_pick(scores_struct: Column | str) -> Column:
+    """Argmax over a per-language stopword-hit counter struct
+    (``s_<lang>`` fields) — strict > means the FIRST language (sorted
+    order) wins ties, pinned for oracle parity. Used as
+    :func:`lang_guess`'s aggregate-finish lambda, where the struct is
+    the accumulator variable (evaluated once); if called standalone,
+    pass a materialized attribute, not a raw aggregate expression."""
+    scores_struct = (
+        F.col(scores_struct) if isinstance(scores_struct, str) else scores_struct
+    )
     langs = sorted(STOPWORDS)
-    zero = F.struct(*[F.lit(0).alias(f"s_{lg}") for lg in langs])
-
-    def step(acc, t):
-        return F.struct(
-            *[
-                (
-                    acc[f"s_{lg}"]
-                    + F.array_contains(
-                        F.array(*[F.lit(w) for w in STOPWORDS[lg]]), t
-                    ).cast("int")
-                ).alias(f"s_{lg}")
-                for lg in langs
-            ]
-        )
-
-    scores_struct = F.aggregate(toks, zero, step)
-    # strict > means the FIRST language (sorted order) wins ties
     best = F.lit("unknown")
     acc_score = F.lit(0)
     for lg in langs:
@@ -355,9 +397,36 @@ def lang_guess(text: Column | str) -> Column:
     return best
 
 
-def word_kgrams(text: Column | str, k: int) -> Column:
+def lang_guess(text: Column | str) -> Column:
+    """N-gram/stopword language-ID heuristic: score each candidate
+    language by stopword hits, pick the argmax (ties -> first language
+    in sorted order, pinned for oracle parity).
+
+    SINGLE-PASS shape (round-15): ONE `aggregate` traversal
+    accumulates all per-language counters in a struct AND the finish
+    lambda runs the argmax over the accumulator — so the whole
+    expression tokenizes and walks the text exactly once regardless of
+    call context. The previous form applied the argmax when-chain to
+    the raw aggregate expression, which inlined the aggregate (and its
+    tokenize) 2·N_langs times per row (round-15 A/B at sf0.1: 0.286 →
+    0.195 s noop for the lang-only select); the naive one-filter-per-
+    language form is N_langs full traversals on top of that. These
+    higher-order functions are interpreted (CodegenFallback), so every
+    redundant reference is paid at full per-element-boxing price.
+    NULL text: aggregate(NULL) is NULL, but the multi-reference argmax
+    scored NULL comparisons as false and returned 'unknown' — kept via
+    the explicit guard."""
+    text = F.col(text) if isinstance(text, str) else text
+    toks = ws_tokens(F.lower(text))
+    return F.when(text.isNull(), F.lit("unknown")).otherwise(
+        F.aggregate(toks, _lang_zero(), _lang_step, lang_pick)
+    )
+
+
+def kgrams_from_tokens(toks: Column | str, k: int) -> Column:
     """ALL k-word grams (space-joined, order-preserving, NOT distinct)
-    — position i of the result is the gram starting at token i.
+    from an ALREADY-TOKENIZED array column — position i of the result
+    is the gram starting at token i.
 
     Shape matters here: ``zip_with`` over k shifted ``slice``s of the
     token array, NOT ``transform(sequence, i -> element_at(toks, i+j))``.
@@ -365,10 +434,16 @@ def word_kgrams(text: Column | str, k: int) -> Column:
     reference once per element — with ``element_at(toks, ...)`` inside
     the lambda the whitespace split re-runs O(n·k) times per document
     (measured 12× slower on the fixture corpus). The zip_with form
-    references the token array only k times per row (once per slice)
-    and the lambdas touch nothing but their own arguments. The k
+    references the token array k+2 times (k slices + the length
+    guard), which is why ``toks`` should be a MATERIALIZED attribute:
+    pass a raw ``ws_tokens(text)`` expression and Catalyst inlines the
+    whitespace split into every one of those references (the round-15
+    q_substring_dedup plan showed 41 ``split``s per row at k=20 —
+    CollapseProject keeps a pre-projected token column separate
+    precisely because it is a non-cheap expression referenced more
+    than once, so the two-step select costs one split per row). The k
     slices all have length n−k+1, so zip_with never null-pads."""
-    toks = ws_tokens(text)
+    toks = F.col(toks) if isinstance(toks, str) else toks
     n = F.size(toks)
     ln = n - k + 1
     arrs = [F.slice(toks, j + 1, ln) for j in range(k)]
@@ -380,19 +455,34 @@ def word_kgrams(text: Column | str, k: int) -> Column:
     return F.when(n >= k, gram).otherwise(F.array().cast("array<string>"))
 
 
+def word_kgrams(text: Column | str, k: int) -> Column:
+    """:func:`kgrams_from_tokens` over ``ws_tokens(text)``. Prefer the
+    two-step form — project ``ws_tokens`` into a column first, then
+    gram the attribute — wherever the grams feed a Generate/explode or
+    a multi-column select (see kgrams_from_tokens' inlining note)."""
+    return kgrams_from_tokens(ws_tokens(text), k)
+
+
+def shingles_from_tokens(toks: Column | str, k: int = 3) -> Column:
+    """Distinct k-word shingles from an already-tokenized array column
+    (see :func:`kgrams_from_tokens` for the expression-shape note)."""
+    return F.array_distinct(kgrams_from_tokens(toks, k))
+
+
 def word_shingles(text: Column | str, k: int = 3) -> Column:
     """Distinct k-word shingles — the unit for n-gram Jaccard /
-    MinHash. See :func:`word_kgrams` for the expression-shape note."""
+    MinHash. See :func:`kgrams_from_tokens` for the expression-shape
+    note (and prefer its two-step form on hot paths)."""
     return F.array_distinct(word_kgrams(text, k))
 
 
-def word_bigrams(text: Column | str) -> Column:
+def bigrams_from_tokens(toks: Column | str) -> Column:
     """All word bigrams (space-joined, order-preserving, NOT distinct)
-    over :func:`ws_tokens` — the unit for repetition signals. Docs with
-    fewer than two tokens yield an empty array. Same zip_with-of-slices
-    shape as :func:`word_shingles` (see its docstring for why the
-    transform/element_at form is O(n·k) splits per row)."""
-    toks = ws_tokens(text)
+    from an already-tokenized array column — the unit for repetition
+    signals. Fewer than two tokens yields an empty array. Same
+    zip_with-of-slices shape (and the same materialize-the-tokens
+    advice) as :func:`kgrams_from_tokens`."""
+    toks = F.col(toks) if isinstance(toks, str) else toks
     n = F.size(toks)
     bigram = F.zip_with(
         F.slice(toks, 1, n - 1),
@@ -400,6 +490,11 @@ def word_bigrams(text: Column | str) -> Column:
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
     return F.when(n >= 2, bigram).otherwise(F.array().cast("array<string>"))
+
+
+def word_bigrams(text: Column | str) -> Column:
+    """:func:`bigrams_from_tokens` over ``ws_tokens(text)``."""
+    return bigrams_from_tokens(ws_tokens(text))
 
 
 def max_multiplicity(arr: Column) -> Column:
@@ -422,6 +517,37 @@ def max_multiplicity(arr: Column) -> Column:
         return F.struct(x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best"))
 
     return F.aggregate(sorted_arr, acc0, step, lambda a: a["best"])
+
+
+def repetition_signals_from_tokens(
+    toks: Column | str,
+) -> tuple[Column, Column, Column]:
+    """The Gopher-style repetition signals computed from an
+    ALREADY-TOKENIZED (and already lowercased) token array column —
+    identical values to :func:`repetition_signals`, but the caller
+    projects ``ws_tokens(lower(text))`` into an attribute first so the
+    whitespace split runs once per row instead of once per reference
+    (see :func:`kgrams_from_tokens`). Use in select contexts; filters
+    substitute aliases back on predicate pushdown, so the wrapper form
+    is equivalent there."""
+    toks = F.col(toks) if isinstance(toks, str) else toks
+    n = F.size(toks).cast("bigint")
+    dup_word_frac = F.round(
+        F.when(
+            n > 0,
+            F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n.cast("double"),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    top_bigram_frac = F.round(
+        F.when(
+            n >= 2,
+            max_multiplicity(bigrams_from_tokens(toks)).cast("double")
+            / (n - 1).cast("double"),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    return n, dup_word_frac, top_bigram_frac
 
 
 def repetition_signals(text: Column | str) -> tuple[Column, Column, Column]:

@@ -24,17 +24,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import word_shingles
+from ..functions.text import shingles_from_tokens, ws_tokens
 
 # ~5M short strings ≈ low hundreds of MB as a broadcast hash relation —
 # comfortably inside a 4 GB executor; beyond this, shuffle instead.
 DEFAULT_MAX_BROADCAST_GRAMS = 5_000_000
 
 
+def _exploded_grams(df: DataFrame, n: int, text_col: str, *keep) -> DataFrame:
+    """``(*keep, g)`` — one row per distinct word n-gram per row of
+    ``df``, tokenizing each document EXACTLY once: the two-step select
+    materializes the token array as an attribute before the shingle
+    zip_with references it k+2 times (see
+    functions.text.kgrams_from_tokens for the inlining trap this
+    avoids)."""
+    return df.select(*keep, ws_tokens(text_col).alias("__toks")).select(
+        *keep, F.explode(shingles_from_tokens("__toks", n)).alias("g")
+    )
+
+
 def bench_gram_set(bench: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
     """The distinct word n-gram set of the benchmark table — one
     column ``g``. Deduped once so the join side carries no repeats."""
-    return bench.select(F.explode(word_shingles(text_col, n)).alias("g")).distinct()
+    return _exploded_grams(bench, n, text_col).distinct()
 
 
 def contamination_hits(
@@ -59,9 +71,7 @@ def contamination_hits(
     """
     grams = bench_gram_set(bench, n, text_col)
     grams, _ = _guarded(grams, max_broadcast_grams)
-    corpus_grams = corpus.select(
-        id_col, F.explode(word_shingles(text_col, n)).alias("g")
-    )
+    corpus_grams = _exploded_grams(corpus, n, text_col, id_col)
     return (
         corpus_grams.join(grams, "g")
         .groupBy(id_col)
@@ -84,7 +94,7 @@ def decontaminate(
     grams = bench_gram_set(bench, n, text_col)
     grams, _ = _guarded(grams, max_broadcast_grams)
     hit_ids = (
-        corpus.select(id_col, F.explode(word_shingles(text_col, n)).alias("g"))
+        _exploded_grams(corpus, n, text_col, id_col)
         .join(grams, "g")
         .select(id_col)
         .distinct()
@@ -121,9 +131,7 @@ def contamination_fraction(
     hits onto totals), so the corpus is tokenized exactly once."""
     grams = bench_gram_set(bench, n, text_col)
     grams, _ = _guarded(grams, max_broadcast_grams)
-    corpus_grams = corpus.select(
-        id_col, F.explode(word_shingles(text_col, n)).alias("g")
-    )
+    corpus_grams = _exploded_grams(corpus, n, text_col, id_col)
     per_doc = corpus_grams.join(
         grams.withColumn("__hit", F.lit(1)), "g", "left"
     ).groupBy(id_col).agg(

@@ -23,7 +23,11 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from pulsar_elasticsearch_sync_rs_spark.functions.text import word_shingles, ws_tokens
+from pulsar_elasticsearch_sync_rs_spark.functions.text import (
+    shingles_from_tokens,
+    word_shingles,
+    ws_tokens,
+)
 
 MERSENNE = 2147483647  # 2^31 - 1, modulus for minhash permutations
 
@@ -327,8 +331,15 @@ def ngram_jaccard_pairs(
     cross product.
     """
     blk = [block_col] if block_col else []
+    # two-step select: tokenize once into an attribute, THEN shingle —
+    # the shingle zip_with references its token input k+2 times and
+    # would otherwise inline the whitespace split into every reference
+    # (see functions.text.kgrams_from_tokens)
     base = df.select(
-        F.col(id_col), word_shingles(text, shingle_k).alias("sh"),
+        F.col(id_col), ws_tokens(text).alias("__toks"),
+        *[F.col(c) for c in blk],
+    ).select(
+        F.col(id_col), shingles_from_tokens("__toks", shingle_k).alias("sh"),
         *[F.col(c) for c in blk],
     )
     # Exchange barrier: materializes the shingle arrays so the
@@ -405,7 +416,10 @@ def ppjoin_candidates(
     candidate count stays far below the size-band pair count."""
     blk = [block_col] if block_col else []
     base = df.select(
-        F.col(id_col), word_shingles(text, shingle_k).alias("sh"),
+        F.col(id_col), ws_tokens(text).alias("__toks"),
+        *[F.col(c) for c in blk],
+    ).select(
+        F.col(id_col), shingles_from_tokens("__toks", shingle_k).alias("sh"),
         *[F.col(c) for c in blk],
     )
     base = base.repartition(base.sparkSession.sparkContext.defaultParallelism, id_col)
@@ -1112,11 +1126,24 @@ def repeated_span_cuts(
     Scale: grams shuffle as 32-hex md5 keys (never k-token strings);
     rank + count share ONE (gh) window partitioning; the island merge
     is one per-doc window. Nothing quadratic, no text movement."""
-    from pulsar_elasticsearch_sync_rs_spark.functions.text import word_kgrams
+    from pulsar_elasticsearch_sync_rs_spark.functions.text import (
+        kgrams_from_tokens,
+    )
 
-    grams = docs.select(
-        id_col, F.posexplode(word_kgrams(text, k)).alias("pos", "g")
-    ).select(id_col, "pos", F.md5("g").alias("gh"))
+    # tokenize ONCE into an attribute before the gram Generate: the
+    # k-slice zip_with references its token input k+2 times, and fed
+    # the raw ws_tokens expression Catalyst inlines the whitespace
+    # split into every reference (41 splits/row at k=20 in the
+    # round-15 q_substring_dedup plan). CollapseProject keeps the
+    # pre-projected column separate (non-cheap expression, multiple
+    # references), so this two-step select tokenizes once per row.
+    grams = (
+        docs.select(id_col, ws_tokens(text).alias("__toks"))
+        .select(
+            id_col, F.posexplode(kgrams_from_tokens("__toks", k)).alias("pos", "g")
+        )
+        .select(id_col, "pos", F.md5("g").alias("gh"))
+    )
     w_rank = Window.partitionBy("gh").orderBy(id_col, "pos")
     ranked = grams.select(
         id_col,

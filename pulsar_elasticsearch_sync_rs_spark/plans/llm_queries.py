@@ -694,6 +694,11 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pulsar_elasticsearch_sync_rs_spark.functions.text import quality_score
 
     docs = read_table(spark, sf_dir, "documents")
+    # lang_guess and quality_score are SINGLE-PASS aggregate
+    # expressions (round-15, functions/text.py): each column below
+    # tokenizes the text exactly once, including the pushed-down
+    # quality filter — the pre-round-15 multi-reference forms cost 48
+    # whitespace splits per row in this plan (audit in plans/r15)
     enr = docs.select(
         "doc_id",
         lang_guess("text").alias("lang_guess"),
@@ -1236,11 +1241,19 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow codegen'd scan with ZERO shuffle; the explode→groupBy
     alternative would shuffle one row per bigram of a 100 TB corpus to
     answer a per-document question."""
-    from pulsar_elasticsearch_sync_rs_spark.functions.text import repetition_signals
+    from pulsar_elasticsearch_sync_rs_spark.functions.text import (
+        repetition_signals_from_tokens,
+        ws_tokens,
+    )
 
     docs = read_table(spark, sf_dir, "documents")
-    n, dup_word_frac, top_bigram_frac = repetition_signals("text")
-    out = docs.select(
+    # two-step select: materialize the lowered token array once, then
+    # derive all three signals from the attribute — the inline form
+    # re-ran the lower+split chain for every token reference (~7 per
+    # row; see functions.text.kgrams_from_tokens). Values identical.
+    toked = docs.select("doc_id", ws_tokens(F.lower(F.col("text"))).alias("__lt"))
+    n, dup_word_frac, top_bigram_frac = repetition_signals_from_tokens("__lt")
+    out = toked.select(
         "doc_id",
         F.coalesce(n, F.lit(0).cast("bigint")).alias("n_toks"),
         dup_word_frac.alias("dup_word_frac"),
@@ -2140,7 +2153,10 @@ def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram length (hit intervals [p, p+20) that overlap or abut merge —
     consecutive-position islands alone would emit overlapping,
     non-maximal spans for hits 2 apart). One (doc_id) window shuffle."""
-    from pulsar_elasticsearch_sync_rs_spark.functions.text import word_kgrams
+    from pulsar_elasticsearch_sync_rs_spark.functions.text import (
+        kgrams_from_tokens,
+        ws_tokens,
+    )
 
     # repartition BEFORE the gram projection: the k=20 zip chain is an
     # interpreted HOF and the fixture is a single parquet file — without
@@ -2152,9 +2168,18 @@ def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
-    grams = docs.select(
-        "doc_id", F.posexplode(word_kgrams("text", 20)).alias("pos", "g")
-    ).select("doc_id", "pos", F.md5("g").alias("gh"))
+    # tokenize ONCE into an attribute before the 20-slice zip chain:
+    # fed the raw expression, Catalyst inlines the whitespace split
+    # into all k+2 token references — 41 splits per row (round-15
+    # plan audit); CollapseProject keeps the pre-projected column
+    # separate, so this costs one split per row
+    grams = (
+        docs.select("doc_id", ws_tokens("text").alias("__toks"))
+        .select(
+            "doc_id", F.posexplode(kgrams_from_tokens("__toks", 20)).alias("pos", "g")
+        )
+        .select("doc_id", "pos", F.md5("g").alias("gh"))
+    )
     repeated = grams.groupBy("gh").agg(F.count("*").alias("c")).filter(F.col("c") >= 2)
     occ = grams.join(repeated.select("gh"), "gh", "left_semi").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")

@@ -60,7 +60,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.text import word_shingles
+from ..functions.text import shingles_from_tokens, ws_tokens
 from ..operators.decontaminate import (
     DEFAULT_MAX_BROADCAST_GRAMS,
     _guarded,
@@ -869,8 +869,13 @@ def run_curation_ingest(
         # material, tolerating incidental shared phrases while still
         # killing near-copies. Docs too short to shingle pass (both
         # rules).
+        # two-step select: tokenize once per row before the shingle
+        # zip_with references the token array k+2 times (see
+        # functions.text.kgrams_from_tokens)
         batch_grams = gated.select(
-            id_col, F.explode(word_shingles(text_col, n)).alias("g")
+            id_col, ws_tokens(text_col).alias("__toks")
+        ).select(
+            id_col, F.explode(shingles_from_tokens("__toks", n)).alias("g")
         )
         if contamination_max_frac is None:
             hit_ids = batch_grams.join(grams, "g").select(id_col).distinct()

@@ -23,7 +23,7 @@ from ..operators.decontaminate import (
     _guarded,
     bench_gram_set,
 )
-from ..functions.text import word_shingles
+from ..operators.decontaminate import _exploded_grams
 
 
 def decontaminate_stream(
@@ -50,7 +50,7 @@ def decontaminate_stream(
 
     def clean_batch(batch_df: DataFrame, batch_id: int) -> None:
         hit_ids = (
-            batch_df.select(id_col, F.explode(word_shingles(text_col, n)).alias("g"))
+            _exploded_grams(batch_df, n, text_col, id_col)
             .join(grams, "g")
             .select(id_col)
             .distinct()
