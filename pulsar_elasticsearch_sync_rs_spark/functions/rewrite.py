@@ -33,9 +33,26 @@ def rewrite_index(
     topic: Column | str, rules: Iterable[RewriteRule] = ()
 ) -> Column:
     """P8 + P6 — strip partition suffix, then apply the first matching
-    rewrite rule; unchanged when nothing matches."""
+    rewrite rule; unchanged when nothing matches.
+
+    Composes :func:`strip_partition_suffix` INLINE into every rule
+    branch — with N rules the strip regexp runs N+1 times per row (one
+    rlike per WHEN plus the otherwise). Hot paths should project the
+    stripped topic into its own column once and call
+    :func:`rewrite_index_base` on the attribute (see etl_transform) —
+    CollapseProject keeps a non-cheap multiply-referenced projection
+    separate, so the strip then runs once per row."""
     topic = F.col(topic) if isinstance(topic, str) else topic
-    base = strip_partition_suffix(topic)
+    return rewrite_index_base(strip_partition_suffix(topic), rules)
+
+
+def rewrite_index_base(
+    base: Column | str, rules: Iterable[RewriteRule] = ()
+) -> Column:
+    """P8 over an ALREADY partition-suffix-stripped topic column —
+    identical values to :func:`rewrite_index` given
+    ``base = strip_partition_suffix(topic)``."""
+    base = F.col(base) if isinstance(base, str) else base
     expr: Column | None = None
     for rule in rules:
         target = rule.target.replace(".*", "")  # reference src/es.rs:214

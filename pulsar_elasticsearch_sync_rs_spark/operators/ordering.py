@@ -35,6 +35,7 @@ the projection see identical partition row orders).
 
 from __future__ import annotations
 
+from collections.abc import Callable
 from functools import lru_cache as _lru_cache
 
 from pyspark.sql import DataFrame
@@ -1121,7 +1122,7 @@ def read_epoch_block_shard(
 def interleave_by_weight(
     df: DataFrame,
     source_col: str,
-    weights: dict[str, int],
+    weights: dict[str, int] | Callable[[str], int],
     id_col: str,
     out_col: str = "pos",
 ) -> DataFrame:
@@ -1158,24 +1159,31 @@ def interleave_by_weight(
     caller selects first) + one ≤ #sources-row collect; no
     window, no UDF. Sources absent from ``weights`` raise (silent
     drop or weight-1 defaulting would corrupt the mixture contract).
-    Output = input columns + ``out_col``."""
+    Output = input columns + ``out_col``.
+
+    ``weights`` may instead be a CALLABLE ``source -> int`` (a
+    closed-form weight rule): the rule is applied to exactly the
+    sources the post-rank stats collect surfaces, so the caller skips
+    the separate distinct-scan job it would otherwise run just to
+    enumerate sources for the dict (optimization round 15 — one full
+    source-column scan per call at corpus scale). Positions are
+    identical to passing ``{s: fn(s) for s in distinct_sources}``."""
     import math
 
-    if not weights:
-        raise ValueError("interleave_by_weight: weights must be non-empty")
-    for s, w in weights.items():
-        if int(w) < 1:
-            raise ValueError(
-                f"interleave_by_weight: weight for {s!r} must be >= 1"
-            )
+    weight_fn = weights if callable(weights) else None
+    if weight_fn is None:
+        if not weights:
+            raise ValueError("interleave_by_weight: weights must be non-empty")
+        for s, w in weights.items():
+            if int(w) < 1:
+                raise ValueError(
+                    f"interleave_by_weight: weight for {s!r} must be >= 1"
+                )
     for reserved in ("__vkey", "__grank", "__soff", "__sstride"):
         if reserved in df.columns:
             raise ValueError(
                 f"interleave_by_weight: column {reserved!r} is reserved"
             )
-    lcm = 1
-    for w in weights.values():
-        lcm = lcm * int(w) // math.gcd(lcm, int(w))
     # per-source contiguous ranks: one global_index over the NATIVE
     # (source, id) composite — no packed-string key (the round-14
     # sort-key A/B: numeric compares beat fixed-width strings)
@@ -1196,12 +1204,30 @@ def interleave_by_weight(
         .collect()
     }
     offs = {s: off for s, (off, _) in stats.items()}
-    unknown = [s for s in offs if s not in weights]
-    if unknown:
-        raise ValueError(
-            f"interleave_by_weight: sources {unknown!r} have no weight "
-            "(explicit weights only - a default would corrupt the mixture)"
+    if weight_fn is not None:
+        weights = {s: int(weight_fn(s)) for s in offs}
+        bad = [s for s, w in weights.items() if w < 1]
+        if bad:
+            raise ValueError(
+                f"interleave_by_weight: weight rule returned < 1 for {bad!r}"
+            )
+    else:
+        unknown = [s for s in offs if s not in weights]
+        if unknown:
+            raise ValueError(
+                f"interleave_by_weight: sources {unknown!r} have no weight "
+                "(explicit weights only - a default would corrupt the mixture)"
+            )
+    if not offs:
+        # empty corpus: no sources, no positions — same schema as the
+        # non-empty path (input columns + null out_col), mirroring
+        # global_index's own empty contract
+        return ranked.drop("__grank").withColumn(
+            out_col, F.lit(None).cast("long")
         )
+    lcm = 1
+    for w in weights.values():
+        lcm = lcm * int(w) // math.gcd(lcm, int(w))
     if len(offs) <= 16:
         # few sources (the typical mixture): inline literal CASE for
         # the virtual key, then a CLOSED-FORM final position — the

@@ -134,6 +134,32 @@ def pack_sequences(
     counts = df.select(
         F.col(id_col), token_count_ws(text).cast("bigint").alias("n_toks")
     )
+    return pack_sequences_from_counts(counts, seq_len=seq_len, id_col=id_col)
+
+
+def pack_sequences_from_counts(
+    counts: DataFrame,
+    seq_len: int = 256,
+    id_col: str = "doc_id",
+    n_col: str = "n_toks",
+) -> DataFrame:
+    """:func:`pack_sequences` when the caller ALREADY has per-doc token
+    counts — the packer's output is a pure function of the
+    ``(id, n_tokens)`` map (no fragment carries text), so a pipeline
+    that tokenized upstream must not re-read and re-tokenize the corpus
+    just to count (optimization round 15, guide §2.3 "shuffle keys and
+    metadata instead of payloads": q_llm_pipeline's keys checkpoint now
+    carries ``n_toks`` for 8 B/doc and the packer's whole
+    scan-tokenize-semijoin text pass is gone). Values identical to
+    :func:`pack_sequences` for identical counts, pytest-pinned."""
+    if n_col != "n_toks":
+        counts = counts.select(
+            F.col(id_col), F.col(n_col).cast("bigint").alias("n_toks")
+        )
+    else:
+        counts = counts.select(
+            F.col(id_col), F.col("n_toks").cast("bigint").alias("n_toks")
+        )
     offs = exclusive_prefix_sum(counts, id_col, "n_toks")
     # doc [start, start+n) overlaps windows  start div L .. (start+n-1) div L
     # (`div` = exact integer division — no double-precision floor)

@@ -1820,7 +1820,9 @@ def q_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score,
         repetition_signals,
     )
-    from pulsar_elasticsearch_sync_rs_spark.operators.packing import pack_sequences
+    from pulsar_elasticsearch_sync_rs_spark.operators.packing import (
+        pack_sequences_from_counts,
+    )
 
     # spread the single-row-group scan BEFORE the gate: the whole
     # gate+shingle chain otherwise runs in one task (guide §2.5);
@@ -1890,34 +1892,47 @@ def q_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # + the shingle-explode contamination probe ran ~6× per call,
     # ≈45 s of executor time EACH at sf10 — SCALE.md round 8). So: run
     # the expensive chain exactly ONCE into a SKINNY eager checkpoint
-    # of its keys (~48 B/doc at any scale, never text), make every
-    # decision on that, and recover the surviving text by a cheap
-    # doc_id semi-join against the RAW scan — the packer's main stream
-    # never touches the gate chain at all.
+    # of its keys (~56 B/doc at any scale, never text), make every
+    # decision on that. The checkpoint ALSO carries n_toks
+    # (optimization round 15): the packer's fragments are a pure
+    # function of the (doc_id, n_tokens) map — no fragment carries
+    # text — so the old "recover surviving text by a doc_id semi-join
+    # against the raw scan and re-tokenize it" final pass was a whole
+    # corpus read moving 100 TB to recompute 8 B/doc the gate chain
+    # already knew (guide §2.3: shuffle keys and metadata, not
+    # payloads).
     keys = clean.select(
-        "doc_id", "lang", F.sha2("text", 256).alias("sha")
+        "doc_id",
+        "lang",
+        F.sha2("text", 256).alias("sha"),
+        token_count_ws("text").cast("bigint").alias("n_toks"),
     ).localCheckpoint(eager=True)
 
-    # exact dedup: min-id survivor per sha (q_dedup_exact's rule)
-    surv_ids = (
-        keys.groupBy("sha").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    # exact dedup: min-id survivor per sha (q_dedup_exact's rule) —
+    # ONE groupBy exchange: min_by pulls the survivor's payload
+    # columns through the same aggregation, replacing the old
+    # groupBy + doc_id semi-join pair (two exchanges of the keys
+    # frame; optimization round 15, guide §2.4). doc_id is unique, so
+    # min_by ties are impossible and the rows are identical.
+    surv_keys = keys.groupBy("sha").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("lang", "doc_id").alias("lang"),
+        F.min_by("n_toks", "doc_id").alias("n_toks"),
     )
-    surv_keys = keys.join(surv_ids, "doc_id", "left_semi")
 
     # domain mix over the surviving corpus — SAME helpers as
     # q_domain_mix, so the composite can never drift from the lane
     rates = temperature_rates(surv_keys.filter(F.col("lang").isNotNull()), "lang")
-    mixed_ids = (
+    mixed = (
         surv_keys.join(F.broadcast(rates), "lang")
         .filter(mix_keep_predicate())
         # train split (98%) — q_train_split's SALTED stream
         # (independent of the mix stream; see TRAIN_SPLIT_SALT)
         .filter(knuth_u32("doc_id", TRAIN_SPLIT_SALT) % F.lit(100) < 98)
-        .select("doc_id")
+        .select("doc_id", "n_toks")
     )
-    train = docs.join(mixed_ids, "doc_id", "left_semi")
 
-    return pack_sequences(train.select("doc_id", "text"), seq_len=256)
+    return pack_sequences_from_counts(mixed, seq_len=256)
 
 
 ORACLE_LLM_PIPELINE = r"""
@@ -3695,16 +3710,14 @@ def q_interleave_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         # which carry non-null 2-char langs)
         .filter(F.col("lang").isNotNull() & (F.length("lang") > 0))
     )
-    langs = [r[0] for r in docs.select("lang").distinct().collect()]
-    if not langs:
-        # empty corpus: no sources to weigh — 0 rows, same schema
-        # (the empty-input totality contract)
-        return docs.select(
-            F.lit(None).cast("long").alias("pos"), "doc_id", "lang"
-        )
-    weights = {lang: 1 + (ord(lang[0]) % 4) for lang in langs}
+    # the weight rule rides in as a CALLABLE: the operator applies it
+    # to the sources its post-rank stats collect surfaces, so the
+    # separate distinct-scan job this lane used to run just to build
+    # the dict is gone (optimization round 15 — one fewer full lang-
+    # column scan per call; positions identical, empty corpus handled
+    # by the operator's same-schema empty contract)
     return interleave_by_weight(
-        docs, "lang", weights, "doc_id", out_col="pos"
+        docs, "lang", lambda lang: 1 + (ord(lang[0]) % 4), "doc_id", out_col="pos"
     ).select("pos", "doc_id", "lang")
 
 

@@ -37,13 +37,19 @@ from pulsar_elasticsearch_sync_rs_spark.functions.json_fns import (
     field_count,
     sanitize_keys,
 )
-from pulsar_elasticsearch_sync_rs_spark.functions.rewrite import index_name, rewrite_index
+from pulsar_elasticsearch_sync_rs_spark.functions.rewrite import (
+    index_name,
+    rewrite_index_base,
+)
 from pulsar_elasticsearch_sync_rs_spark.functions.timestamps import (
     at_timestamp,
     date_str,
     rfc3339,
 )
-from pulsar_elasticsearch_sync_rs_spark.functions.topics import topic_last_segment
+from pulsar_elasticsearch_sync_rs_spark.functions.topics import (
+    strip_partition_suffix,
+    topic_last_segment,
+)
 from pulsar_elasticsearch_sync_rs_spark.operators.filters import (
     filter_global_regex,
     filter_namespace_regex,
@@ -106,10 +112,17 @@ def etl_transform(df: DataFrame, cfg: PipelineConfig, tiebreaker: str | None = "
         .withColumn("at_timestamp", rfc3339(F.col("at_ts")))
         .withColumn("date_str", date_str("publish_time", tz=cfg.render_tz))
     )
+    # project the partition-suffix strip ONCE: composed inline into the
+    # rule chain it re-ran once per WHEN branch plus the otherwise
+    # (N_rules+1 regexp_replaces per row in the q_etl_chain plan —
+    # optimization round 15). As a non-cheap, multiply-referenced
+    # projection, CollapseProject keeps __topic_base a separate
+    # attribute, so the strip is one regexp per row in any rule count.
+    df = df.withColumn("__topic_base", strip_partition_suffix("topic_short"))
     df = df.withColumn(
         "index",
-        index_name(rewrite_index("topic_short", cfg.rewrite_rules), F.col("date_str")),
-    )
+        index_name(rewrite_index_base("__topic_base", cfg.rewrite_rules), F.col("date_str")),
+    ).drop("__topic_base")
     # app routes off the SANITIZED doc map: the LAST_WIN rebuild dedupes
     # duplicate keys to the last occurrence (serde_json parity — the
     # raw from_json map physically keeps every occurrence and its
