@@ -1892,7 +1892,7 @@ def q_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # + the shingle-explode contamination probe ran ~6× per call,
     # ≈45 s of executor time EACH at sf10 — SCALE.md round 8). So: run
     # the expensive chain exactly ONCE into a SKINNY eager checkpoint
-    # of its keys (~56 B/doc at any scale, never text), make every
+    # (~24 B/survivor at any scale, never text), make every
     # decision on that. The checkpoint ALSO carries n_toks
     # (optimization round 15): the packer's fragments are a pure
     # function of the (doc_id, n_tokens) map — no fragment carries
@@ -1906,7 +1906,7 @@ def q_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.sha2("text", 256).alias("sha"),
         token_count_ws("text").cast("bigint").alias("n_toks"),
-    ).localCheckpoint(eager=True)
+    )
 
     # exact dedup: min-id survivor per sha (q_dedup_exact's rule) —
     # ONE groupBy exchange: min_by pulls the survivor's payload
@@ -1914,10 +1914,25 @@ def q_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # groupBy + doc_id semi-join pair (two exchanges of the keys
     # frame; optimization round 15, guide §2.4). doc_id is unique, so
     # min_by ties are impossible and the rows are identical.
-    surv_keys = keys.groupBy("sha").agg(
-        F.min("doc_id").alias("doc_id"),
-        F.min_by("lang", "doc_id").alias("lang"),
-        F.min_by("n_toks", "doc_id").alias("n_toks"),
+    #
+    # The eager checkpoint sits AFTER the groupBy (optimization round
+    # 15): since min_by made the groupBy the keys frame's only
+    # consumer, the expensive chain still executes exactly once — on
+    # the groupBy's shuffle-map side — and what materializes is the
+    # even smaller post-dedup survivor set. Checkpointing BEFORE the
+    # groupBy (the old shape) left the dedup exchange inside every
+    # downstream plan, so the rates broadcast build and the packer's
+    # range-partition sampler each re-ran it (three executions of the
+    # same exchange per lane call; guide §1.3 "Exchange count").
+    surv_keys = (
+        keys.groupBy("sha")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("lang", "doc_id").alias("lang"),
+            F.min_by("n_toks", "doc_id").alias("n_toks"),
+        )
+        .select("doc_id", "lang", "n_toks")
+        .localCheckpoint(eager=True)
     )
 
     # domain mix over the surviving corpus — SAME helpers as

@@ -857,7 +857,17 @@ def run_curation_ingest(
             batch_df = batch_df.persist()
             counts["curation_input"] = batch_df.count()
 
-        gated = batch_df.filter(gate_pred)
+        # gated is consumed by TWO branches (the shingle/gram side of
+        # the contamination probe and the anti-join probe side), and
+        # hashed by two more (the dedup groupBy build and its probe) —
+        # uncached, the Arrow gate kernel ran up to 4× and the
+        # decontamination join 2× per micro-batch inside the one
+        # signature/admit job (optimization round 15 profile: the
+        # "signature" stage carried the whole chain; guide §4 — each
+        # re-execution re-crosses the batch text into Python). Two
+        # micro-batch-bounded caches pin each stage to one execution;
+        # released in the finally below.
+        gated = batch_df.filter(gate_pred).persist()
 
         # decontaminate: shingle ONLY gate survivors against the
         # pre-measured gram set (broadcast probe under the guard).
@@ -898,7 +908,7 @@ def run_curation_ingest(
 
         # within-batch min-id survivor per sha — semi-join so text
         # never shuffles on the hash key
-        hashed = clean.withColumn("__sha", F.sha2(F.col(text_col), 256))
+        hashed = clean.withColumn("__sha", F.sha2(F.col(text_col), 256)).persist()
         surv_ids = (
             hashed.select("__sha", id_col)
             .groupBy("__sha")
@@ -1193,6 +1203,8 @@ def run_curation_ingest(
             # admitted is a localCheckpoint (reclaimed by the
             # ContextCleaner when the frame is GC'd — the bands_b
             # convention), not a persist; only the caches unpersist
+            gated.unpersist()
+            hashed.unpersist()
             if near_dup_threshold is not None:
                 deduped.unpersist()
             if count_this_batch:
