@@ -3803,17 +3803,21 @@ def q_loader_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang")
         .filter(F.col("lang").isNotNull() & (F.length("lang") > 0))
     )
-    langs = [r[0] for r in docs.select("lang").distinct().collect()]
-    if not langs:
+    # empty-corpus totality probe: limit-1 scan, NOT the full
+    # distinct-scan job this lane used to run just to enumerate
+    # sources — the weight RULE rides into interleave_by_weight as a
+    # callable applied to the sources its post-rank stats collect
+    # already surfaces (optimization round 15; positions identical)
+    if docs.isEmpty():
         return docs.select(
             F.lit(0).alias("rank"),
             F.lit(None).cast("long").alias("pos2"),
             "doc_id",
             "lang",
         ).limit(0)
-    weights = {lang: 1 + (ord(lang[0]) % 4) for lang in langs}
-    mixed = interleave_by_weight(docs, "lang", weights, "doc_id",
-                                 out_col="pos")
+    mixed = interleave_by_weight(
+        docs, "lang", lambda lang: 1 + (ord(lang[0]) % 4), "doc_id",
+        out_col="pos")
 
     prev = _LOADER_COMPOSE_LAST.pop(0) if _LOADER_COMPOSE_LAST else None
     if prev:

@@ -1118,7 +1118,12 @@ def run_curation_ingest(
                     counts["curation_gated"] = (
                         counts["curation_input"] - gated.count()
                     )
-                    n_clean = clean.count()
+                    # row-identical to clean.count() (withColumn
+                    # preserves cardinality) but hits the hashed cache
+                    # directly — clean is a CHILD of the cached plan,
+                    # so counting it would re-run the contamination
+                    # join (cache lookup matches whole subtrees only)
+                    n_clean = hashed.count()
                     counts["curation_contaminated"] = (
                         counts["curation_input"]
                         - counts["curation_gated"]
