@@ -36,10 +36,51 @@ query name), next to the reference's Prometheus counters (G3).
 from __future__ import annotations
 
 import dataclasses
+import re
 import time
 from collections.abc import Callable
 
 from pyspark.errors import StreamingQueryException
+
+# Spark 4.x refuses to start a query it believes is NEW (empty offset
+# log) over a non-empty offsets/ checkpoint directory. A stop() that
+# interrupts the very first offsets write leaves the atomic-rename TEMP
+# file (`.0.<uuid>.tmp`) behind with no committed entry — permanent
+# garbage that makes every subsequent restart fail the same way, so the
+# failure-restart budget can never self-heal (caught live: the watch
+# recreation race in test_supervisor_watch_recreates_query on a loaded
+# host). The error message carries the offending directory.
+_CKPT_NOT_EMPTY = "STATE_STORE_CHECKPOINT_LOCATION_NOT_EMPTY"
+_CKPT_DIR_RE = re.compile(r"checkpoint location (\S+) should be empty")
+
+
+def _clean_uncommitted_metadata(dir_uri: str) -> bool:
+    """Remove metadata-log leftovers that are provably NOT committed
+    batch entries from ``dir_uri`` (committed entries are files whose
+    bare name is an integer batch id; atomic-write temp files are
+    ``.<id>.<uuid>.tmp``). The verify error only fires when the offset
+    log parsed EMPTY, i.e. no integer-named entry exists — but keep the
+    integer guard anyway so a miscarried call can never delete real
+    progress. Routed through the Hadoop FS API so remote checkpoints
+    (hdfs://, s3a://) are cleaned the same as file: paths. Returns
+    whether anything was removed."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return False
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(dir_uri)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return False
+    removed = False
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if not name.isdigit():
+            fs.delete(st.getPath(), True)
+            removed = True
+    return removed
 
 
 @dataclasses.dataclass
@@ -120,7 +161,21 @@ def run_supervised(
                     f"{max_recreations} times — refusing to recreate forever"
                 )
             continue
-        except StreamingQueryException:
+        except StreamingQueryException as exc:
+            msg = str(exc)
+            if _CKPT_NOT_EMPTY in msg:
+                # deterministic startup garbage (typically our own clean
+                # stop() interrupting the first offsets write), not a
+                # transient stream fault: clean the uncommitted leftovers
+                # and retry WITHOUT consuming the failure budget — every
+                # restart would otherwise fail identically until the
+                # budget is exhausted. Retry only when the cleanup
+                # actually removed something, so an error this code
+                # cannot fix still flows into the bounded-budget path
+                # instead of looping forever.
+                m = _CKPT_DIR_RE.search(msg)
+                if m is not None and _clean_uncommitted_metadata(m.group(1)):
+                    continue
             if (
                 healthy_reset_ms is not None
                 and (time.monotonic() - attempt_started) * 1000.0 >= healthy_reset_ms

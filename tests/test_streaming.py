@@ -1036,6 +1036,55 @@ def test_supervisor_watch_recreates_query(spark, sf_dir, tmpdir):
     }
 
 
+def test_supervisor_heals_interrupted_offsets_write(spark, sf_dir, tmpdir):
+    """A stop() that interrupts the very first offsets write leaves the
+    atomic-rename temp file (`.0.<uuid>.tmp`) in ckpt/offsets with no
+    committed entry; Spark 4.x then fails EVERY restart with
+    STATE_STORE_CHECKPOINT_LOCATION_NOT_EMPTY (caught live as a
+    watch-recreation race on a loaded host). The supervisor must
+    recognize the self-inflicted garbage, remove exactly the
+    uncommitted leftovers, and retry WITHOUT consuming the failure
+    budget — max_restarts=0 here proves the retry is free."""
+    from pulsar_elasticsearch_sync_rs_spark.streaming.supervisor import run_supervised
+
+    src_dir = os.path.join(tmpdir, "src")
+    ev = _split_events_files(spark, sf_dir, src_dir, n_files=2)
+    out_dir = os.path.join(tmpdir, "out")
+    ckpt = os.path.join(tmpdir, "ckpt_heal")
+    # the exact leftover an interrupted HDFSMetadataLog write leaves:
+    # a non-integer-named temp file and NO committed batch entry
+    os.makedirs(os.path.join(ckpt, "offsets"))
+    with open(
+        os.path.join(ckpt, "offsets", ".0.9f1c2d3e.tmp"), "w", encoding="utf-8"
+    ) as fh:
+        fh.write("v1\npartial")
+
+    def start_query():
+        stream = (
+            spark.readStream.schema("event_id long, event_type string, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        return (
+            stream.writeStream.foreachBatch(_idempotent_batch_sink(out_dir))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    run = run_supervised(start_query, max_restarts=0, name="sup_heal")
+    assert run.restarts == 0 and run.recreations == 0
+    got = spark.read.parquet(out_dir)
+    assert got.count() == ev.count()
+    assert {r["event_id"] for r in got.select("event_id").collect()} == {
+        r["event_id"] for r in ev.select("event_id").collect()
+    }
+    # the committed entries the healed run wrote must still be there
+    assert any(
+        name.isdigit() for name in os.listdir(os.path.join(ckpt, "offsets"))
+    )
+
+
 def test_supervisor_restart_budget_exhausted(spark, sf_dir, tmpdir):
     """A persistent failure exhausts max_restarts and re-raises — the
     reference's bounded-retry give-up, not an infinite crash loop."""
