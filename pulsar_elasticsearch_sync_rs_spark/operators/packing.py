@@ -62,46 +62,75 @@ def exclusive_prefix_sum(
     val_col: str,
     out_col: str = "start_off",
     num_partitions: int | None = None,
+    assume_range_partitioned: bool = False,
 ) -> DataFrame:
     """Add ``out_col`` = sum of ``val_col`` over all rows strictly
     before this one in ``order_col`` order (distributed two-phase scan;
-    see module docstring). ``order_col`` must be unique."""
+    see module docstring). ``order_col`` must be unique.
+
+    ``assume_range_partitioned`` (optimization round 15): the caller
+    vouches ``df`` is ALREADY physically range-partitioned by
+    ``order_col`` with job-stable partitions — i.e. it derives NARROWLY
+    (filters / projections / broadcast joins only) from an eager
+    ``localCheckpoint`` that was written ``repartitionByRange
+    (order_col)``. The operator then skips its own range exchange AND
+    the defensive checkpoint: partition ids are read straight off the
+    frozen physical partitioning (any subset of a range partition stays
+    inside its range, so filters upstream cannot break the cross-
+    partition order), the totals pass aggregates WITHOUT the window,
+    and the per-partition running sum executes once inside whatever
+    action consumes the result. q_llm_pipeline fuses its survivor-keys
+    checkpoint this way — one full exchange plus one materialization of
+    the 16 B/doc stream deleted per pipeline run."""
     spark = df.sparkSession
-    n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    # the totals pass below collects ONE row per partition — O(n_part)
-    # driver memory, fine at any sane setting but a misconfigured
-    # millions-of-shuffle-partitions session would turn it into a
-    # driver-side flood; fail fast with the remedy instead
-    if n_part > 1_000_000:
-        raise ValueError(
-            f"exclusive_prefix_sum collects one total per partition; "
-            f"{n_part} partitions would collect {n_part} rows on the driver "
-            "- pass num_partitions explicitly (scan width is independent "
-            "of spark.sql.shuffle.partitions)"
+    if assume_range_partitioned:
+        part = df.withColumn("__pid", F.spark_partition_id())
+        local = part
+        totals_src = part
+    else:
+        n_part = num_partitions or int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
         )
-    part = df.repartitionByRange(n_part, order_col).withColumn(
-        "__pid", F.spark_partition_id()
-    )
+        # the totals pass below collects ONE row per partition — O(n_part)
+        # driver memory, fine at any sane setting but a misconfigured
+        # millions-of-shuffle-partitions session would turn it into a
+        # driver-side flood; fail fast with the remedy instead
+        if n_part > 1_000_000:
+            raise ValueError(
+                f"exclusive_prefix_sum collects one total per partition; "
+                f"{n_part} partitions would collect {n_part} rows on the driver "
+                "- pass num_partitions explicitly (scan width is independent "
+                "of spark.sql.shuffle.partitions)"
+            )
+        part = df.repartitionByRange(n_part, order_col).withColumn(
+            "__pid", F.spark_partition_id()
+        )
+        local = part
+        totals_src = None  # set below, AFTER the checkpoint
     w = Window.partitionBy("__pid").orderBy(order_col)
-    local = part.withColumn(
+    local = local.withColumn(
         "__local_excl",
         F.coalesce(
             F.sum(val_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
             F.lit(0).cast("bigint"),
         ),
     )
-    # Pin ONE physical partitioning: the totals job below and every
-    # later action on the returned DataFrame must see the SAME range
-    # boundaries, but repartitionByRange's sampler is re-seeded per
-    # plan execution — when the sampler subsamples (large input
-    # partitions), re-executing the exchange in a second job can move
-    # boundary rows to a different __pid than the one their __base was
-    # computed from, silently corrupting offsets. The eager
-    # localCheckpoint materializes the partitioned (id, count, pid,
-    # local-sum) stream once — O(16 bytes/doc), never the text.
-    local = local.localCheckpoint(eager=True)
+    if not assume_range_partitioned:
+        # Pin ONE physical partitioning: the totals job below and every
+        # later action on the returned DataFrame must see the SAME range
+        # boundaries, but repartitionByRange's sampler is re-seeded per
+        # plan execution — when the sampler subsamples (large input
+        # partitions), re-executing the exchange in a second job can move
+        # boundary rows to a different __pid than the one their __base was
+        # computed from, silently corrupting offsets. The eager
+        # localCheckpoint materializes the partitioned (id, count, pid,
+        # local-sum) stream once — O(16 bytes/doc), never the text.
+        # (The prepartitioned path needs neither: its partitioning is
+        # frozen by the CALLER's checkpoint.)
+        local = local.localCheckpoint(eager=True)
+        totals_src = local
     totals = sorted(
-        local.groupBy("__pid").agg(F.sum(val_col).alias("__tot")).collect(),
+        totals_src.groupBy("__pid").agg(F.sum(val_col).alias("__tot")).collect(),
         key=lambda r: r["__pid"],
     )
     acc, base_rows = 0, []
@@ -142,6 +171,7 @@ def pack_sequences_from_counts(
     seq_len: int = 256,
     id_col: str = "doc_id",
     n_col: str = "n_toks",
+    assume_range_partitioned: bool = False,
 ) -> DataFrame:
     """:func:`pack_sequences` when the caller ALREADY has per-doc token
     counts — the packer's output is a pure function of the
@@ -160,7 +190,12 @@ def pack_sequences_from_counts(
         counts = counts.select(
             F.col(id_col), F.col("n_toks").cast("bigint").alias("n_toks")
         )
-    offs = exclusive_prefix_sum(counts, id_col, "n_toks")
+    offs = exclusive_prefix_sum(
+        counts,
+        id_col,
+        "n_toks",
+        assume_range_partitioned=assume_range_partitioned,
+    )
     # doc [start, start+n) overlaps windows  start div L .. (start+n-1) div L
     # (`div` = exact integer division — no double-precision floor)
     frag = offs.filter(F.col("n_toks") > 0).select(

@@ -1924,7 +1924,7 @@ def q_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # downstream plan, so the rates broadcast build and the packer's
     # range-partition sampler each re-ran it (three executions of the
     # same exchange per lane call; guide §1.3 "Exchange count").
-    surv_keys = (
+    surv_agg = (
         keys.groupBy("sha")
         .agg(
             F.min("doc_id").alias("doc_id"),
@@ -1932,14 +1932,66 @@ def q_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min_by("n_toks", "doc_id").alias("n_toks"),
         )
         .select("doc_id", "lang", "n_toks")
-        .localCheckpoint(eager=True)
+    )
+
+    if _os.environ.get("SPARK_GRAFT_PIPELINE_PACK", "fused") == "legacy":
+        # pre-round-15-fusion shape, kept reachable for interleaved
+        # A/B re-measures (the SPARK_GRAFT_PIPELINE_GATE convention):
+        # hash-partitioned checkpoint + rates broadcast join + the
+        # packer's own range exchange and defensive checkpoint
+        surv_keys = surv_agg.localCheckpoint(eager=True)
+        rates = temperature_rates(
+            surv_keys.filter(F.col("lang").isNotNull()), "lang"
+        )
+        mixed = (
+            surv_keys.join(F.broadcast(rates), "lang")
+            .filter(mix_keep_predicate())
+            .filter(knuth_u32("doc_id", TRAIN_SPLIT_SALT) % F.lit(100) < 98)
+            .select("doc_id", "n_toks")
+        )
+        return pack_sequences_from_counts(mixed, seq_len=256)
+
+    # Optimization round 15 — fuse the survivor checkpoint with the
+    # packer's range partition: the checkpoint is written ALREADY
+    # range-partitioned by doc_id, so the prefix scan downstream needs
+    # NO exchange and NO second materialization of the 16 B/doc stream
+    # (exclusive_prefix_sum's assume_range_partitioned contract; every
+    # step between checkpoint and scan — map lookup, filters, project —
+    # is narrow, and a subset of a range partition stays in its range).
+    # The range sampler runs against the groupBy's shuffle output, so
+    # the expensive gate/decontaminate chain still executes exactly
+    # once (its shuffle files are reused across the sampling job and
+    # the checkpoint job).
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    surv_keys = surv_agg.repartitionByRange(n_part, "doc_id").localCheckpoint(
+        eager=True
     )
 
     # domain mix over the surviving corpus — SAME helpers as
-    # q_domain_mix, so the composite can never drift from the lane
-    rates = temperature_rates(surv_keys.filter(F.col("lang").isNotNull()), "lang")
+    # q_domain_mix, so the composite can never drift from the lane.
+    # The ≤#langs rate table is COLLECTED once (the interleave-offsets
+    # collect discipline) and applied as a literal map lookup: values
+    # are computed BY SPARK via temperature_rates, so they are
+    # bit-identical to the broadcast-join shape, and the totals job +
+    # the final assembly no longer each rebuild a rates broadcast
+    # (broadcast builds re-execute per job — SKILL.md).
+    rate_rows = temperature_rates(
+        surv_keys.filter(F.col("lang").isNotNull()), "lang"
+    ).collect()
+    if rate_rows:
+        rate_lit = F.create_map(
+            *[F.lit(v) for r in rate_rows for v in (r["lang"], r["rate"])]
+        )
+        rate_col = rate_lit[F.col("lang")]
+    else:
+        # empty corpus / all-NULL langs: the inner join would keep
+        # nothing — same here
+        rate_col = F.lit(None).cast("double")
     mixed = (
-        surv_keys.join(F.broadcast(rates), "lang")
+        surv_keys.withColumn("rate", rate_col)
+        # inner-join semantics: lang must appear in the rate table
+        # (drops NULL-lang rows exactly like the join did)
+        .filter(F.col("rate").isNotNull())
         .filter(mix_keep_predicate())
         # train split (98%) — q_train_split's SALTED stream
         # (independent of the mix stream; see TRAIN_SPLIT_SALT)
@@ -1947,7 +1999,9 @@ def q_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_toks")
     )
 
-    return pack_sequences_from_counts(mixed, seq_len=256)
+    return pack_sequences_from_counts(
+        mixed, seq_len=256, assume_range_partitioned=True
+    )
 
 
 ORACLE_LLM_PIPELINE = r"""

@@ -96,6 +96,41 @@ def test_exclusive_prefix_sum_is_order_correct(spark):
         acc += v
 
 
+def test_exclusive_prefix_sum_prepartitioned_matches(spark):
+    """assume_range_partitioned contract (optimization round 15): a
+    caller-owned range-partitioned eager checkpoint, narrowed by a
+    FILTER (rows drop, partitions may go empty — the q_llm_pipeline
+    mix/split shape), yields the same exclusive sums as the default
+    path computes over the same surviving rows, with no exchange of
+    its own."""
+    rng = random.Random(23)
+    vals = [(i, rng.randrange(0, 50)) for i in range(500)]
+    shuffled = vals[:]
+    rng.shuffle(shuffled)
+    base = (
+        spark.createDataFrame(shuffled, "k long, v long")
+        .repartitionByRange(13, "k")
+        .localCheckpoint(eager=True)
+    )
+    # narrow filter between checkpoint and scan — empties partitions
+    # whose whole range is filtered out
+    kept = base.filter((F.col("k") % 7 != 0) & ((F.col("k") < 100) | (F.col("k") >= 180)))
+    got = {
+        r["k"]: r["start_off"]
+        for r in exclusive_prefix_sum(
+            kept, "k", "v", assume_range_partitioned=True
+        ).collect()
+    }
+    acc = 0
+    for k, v in vals:
+        if k % 7 != 0 and (k < 100 or k >= 180):
+            assert got[k] == acc, k
+            acc += v
+    assert len(got) == sum(
+        1 for k, _ in vals if k % 7 != 0 and (k < 100 or k >= 180)
+    )
+
+
 def test_pack_empty_corpus(spark):
     df = spark.createDataFrame([], "doc_id long, text string")
     assert pack_sequences(df, seq_len=8).count() == 0
