@@ -26,6 +26,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# scd2_apply_partitioned's write-riding census uses one conditional
+# count per touched bucket; above this many touched buckets it falls
+# back to the one-job groupBy collect instead of building an
+# expression per bucket
+_CENSUS_OBS_MAX_BUCKETS = 128
+
 
 def scd2_apply(
     base: DataFrame,
@@ -471,6 +477,7 @@ def scd2_apply_partitioned(
     to_col: str = "valid_to",
     current_col: str = "is_current",
     on_late: str = "error",
+    pre_tombs_known: dict[int, int] | None = None,
 ) -> dict:
     """The at-rest form of :func:`scd2_apply`: the snapshot lives as
     parquet hive-partitioned on ``pb = pmod(xxhash64(key), n_parts)``
@@ -478,6 +485,19 @@ def scd2_apply_partitioned(
     batch rewrites ONLY the partitions whose keys actually changed —
     the copy-on-write MERGE discipline of lakehouse table formats,
     with stock writers.
+
+    ``pre_tombs_known`` (optimization round 15, guide §2.4 — the
+    per-batch merge is the CDC stream's hot path and at micro-batch
+    grain its wall is JOB-count-bound): a {bucket: tombstone count}
+    map the caller already knows to be the AT-REST counts (the
+    streaming runner's running census — each merge's post-counts ARE
+    the next batch's at-rest pre-counts under the single-writer
+    foreachBatch envelope). Buckets covered by the map skip the
+    pre-merge tombstone scan; only first-touched buckets are read. In
+    steady state the whole pre-census job (one pruned base read per
+    batch) disappears. Reporting-only state: the counts feed the
+    growth census, never the merge itself — and a restart always
+    starts from an empty map, i.e. the lossless scan path.
 
     Plan shape: the changed-bucket set (≤ ``n_parts`` ints) comes off
     the change batch; the base read carries ``pb IN (…)`` — a
@@ -532,13 +552,24 @@ def scd2_apply_partitioned(
     # on historical seed tombstones in a first-touched bucket
     # (round-13 review findings #1 and #3)
     is_tomb = F.col(to_col).isNotNull() & (F.col(to_col) == F.col(from_col))
-    pre_tombs = {
-        int(r["pb"]): int(r["n"])
-        for r in base.filter(is_tomb)
-        .groupBy("pb")
-        .agg(F.count("*").alias("n"))
-        .collect()
-    }
+    if pre_tombs_known is not None:
+        pre_tombs = {
+            b: int(pre_tombs_known[b]) for b in buckets if b in pre_tombs_known
+        }
+        scan_buckets = [b for b in buckets if b not in pre_tombs_known]
+    else:
+        pre_tombs = {}
+        scan_buckets = buckets
+    if scan_buckets:
+        pre_tombs.update(
+            {
+                int(r["pb"]): int(r["n"])
+                for r in base.filter(F.col("pb").isin(scan_buckets) & is_tomb)
+                .groupBy("pb")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+        )
     merged = scd2_apply(
         base.select(*cols),
         changes,
@@ -552,32 +583,61 @@ def scd2_apply_partitioned(
         on_late=on_late,
     ).withColumn("pb", pb)
     merged = merged.localCheckpoint(eager=True)
-    # row count + orphan-tombstone census in ONE aggregation over the
-    # buckets being rewritten anyway (one pass over the eager
-    # checkpoint, no extra base read — they were two separate jobs
-    # until round 15): splice persists a zero-length [ts, ts) row per
-    # D-before-I until the insert arrives, and a buggy upstream that
-    # never sends the insert grows this set without bound — the
+    # row count + orphan-tombstone census RIDE THE WRITE JOB as
+    # Observation metrics (optimization round 15, guide §2.4 — it was
+    # a separate collect job over the checkpoint, and before round 15
+    # two separate jobs): splice persists a zero-length [ts, ts) row
+    # per D-before-I until the insert arrives, and a buggy upstream
+    # that never sends the insert grows this set without bound — the
     # streaming runner watches the per-bucket counts
     # (streaming/cdc_ingest.py) the way pq.py's max_pending bounds the
-    # IVF-PQ delete backlog
-    census = (
-        merged.groupBy("pb")
-        .agg(
-            F.count("*").alias("rows"),
-            F.count(F.when(is_tomb, True)).alias("n"),
-        )
-        .collect()
-    )
-    n = sum(int(r["rows"]) for r in census)
-    tombs_by_bucket = {int(r["pb"]): int(r["n"]) for r in census if r["n"]}
-    (
-        merged.repartition("pb")
+    # IVF-PQ delete backlog. Per-bucket counts become one conditional
+    # count per TOUCHED bucket (merged rows can only carry pb values
+    # from `buckets` — every output row's key hashes into the change
+    # batch's bucket set), bounded by the batch's key spread; a batch
+    # touching more buckets than the cap keeps the one-job collect
+    # (an unbounded Observation expression list is the giant-CASE
+    # shape the ordering module's design notes ban).
+    write = (
+        lambda df: df.repartition("pb")
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("pb")
         .parquet(base_dir)
     )
+    if len(buckets) <= _CENSUS_OBS_MAX_BUCKETS:
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        write(
+            merged.observe(
+                obs,
+                F.count(F.lit(1)).alias("__rows"),
+                *[
+                    F.count(F.when((F.col("pb") == b) & is_tomb, True)).alias(
+                        f"__t_{b}"
+                    )
+                    for b in buckets
+                ],
+            )
+        )
+        metrics = obs.get
+        n = int(metrics["__rows"])
+        tombs_by_bucket = {
+            b: int(metrics[f"__t_{b}"]) for b in buckets if metrics[f"__t_{b}"]
+        }
+    else:
+        census = (
+            merged.groupBy("pb")
+            .agg(
+                F.count("*").alias("rows"),
+                F.count(F.when(is_tomb, True)).alias("n"),
+            )
+            .collect()
+        )
+        n = sum(int(r["rows"]) for r in census)
+        tombs_by_bucket = {int(r["pb"]): int(r["n"]) for r in census if r["n"]}
+        write(merged)
     return {
         "changed_buckets": sorted(buckets),
         "rows_written": n,

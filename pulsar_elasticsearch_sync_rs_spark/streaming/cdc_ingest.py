@@ -154,6 +154,13 @@ def run_cdc_ingest(
             op_col=op_col,
             ts_col=ts_col,
             on_late="splice",
+            # each merge's post-census IS the at-rest pre-census of the
+            # next batch that touches the same bucket (single-writer
+            # foreachBatch) — feeding it back skips the pre-merge
+            # tombstone scan job for every already-touched bucket
+            # (optimization round 15); a restart starts the map empty,
+            # i.e. the lossless scan path
+            pre_tombs_known=stats.tombstones_by_bucket,
         )
         stats._absorb(
             result["orphan_tombstones_by_bucket"],

@@ -666,3 +666,139 @@ def test_scd2_date_snapshot_schema_preserved_and_mismatch_raises(spark):
     for mode in ("error", "splice", "ignore"):
         with pytest.raises(ValueError, match="dtype"):
             scd2_apply(base, ts_batch, key="k", attrs=["v"], on_late=mode)
+
+
+def test_scd2_partitioned_census_rides_write_and_pre_tombs_known_skips_scan(
+    spark, tmp_path
+):
+    """Optimization-round-15 witnesses for the two per-batch job cuts
+    in scd2_apply_partitioned:
+
+    (a) the post-merge tombstone census rides the WRITE job as
+        Observation metrics and still reports exactly the at-rest
+        per-bucket counts (pinned against a direct snapshot read);
+    (b) buckets covered by ``pre_tombs_known`` skip the pre-merge
+        tombstone scan — exactly ONE fewer Spark job than the scan
+        path on an identical snapshot + batch — with a bit-identical
+        report and at-rest result."""
+    import shutil
+
+    from pulsar_elasticsearch_sync_rs_spark.operators.cdc import (
+        persist_scd2_partitioned,
+        scd2_apply_partitioned,
+    )
+
+    base = spark.createDataFrame(
+        [
+            (k, float(k), dt.datetime(2020, 1, 1), None, True)
+            for k in range(1, 21)
+        ],
+        "k bigint, v double, valid_from timestamp, valid_to timestamp,"
+        " is_current boolean",
+    )
+    seed_dir = str(tmp_path / "seed")
+    persist_scd2_partitioned(base, seed_dir, "k", n_parts=4)
+
+    # batch 1: two orphan deletes (D-before-I) -> splice mints
+    # zero-length tombstones; census must equal the at-rest truth
+    b1 = spark.createDataFrame(
+        [(100, 0.0, "D", T1), (101, 0.0, "D", T1), (1, 1.5, "U", T1)],
+        "k bigint, v double, op string, ts timestamp",
+    )
+    rep1 = scd2_apply_partitioned(
+        spark, seed_dir, b1, key="k", attrs=["v"], n_parts=4, on_late="splice"
+    )
+    is_tomb = F.col("valid_to").isNotNull() & (
+        F.col("valid_to") == F.col("valid_from")
+    )
+    at_rest = {
+        int(r["pb"]): int(r["n"])
+        for r in spark.read.parquet(seed_dir)
+        .filter(is_tomb)
+        .groupBy("pb")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert sum(rep1["orphan_tombstones_by_bucket"].values()) == 2
+    for b, n in rep1["orphan_tombstones_by_bucket"].items():
+        assert at_rest.get(b, 0) == n, (b, n, at_rest)
+    assert rep1["rows_written"] == spark.read.parquet(seed_dir).filter(
+        F.col("pb").isin(rep1["changed_buckets"])
+    ).count()
+
+    # batch 2 on two identical copies: known-pre vs scan path
+    copy_a = str(tmp_path / "copy_a")
+    copy_b = str(tmp_path / "copy_b")
+    shutil.copytree(seed_dir, copy_a)
+    shutil.copytree(seed_dir, copy_b)
+    # the k=100 insert PREDATES its orphan delete (T1) — splice then
+    # rebuilds the pair into a closed [insert_ts, T1) version and the
+    # tombstone drains (post < pre in that bucket)
+    b2 = spark.createDataFrame(
+        [(100, 9.0, "I", dt.datetime(2020, 6, 1)), (1, 2.5, "U", T2)],
+        "k bigint, v double, op string, ts timestamp",
+    )
+    sc = spark.sparkContext
+
+    sc.setJobGroup("cdc_known", "pre_tombs_known path")
+    try:
+        rep_known = scd2_apply_partitioned(
+            spark,
+            copy_a,
+            b2,
+            key="k",
+            attrs=["v"],
+            n_parts=4,
+            on_late="splice",
+            pre_tombs_known=rep1["orphan_tombstones_by_bucket"],
+        )
+        jobs_known = len(
+            sc.statusTracker().getJobIdsForGroup("cdc_known")
+        )
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+
+    sc.setJobGroup("cdc_scan", "scan path")
+    try:
+        rep_scan = scd2_apply_partitioned(
+            spark, copy_b, b2, key="k", attrs=["v"], n_parts=4,
+            on_late="splice",
+        )
+        jobs_scan = len(sc.statusTracker().getJobIdsForGroup("cdc_scan"))
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+
+    # b2's buckets are a subset of b1's touched set (same keys), so the
+    # known path must not have scanned at all: strictly fewer jobs (the
+    # dropped pre-census is 1-2 jobs — AQE runs its groupBy's shuffle
+    # stage and result stage as separate jobs)
+    assert set(rep_known["changed_buckets"]) <= set(
+        rep1["orphan_tombstones_by_bucket"]
+    )
+    assert jobs_scan - jobs_known >= 1, (jobs_known, jobs_scan)
+    assert rep_known == rep_scan
+    got_a = {
+        tuple(r)
+        for r in spark.read.parquet(copy_a)
+        .select("k", "v", "valid_from", "valid_to", "is_current")
+        .collect()
+    }
+    got_b = {
+        tuple(r)
+        for r in spark.read.parquet(copy_b)
+        .select("k", "v", "valid_from", "valid_to", "is_current")
+        .collect()
+    }
+    assert got_a == got_b
+    # the insert for k=100 drained that bucket's tombstone: growth
+    # bookkeeping must see post < pre there
+    tomb_bucket_100 = [
+        b
+        for b, n in rep_known["orphan_tombstones_pre_by_bucket"].items()
+        if n and b in rep_known["changed_buckets"]
+    ]
+    assert any(
+        rep_known["orphan_tombstones_by_bucket"][b]
+        < rep_known["orphan_tombstones_pre_by_bucket"][b]
+        for b in tomb_bucket_100
+    )
