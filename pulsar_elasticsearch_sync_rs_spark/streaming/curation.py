@@ -67,6 +67,31 @@ from ..operators.decontaminate import (
     bench_gram_set,
 )
 
+def _run_overlapped(thunks) -> None:
+    """Run independent per-batch actions CONCURRENTLY (guide §2.6 —
+    overlap independent jobs so one write's straggler tail back-fills
+    with the next write's tasks), sequentially when there is only one
+    or when ``SPARK_GRAFT_CURATION_LAND=serial`` (the interleaved-A/B
+    escape hatch). Exceptions propagate exactly as the sequential
+    shape's would: the first failure raises out of the micro-batch
+    after every in-flight action has finished (no half-submitted work
+    left racing the foreachBatch replay)."""
+    if len(thunks) == 1 or os.environ.get(
+        "SPARK_GRAFT_CURATION_LAND", "parallel"
+    ) == "serial":
+        for t in thunks:
+            t()
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        errs = [f.exception() for f in futures]
+    for e in errs:
+        if e is not None:
+            raise e
+
+
 # history-verify candidate ids at or below this count ride an In-filter
 # pushed into the corpus parquet scan (row-group pruning on the id
 # column's footer stats); above it, the broadcast-semi-join fallback
@@ -1143,22 +1168,39 @@ def run_curation_ingest(
                     counts["curation_rate_dropped"] = n_near - n_admitted
                     counts["curation_admitted"] = n_admitted
 
-            with _timed("corpus_write"):
-                admitted.drop("__sha").write.mode("overwrite").parquet(
-                    os.path.join(out_dir, f"batch={batch_id}")
-                )
-            with _timed("sha_slice"):
-                _write_sha_slice(
-                    admitted.select(
-                        F.col("__sha").alias("sha"), F.col(id_col).alias("doc_id")
-                    ),
-                    table,
-                    sha_dir,
-                    batch_id,
-                    n_buckets,
-                    lineage_safe=True,  # admitted is checkpoint-rooted
-                )
-            if near_dup_threshold is not None:
+            # LAND: the corpus batch, the sha slice and (near-dup on)
+            # the band slice are INDEPENDENT outputs — distinct
+            # directories/tables, every input an eager checkpoint, no
+            # read of any write target in any lineage — executed here
+            # as CONCURRENT jobs from a small thread pool (guide §2.6:
+            # actions are only sequential because driver code calls
+            # them sequentially; the next write's tasks back-fill the
+            # executor slots the previous write's straggler tail leaves
+            # idle). At bench triggers the lane is job-count-bound, so
+            # overlapping 2-3 fixed job latencies is the direct win.
+            # SPARK_GRAFT_CURATION_LAND=serial keeps the sequential
+            # shape reachable for interleaved A/B re-measures.
+            def _land_corpus():
+                with _timed("corpus_write"):
+                    admitted.drop("__sha").write.mode("overwrite").parquet(
+                        os.path.join(out_dir, f"batch={batch_id}")
+                    )
+
+            def _land_sha():
+                with _timed("sha_slice"):
+                    _write_sha_slice(
+                        admitted.select(
+                            F.col("__sha").alias("sha"),
+                            F.col(id_col).alias("doc_id"),
+                        ),
+                        table,
+                        sha_dir,
+                        batch_id,
+                        n_buckets,
+                        lineage_safe=True,  # admitted is checkpoint-rooted
+                    )
+
+            def _land_bands():
                 with _timed("band_slice"):
                     _write_bucketed_slice(
                         bands_b.join(
@@ -1175,6 +1217,12 @@ def run_curation_ingest(
                         # the bands table survives in this lineage
                         lineage_safe=True,
                     )
+
+            land = [_land_corpus, _land_sha]
+            if near_dup_threshold is not None:
+                land.append(_land_bands)
+            with _timed("land"):
+                _run_overlapped(land)
             if transport is not None:
                 indexed = admitted.select(
                     F.concat(
@@ -1219,18 +1267,26 @@ def run_curation_ingest(
         # reader of the indexes can be in flight (foreachBatch is
         # sequential) — fold closed slices before the next one starts
         if compact_every and batch_id > 0 and batch_id % int(compact_every) == 0:
-            with _timed("compact"):
-                compact_sha_index(
+            # the sha and band compactions are independent (distinct
+            # tables, paths, state files) — overlap them like the land
+            # writes above
+            compactions = [
+                lambda: compact_sha_index(
                     spark, sha_dir, sha_table=table, n_buckets=n_buckets
                 )
-                if near_dup_threshold is not None:
-                    compact_bands_index(
+            ]
+            if near_dup_threshold is not None:
+                compactions.append(
+                    lambda: compact_bands_index(
                         spark,
                         bands_dir,
                         bands_table=b_table,
                         n_buckets=n_buckets,
                         id_col=id_col,
                     )
+                )
+            with _timed("compact"):
+                _run_overlapped(compactions)
         if stage_timings is not None:
             walls["batch_total"] = round(_time.perf_counter() - _batch_t0, 3)
             stage_timings.append(walls)
