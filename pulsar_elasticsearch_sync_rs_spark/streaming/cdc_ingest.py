@@ -138,8 +138,12 @@ def run_cdc_ingest(
         stats = CdcIngestStats()
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
+        # NO isEmpty() probe (optimization round 15): it cost a limit-1
+        # job on EVERY batch to save work only on the rare empty one —
+        # scd2_apply_partitioned already returns the empty report when
+        # the bucket collect comes back empty, and the absorb below is
+        # guarded on changed_buckets so an empty batch still leaves the
+        # stats untouched (batches_applied counts applied merges only).
         # eager skinny checkpoint: scd2_apply_partitioned evaluates the
         # change batch several times (bucket collect + the merge's two
         # broadcast reductions) — pay the source read once
@@ -162,6 +166,8 @@ def run_cdc_ingest(
             # i.e. the lossless scan path
             pre_tombs_known=stats.tombstones_by_bucket,
         )
+        if not result["changed_buckets"]:
+            return
         stats._absorb(
             result["orphan_tombstones_by_bucket"],
             result["orphan_tombstones_pre_by_bucket"],
