@@ -176,28 +176,29 @@ def scd2_apply(
                 )
             ).cast(to_type),
         ).otherwise(F.col("__first_ts"))
-    closed_now = (
-        cur.join(first_ts, key, "inner")
-        .select(
-            *[
-                closed_to.alias(to_col)
-                if c == to_col
-                else F.lit(False).alias(current_col)
-                if c == current_col
-                else F.col(c)
-                for c in base.columns
-            ]
-        )
-    )
-    untouched_cur = cur.join(first_ts, key, "left_anti").select(*base.columns)
-    history = base.filter(~F.col(current_col)).select(*base.columns)
+    # ONE pass over base for all three row fates (optimization round
+    # 15, guide §§2.4, 1.2 "don't compute things you throw away"): the
+    # previous shape unioned three branches — history, untouched-
+    # current, closed-now — that EACH re-scanned base (and each built
+    # its own broadcast hash join against first_ts), i.e. three full
+    # scans of the 100 TB side per merge. One broadcast LEFT join
+    # (chg_summary is unique per key, so cardinality is preserved) and
+    # per-column CASE expressions compute the identical rows:
+    #   open  + touched   → close at closed_to (guarded in error mode)
+    #   open  + untouched → unchanged
+    #   closed            → unchanged (error mode: the inside-closed-
+    #                       history guard rides the same row)
+    # The NULL-is_current filter keeps the old union's semantics: both
+    # current and ~current filters dropped those rows.
+    on_hist = ~F.col(current_col)
+    touched_open = F.col(current_col) & F.col("__first_ts").isNotNull()
     if on_late == "error":
-        # deleted keys have no open version for the guard above to
+        # deleted keys have no open version for the closed_to guard to
         # ride, so a change predating the LAST CLOSED boundary (an
         # insert "before" the delete) must be caught on the history
-        # branch: one broadcast hash probe per history row, no shuffle.
-        # Keys with an open version can never trip it (their closed
-        # valid_to ≤ open valid_from ≤ checked __first_ts).
+        # rows: the same broadcast probe row, no extra scan. Keys with
+        # an open version can never trip it (their closed valid_to ≤
+        # open valid_from ≤ checked __first_ts).
         hist_to = F.when(
             F.col("__first_ts").isNotNull()
             & (F.col("__first_ts") < F.col(to_col)),
@@ -213,15 +214,29 @@ def scd2_apply(
                 )
             ).cast(to_type),
         ).otherwise(F.col(to_col))
-        history = history.join(first_ts, key, "left").select(
+    else:
+        hist_to = F.col(to_col)
+    new_to = (
+        F.when(touched_open, closed_to)
+        .when(on_hist, hist_to)
+        .otherwise(F.col(to_col))
+    )
+    new_cur = F.when(touched_open, F.lit(False)).otherwise(F.col(current_col))
+    base_out = (
+        base.filter(F.col(current_col).isNotNull())
+        .join(first_ts, key, "left")
+        .select(
             *[
-                hist_to.alias(to_col) if c == to_col else F.col(c)
+                new_to.alias(to_col)
+                if c == to_col
+                else new_cur.alias(current_col)
+                if c == current_col
+                else F.col(c)
                 for c in base.columns
             ]
         )
-    out = history.unionByName(untouched_cur).unionByName(closed_now).unionByName(
-        opened.select(*base.columns)
     )
+    out = base_out.unionByName(opened.select(*base.columns))
     if on_late == "error":
         # orphan deletes (round-11 ADVICE, medium): a key whose FIRST
         # change is a 'D' and that has NO OPEN version in the snapshot

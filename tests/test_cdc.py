@@ -86,19 +86,28 @@ def test_scd2_apply_versions_and_intervals(spark):
 def test_scd2_apply_base_side_joins_are_broadcast(spark):
     out = scd2_apply(_base(spark), _changes(spark), key="k", attrs=["v"])
     plan = out._jdf.queryExecution().executedPlan().toString()
-    # all four base-touching joins (close-current inner, untouched
-    # anti, the on_late='error' history guard's left probe, and the
-    # orphan-delete guard's semi probe) plus the orphan anti against
-    # the tiny present-key set must be broadcast hash joins — the base
-    # is never exchanged
-    assert plan.count("BroadcastHashJoin") == 5
+    # optimization round 15: ONE base pass for all three row fates —
+    # error mode is exactly three broadcast hash joins (the fused
+    # close/untouched/history left probe, the orphan guard's semi
+    # probe of the open-version set, and the orphan probe's left join
+    # against the tiny present-key set); base is never exchanged, and
+    # base must appear in exactly TWO scans (the fused pass + the
+    # orphan probe), down from four union branches
+    assert plan.count("BroadcastHashJoin") == 3
     assert "SortMergeJoin" not in plan
-    # the caller-guaranteed fast path keeps the round-9 two-join shape
+    base_scans = [
+        ln
+        for ln in plan.splitlines()
+        if "Scan ExistingRDD" in ln and "valid_from" in ln
+    ]
+    assert len(base_scans) == 2, plan
+    # the caller-guaranteed fast path is ONE broadcast join over ONE
+    # base scan
     fast = scd2_apply(
         _base(spark), _changes(spark), key="k", attrs=["v"], on_late="ignore"
     )
     fplan = fast._jdf.queryExecution().executedPlan().toString()
-    assert fplan.count("BroadcastHashJoin") == 2
+    assert fplan.count("BroadcastHashJoin") == 1
     assert "SortMergeJoin" not in fplan
 
 
