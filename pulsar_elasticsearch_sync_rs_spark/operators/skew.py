@@ -108,3 +108,45 @@ def spread_scan(df: DataFrame, *by: str) -> DataFrame:
     if df.rdd.getNumPartitions() >= n:
         return df
     return df.repartition(n, *[F.col(c) for c in by]) if by else df.repartition(n)
+
+
+def no_pushdown(pred):
+    """Pin an expensive predicate ABOVE :func:`spread_scan`'s exchange.
+
+    Catalyst's PushDownPredicate treats a repartition as row-preserving
+    and relocates every DETERMINISTIC filter below it — splitting AND
+    conjunctions to move each conjunct separately — so a
+    ``spread_scan(df).filter(expensive_gate)`` chain evaluates the gate
+    on the pre-spread partitioning: on the single-row-group driver
+    fixtures that is ONE task running the whole text gate serially (and
+    re-running it serially inside every broadcast build that re-executes
+    the subtree). Measured on q_llm_pipeline's gate at sf0.1: the
+    gate+spread subchain drops 0.89 → 0.34 s once the filter stays above
+    the exchange.
+
+    The wrapper returns a SINGLE expression the optimizer can neither
+    split nor reorder: a ``when()`` whose condition is non-deterministic
+    (``monotonically_increasing_id() >= 0`` — a tautology, the id is
+    non-negative by construction), so the predicate's VALUE is exactly
+    ``pred`` (including NULL → row dropped, same as a bare filter) while
+    its placement is wherever the caller wrote it.
+
+    Where pushdown is DESIRABLE — filters that prune the scan
+    (partition/row-group pruning) or shrink the exchange — do NOT wrap:
+    this is only for predicates whose evaluation cost exceeds the bytes
+    they would save the exchange, sitting on an under-parallel scan.
+    Note it also stops OTHER deterministic filters chained above from
+    pushing past it (non-deterministic expressions pin ordering), so
+    wrap the outermost expensive gate only.
+
+    BATCH plans only: streaming's UnsupportedOperationChecker rejects
+    ``monotonically_increasing_id`` outright (it would need
+    partition-offset state). Guard call sites shared with streaming on
+    ``df.isStreaming`` — a stream has no exchange below the filter for
+    the predicate to be pushed under, so the bare predicate is already
+    the right shape there (plans/pipeline.py shows the pattern).
+    foreachBatch bodies are batch plans and may use this freely.
+    """
+    return F.when(
+        F.monotonically_increasing_id() >= 0, pred
+    ).otherwise(F.lit(False))

@@ -1850,7 +1850,16 @@ def q_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The probe shape remains reachable (SPARK_GRAFT_PIPELINE_GATE=
     # semi, tools/probe_gate_semi.py) for future-decade re-measures.
     _, dup_word_frac, top_bigram_frac = repetition_signals("text")
-    gate_pred = (
+    # no_pushdown: Catalyst would otherwise split this conjunction and
+    # push every term below the spread exchange onto the single-task
+    # scan — serializing the whole gate (and re-serializing it inside
+    # the decontaminate broadcast build, which re-executes the subtree).
+    # Wrapped, the gate evaluates on the spread side: 32-way parallel,
+    # value-identical (optimization round 15; measured 0.89 → 0.34 s on
+    # the gate subchain, lane A/B in OPTIMIZATION_r15.md).
+    from pulsar_elasticsearch_sync_rs_spark.operators.skew import no_pushdown
+
+    gate_pred = no_pushdown(
         (quality_score("text") >= 0.65)
         & (dup_word_frac <= 0.6)
         & (top_bigram_frac <= 0.1)

@@ -87,9 +87,23 @@ def etl_transform(df: DataFrame, cfg: PipelineConfig, tiebreaker: str | None = "
     df = filter_namespace_regex(df, cfg.namespace_filter_patterns, "value", "topic_short")
     if cfg.inject_key:
         df = df.withColumn(cfg.injected_field, F.expr("uuid()"))
+    # no_pushdown on the validity test: Catalyst inlines the from_json
+    # parse into the filter condition and pushes it below any caller's
+    # spread exchange — on the single-row-group fixtures that runs a
+    # full-payload JSON parse of every record in ONE task (optimization
+    # round 15; q_etl_chain A/B in OPTIMIZATION_r15.md). Value-identical
+    # (tautological guard). BATCH plans only: the guard's
+    # monotonically_increasing_id is rejected by the streaming
+    # UnsupportedOperationChecker, and a stream has no exchange below
+    # this point for the filter to be pushed under anyway.
+    valid = F.col("parsed").isNotNull()
+    if not df.isStreaming:
+        from pulsar_elasticsearch_sync_rs_spark.operators.skew import no_pushdown
+
+        valid = no_pushdown(valid)
     df = df.withColumn(
         "parsed", F.from_json("value", "map<string,string>")
-    ).filter(F.col("parsed").isNotNull())
+    ).filter(valid)
     df = df.withColumn("doc", sanitize_keys(F.col("parsed")))
     # single-parse discipline: app/time-key read the parsed map instead
     # of re-running get_json_object (a full JSON parse per call) on the

@@ -892,7 +892,16 @@ def run_curation_ingest(
         # re-execution re-crosses the batch text into Python). Two
         # micro-batch-bounded caches pin each stage to one execution;
         # released in the finally below.
-        gated = batch_df.filter(gate_pred).persist()
+        #
+        # no_pushdown: without it Catalyst pushes the gate filter (and
+        # the ArrowEvalPython kernel feeding it) BELOW the spread
+        # exchange, evaluating the gate on the micro-batch's raw
+        # one-partition-per-file split instead of the spread width —
+        # exactly the serialization spread_scan exists to remove
+        # (plan-pinned in tests/test_streaming_curation.py).
+        from ..operators.skew import no_pushdown
+
+        gated = batch_df.filter(no_pushdown(gate_pred)).persist()
 
         # decontaminate: shingle ONLY gate survivors against the
         # pre-measured gram set (broadcast probe under the guard).

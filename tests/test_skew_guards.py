@@ -260,3 +260,78 @@ def test_ivf_max_cell_guard_bounds_groups_and_keeps_clusters(spark, sf_dir):
         .first()[0]
     )
     assert sharded <= 2 * 64, f"shard of {sharded} rows exceeds the bound"
+
+
+def _node_order(df, *tokens):
+    """Top-down token sequence of the executed plan — the same probe
+    the round-15 pushdown investigation used."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # an executed AdaptiveSparkPlan prints the final plan FOLLOWED by
+    # the original under "== Initial Plan ==" — count the final only
+    plan = plan.split("== Initial Plan ==")[0]
+    order = []
+    for line in plan.split("\n"):
+        s = line.strip(" :+-*(0123456789)")
+        for tok in tokens:
+            if s.startswith(tok):
+                order.append(tok)
+                break
+    return order
+
+
+def test_no_pushdown_pins_filter_above_exchange_and_is_value_identical(spark):
+    """no_pushdown (operators/skew.py): Catalyst pushes deterministic
+    filters below a repartition (splitting conjunctions), which lands
+    an expensive gate on the pre-spread single-task scan; the wrapper
+    must (a) keep the filter ABOVE the exchange and (b) change no
+    values — including NULL predicates dropping the row exactly like a
+    bare filter."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.skew import no_pushdown
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, None), (3, 0), (4, 9)], "id long, x int"
+    ).localCheckpoint(eager=True)
+    pred = F.col("x") > 0  # NULL x -> NULL pred -> row dropped
+
+    plain = df.repartition(4, "id").filter(pred)
+    wrapped = df.repartition(4, "id").filter(no_pushdown(pred))
+
+    # value identity, NULL handling included
+    assert sorted(r["id"] for r in plain.collect()) == [1, 4]
+    assert sorted(r["id"] for r in wrapped.collect()) == [1, 4]
+
+    # placement: plain pushes below the exchange, wrapped stays above
+    assert _node_order(plain, "Exchange", "Filter") == ["Exchange", "Filter"]
+    assert _node_order(wrapped, "Exchange", "Filter") == ["Filter", "Exchange"]
+
+
+def test_no_pushdown_keeps_arrow_gate_above_exchange(spark):
+    """The streaming-curation shape (optimization round 15): an Arrow
+    gate kernel referenced by a filter must evaluate on the SPREAD side
+    of the exchange — pushed below it, the kernel runs on the
+    micro-batch's raw one-partition-per-file split, serializing the
+    text crossing spread_scan exists to parallelize."""
+    from pulsar_elasticsearch_sync_rs_spark.functions.text import (
+        text_signals_fast,
+    )
+    from pulsar_elasticsearch_sync_rs_spark.operators.skew import no_pushdown
+
+    df = spark.createDataFrame(
+        [(i, "some sample words here " * 3) for i in range(8)],
+        "doc_id long, text string",
+    ).localCheckpoint(eager=True)
+    sig = text_signals_fast("text")
+    gate = sig["quality"] >= 0.0  # tautology; placement is the test
+
+    plain = df.repartition(4, "doc_id").filter(gate)
+    wrapped = df.repartition(4, "doc_id").filter(no_pushdown(gate))
+
+    assert _node_order(plain, "Exchange", "ArrowEvalPython") == [
+        "Exchange",
+        "ArrowEvalPython",
+    ]
+    assert _node_order(wrapped, "Exchange", "ArrowEvalPython") == [
+        "ArrowEvalPython",
+        "Exchange",
+    ]
+    assert plain.count() == wrapped.count() == 8
