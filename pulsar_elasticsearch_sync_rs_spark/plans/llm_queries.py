@@ -692,8 +692,17 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_dedup_normalized / q_token_count); composing them stays fully
     SQL-expressible, so the whole pipeline is oracle hash-checked."""
     from pulsar_elasticsearch_sync_rs_spark.functions.text import quality_score
+    from pulsar_elasticsearch_sync_rs_spark.operators.skew import no_pushdown
 
-    docs = read_table(spark, sf_dir, "documents")
+    # spread + no_pushdown (optimization round 15, second resume): the
+    # whole signal projection AND the quality gate otherwise run on the
+    # single-row-group scan in ONE task. The round's first spread A/B
+    # rejected spread here — but that was measured with Catalyst
+    # pushing the quality filter back below the exchange (the
+    # no_pushdown finding); with the gate pinned above it the lane wins
+    # every interleaved rep: 0.64-0.84 s old vs 0.37-0.44 s, identical
+    # rows. Spread stays a no-op at production row-group counts.
+    docs = spread_scan(read_table(spark, sf_dir, "documents"), "doc_id")
     # lang_guess and quality_score are SINGLE-PASS aggregate
     # expressions (round-15, functions/text.py): each column below
     # tokenizes the text exactly once, including the pushed-down
@@ -708,7 +717,7 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         # moves 64-hex-char keys, not documents, at any corpus size
         F.sha2(normalize_text("text"), 256).alias("norm"),
     )
-    kept = enr.filter(F.col("quality") >= 0.5)
+    kept = enr.filter(no_pushdown(F.col("quality") >= 0.5))
     w = Window.partitionBy("norm").orderBy("doc_id")
     surv = kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     return surv.groupBy("lang_guess").agg(
