@@ -87,23 +87,33 @@ def etl_transform(df: DataFrame, cfg: PipelineConfig, tiebreaker: str | None = "
     df = filter_namespace_regex(df, cfg.namespace_filter_patterns, "value", "topic_short")
     if cfg.inject_key:
         df = df.withColumn(cfg.injected_field, F.expr("uuid()"))
-    # no_pushdown on the validity test: Catalyst inlines the from_json
-    # parse into the filter condition and pushes it below any caller's
-    # spread exchange — on the single-row-group fixtures that runs a
-    # full-payload JSON parse of every record in ONE task (optimization
-    # round 15; q_etl_chain A/B in OPTIMIZATION_r15.md). Value-identical
-    # (tautological guard). BATCH plans only: the guard's
-    # monotonically_increasing_id is rejected by the streaming
-    # UnsupportedOperationChecker, and a stream has no exchange below
-    # this point for the filter to be pushed under anyway.
-    valid = F.col("parsed").isNotNull()
-    if not df.isStreaming:
-        from pulsar_elasticsearch_sync_rs_spark.operators.skew import no_pushdown
+    # PARSE ONCE (optimization round 15, second resume). The chain's
+    # known double from_json came from PushDownPredicate: it pushes the
+    # validity filter below this projection by RE-INLINING the parse
+    # into the filter condition (and, in spread callers, on below the
+    # exchange onto the single-task scan). Guarding the PROJECTION with
+    # a non-deterministic tautology makes the project
+    # non-pushable-through: the filter stays above it, references the
+    # `parsed` attribute, and the payload is parsed exactly once per
+    # row — for every consumer (validity, doc rebuild, app/time-key
+    # lookups), batch AND streaming. Values identical: the guard is
+    # always true, and NULL-parse rows drop exactly as before.
+    # Guard choice: must be non-deterministic (so the optimizer cannot
+    # reorder/duplicate), STREAMING-legal (monotonically_increasing_id
+    # is rejected by the UnsupportedOperationChecker), and
+    # FOLD-RESISTANT — Spark 4 range-folds a direct `rand() >= lit`
+    # comparison to true and strips the guard (measured); routing the
+    # draw through an Add defeats the fold. One RNG draw per row, noise
+    # next to the map parse it de-duplicates.
+    # `SPARK_GRAFT_ETL_PARSE=legacy` keeps the two-parse shape
+    # reachable for interleaved A/B re-measures (A/B + plan witness in
+    # OPTIMIZATION_r15.md).
+    import os as _os
 
-        valid = no_pushdown(valid)
-    df = df.withColumn(
-        "parsed", F.from_json("value", "map<string,string>")
-    ).filter(valid)
+    parse = F.from_json("value", "map<string,string>")
+    if _os.environ.get("SPARK_GRAFT_ETL_PARSE", "once") != "legacy":
+        parse = F.when((F.rand(0) + F.lit(2.0)) >= F.lit(1.0), parse)
+    df = df.withColumn("parsed", parse).filter(F.col("parsed").isNotNull())
     df = df.withColumn("doc", sanitize_keys(F.col("parsed")))
     # single-parse discipline: app/time-key read the parsed map instead
     # of re-running get_json_object (a full JSON parse per call) on the
