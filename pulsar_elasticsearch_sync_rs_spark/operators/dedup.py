@@ -28,6 +28,7 @@ from pulsar_elasticsearch_sync_rs_spark.functions.text import (
     word_shingles,
     ws_tokens,
 )
+from pulsar_elasticsearch_sync_rs_spark.operators.skew import evaluate_once
 
 MERSENNE = 2147483647  # 2^31 - 1, modulus for minhash permutations
 
@@ -367,7 +368,12 @@ def ngram_jaccard_pairs(
             .select(
                 F.col(f"a.{id_col}").alias("id_a"),
                 F.col(f"b.{id_col}").alias("id_b"),
-                F.round(jac, 6).alias("jaccard"),
+                # evaluate_once: the threshold filter below would
+                # otherwise be pushed through this projection with the
+                # intersect/union expression RE-INLINED — two O(|sh|)
+                # interpreted set passes per pair (optimization round
+                # 15, operators/skew.evaluate_once)
+                evaluate_once(F.round(jac, 6)).alias("jaccard"),
             )
             .filter(F.col("jaccard") >= threshold)
         )
@@ -390,13 +396,18 @@ def ngram_jaccard_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(
-                F.when(
-                    F.size(F.array_union("__sh_a", "__sh_b")) > 0,
-                    F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
-                    / F.size(F.array_union("__sh_a", "__sh_b")).cast("double"),
-                ).otherwise(F.lit(0.0)),
-                6,
+            # evaluate_once: see the degenerate branch above — without
+            # it the pushed threshold filter re-inlines the whole
+            # intersect/union computation, doubling the verify cost
+            evaluate_once(
+                F.round(
+                    F.when(
+                        F.size(F.array_union("__sh_a", "__sh_b")) > 0,
+                        F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
+                        / F.size(F.array_union("__sh_a", "__sh_b")).cast("double"),
+                    ).otherwise(F.lit(0.0)),
+                    6,
+                )
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)

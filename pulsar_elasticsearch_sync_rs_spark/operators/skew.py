@@ -150,3 +150,34 @@ def no_pushdown(pred):
     return F.when(
         F.monotonically_increasing_id() >= 0, pred
     ).otherwise(F.lit(False))
+
+
+def evaluate_once(col):
+    """Pin an expensive PROJECTED column to one evaluation per row.
+
+    A filter on a derived column gets pushed back through its
+    projection with the defining expression RE-INLINED into the filter
+    condition (PushDownPredicate substitutes deterministic project
+    fields), so ``select(expensive.alias("q")).filter(col("q") >= t)``
+    evaluates `expensive` TWICE per row — once in the pushed filter,
+    once in the projection that outputs it. Measured on
+    q_corpus_curation: the quality aggregate appeared in both Filter
+    and Project nodes.
+
+    Wrapping the projected expression in a non-deterministic tautology
+    blocks both mechanisms: PushDownPredicate refuses to substitute a
+    non-deterministic field (the filter stays above, referencing the
+    attribute), and CollapseProject never duplicates a
+    non-deterministic expression into multiple consumers. Value
+    identical — the guard is always true.
+
+    Guard choice (measured, see OPTIMIZATION_r15.md change 18): a bare
+    ``rand() >= lit`` comparison is RANGE-FOLDED away by Spark 4;
+    routing the draw through an Add defeats the fold; rand is
+    streaming-legal (unlike monotonically_increasing_id, so this
+    helper is safe on streaming plans too). Cost: one RNG draw per
+    row — noise next to any expression worth wrapping. Use only on
+    expressions whose single evaluation outweighs losing
+    filter-pushdown through them (never on pruning predicates).
+    """
+    return F.when((F.rand(0) + F.lit(2.0)) >= F.lit(1.0), col)

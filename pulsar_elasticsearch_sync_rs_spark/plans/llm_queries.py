@@ -692,32 +692,35 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_dedup_normalized / q_token_count); composing them stays fully
     SQL-expressible, so the whole pipeline is oracle hash-checked."""
     from pulsar_elasticsearch_sync_rs_spark.functions.text import quality_score
-    from pulsar_elasticsearch_sync_rs_spark.operators.skew import no_pushdown
+    from pulsar_elasticsearch_sync_rs_spark.operators.skew import evaluate_once
 
-    # spread + no_pushdown (optimization round 15, second resume): the
-    # whole signal projection AND the quality gate otherwise run on the
-    # single-row-group scan in ONE task. The round's first spread A/B
-    # rejected spread here — but that was measured with Catalyst
-    # pushing the quality filter back below the exchange (the
-    # no_pushdown finding); with the gate pinned above it the lane wins
-    # every interleaved rep: 0.64-0.84 s old vs 0.37-0.44 s, identical
-    # rows. Spread stays a no-op at production row-group counts.
+    # spread + evaluate_once (optimization round 15, second resume):
+    # the whole signal projection AND the quality gate otherwise run on
+    # the single-row-group scan in ONE task, and the pushed-down
+    # quality filter RE-INLINES the quality aggregate below the
+    # projection — two full tokenize+score passes per row. The round's
+    # first spread A/B rejected spread here, but it was measured with
+    # that pushdown taint. evaluate_once on the projected column keeps
+    # the filter above the projection (single evaluation) AND above the
+    # spread exchange (32-way): interleaved A/B 0.64-0.84 s old vs
+    # 0.37-0.44 s with the gate pinned, identical rows. Spread stays a
+    # no-op at production row-group counts.
     docs = spread_scan(read_table(spark, sf_dir, "documents"), "doc_id")
     # lang_guess and quality_score are SINGLE-PASS aggregate
     # expressions (round-15, functions/text.py): each column below
-    # tokenizes the text exactly once, including the pushed-down
+    # tokenizes the text exactly once, including the (now pinned)
     # quality filter — the pre-round-15 multi-reference forms cost 48
     # whitespace splits per row in this plan (audit in plans/r15)
     enr = docs.select(
         "doc_id",
         lang_guess("text").alias("lang_guess"),
-        quality_score("text").alias("quality"),
+        evaluate_once(quality_score("text")).alias("quality"),
         token_count_ws("text").cast("bigint").alias("n_toks"),
         # dedup key = sha2 of the normalized text: the dedup shuffle
         # moves 64-hex-char keys, not documents, at any corpus size
         F.sha2(normalize_text("text"), 256).alias("norm"),
     )
-    kept = enr.filter(no_pushdown(F.col("quality") >= 0.5))
+    kept = enr.filter(F.col("quality") >= 0.5)
     w = Window.partitionBy("norm").orderBy("doc_id")
     surv = kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     return surv.groupBy("lang_guess").agg(
