@@ -179,5 +179,16 @@ def evaluate_once(col):
     row — noise next to any expression worth wrapping. Use only on
     expressions whose single evaluation outweighs losing
     filter-pushdown through them (never on pruning predicates).
+
+    SCHEMA NOTE (round-15 ADVICE): the wrapper is a ``when`` with no
+    ``otherwise``, so the wrapped column's schema is NULLABLE even if
+    the inner expression was provably non-null (e.g. it ended in
+    ``.otherwise(lit(0.0))``). Values never change — the guard is
+    always true — but strict-schema consumers (writers with enforced
+    schemas, nullability asserts) of a wrapped column see
+    nullable=true where the bare expression read false. None of this
+    repo's consumers assert non-null on a wrapped column (oracle
+    checks compare values/dtypes, not nullability); re-check that
+    before wrapping a column feeding an external strict-schema sink.
     """
     return F.when((F.rand(0) + F.lit(2.0)) >= F.lit(1.0), col)

@@ -107,12 +107,17 @@ def etl_transform(df: DataFrame, cfg: PipelineConfig, tiebreaker: str | None = "
     # next to the map parse it de-duplicates.
     # `SPARK_GRAFT_ETL_PARSE=legacy` keeps the two-parse shape
     # reachable for interleaved A/B re-measures (A/B + plan witness in
-    # OPTIMIZATION_r15.md).
+    # OPTIMIZATION_r15.md). The guard itself is operators/skew
+    # .evaluate_once — ONE implementation of the fold-resistance trick,
+    # so a Spark upgrade that breaks it is fixed (and its plan pins
+    # re-verified) in one place (round-15 ADVICE).
     import os as _os
+
+    from pulsar_elasticsearch_sync_rs_spark.operators.skew import evaluate_once
 
     parse = F.from_json("value", "map<string,string>")
     if _os.environ.get("SPARK_GRAFT_ETL_PARSE", "once") != "legacy":
-        parse = F.when((F.rand(0) + F.lit(2.0)) >= F.lit(1.0), parse)
+        parse = evaluate_once(parse)
     df = df.withColumn("parsed", parse).filter(F.col("parsed").isNotNull())
     df = df.withColumn("doc", sanitize_keys(F.col("parsed")))
     # single-parse discipline: app/time-key read the parsed map instead

@@ -335,3 +335,50 @@ def test_no_pushdown_keeps_arrow_gate_above_exchange(spark):
         "Exchange",
     ]
     assert plain.count() == wrapped.count() == 8
+
+
+def test_evaluate_once_pins_single_evaluation_and_is_value_identical(spark):
+    """evaluate_once (operators/skew.py): a filter on a projected
+    expensive column is pushed back through the projection with the
+    defining expression RE-INLINED into the filter condition — two
+    evaluations per row. The wrapper must (a) keep the optimized plan's
+    Filter referencing the projected ATTRIBUTE (expression evaluated
+    once, in the Project only) and (b) change no values. Round-15
+    ADVICE: without this pin, a Spark upgrade that folds the
+    rand-tautology guard would silently revert to double evaluation
+    (the no_pushdown twin above covers filter placement; this covers
+    projection re-inlining)."""
+    from pulsar_elasticsearch_sync_rs_spark.operators.skew import evaluate_once
+
+    df = spark.createDataFrame(
+        [(1, "aa bb cc"), (2, "dd"), (3, None), (4, "ee ff gg hh")],
+        "id long, text string",
+    ).localCheckpoint(eager=True)
+    # an expression whose plan fingerprint is countable: size(split(..))
+    expensive = F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " "))
+
+    plain = df.select("id", expensive.alias("q")).filter(F.col("q") >= 3)
+    wrapped = df.select("id", evaluate_once(expensive).alias("q")).filter(
+        F.col("q") >= 3
+    )
+
+    # value identity (NULL text -> size 1 -> dropped by the threshold)
+    assert sorted(r["id"] for r in plain.collect()) == [1, 4]
+    assert sorted(r["id"] for r in wrapped.collect()) == [1, 4]
+    assert [r["q"] for r in wrapped.orderBy("id").collect()] == [3, 4]
+
+    def n_eval(df_):
+        plan = df_._jdf.queryExecution().executedPlan().toString()
+        plan = plan.split("== Initial Plan ==")[0]
+        return plan.count("split(")
+
+    # plain: the pushed filter re-inlines the expression (2 evals);
+    # wrapped: exactly one evaluation, in the Project
+    assert n_eval(plain) >= 2
+    assert n_eval(wrapped) == 1
+    # and the Filter references the attribute, not the expression:
+    # the optimized plan's Filter node must not contain "split("
+    opt = wrapped._jdf.queryExecution().optimizedPlan().toString()
+    for line in opt.split("\n"):
+        if line.strip().startswith("Filter"):
+            assert "split(" not in line, f"filter re-inlined: {line}"
