@@ -69,8 +69,7 @@ def contamination_hits(
     broadcast only if its measured distinct-gram count fits under
     ``max_broadcast_grams``.
     """
-    grams = bench_gram_set(bench, n, text_col)
-    grams, _ = _guarded(grams, max_broadcast_grams)
+    grams = _guarded_two_tier(bench, n, text_col, max_broadcast_grams)
     corpus_grams = _exploded_grams(corpus, n, text_col, id_col)
     return (
         corpus_grams.join(grams, "g")
@@ -91,8 +90,7 @@ def decontaminate(
     n-gram with the benchmark set — the any-hit long-n-gram drop rule
     used for real eval suites. Anti-joins on the id only, so document
     text never shuffles on the gram key."""
-    grams = bench_gram_set(bench, n, text_col)
-    grams, _ = _guarded(grams, max_broadcast_grams)
+    grams = _guarded_two_tier(bench, n, text_col, max_broadcast_grams)
     hit_ids = (
         _exploded_grams(corpus, n, text_col, id_col)
         .join(grams, "g")
@@ -129,8 +127,7 @@ def contamination_fraction(
     shingles (never bodies), per-doc counts are one partial-agg; the
     per-doc gram total rides the SAME exploded stream (a LEFT join of
     hits onto totals), so the corpus is tokenized exactly once."""
-    grams = bench_gram_set(bench, n, text_col)
-    grams, _ = _guarded(grams, max_broadcast_grams)
+    grams = _guarded_two_tier(bench, n, text_col, max_broadcast_grams)
     corpus_grams = _exploded_grams(corpus, n, text_col, id_col)
     per_doc = corpus_grams.join(
         grams.withColumn("__hit", F.lit(1)), "g", "left"
@@ -145,6 +142,23 @@ def contamination_fraction(
         .filter(F.col("frac") >= threshold)
         .select(id_col, "n_grams", "n_hit", "frac")
     )
+
+
+def _gram_upper_bound(bench: DataFrame, n: int, text_col: str) -> int:
+    """Exchange-free upper bound on the bench table's DISTINCT gram
+    count: Σ max(0, n_tokens − n + 1) over bench rows — every document
+    contributes at most that many grams, before cross-document dedup.
+    One column-pruned global aggregation (scan → map-side partial →
+    one-row final), so the guard costs ~2 Spark jobs instead of the
+    exact count's full explode + distinct-exchange query (measured
+    round 16: 6 AQE stage jobs per call on the pipeline lanes)."""
+    per_doc = F.greatest(
+        F.lit(0), F.size(ws_tokens(text_col)) - F.lit(int(n) - 1)
+    ).cast("bigint")
+    row = bench.select(per_doc.alias("__g")).agg(
+        F.coalesce(F.sum("__g"), F.lit(0)).alias("__n")
+    ).first()
+    return int(row["__n"])
 
 
 def _guarded(grams: DataFrame, max_broadcast_grams: int, keep_cached: bool = False):
@@ -171,3 +185,35 @@ def _guarded(grams: DataFrame, max_broadcast_grams: int, keep_cached: bool = Fal
         return F.broadcast(grams), n_grams
     grams.unpersist()
     return grams, n_grams
+
+
+def _guarded_two_tier(
+    bench: DataFrame,
+    n: int,
+    text_col: str,
+    max_broadcast_grams: int,
+):
+    """Broadcast decision for batch one-shot callers — same DECISIONS
+    as :func:`_guarded`, cheaper measurement (optimization round 16,
+    guide §1.2 "don't compute things you throw away"):
+
+    1. an exchange-free UPPER BOUND on the distinct gram count (one
+       column-pruned aggregation, ~2 jobs). Bound ≤ threshold ⟹ the
+       exact count is too, so broadcast WITHOUT ever running the exact
+       distinct-count query (the common case: eval suites are tiny
+       next to the corpus);
+    2. only when the bound exceeds the threshold — a bench set large
+       enough that the join strategy genuinely needs the exact number
+       — fall back to :func:`_guarded`'s counted decision.
+
+    Join results are identical under either strategy, and the strategy
+    itself can only differ from _guarded's in the broadcast direction
+    never being taken when the exact count would have allowed it —
+    tier 2 prevents exactly that by re-measuring exactly. Returns the
+    (possibly-hinted) gram set."""
+    bound = _gram_upper_bound(bench, n, text_col)
+    grams = bench_gram_set(bench, n, text_col)
+    if bound <= max_broadcast_grams:
+        return F.broadcast(grams)
+    guarded, _ = _guarded(grams, max_broadcast_grams)
+    return guarded

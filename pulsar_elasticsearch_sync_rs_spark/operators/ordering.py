@@ -46,12 +46,104 @@ from pyspark.sql import functions as F
 _MID_PARTITION_STRIDE = 1 << 33
 
 
+def _murmur3_int32(x: int, seed: int = 42) -> int:
+    """Spark's ``Murmur3_x86_32.hashInt`` (the hash behind ``F.hash``
+    and ``HashPartitioning``, seed 42) for a 4-byte int — public
+    MurmurHash3 algorithm, reimplemented so the driver can PREDICT
+    which physical partition ``repartition(n, col)`` sends an int key
+    to. Pinned bit-for-bit against ``F.hash`` in tests/test_ordering.py
+    so a Spark hash change fails loudly."""
+    m = 0xFFFFFFFF
+    k1 = (x & m) * 0xCC9E2D51 & m
+    k1 = ((k1 << 15) | (k1 >> 17)) & m
+    k1 = k1 * 0x1B873593 & m
+    h1 = seed ^ k1
+    h1 = ((h1 << 13) | (h1 >> 19)) & m
+    h1 = (h1 * 5 + 0xE6546B64) & m
+    # fmix, length = 4 bytes
+    h1 ^= 4
+    h1 ^= h1 >> 16
+    h1 = h1 * 0x85EBCA6B & m
+    h1 ^= h1 >> 13
+    h1 = h1 * 0xC2B2AE35 & m
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+# driver-known per-partition offsets attach as a folded literal-array
+# lookup (one expression, no join, no broadcast-build job) up to this
+# partition count; beyond it, a broadcast join keeps the plan bounded
+_OFFSET_ARRAY_MAX_PARTS = 4096
+
+
+def _attach_offsets(with_ids, off_rows, n_parts, out_col, start_acc):
+    """(__pid, __mid) frame + driver-side [(pid, offset)] → frame with
+    ``out_col`` = offset[pid] + within-partition rank. Offsets attach
+    as ``element_at(<literal array>, __pid + 1)`` — Catalyst folds the
+    array of driver ints into ONE literal, so no broadcast-build job
+    and no join node per call (optimization round 16; measured: the
+    createDataFrame broadcast build was one full job per
+    global_index/prefix-sum call). Gaps (empty partitions) carry the
+    running offset — no row holds such a pid, any value is unread.
+    Above ``_OFFSET_ARRAY_MAX_PARTS`` partitions, falls back to the
+    broadcast join (an offset array in the plan stays bounded)."""
+    local_rank = F.col("__mid") - (
+        F.col("__pid").cast("long") * F.lit(_MID_PARTITION_STRIDE)
+    )
+    if n_parts <= _OFFSET_ARRAY_MAX_PARTS:
+        by_pid = dict(off_rows)
+        fill, acc_fill = [], int(start_acc)
+        for p in range(n_parts):
+            acc_fill = by_pid.get(p, acc_fill)
+            fill.append(acc_fill)
+        arr = F.array(*[F.lit(int(v)).cast("long") for v in fill])
+        return (
+            with_ids.withColumn(
+                out_col,
+                F.element_at(arr, F.col("__pid") + F.lit(1)) + local_rank,
+            )
+            .drop("__pid", "__mid")
+        )
+    spark = with_ids.sparkSession
+    offs = spark.createDataFrame(off_rows, "__pid int, __off long")
+    return (
+        with_ids.join(F.broadcast(offs), "__pid")
+        .withColumn(out_col, F.col("__off") + local_rank)
+        .drop("__pid", "__mid", "__off")
+    )
+
+
+@_lru_cache(maxsize=16)
+def _hash_partition_keys(n: int) -> tuple[int, ...]:
+    """For each physical partition p in 0..n-1, the smallest
+    non-negative int key v with ``pmod(murmur3(v), n) == p`` — so a
+    ``repartition(n, key_column)`` whose key column holds ``keys[b]``
+    for logical bucket ``b`` places bucket b EXACTLY in partition b.
+    This is what lets :func:`global_index`'s uniform fast path keep the
+    range-partitioned (ascending across partition index) output
+    contract with a plain deterministic hash exchange — no sampler
+    job, no checkpoint. Linear scan, expected ~n·ln(n) hash draws,
+    cached per n."""
+    keys: list[int | None] = [None] * n
+    found = 0
+    v = 0
+    while found < n:
+        p = _murmur3_int32(v) % n  # python % is already non-negative
+        if keys[p] is None:
+            keys[p] = v
+            found += 1
+        v += 1
+    return tuple(keys)  # type: ignore[arg-type]
+
+
 def global_index(
     df: DataFrame,
     order_col: str | list[str],
     out_col: str = "pos",
     start: int = 0,
     num_partitions: int | None = None,
+    uniform_long_range: tuple[int, int] | None = None,
+    class_stats: str | None = None,
 ) -> DataFrame:
     """Add ``out_col`` = the 0-based (or ``start``-based) global rank
     of each row under ascending ``order_col`` — a total enumeration
@@ -86,7 +178,40 @@ def global_index(
     order. Prefer native numeric columns over packed fixed-width
     strings: sorting (long, short-string) composites measured 1.8×
     faster than the equivalent 32-char hex string at 50M rows
-    (round-14 sort-key A/B, SCALE.md)."""
+    (round-14 sort-key A/B, SCALE.md).
+
+    ``uniform_long_range=(lo, hi)`` (optimization round 16) — the
+    caller vouches that ``order_col[0]`` is a LONG distributed
+    ~uniformly on ``[lo, hi)``, that the composite key is
+    duplicate-free, and that ``df`` is deterministic across
+    re-executions (a scan or a pure projection of one). Range
+    boundaries are then CLOSED-FORM (bucket b owns an equal slice of
+    the key range, monotone in the key), so the operator drops BOTH
+    the range-sampler job and the defensive localCheckpoint: a plain
+    deterministic hash exchange places logical bucket b in physical
+    partition b exactly (:func:`_hash_partition_keys`), re-executions
+    land every row in the same partition with the same within-
+    partition sorted rank (keys unique ⟹ total order), and the
+    per-bucket counts come from one exchange-free aggregation over the
+    source instead of a count over the checkpoint. Output contract is
+    unchanged — including ascending positions across the physical
+    partition index, which :func:`persist_ordered`'s ``pre_ranged``
+    consumers rely on. :func:`epoch_shuffle` passes its md5-prefix
+    range here; do NOT pass ranges for keys that are merely bounded
+    but skewed — closed-form buckets of a skewed key are the
+    too-few-distinct-values partitioning anti-pattern (guide §2.5) the
+    sampler exists to avoid.
+
+    ``class_stats`` (optimization round 16) — name of a column whose
+    per-class ``(first_position, row_count)`` the caller needs anyway
+    (:func:`interleave_by_weight`'s per-source offsets): the stats are
+    derived from the SAME single collect that computes the partition
+    offsets (grouped by (partition, class), min monotonic id — no
+    value-order assumptions), and returned on the frame as
+    ``_graft_class_stats`` — the separate full-frame aggregation job
+    the caller would otherwise run is gone. Class cardinality must be
+    driver-bounded (it was already: the caller collected one row per
+    class)."""
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     for c in order_cols:
         if c not in df.columns:
@@ -96,7 +221,7 @@ def global_index(
     # round-12 ADVICE: withColumn would silently OVERWRITE a same-named
     # input column and the final drop() would then delete the caller's
     # data — fail loudly like the other reserved-name guards
-    for reserved in ("__pid", "__mid", "__off"):
+    for reserved in ("__pid", "__mid", "__off", "__bucket", "__bkey"):
         if reserved in df.columns:
             raise ValueError(
                 f"global_index: column {reserved!r} already exists "
@@ -106,6 +231,65 @@ def global_index(
         num_partitions
         or df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
+    spark = df.sparkSession
+    if uniform_long_range is not None and n_parts <= 4096:
+        if class_stats is not None:
+            raise ValueError(
+                "global_index: uniform_long_range and class_stats are "
+                "mutually exclusive (no caller needs both)"
+            )
+        lo, hi = (int(uniform_long_range[0]), int(uniform_long_range[1]))
+        if hi <= lo:
+            raise ValueError(
+                f"global_index: empty uniform_long_range [{lo}, {hi})"
+            )
+        div = -((lo - hi) // n_parts)  # ceil((hi-lo)/n): buckets < n_parts
+        c0 = order_cols[0]
+        raw_bucket = F.expr(f"(`{c0}` - {lo}) div {div}")
+        # clamp (monotone) + NULL→0: NULL keys sort first under asc
+        # just like the range partitioner placed them
+        bucket = F.coalesce(
+            F.least(
+                F.lit(n_parts - 1).cast("bigint"),
+                F.greatest(F.lit(0).cast("bigint"), raw_bucket),
+            ),
+            F.lit(0).cast("bigint"),
+        )
+        # exchange-free counts: partial agg over the (column-pruned)
+        # source + a ≤ n_parts-row final — replaces BOTH the sampler
+        # job and the checkpoint count job
+        counts = (
+            df.select(bucket.alias("__bucket"))
+            .groupBy("__bucket")
+            .count()
+            .collect()
+        )
+        acc = int(start)
+        off_rows = []
+        for r in sorted(counts, key=lambda r: int(r["__bucket"])):
+            off_rows.append((int(r["__bucket"]), acc))
+            acc += int(r["count"])
+        if not off_rows:
+            return df.withColumn(out_col, F.lit(None).cast("long"))
+        pkeys = _hash_partition_keys(n_parts)
+        key_arr = F.array(*[F.lit(int(k)) for k in pkeys])
+        placed = (
+            df.withColumn(
+                "__bkey",
+                F.element_at(key_arr, bucket.cast("int") + F.lit(1)),
+            )
+            .repartition(n_parts, F.col("__bkey"))
+            .sortWithinPartitions(*order_cols)
+            .drop("__bkey")
+        )
+        with_ids = placed.withColumn(
+            "__pid", F.spark_partition_id()
+        ).withColumn("__mid", F.monotonically_increasing_id())
+        # physical partition id == logical bucket by key construction,
+        # so the bucket offsets attach straight on __pid
+        out = _attach_offsets(with_ids, off_rows, n_parts, out_col, start)
+        out._graft_row_count = acc - int(start)
+        return out
     ranged = (
         df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
         .sortWithinPartitions(*order_cols)
@@ -117,30 +301,68 @@ def global_index(
     with_ids = ranged.withColumn("__pid", F.spark_partition_id()).withColumn(
         "__mid", F.monotonically_increasing_id()
     )
-    counts = with_ids.groupBy("__pid").count().collect()
-    spark = df.sparkSession
+    cls_stats: dict | None = None
+    if class_stats is None:
+        counts = with_ids.groupBy("__pid").count().collect()
+    else:
+        if class_stats in ("count", "__minmid", "__pid"):
+            raise ValueError(
+                f"global_index: class_stats column {class_stats!r} "
+                "collides with the stats aggregation's own output names"
+            )
+        # ONE collect serves the partition offsets AND the per-class
+        # (first position, count) stats: min(__mid) locates each
+        # class's block start inside its partition without assuming
+        # the driver can reproduce Spark's class-value sort order
+        rows = (
+            with_ids.groupBy("__pid", class_stats)
+            .agg(
+                F.count(F.lit(1)).alias("count"),
+                F.min("__mid").alias("__minmid"),
+            )
+            .collect()
+        )
+        by_pid: dict[int, int] = {}
+        for r in rows:
+            by_pid[int(r["__pid"])] = by_pid.get(int(r["__pid"]), 0) + int(
+                r["count"]
+            )
+        counts = [{"__pid": p, "count": c} for p, c in by_pid.items()]
     acc = int(start)
     off_rows = []
+    off_by_pid: dict[int, int] = {}
     for r in sorted(counts, key=lambda r: r["__pid"]):
         off_rows.append((int(r["__pid"]), acc))
+        off_by_pid[int(r["__pid"])] = acc
         acc += int(r["count"])
     if not off_rows:
-        return df.withColumn(out_col, F.lit(None).cast("long"))
-    offs = spark.createDataFrame(off_rows, "__pid int, __off long")
-    local_rank = F.col("__mid") - (
-        F.col("__pid").cast("long") * F.lit(_MID_PARTITION_STRIDE)
-    )
-    out = (
-        with_ids.join(F.broadcast(offs), "__pid")
-        .withColumn(out_col, F.col("__off") + local_rank)
-        .drop("__pid", "__mid", "__off")
-    )
+        out = df.withColumn(out_col, F.lit(None).cast("long"))
+        if class_stats is not None:
+            out._graft_class_stats = {}
+        return out
+    if class_stats is not None:
+        cls_stats = {}
+        for r in rows:
+            p = int(r["__pid"])
+            g = off_by_pid[p] + (
+                int(r["__minmid"]) - p * _MID_PARTITION_STRIDE
+            )
+            prev = cls_stats.get(r[class_stats])
+            if prev is None:
+                cls_stats[r[class_stats]] = [g, int(r["count"])]
+            else:
+                prev[0] = min(prev[0], g)
+                prev[1] += int(r["count"])
+        cls_stats = {k: (v[0], v[1]) for k, v in cls_stats.items()}
+    out = _attach_offsets(with_ids, off_rows, n_parts, out_col, start)
     # the offsets collect already summed the exact row count — pin it
     # on THIS frame so consumers (epoch_shuffle_two_level) skip their
     # own count job. Safe by construction: DataFrame transformations
     # return new objects, so the attribute never survives a filter or
     # projection that could change the count.
     out._graft_row_count = acc - int(start)
+    if class_stats is not None:
+        out._graft_class_stats = cls_stats
     return out
 
 
@@ -180,12 +402,19 @@ def epoch_shuffle(
     # instead of a 32-byte string — 1.8× faster at 50M rows (round-14
     # sort-key A/B; the fourth-decade superlinearity was compare-bound)
     pref = F.conv(F.substring(key, 1, 15), 16, 10).cast("long")
+    # uniform fast path (optimization round 16): the 60-bit md5 prefix
+    # is uniform on [0, 16^15) by construction and the (pref, hex)
+    # composite is duplicate-free for distinct ids, so global_index
+    # can place rows with closed-form range boundaries — no
+    # range-sampler job, no checkpoint, one fewer pass over the corpus
+    # per epoch (plan witness plans/r16/q_epoch_shuffle_after.txt)
     return global_index(
         df.withColumn("__shuffle_pref", pref).withColumn(
             "__shuffle_key", key
         ),
         ["__shuffle_pref", "__shuffle_key"],
         out_col,
+        uniform_long_range=(0, 16**15),
     ).drop("__shuffle_key", "__shuffle_pref")
 
 
@@ -632,27 +861,44 @@ def epoch_shuffle_two_level(
     # range(n_blocks) plus a .first() probe: two extra jobs per epoch)
     branks = _block_permutation(int(epoch), n_blocks)
     short_rank = branks[n_blocks - 1]
-    blocks = df.sparkSession.createDataFrame(
-        [(int(b), int(v)) for b, v in enumerate(branks)],
-        "__blk long, __brank long",
-    )
     # offset of a block in the permuted order: brank·r, minus the
     # short block's deficit for every block scheduled after it
     deficit = r - short
-    offset = (F.col("__brank") * F.lit(r)) - F.when(
-        F.col("__brank") > short_rank, F.lit(deficit)
-    ).otherwise(F.lit(0))
     within = (
         F.row_number().over(
             Window.partitionBy("__blk").orderBy("__wkey", id_col)
         )
         - 1
     )
-    return (
+    keyed = (
         df.withColumn("__blk", block)
         .withColumn("__wkey", wkey)
         .withColumn("__within", within)
-        .join(F.broadcast(blocks), "__blk")
+    )
+    if n_blocks <= _OFFSET_ARRAY_MAX_PARTS:
+        # ≤ a few thousand blocks: the brank map rides as ONE folded
+        # literal array (no broadcast-build job, no join node —
+        # optimization round 16, the _attach_offsets rationale); the
+        # 100 TB grain (~100k blocks) keeps the broadcast frame below
+        brank_col = F.element_at(
+            F.array(*[F.lit(int(v)).cast("long") for v in branks]),
+            F.col("__blk").cast("int") + F.lit(1),
+        )
+        offset = (brank_col * F.lit(r)) - F.when(
+            brank_col > short_rank, F.lit(deficit)
+        ).otherwise(F.lit(0))
+        return keyed.withColumn(
+            out_col, (offset + F.col("__within")).cast("long")
+        ).drop("__blk", "__wkey", "__within")
+    blocks = df.sparkSession.createDataFrame(
+        [(int(b), int(v)) for b, v in enumerate(branks)],
+        "__blk long, __brank long",
+    )
+    offset = (F.col("__brank") * F.lit(r)) - F.when(
+        F.col("__brank") > short_rank, F.lit(deficit)
+    ).otherwise(F.lit(0))
+    return (
+        keyed.join(F.broadcast(blocks), "__blk")
         .withColumn(out_col, (offset + F.col("__within")).cast("long"))
         .drop("__blk", "__wkey", "__within", "__brank")
     )
@@ -1186,23 +1432,19 @@ def interleave_by_weight(
             )
     # per-source contiguous ranks: one global_index over the NATIVE
     # (source, id) composite — no packed-string key (the round-14
-    # sort-key A/B: numeric compares beat fixed-width strings)
+    # sort-key A/B: numeric compares beat fixed-width strings).
+    # class_stats (optimization round 16): the per-source
+    # (offset, count) stats ride global_index's OWN offsets collect —
+    # grouped by (partition, source) with min(monotonic id), so class
+    # block starts are located without any driver-side value-order
+    # assumption (the round-14 review rule) and the separate
+    # full-frame stats aggregation job this operator used to run per
+    # call is gone. Same collect still doubles as the unknown-source
+    # validation.
     ranked = global_index(
-        df, [source_col, id_col], out_col="__grank"
+        df, [source_col, id_col], out_col="__grank", class_stats=source_col
     )
-    # per-source offsets read DIRECTLY from the rank frame
-    # (min(__grank) per source — classes are contiguous under the
-    # (source, id) sort), not by accumulating python-sorted counts:
-    # the latter silently assumed python str order == Spark's sort
-    # order (round-14 review finding). The same collect doubles as the
-    # unknown-source validation, replacing the separate distinct scan
-    # the operator previously paid per call.
-    stats = {
-        r[source_col]: (int(r["off"]), int(r["cnt"]))
-        for r in ranked.groupBy(source_col)
-        .agg(F.min("__grank").alias("off"), F.count(F.lit(1)).alias("cnt"))
-        .collect()
-    }
+    stats = ranked._graft_class_stats
     offs = {s: off for s, (off, _) in stats.items()}
     if weight_fn is not None:
         weights = {s: int(weight_fn(s)) for s in offs}

@@ -133,11 +133,37 @@ def exclusive_prefix_sum(
         totals_src.groupBy("__pid").agg(F.sum(val_col).alias("__tot")).collect(),
         key=lambda r: r["__pid"],
     )
-    acc, base_rows = 0, []
+    acc, base_by_pid = 0, {}
+    max_pid = -1
     for r in totals:
-        base_rows.append((r["__pid"], acc))
+        base_by_pid[int(r["__pid"])] = acc
+        max_pid = max(max_pid, int(r["__pid"]))
         acc += r["__tot"] or 0
-    base = spark.createDataFrame(base_rows, "__pid int, __base bigint")
+    # offsets attach as one folded literal-array lookup instead of a
+    # createDataFrame broadcast join — the build of that ≤ P-row table
+    # was a full Spark job per pack call (optimization round 16; the
+    # global_index._attach_offsets rationale). Gaps carry the running
+    # base: no row holds an absent pid, the value is unread.
+    fill, acc_fill = [], 0
+    for p in range(max_pid + 1):
+        acc_fill = base_by_pid.get(p, acc_fill)
+        fill.append(acc_fill)
+    if max_pid + 1 <= 4096:
+        arr = F.array(*[F.lit(int(v)).cast("bigint") for v in fill])
+        return (
+            local.withColumn(
+                out_col,
+                (
+                    F.element_at(arr, F.col("__pid") + F.lit(1))
+                    + F.col("__local_excl")
+                ).cast("bigint"),
+            )
+            .drop("__pid", "__local_excl")
+        )
+    base = spark.createDataFrame(
+        sorted((p, b) for p, b in base_by_pid.items()),
+        "__pid int, __base bigint",
+    )
     return (
         local.join(F.broadcast(base), "__pid")
         .withColumn(out_col, (F.col("__base") + F.col("__local_excl")).cast("bigint"))

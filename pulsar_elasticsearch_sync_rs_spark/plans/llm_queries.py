@@ -1328,11 +1328,14 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         contamination_hits,
     )
 
-    # spread once for both sides: the corpus shingle explode is the
-    # heavy pre-exchange work (bench side is ~1% of docs)
-    docs = spread_scan(read_table(spark, sf_dir, "documents"), "doc_id")
-    bench = docs.filter(F.col("doc_id") % 97 == 0)
-    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    # spread the CORPUS side only: its shingle explode is the heavy
+    # pre-exchange work. The bench side (~1% of docs) feeds the
+    # broadcast-guard aggregation and the gram-set build — routing it
+    # through the spread exchange only added that exchange's AQE
+    # stages to the guard job (optimization round 16).
+    raw = read_table(spark, sf_dir, "documents")
+    bench = raw.filter(F.col("doc_id") % 97 == 0)
+    corpus = spread_scan(raw.filter(F.col("doc_id") % 97 != 0), "doc_id")
     return contamination_hits(corpus, bench, n=3)
 
 
@@ -1904,7 +1907,14 @@ def q_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     base = gated.filter(F.col("doc_id") % 97 != 0)
-    clean = decontaminate(base, docs.filter(F.col("doc_id") % 97 == 0), n=5)
+    # bench side off the RAW scan, not the spread frame: identical rows
+    # (the %97 filter commutes with the spread exchange), but the
+    # broadcast-guard aggregation and the gram-set broadcast build stop
+    # paying the spread exchange's AQE stages (optimization round 16)
+    bench_side = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 97 == 0
+    )
+    clean = decontaminate(base, bench_side, n=5)
 
     # Stages 3–5 (dedup survivor, mix rates, split) are DECISIONS — a
     # function of (doc_id, lang, sha) only. Every one of them consumed
@@ -1988,20 +1998,43 @@ def q_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=True
     )
 
-    # domain mix over the surviving corpus — SAME helpers as
-    # q_domain_mix, so the composite can never drift from the lane.
-    # The ≤#langs rate table is COLLECTED once (the interleave-offsets
-    # collect discipline) and applied as a literal map lookup: values
-    # are computed BY SPARK via temperature_rates, so they are
-    # bit-identical to the broadcast-join shape, and the totals job +
-    # the final assembly no longer each rebuild a rates broadcast
-    # (broadcast builds re-execute per job — SKILL.md).
-    rate_rows = temperature_rates(
-        surv_keys.filter(F.col("lang").isNotNull()), "lang"
-    ).collect()
-    if rate_rows:
+    # domain mix over the surviving corpus — SAME rate formula as
+    # q_domain_mix (temperature_rates: round(sqrt(c_min / c), 6)), so
+    # the composite can never drift from the lane. The ≤#langs rate
+    # table is COLLECTED once (the interleave-offsets collect
+    # discipline) and applied as a literal map lookup. Optimization
+    # round 16: collect the INTEGER lang counts only (one plain
+    # groupBy — 2 AQE stage jobs) instead of the full
+    # temperature_rates frame (its one-row-min cross join added two
+    # more AQE stage jobs per call), and build each rate as a SPARK
+    # round(sqrt(lit/lit)) expression — Catalyst constant-folds it
+    # with the same Java sqrt/HALF_UP round the broadcast-join shape
+    # evaluated per row, so the values are bit-identical (pinned
+    # against temperature_rates in tests/test_extra_oracles.py's
+    # pipeline oracle hash).
+    lang_rows = (
+        surv_keys.filter(F.col("lang").isNotNull())
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    if lang_rows:
+        c_min = min(int(r["c"]) for r in lang_rows)
         rate_lit = F.create_map(
-            *[F.lit(v) for r in rate_rows for v in (r["lang"], r["rate"])]
+            *[
+                e
+                for r in lang_rows
+                for e in (
+                    F.lit(r["lang"]),
+                    F.round(
+                        F.sqrt(
+                            F.lit(c_min).cast("double")
+                            / F.lit(int(r["c"])).cast("double")
+                        ),
+                        6,
+                    ),
+                )
+            ]
         )
         rate_col = rate_lit[F.col("lang")]
     else:
