@@ -562,73 +562,55 @@ def pack_bins_residual_fill(
         "waste_tokens long"
     )
 
-    # ---- large bins: generated from range + the interval table -----
-    n_large_bins = sum(iv[3] for iv in intervals)
-    if n_large_bins:
-        itab_rows, lo = [], 0
-        for res, cls, sb, cnt, dib, nf, at in intervals:
-            itab_rows.append(
-                (int(cls), lo, lo + int(cnt), int(sb), int(dib),
-                 int(dib) * int(cls) + int(at), int(dib) + int(nf))
-            )
-            lo += int(cnt)
-        itab = F.broadcast(
-            spark.createDataFrame(
-                itab_rows,
-                "cls long, lo long, hi long, sb long, dib long, "
-                "fill long, ndocs long",
-            )
+    # ---- bins generated from ONE range + ONE interval table --------
+    # Large-bin intervals and the small-leftover classes are disjoint
+    # contiguous id ranges, so they share a single global bin-id space
+    # (small classes offset past the large bins) and a single
+    # broadcast range-join — the second broadcast build + join + union
+    # this used to pay per call is gone (optimization round 16; rows
+    # identical, the union order never mattered to consumers or the
+    # oracle's order-insensitive hash). `is_small` tags which constant
+    # set applies.
+    rows_tab, lo = [], 0
+    for res, cls, sb, cnt, dib, nf, at in intervals:
+        # (cls, lo, hi, base, dib_or_k, fill_const, ndocs_const, small, n)
+        rows_tab.append(
+            (int(cls), lo, lo + int(cnt), int(sb), 0,
+             int(dib) * int(cls) + int(at), int(dib) + int(nf), 0, 0)
         )
-        large_rows = (
-            spark.range(lo)
-            .join(itab, (F.col("id") >= F.col("lo")) & (F.col("id") < F.col("hi")))
-            .select(
-                F.col("cls").alias("len_class"),
-                (F.col("sb") + F.col("id") - F.col("lo"))
-                .cast("long")
-                .alias("bin_idx"),
-                F.col("ndocs").cast("long").alias("n_docs"),
-                F.col("fill").cast("long").alias("fill_tokens"),
-            )
-            .withColumn(
-                "waste_tokens",
-                (F.lit(c) - F.col("fill_tokens")).cast("long"),
-            )
-        )
-    else:
-        large_rows = spark.createDataFrame([], out_schema)
-
-    # ---- small leftover bins: same range + constant-table shape ----
-    srows, lo2 = [], 0
+        lo += int(cnt)
     for m in sorted(small):
         left = remaining.get(m, small[m])
         if left <= 0:
             continue
         k = c // m
         b_total = math.ceil(left / k)
-        srows.append((m, lo2, lo2 + b_total, k, left))
-        lo2 += b_total
-    if srows:
-        stab = F.broadcast(
-            spark.createDataFrame(
-                srows, "cls long, lo long, hi long, k long, n long"
-            )
+        rows_tab.append((int(m), lo, lo + b_total, 0, int(k), 0, 0, 1, int(left)))
+        lo += b_total
+    if not rows_tab:
+        return spark.createDataFrame([], out_schema)
+    tab = F.broadcast(
+        spark.createDataFrame(
+            rows_tab,
+            "cls long, lo long, hi long, base long, k long, "
+            "fill long, ndocs long, small int, n long",
         )
-        bin_idx2 = F.col("id") - F.col("lo")
-        nd = F.least(F.col("k"), F.col("n") - bin_idx2 * F.col("k"))
-        small_rows = (
-            spark.range(lo2)
-            .join(stab, (F.col("id") >= F.col("lo")) & (F.col("id") < F.col("hi")))
-            .select(
-                F.col("cls").alias("len_class"),
-                bin_idx2.cast("long").alias("bin_idx"),
-                nd.cast("long").alias("n_docs"),
-                (nd * F.col("cls")).cast("long").alias("fill_tokens"),
-                (F.lit(c) - nd * F.col("cls")).cast("long").alias(
-                    "waste_tokens"
-                ),
-            )
+    )
+    off = F.col("id") - F.col("lo")
+    nd_small = F.least(F.col("k"), F.col("n") - off * F.col("k"))
+    n_docs = F.when(F.col("small") == 1, nd_small).otherwise(F.col("ndocs"))
+    fill = F.when(
+        F.col("small") == 1, nd_small * F.col("cls")
+    ).otherwise(F.col("fill"))
+    bin_idx = F.when(F.col("small") == 1, off).otherwise(F.col("base") + off)
+    return (
+        spark.range(lo)
+        .join(tab, (F.col("id") >= F.col("lo")) & (F.col("id") < F.col("hi")))
+        .select(
+            F.col("cls").alias("len_class"),
+            bin_idx.cast("long").alias("bin_idx"),
+            n_docs.cast("long").alias("n_docs"),
+            fill.cast("long").alias("fill_tokens"),
+            (F.lit(c) - fill).cast("long").alias("waste_tokens"),
         )
-    else:
-        small_rows = spark.createDataFrame([], out_schema)
-    return large_rows.unionByName(small_rows)
+    )

@@ -43,8 +43,25 @@ def normalize_events_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     return df
 
 
+# per-process parquet schema cache: every bare spark.read.parquet pays
+# a 1-task schema-inference JOB (distributed footer read) per call —
+# six of them in the 5-way star join, one in every lane, every rep
+# (optimization round 16, status-API job audit). The schema of a
+# fixture path never changes within a process, so infer once per
+# (app_id, path) and hand it back explicitly; keying on the
+# application id keeps a stale schema from leaking across the
+# stop/start session cycles the test suite runs.
+_SCHEMA_CACHE: dict[tuple[str, str], object] = {}
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    key = (spark.sparkContext.applicationId, path)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[key] = schema
+    df = spark.read.schema(schema).parquet(path)
     if name == "events":
         df = normalize_events_ts(df)
     return df
