@@ -82,11 +82,54 @@ def exclusive_prefix_sum(
     action consumes the result. q_llm_pipeline fuses its survivor-keys
     checkpoint this way — one full exchange plus one materialization of
     the 16 B/doc stream deleted per pipeline run."""
+    import os as _os
+
     spark = df.sparkSession
     if assume_range_partitioned:
         part = df.withColumn("__pid", F.spark_partition_id())
-        local = part
         totals_src = part
+        if _os.environ.get("SPARK_GRAFT_PREFIX", "arrow") == "arrow":
+            # ZERO-SHUFFLE local scan (optimization round 16): the
+            # window below needs Exchange(hashpartitioning(__pid)) —
+            # Catalyst cannot see the rows are already physically
+            # grouped by their own partition id, so the whole skinny
+            # stream re-shuffles once per pack. A per-partition Arrow
+            # cumsum computes the identical exclusive sums with NO
+            # exchange: sortWithinPartitions (no data movement) + one
+            # mapInPandas pass whose running total carries across the
+            # partition's batches. Values exact (int64 cumsum);
+            # SPARK_GRAFT_PREFIX=window keeps the JVM window shape
+            # reachable for interleaved A/B re-measures.
+            sorted_part = part.sortWithinPartitions(order_col)
+            out_fields = sorted_part.schema.fields
+            out_schema = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}"
+                for f in out_fields
+            ) + ", __local_excl bigint"
+            vcol = val_col
+
+            def _cum(batches):
+                run = 0
+                for pdf in batches:
+                    v = pdf[vcol].fillna(0).astype("int64")
+                    pdf = pdf.assign(
+                        __local_excl=(v.cumsum() - v + run).astype("int64")
+                    )
+                    run += int(v.sum())
+                    yield pdf
+
+            local = sorted_part.mapInPandas(_cum, out_schema)
+        else:
+            w = Window.partitionBy("__pid").orderBy(order_col)
+            local = part.withColumn(
+                "__local_excl",
+                F.coalesce(
+                    F.sum(val_col).over(
+                        w.rowsBetween(Window.unboundedPreceding, -1)
+                    ),
+                    F.lit(0).cast("bigint"),
+                ),
+            )
     else:
         n_part = num_partitions or int(
             spark.conf.get("spark.sql.shuffle.partitions", "32")
@@ -105,16 +148,17 @@ def exclusive_prefix_sum(
         part = df.repartitionByRange(n_part, order_col).withColumn(
             "__pid", F.spark_partition_id()
         )
-        local = part
         totals_src = None  # set below, AFTER the checkpoint
-    w = Window.partitionBy("__pid").orderBy(order_col)
-    local = local.withColumn(
-        "__local_excl",
-        F.coalesce(
-            F.sum(val_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
-            F.lit(0).cast("bigint"),
-        ),
-    )
+        w = Window.partitionBy("__pid").orderBy(order_col)
+        local = part.withColumn(
+            "__local_excl",
+            F.coalesce(
+                F.sum(val_col).over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("bigint"),
+            ),
+        )
     if not assume_range_partitioned:
         # Pin ONE physical partitioning: the totals job below and every
         # later action on the returned DataFrame must see the SAME range

@@ -878,9 +878,31 @@ def run_curation_ingest(
             and batch_id not in counted_batches
             and not os.path.exists(marker)
         )
-        if count_this_batch:
-            batch_df = batch_df.persist()
-            counts["curation_input"] = batch_df.count()
+        # Counters ride OBSERVATION metrics on frames whose jobs the
+        # batch runs anyway (optimization round 16): the six per-batch
+        # .count() jobs (input, gated, hashed, deduped, near_deduped,
+        # admitted) are gone — each observe node fires during the
+        # cache-fill / checkpoint job that first executes its frame,
+        # and every observed frame is guaranteed a FULL first execution
+        # (no limit-pruned consumer touches them; the round-15 notes'
+        # double-execution pitfall is avoided because a cache/
+        # checkpoint fill materializes whole partitions exactly once).
+        from pyspark.sql import Observation
+
+        obs: dict[str, Observation] = {}
+
+        def _observed(frame: DataFrame, key: str) -> DataFrame:
+            if not count_this_batch:
+                return frame
+            obs[key] = Observation()
+            return frame.observe(
+                obs[key], F.count(F.lit(1)).alias("n")
+            )
+
+        def _obs_n(key: str) -> int:
+            return int(obs[key].get["n"])
+
+        batch_df = _observed(batch_df, "input")
 
         # gated is consumed by TWO branches (the shingle/gram side of
         # the contamination probe and the anti-join probe side), and
@@ -901,7 +923,9 @@ def run_curation_ingest(
         # (plan-pinned in tests/test_streaming_curation.py).
         from ..operators.skew import no_pushdown
 
-        gated = batch_df.filter(no_pushdown(gate_pred)).persist()
+        gated = _observed(
+            batch_df.filter(no_pushdown(gate_pred)), "gated"
+        ).persist()
 
         # decontaminate: shingle ONLY gate survivors against the
         # pre-measured gram set (broadcast probe under the guard).
@@ -942,7 +966,9 @@ def run_curation_ingest(
 
         # within-batch min-id survivor per sha — semi-join so text
         # never shuffles on the hash key
-        hashed = clean.withColumn("__sha", F.sha2(F.col(text_col), 256)).persist()
+        hashed = _observed(
+            clean.withColumn("__sha", F.sha2(F.col(text_col), 256)), "hashed"
+        ).persist()
         surv_ids = (
             hashed.select("__sha", id_col)
             .groupBy("__sha")
@@ -979,7 +1005,7 @@ def run_curation_ingest(
             # branch re-runs the gate UDF + decontamination join over
             # the micro-batch; persist once (batch-bounded), released
             # in the finally below
-            deduped = deduped.persist()
+            deduped = _observed(deduped, "deduped").persist()
             # ONE signature pass: the skinny banded rows feed the
             # within-batch grouping, the history join AND the admitted
             # slice write — eager checkpoint caps that at one job and
@@ -1121,6 +1147,7 @@ def run_curation_ingest(
             near_deduped = deduped
 
         if rate_limits:
+            near_deduped = _observed(near_deduped, "near")
             w = Window.partitionBy(rate_key).orderBy(F.col(id_col).asc())
             cap = F.lit(None).cast("int")
             for k, v in rate_limits.items():
@@ -1145,30 +1172,33 @@ def run_curation_ingest(
         # INSERT OVERWRITE's read-your-own-target analysis sees the
         # LOGICAL plan — the cache never protected it.)
         with _timed("admit_ckpt"):
-            admitted = admitted.localCheckpoint(eager=True)
+            admitted = _observed(admitted, "admitted").localCheckpoint(
+                eager=True
+            )
         try:
             if count_this_batch:
                 with _timed("counters"):
+                    # every value below is an Observation read — the
+                    # metrics fired during the batch's own cache-fill/
+                    # checkpoint jobs, so the whole counter block
+                    # launches ZERO Spark jobs (optimization round 16;
+                    # was six .count() jobs per counted batch)
+                    counts["curation_input"] = _obs_n("input")
                     counts["curation_gated"] = (
-                        counts["curation_input"] - gated.count()
+                        counts["curation_input"] - _obs_n("gated")
                     )
-                    # row-identical to clean.count() (withColumn
-                    # preserves cardinality) but hits the hashed cache
-                    # directly — clean is a CHILD of the cached plan,
-                    # so counting it would re-run the contamination
-                    # join (cache lookup matches whole subtrees only)
-                    n_clean = hashed.count()
+                    # hashed is row-identical to clean (withColumn
+                    # preserves cardinality)
+                    n_clean = _obs_n("hashed")
                     counts["curation_contaminated"] = (
                         counts["curation_input"]
                         - counts["curation_gated"]
                         - n_clean
                     )
-                    n_admitted = admitted.count()
-                    n_near = (
-                        near_deduped.count() if rate_limits else n_admitted
-                    )
+                    n_admitted = _obs_n("admitted")
+                    n_near = _obs_n("near") if rate_limits else n_admitted
                     n_deduped = (
-                        deduped.count()
+                        _obs_n("deduped")
                         if near_dup_threshold is not None
                         else n_near
                     )
@@ -1269,8 +1299,8 @@ def run_curation_ingest(
             hashed.unpersist()
             if near_dup_threshold is not None:
                 deduped.unpersist()
-            if count_this_batch:
-                batch_df.unpersist()
+            # batch_df is no longer persisted: the input counter rides
+            # an Observation instead of a persist+count (round 16)
 
         # maintenance point: this batch is fully landed and no other
         # reader of the indexes can be in flight (foreachBatch is
