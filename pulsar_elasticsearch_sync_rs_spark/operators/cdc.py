@@ -32,6 +32,30 @@ from pyspark.sql import functions as F
 # expression per bucket
 _CENSUS_OBS_MAX_BUCKETS = 128
 
+# per-process schema cache for the at-rest SCD2 base: every bare
+# spark.read.parquet pays a 1-task distributed schema-inference job,
+# and the partitioned merge read base_dir TWICE per micro-batch (key
+# dtype probe + the pruned data read) — two jobs per batch in a
+# job-count-bound hot path (optimization round 16; the
+# sources/batch.read_table finding applied to the CDC side). The merge
+# itself rewrites partitions with the identical schema, so within one
+# application the schema is stable; keyed on (application id, path) so
+# session cycles in tests never see a stale entry.
+_BASE_SCHEMA_CACHE: dict[tuple[str, str], object] = {}
+
+
+def _base_schema(spark, base_dir: str):
+    key = (spark.sparkContext.applicationId, base_dir)
+    schema = _BASE_SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = spark.read.parquet(base_dir).schema
+        _BASE_SCHEMA_CACHE[key] = schema
+    return schema
+
+
+def _read_base(spark, base_dir: str) -> DataFrame:
+    return spark.read.schema(_base_schema(spark, base_dir)).parquet(base_dir)
+
 
 def scd2_apply(
     base: DataFrame,
@@ -537,10 +561,11 @@ def scd2_apply_partitioned(
     and the at-rest snapshot would otherwise rewrite the wrong
     partitions and leave a key with two open versions.
     """
-    # schema read is footer-only (no data scan); the base key dtype is
-    # the canonical one — pb on disk was computed from it
+    # schema from the per-process cache (one inference job per
+    # application, not two per batch); the base key dtype is the
+    # canonical one — pb on disk was computed from it
     base_key_type = {
-        f.name: f.dataType for f in spark.read.parquet(base_dir).schema
+        f.name: f.dataType for f in _base_schema(spark, base_dir)
     }[key]
     changes = changes.withColumn(key, F.col(key).cast(base_key_type))
     pb = F.pmod(F.xxhash64(F.col(key)), F.lit(n_parts)).cast("int")
@@ -556,7 +581,7 @@ def scd2_apply_partitioned(
             "orphan_tombstones_by_bucket": {},
             "orphan_tombstones_pre_by_bucket": {},
         }
-    base = spark.read.parquet(base_dir).filter(F.col("pb").isin(buckets))
+    base = _read_base(spark, base_dir).filter(F.col("pb").isin(buckets))
     cols = [key, *attrs, from_col, to_col, current_col]
     # PRE-merge tombstone counts over the same pruned read (skinny
     # validity columns only): the streaming runner's backlog ceiling
