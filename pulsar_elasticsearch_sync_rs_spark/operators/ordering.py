@@ -383,8 +383,15 @@ def epoch_shuffle(
     as a layout instead of an in-memory operation: write the result
     range-partitioned and readers stream position ranges. Scale: the
     md5 is one narrow projection; everything else is
-    :func:`global_index` (one range exchange — at 100 TB the shuffle
-    IS the product, there is no cheaper total permutation)."""
+    :func:`global_index` over the uniform fast path (optimization
+    round 16) — ONE deterministic exchange with closed-form bucket
+    boundaries (the 60-bit md5 prefix is uniform by construction), no
+    sampler pass, no checkpoint. At 100 TB the one exchange IS the
+    product — there is no cheaper total permutation. Ties (md5
+    collisions between distinct ids — astronomically rare, and already
+    a cross-engine hazard for the oracle) are no longer frozen by a
+    checkpoint: two ACTIONS over the same returned frame could permute
+    tied rows; callers needing frozen ties checkpoint the result."""
     for reserved in ("__shuffle_key", "__shuffle_pref"):
         if reserved in df.columns:
             raise ValueError(

@@ -99,6 +99,24 @@ def _run_overlapped(thunks) -> None:
 # driver collect and the literal list Catalyst has to carry.
 _HIST_ISIN_MAX = 10_000
 
+# per-process schema cache for the landed-corpus history read: the
+# near-dup verify re-reads out_dir every batch and a bare
+# spark.read.parquet pays a 1-task schema-inference job per call
+# (optimization round 16 — the sources/batch.read_table finding). The
+# corpus schema is fixed for the stream's lifetime (every batch lands
+# the same admitted projection); keyed on (application id, path).
+# Listing still re-runs per batch — only the inference job is skipped.
+_HIST_SCHEMA_CACHE: dict[tuple[str, str], object] = {}
+
+
+def _read_history(spark, out_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, out_dir)
+    schema = _HIST_SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = spark.read.parquet(out_dir).schema
+        _HIST_SCHEMA_CACHE[key] = schema
+    return spark.read.schema(schema).parquet(out_dir)
+
 
 def _sha_table_name(sha_dir: str) -> str:
     """Deterministic catalog name for the bucketed sha index rooted at
@@ -1112,7 +1130,7 @@ def run_curation_ingest(
                 ]
                 if cand_ids:
                     hist_corpus = (
-                        spark.read.parquet(out_dir)
+                        _read_history(spark, out_dir)
                         .filter(F.col("batch") != batch_id)
                         .select(
                             F.col(id_col).alias("__hist"),
