@@ -31,6 +31,12 @@ paid ONCE, not re-executed by the counting job (the per-call persist
 would leak the CacheManager entry — layout.py rule), and so the id
 assignment reads a FIXED materialization (both the counting job and
 the projection see identical partition row orders).
+
+Keys that are provably UNIFORM on a known range (epoch_shuffle's md5
+prefix) take the round-16 fast path instead: closed-form bucket
+boundaries + a deterministic hash exchange that places bucket b in
+physical partition b exactly — no sampler pass, no checkpoint, same
+output contract (see ``global_index``'s ``uniform_long_range``).
 """
 
 from __future__ import annotations
